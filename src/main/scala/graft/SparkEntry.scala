@@ -1,13 +1,384 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{SeriesFrame, Tables}
+import graft.core.SeriesFrame._
+import graft.functions.{FeatureOps, Metrics}
+import graft.models.Baselines
+import graft.operators.{Conformal, Transforms}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a matching DuckDB oracle in [[oracleSql]]. Floating-point
+  * discipline (so hashes match across engines): the base series rounds its
+  * SUM to cents (bit-identical inputs both sides), per-row ops are IEEE-exact,
+  * and any cross-row aggregate output is rounded on BOTH sides at a precision
+  * where engine summation-order noise can't straddle a rounding boundary.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001: monthly revenue series → test split →
+    * trend+seasonal OLS → 12-step horizon forecast → conformal 95% CIs. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val base = withTestFlag(withMonthlyHorizon(ordersMonthly(spark, dir), 12), 12)
+    Conformal.withIntervals(Baselines.trendSeasonal(base))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_build_monthly"   -> ((s, d) => ordersMonthly(s, d)),
+    "mv_build_segments"  -> ((s, d) => segmentMonthly(s, d).orderBy(SeriesId, Ds)),
+    "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
+    "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
+    "ts_naive"           -> ((s, d) => qNaive(s, d)),
+    "ts_metrics"         -> ((s, d) => qMetrics(s, d)),
+    "ts_scalers"         -> ((s, d) => qScalers(s, d)),
+    "ts_pointwise"       -> ((s, d) => qPointwise(s, d)),
+    "ts_diff"            -> ((s, d) => qDiff(s, d)),
+    "ts_detrend"         -> ((s, d) => qDetrend(s, d)),
+    "ts_deseason"        -> ((s, d) => qDeseason(s, d)),
+    "ts_trend_seasonal"  -> ((s, d) => qTrendSeasonal(s, d)),
+    "ts_conformal"       -> ((s, d) => qConformal(s, d)),
+    "mv_corr"            -> ((s, d) => qMvCorr(s, d)),
+    "events_sessionize"  -> ((s, d) => qSessionize(s, d)),
+    "events_hourly"      -> ((s, d) => qEventsHourly(s, d))
+  )
+
+  private def qArTerms(s: SparkSession, d: String): DataFrame =
+    FeatureOps.addArLags(ordersMonthly(s, d), Seq(1, 2, 3, 12))
+      .select(col(SeriesId), col(Ds), col(Y), col("ar_1"), col("ar_2"), col("ar_3"), col("ar_12"))
+
+  private def qCalendar(s: SparkSession, d: String): DataFrame = {
+    val f0 = FeatureOps.addCalendar(
+      FeatureOps.addTimeTrend(ordersMonthly(s, d)), Seq("month", "quarter", "year"))
+    val f1 = FeatureOps.addFourier(f0, col("month"), 12.0, "month")
+    val f2 = FeatureOps.addCycle(f1, 13.5, "cyc")
+    f2.select(col(SeriesId), col(Ds), col("t"), col("month"), col("quarter"), col("year"),
+      round(col("monthsin"), 6).as("monthsin"), round(col("monthcos"), 6).as("monthcos"),
+      round(col("cycsin"), 6).as("cycsin"), round(col("cyccos"), 6).as("cyccos"))
+  }
+
+  private def qNaive(s: SparkSession, d: String): DataFrame = {
+    val base = withMonthlyHorizon(ordersMonthly(s, d), 12)
+    val n1 = Baselines.naiveForecast(base, 1, "yhat_naive")
+    val n12 = Baselines.naiveForecast(base, 12, "yhat_snaive")
+    n1.join(n12.select(col(SeriesId), col(Ds), col("yhat_snaive")), Seq(SeriesId, Ds))
+      .select(col(SeriesId), col(Ds), col(Y), col("yhat_naive"), col("yhat_snaive"), col(IsFuture))
+  }
+
+  private def qMetrics(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    val z = Transforms.scaleT(base).transform(base)
+    val fitted = Baselines.naiveFitted(Baselines.naiveFitted(z, 1, "f_naive"), 12, "f_snaive")
+    val a = col(Y)
+    def metricsFor(f: Column, model: String): DataFrame =
+      fitted.filter(f.isNotNull).groupBy(SeriesId).agg(
+        count(lit(1)).as("n"),
+        round(Metrics.rmse(a, f), 6).as("rmse"),
+        round(Metrics.mse(a, f), 6).as("mse"),
+        round(Metrics.mae(a, f), 6).as("mae"),
+        round(Metrics.smape(a, f), 6).as("smape"),
+        round(Metrics.r2(a, f), 6).as("r2"),
+        round(Metrics.bias(a, f), 6).as("bias"),
+        round(Metrics.abias(a, f), 6).as("abias")
+      ).withColumn("model", lit(model))
+    metricsFor(col("f_naive"), "naive")
+      .unionByName(metricsFor(col("f_snaive"), "snaive"))
+      .select("model", SeriesId, "n", "rmse", "mse", "mae", "smape", "r2", "bias", "abias")
+  }
+
+  private def qScalers(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    def one(t: graft.operators.ExprTransform, out: String) =
+      t.transform(base).select(col(SeriesId), col(Ds), round(col(Y), 6).as(out))
+    one(Transforms.scaleT(base), "y_scale")
+      .join(one(Transforms.minmaxT(base), "y_minmax"), Seq(SeriesId, Ds))
+      .join(one(Transforms.robustT(base), "y_robust"), Seq(SeriesId, Ds))
+  }
+
+  private def qPointwise(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    val lg = Transforms.logT(base).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_log"))
+    val sq = Transforms.sqrtT(base).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_sqrt"))
+    val bc = Transforms.boxcoxT(base, 0.5).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_boxcox"))
+    base.select(col(SeriesId), col(Ds), col(Y))
+      .join(lg, Seq(SeriesId, Ds)).join(sq, Seq(SeriesId, Ds)).join(bc, Seq(SeriesId, Ds))
+  }
+
+  private def qDiff(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    val d1 = Transforms.diffT(base, 1).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 2).as("d1"))
+    val d12 = Transforms.diffT(base, 12).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 2).as("d12"))
+    base.select(col(SeriesId), col(Ds), col(Y)).join(d1, Seq(SeriesId, Ds)).join(d12, Seq(SeriesId, Ds))
+  }
+
+  private def qDetrend(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    Transforms.detrendLinearT(base).transform(base)
+      .withColumnRenamed(Y, "resid")
+      .join(base.select(col(SeriesId), col(Ds), col(Y)), Seq(SeriesId, Ds))
+      .select(col(SeriesId), col(Ds), col(Y), round(col("resid"), 0).as("resid"),
+        round(col(Y) - col("resid"), 0).as("trend")) // y - (y - trend): same op order as oracle
+  }
+
+  private def qDeseason(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    Transforms.deseasonT(base, 12).transform(base)
+      .withColumnRenamed(Y, "deseasoned")
+      .join(base.select(col(SeriesId), col(Ds), col(Y)), Seq(SeriesId, Ds))
+      .select(col(SeriesId), col(Ds), col(Y), round(col("deseasoned"), 0).as("deseasoned"))
+  }
+
+  private def qTrendSeasonal(s: SparkSession, d: String): DataFrame = {
+    val base = withTestFlag(withMonthlyHorizon(ordersMonthly(s, d), 12), 12)
+    Baselines.trendSeasonal(base)
+      .select(col(SeriesId), col(Ds), col(Y), round(col("yhat"), 0).as("yhat"),
+        col("is_test"), col(IsFuture))
+  }
+
+  private def qConformal(s: SparkSession, d: String): DataFrame = {
+    val base = withTestFlag(withMonthlyHorizon(ordersMonthly(s, d), 12), 12)
+    Conformal.withIntervals(Baselines.trendSeasonal(base))
+      .filter(col(IsFuture))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 0).as("yhat"),
+        round(col("lower"), 0).as("lower"), round(col("upper"), 0).as("upper"),
+        round(col("ci_width"), 0).as("ci_width"))
+  }
+
+  private def qMvCorr(s: SparkSession, d: String): DataFrame = {
+    val seg = segmentMonthly(s, d)
+    val a = seg.select(col(SeriesId).as("sid_a"), col(Ds), col(Y).as("ya"))
+    val b = seg.select(col(SeriesId).as("sid_b"), col(Ds), col(Y).as("yb"))
+    a.join(b, Seq(Ds.toString)).filter(col("sid_a") < col("sid_b"))
+      .groupBy("sid_a", "sid_b")
+      .agg(round(corr(col("ya"), col("yb")), 6).as("corr"), count(lit(1)).as("n"))
+  }
+
+  private def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .withColumn("ms", expr("ts div 1000000")) // ts is epoch-ns LONG; integer div (no double round-trip)
+      .withColumn("prev_ms", lag(col("ms"), 1).over(uw))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_num", sum(col("new_s")).over(
+        uw.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_num"))
+      .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
+        (max(col("ms")) - min(col("ms"))).as("duration_ms"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  private def qEventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d) // ts is epoch-ns LONG; truncate to the hour in ms (integer div)
+      .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE for the monthly orders series (matches ordersMonthly). */
+  private val S =
+    """WITH series AS (
+      |  SELECT 'orders' AS series_id,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+      |         ROUND(SUM(o_totalprice), 2) AS y
+      |  FROM orders GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val SEG =
+    """WITH series AS (
+      |  SELECT c_mktsegment AS series_id,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+      |         ROUND(SUM(o_totalprice), 2) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_build_monthly" ->
+      s"$S SELECT series_id, ds, y, FALSE AS is_future FROM series",
+
+    "mv_build_segments" ->
+      s"$SEG SELECT series_id, ds, y, FALSE AS is_future FROM series ORDER BY 1, 2",
+
+    "ts_ar_terms" ->
+      s"""$S SELECT series_id, ds, y,
+         |  lag(y, 1) OVER w AS ar_1, lag(y, 2) OVER w AS ar_2,
+         |  lag(y, 3) OVER w AS ar_3, lag(y, 12) OVER w AS ar_12
+         |FROM series WINDOW w AS (ORDER BY ds)""".stripMargin,
+
+    "ts_calendar" ->
+      s"""$S SELECT series_id, ds,
+         |  CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t,
+         |  CAST(month(ds) AS DOUBLE) AS month, CAST(quarter(ds) AS DOUBLE) AS quarter,
+         |  CAST(year(ds) AS DOUBLE) AS year,
+         |  ROUND(sin(pi() * month(ds) / 6.0), 6) AS monthsin,
+         |  ROUND(cos(pi() * month(ds) / 6.0), 6) AS monthcos,
+         |  ROUND(sin(pi() * (row_number() OVER (ORDER BY ds)) / 6.75), 6) AS cycsin,
+         |  ROUND(cos(pi() * (row_number() OVER (ORDER BY ds)) / 6.75), 6) AS cyccos
+         |FROM series""".stripMargin,
+
+    "ts_naive" ->
+      s"""$S, obs AS (
+         |  SELECT series_id, ds, y,
+         |    row_number() OVER (ORDER BY ds DESC) AS rnb,
+         |    lag(y, 1) OVER (ORDER BY ds) AS yhat_naive,
+         |    lag(y, 12) OVER (ORDER BY ds) AS yhat_snaive
+         |  FROM series),
+         |fut AS (
+         |  SELECT 'orders' AS series_id,
+         |    CAST((SELECT max(ds) FROM series) + to_months(CAST(i AS INT)) AS DATE) AS ds,
+         |    CAST(NULL AS DOUBLE) AS y,
+         |    (SELECT y FROM obs WHERE rnb = 1) AS yhat_naive,
+         |    (SELECT y FROM obs o WHERE o.rnb = 12 - ((i - 1) % 12)) AS yhat_snaive
+         |  FROM generate_series(1, 12) t(i))
+         |SELECT series_id, ds, y, yhat_naive, yhat_snaive, FALSE AS is_future FROM obs
+         |UNION ALL
+         |SELECT series_id, ds, y, yhat_naive, yhat_snaive, TRUE AS is_future FROM fut""".stripMargin,
+
+    "ts_metrics" ->
+      s"""$S, p AS (SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM series),
+         |z AS (SELECT series_id, ds, (y - mu) / sd AS y FROM series, p),
+         |f AS (SELECT series_id, ds, y,
+         |        lag(y, 1) OVER (ORDER BY ds) AS f_naive,
+         |        lag(y, 12) OVER (ORDER BY ds) AS f_snaive FROM z),
+         |m AS (
+         |  SELECT 'naive' AS model, series_id, count(*) AS n,
+         |    ROUND(sqrt(avg(pow(f_naive - y, 2))), 6) AS rmse,
+         |    ROUND(avg(pow(f_naive - y, 2)), 6) AS mse,
+         |    ROUND(avg(abs(f_naive - y)), 6) AS mae,
+         |    ROUND(avg(2 * abs(f_naive - y) / (abs(y) + abs(f_naive))), 6) AS smape,
+         |    ROUND(1 - sum(pow(f_naive - y, 2)) / (sum(pow(y, 2)) - pow(sum(y), 2) / count(*)), 6) AS r2,
+         |    ROUND(sum(f_naive - y), 6) AS bias,
+         |    ROUND(abs(sum(f_naive - y)), 6) AS abias
+         |  FROM f WHERE f_naive IS NOT NULL GROUP BY series_id
+         |  UNION ALL
+         |  SELECT 'snaive', series_id, count(*),
+         |    ROUND(sqrt(avg(pow(f_snaive - y, 2))), 6),
+         |    ROUND(avg(pow(f_snaive - y, 2)), 6),
+         |    ROUND(avg(abs(f_snaive - y)), 6),
+         |    ROUND(avg(2 * abs(f_snaive - y) / (abs(y) + abs(f_snaive))), 6),
+         |    ROUND(1 - sum(pow(f_snaive - y, 2)) / (sum(pow(y, 2)) - pow(sum(y), 2) / count(*)), 6),
+         |    ROUND(sum(f_snaive - y), 6),
+         |    ROUND(abs(sum(f_snaive - y)), 6)
+         |  FROM f WHERE f_snaive IS NOT NULL GROUP BY series_id)
+         |SELECT model, series_id, n, rmse, mse, mae, smape, r2, bias, abias FROM m""".stripMargin,
+
+    "ts_scalers" ->
+      s"""$S, p AS (
+         |  SELECT avg(y) AS mu, stddev_samp(y) AS sd, min(y) AS lo, max(y) AS hi,
+         |         quantile_cont(y, 0.5) AS med,
+         |         quantile_cont(y, 0.75) - quantile_cont(y, 0.25) AS iqr
+         |  FROM series)
+         |SELECT series_id, ds,
+         |  ROUND((y - mu) / sd, 6) AS y_scale,
+         |  ROUND((y - lo) / (hi - lo), 6) AS y_minmax,
+         |  ROUND((y - med) / iqr, 6) AS y_robust
+         |FROM series, p""".stripMargin,
+
+    "ts_pointwise" ->
+      s"""$S SELECT series_id, ds, y,
+         |  ROUND(ln(y), 6) AS y_log,
+         |  ROUND(sqrt(y), 6) AS y_sqrt,
+         |  ROUND((pow(y, 0.5) - 1) / 0.5, 6) AS y_boxcox
+         |FROM series""".stripMargin,
+
+    "ts_diff" ->
+      s"""$S SELECT series_id, ds, y,
+         |  ROUND(y - lag(y, 1) OVER w, 2) AS d1,
+         |  ROUND(y - lag(y, 12) OVER w, 2) AS d12
+         |FROM series WINDOW w AS (ORDER BY ds)""".stripMargin,
+
+    "ts_detrend" ->
+      s"""$S, s2 AS (SELECT series_id, ds, y,
+         |    CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |fit AS (SELECT regr_slope(y, t) AS b, regr_intercept(y, t) AS a FROM s2)
+         |SELECT series_id, ds, y,
+         |  ROUND(y - (a + b * t), 0) AS resid,
+         |  ROUND(y - (y - (a + b * t)), 0) AS trend
+         |FROM s2, fit""".stripMargin,
+
+    "ts_deseason" ->
+      s"""$S, s2 AS (SELECT series_id, ds, y,
+         |    row_number() OVER (ORDER BY ds) AS rn,
+         |    count(*) OVER (ORDER BY ds ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS wn,
+         |    (sum(y) OVER (ORDER BY ds ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+         |     + sum(y) OVER (ORDER BY ds ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)) / 24.0 AS trend
+         |  FROM series),
+         |detr AS (SELECT series_id, (rn - 1) % 12 AS phase, y - trend AS dt
+         |  FROM s2 WHERE wn = 13),
+         |seas0 AS (SELECT series_id, phase, avg(dt) AS seasonal FROM detr GROUP BY 1, 2),
+         |seas AS (SELECT series_id, phase,
+         |    seasonal - avg(seasonal) OVER (PARTITION BY series_id) AS seasonal FROM seas0)
+         |SELECT s2.series_id, s2.ds, s2.y,
+         |  ROUND(s2.y - seas.seasonal, 0) AS deseasoned
+         |FROM s2 JOIN seas ON seas.series_id = s2.series_id AND seas.phase = (s2.rn - 1) % 12""".stripMargin,
+
+    "ts_trend_seasonal" -> trendSeasonalSql(
+      "SELECT series_id, ds, y, ROUND(yhat, 0) AS yhat, is_test, is_future FROM scored"),
+
+    "ts_conformal" -> trendSeasonalSql(
+      """, width AS (
+        |  SELECT series_id, quantile_cont(abs(y - yhat), 0.95) AS ci_width
+        |  FROM scored WHERE is_test GROUP BY 1)
+        |SELECT s.series_id, s.ds, ROUND(s.yhat, 0) AS yhat,
+        |  ROUND(s.yhat - w.ci_width, 0) AS lower, ROUND(s.yhat + w.ci_width, 0) AS upper,
+        |  ROUND(w.ci_width, 0) AS ci_width
+        |FROM scored s JOIN width w ON s.series_id = w.series_id WHERE s.is_future""".stripMargin),
+
+    "mv_corr" ->
+      s"""$SEG SELECT a.series_id AS sid_a, b.series_id AS sid_b,
+         |  ROUND(corr(a.y, b.y), 6) AS corr, count(*) AS n
+         |FROM series a JOIN series b ON a.ds = b.ds AND a.series_id < b.series_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flag AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+        |  FROM flag)
+        |SELECT user_id, session_num, count(*) AS n_events, min(ms) AS start_ms,
+        |  max(ms) - min(ms) AS duration_ms, ROUND(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  /** Shared trend+seasonal-OLS scoring SQL: train = all but last 12 observed,
+    * horizon = 12 future months; `tail` appends the final SELECT. */
+  private def trendSeasonalSql(tail: String): String =
+    s"""$S, s2 AS (SELECT series_id, ds, y,
+       |    CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+       |nn AS (SELECT count(*) AS n, max(ds) AS last_ds FROM s2),
+       |train AS (SELECT s2.* FROM s2, nn WHERE t <= n - 12),
+       |fit AS (SELECT regr_slope(y, t) AS b, regr_intercept(y, t) AS a FROM train),
+       |eff AS (SELECT month(ds) AS m, avg(y - (a + b * t)) AS e
+       |        FROM train, fit GROUP BY 1),
+       |allrows AS (
+       |  SELECT series_id, ds, y, t, t > (SELECT n FROM nn) - 12 AS is_test,
+       |         FALSE AS is_future FROM s2
+       |  UNION ALL
+       |  SELECT 'orders', CAST(last_ds + to_months(CAST(i AS INT)) AS DATE),
+       |         CAST(NULL AS DOUBLE), n + i, FALSE, TRUE
+       |  FROM nn, generate_series(1, 12) t(i)),
+       |scored AS (
+       |  SELECT r.series_id, r.ds, r.y, r.is_test, r.is_future,
+       |         a + b * r.t + coalesce(eff.e, 0.0) AS yhat
+       |  FROM allrows r CROSS JOIN fit LEFT JOIN eff ON eff.m = month(r.ds))
+       |$tail""".stripMargin
 }

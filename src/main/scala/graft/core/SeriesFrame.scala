@@ -1,0 +1,118 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Canonical long-format time-series frame (SURVEY.md §1.5, FIXTURES.md §1):
+  *
+  * {{{
+  *   series_id : STRING   -- partition key; one value for univariate
+  *   ds        : DATE     -- strictly increasing per series_id
+  *   y         : DOUBLE   -- observed value; NULL on horizon rows
+  *   is_future : BOOLEAN  -- true for forecast-horizon rows
+  * }}}
+  *
+  * Mirrors the reference's `(y, current_dates, future_dates)` triplet
+  * (/root/reference/src/scalecast/Forecaster.py:44-94) but set-based over
+  * (series_id, ds) so a single job handles millions of series: every
+  * operation below is either a `groupBy(series_id)` aggregate or a window
+  * partitioned by series_id — no per-series driver loops, no global
+  * (unpartitioned) windows. At 100 TB the frame is expected to be
+  * partitioned/bucketed by series_id so the window sorts are local.
+  */
+object SeriesFrame {
+  val SeriesId = "series_id"
+  val Ds       = "ds"
+  val Y        = "y"
+  val IsFuture = "is_future"
+
+  /** Per-series ordered window — the backbone of every lag/trend/diff op. */
+  def w: WindowSpec = Window.partitionBy(SeriesId).orderBy(Ds)
+
+  def wRows(lo: Long, hi: Long): WindowSpec = w.rowsBetween(lo, hi)
+
+  /** Monthly revenue series from `orders` — the flagship univariate fixture
+    * (FIXTURES.md §7). `y` is rounded to cents so the series is bit-identical
+    * to the DuckDB oracle regardless of float summation order.
+    */
+  def ordersMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(trunc(col("o_orderdate"), "month").as(Ds))
+      .agg(round(sum("o_totalprice"), 2).as(Y))
+      .withColumn(SeriesId, lit("orders"))
+      .withColumn(IsFuture, lit(false))
+      .select(SeriesId, Ds, Y, IsFuture)
+
+  /** Multi-series fixture: monthly revenue per customer market segment.
+    * customer is a small dim → broadcast hash join, no shuffle on the fact
+    * side beyond the final aggregate.
+    */
+  def segmentMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as(SeriesId), trunc(col("o_orderdate"), "month").as(Ds))
+      .agg(round(sum("o_totalprice"), 2).as(Y))
+      .withColumn(IsFuture, lit(false))
+      .select(SeriesId, Ds, Y, IsFuture)
+
+  /** Daily shipped-quantity series from `lineitem` (larger, daily freq). */
+  def lineitemDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as(Ds))
+      .agg(round(sum("l_quantity"), 2).as(Y))
+      .withColumn(SeriesId, lit("lineitem"))
+      .withColumn(IsFuture, lit(false))
+      .select(SeriesId, Ds, Y, IsFuture)
+
+  /** Append `h` monthly horizon rows per series (y = NULL, is_future = true).
+    * Maps `generate_future_dates`
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:1317-1356).
+    * Set-based: one groupBy for last dates + an explode — no driver loop.
+    */
+  def withMonthlyHorizon(df: DataFrame, h: Int): DataFrame = {
+    val lastDs = df.filter(!col(IsFuture)).groupBy(SeriesId).agg(max(Ds).as("last_ds"))
+    val future = lastDs.select(
+      col(SeriesId),
+      explode(expr(s"transform(sequence(1, $h), i -> add_months(last_ds, i))")).as(Ds)
+    ).withColumn(Y, lit(null).cast("double")).withColumn(IsFuture, lit(true))
+    val extras = df.columns.filterNot(Set(SeriesId, Ds, Y, IsFuture))
+    unionLoose(df, extras.foldLeft(future)((f, c) => f.withColumn(c, lit(null))))
+  }
+
+  /** Union two frames aligning by column name, adding missing columns as null. */
+  def unionLoose(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns
+    val b2 = cols.foldLeft(b)((f, c) => if (b.columns.contains(c)) f else f.withColumn(c, lit(null)))
+    a.unionByName(b2.select(cols.map(col).toSeq: _*))
+  }
+
+  // ---- Row-range ops (SURVEY §2.2) ------------------------------------
+
+  /** Drop the last `n` observed rows of every series
+    * (`chop_from_front`, /root/reference/src/scalecast/Forecaster.py:1675-1702). */
+  def chopFromFront(df: DataFrame, n: Int): DataFrame = {
+    val rn = row_number().over(Window.partitionBy(SeriesId).orderBy(col(Ds).desc))
+    df.filter(!col(IsFuture))
+      .withColumn("_rn_back", rn).filter(col("_rn_back") > n).drop("_rn_back")
+  }
+
+  /** Keep only the last `n` observed rows of every series
+    * (`keep_smaller_history`, /root/reference/src/scalecast/Forecaster.py:1725-1749). */
+  def keepSmallerHistory(df: DataFrame, n: Int): DataFrame = {
+    val rn = row_number().over(Window.partitionBy(SeriesId).orderBy(col(Ds).desc))
+    df.filter(!col(IsFuture))
+      .withColumn("_rn_back", rn).filter(col("_rn_back") <= n).drop("_rn_back")
+  }
+
+  /** Mark the last `testLength` observed rows per series as the test slice.
+    * Adds `is_test: BOOLEAN`. The temporal split that backs `test()`
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:1569-1649). */
+  def withTestFlag(df: DataFrame, testLength: Int): DataFrame = {
+    // observed rows strictly after this one; horizon rows are never test rows
+    val after = count(when(!col(IsFuture), lit(1)))
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    df.withColumn("is_test", !col(IsFuture) && after < testLength)
+  }
+}

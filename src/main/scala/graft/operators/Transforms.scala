@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.core.SeriesFrame._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reversible series transformations (SURVEY.md §2.4 — the reference's
+  * SeriesTransformer, /root/reference/src/scalecast/SeriesTransformer.py).
+  *
+  * Design: a transform `fit` computes per-series parameters as a SMALL
+  * DataFrame (series_id → params) — never a driver collect — and returns a
+  * [[FittedTransform]] whose `transform`/`revert` are broadcast-join +
+  * expression work. Stacked transforms are an explicit immutable list
+  * ([[TransformStack]]) replacing the reference's mutable attribute counters
+  * (SeriesTransformer.py:584-596). `trainEnd` (an upper ds bound) restricts
+  * parameter fitting to the training slice for leakage discipline
+  * (`train_only`, SeriesTransformer.py:400-404).
+  */
+sealed trait FittedTransform extends Serializable {
+  /** Forward-transform the y column. */
+  def transform(df: DataFrame): DataFrame
+  /** Inverse-transform the y column (and any extra value columns such as
+    * forecasts/fitted values/CI bounds, mirroring Revert's remapping of
+    * stored model arrays, SeriesTransformer.py:90-119). */
+  def revert(df: DataFrame, valueCols: Seq[String] = Seq(Y)): DataFrame
+}
+
+/** Point-wise transforms: invertible per-row given per-series params. */
+final case class ExprTransform(
+    name: String,
+    params: DataFrame, // (series_id, p1, p2) — tiny, broadcast on join
+    fwd: (Column, Column, Column) => Column,
+    inv: (Column, Column, Column) => Column
+) extends FittedTransform {
+
+  private def withParams(df: DataFrame): DataFrame =
+    df.join(broadcast(params), Seq(SeriesId), "left")
+
+  def transform(df: DataFrame): DataFrame =
+    withParams(df).withColumn(Y, fwd(col(Y), col("p1"), col("p2"))).drop("p1", "p2")
+
+  def revert(df: DataFrame, valueCols: Seq[String] = Seq(Y)): DataFrame = {
+    val j = withParams(df)
+    valueCols.foldLeft(j)((f, c) => f.withColumn(c, inv(col(c), col("p1"), col("p2"))))
+      .drop("p1", "p2")
+  }
+}
+
+object Transforms {
+
+  private def paramless(n: String, fwd: Column => Column, inv: Column => Column)
+                       (df: DataFrame): ExprTransform = {
+    val params = df.select(SeriesId).distinct()
+      .withColumn("p1", lit(0.0)).withColumn("p2", lit(0.0))
+    ExprTransform(n, params, (y, _, _) => fwd(y), (y, _, _) => inv(y))
+  }
+
+  /** LogTransform/LogRevert (SeriesTransformer.py:313-345). */
+  def logT(df: DataFrame): ExprTransform  = paramless("log", log(_), exp(_))(df)
+
+  /** SqrtTransform/SqrtRevert (SeriesTransformer.py:347-379). */
+  def sqrtT(df: DataFrame): ExprTransform = paramless("sqrt", sqrt(_), c => c * c)(df)
+
+  /** BoxCox (x^λ−1)/λ, λ=0 → ln (/root/reference/src/scalecast/_utils.py:75-87). */
+  def boxcoxT(df: DataFrame, lambda: Double): ExprTransform =
+    if (lambda == 0.0) logT(df)
+    else paramless(s"boxcox($lambda)",
+      y => (pow(y, lambda) - 1) / lambda,
+      y => pow(y * lambda + 1, 1.0 / lambda))(df)
+
+  private def trainSlice(df: DataFrame, trainEnd: Option[String]): DataFrame =
+    trainEnd.fold(df.filter(!col(IsFuture)))(e =>
+      df.filter(!col(IsFuture) && col(Ds) <= lit(e).cast("date")))
+
+  /** ScaleTransform: (y−μ)/σ with sample σ (ddof=1 — pandas .std(), matches
+    * SeriesTransformer.py:381-441). */
+  def scaleT(df: DataFrame, trainEnd: Option[String] = None): ExprTransform = {
+    val p = trainSlice(df, trainEnd).groupBy(SeriesId)
+      .agg(avg(Y).as("p1"), stddev_samp(Y).as("p2"))
+    ExprTransform("scale", p, (y, m, s) => (y - m) / s, (y, m, s) => y * s + m)
+  }
+
+  /** MinMaxTransform: (y−min)/(max−min) (SeriesTransformer.py:498-558). */
+  def minmaxT(df: DataFrame, trainEnd: Option[String] = None): ExprTransform = {
+    val p = trainSlice(df, trainEnd).groupBy(SeriesId)
+      .agg(min(Y).as("p1"), (max(Y) - min(Y)).as("p2"))
+    ExprTransform("minmax", p, (y, lo, rng) => (y - lo) / rng, (y, lo, rng) => y * rng + lo)
+  }
+
+  /** RobustScaleTransform: (y−median)/IQR — sklearn RobustScaler semantics
+    * (SeriesTransformer.py:443-496). Exact percentiles with linear
+    * interpolation (`percentile`), matching numpy/duckdb quantile_cont. */
+  def robustT(df: DataFrame, trainEnd: Option[String] = None): ExprTransform = {
+    val p = trainSlice(df, trainEnd).groupBy(SeriesId)
+      .agg(expr(s"percentile($Y, 0.5)").as("p1"),
+           (expr(s"percentile($Y, 0.75)") - expr(s"percentile($Y, 0.25)")).as("p2"))
+    ExprTransform("robust", p, (y, med, iqr) => (y - med) / iqr, (y, med, iqr) => y * iqr + med)
+  }
+
+  /** DiffTransform(m): y − lag(y, m); revert is the seasonal cumulative
+    * reconstruction seeded with the stashed original rows
+    * (`seasrevert`, SeriesTransformer.py:636-643). */
+  def diffT(df: DataFrame, m: Int): DiffTransform = DiffTransform(m, df.select(SeriesId, Ds, Y))
+
+  /** DetrendTransform('linear'): subtract OLS fit of y on the row index
+    * (SeriesTransformer.py:121-311, poly order 1). Closed-form via
+    * covariance/variance aggregates — no MLlib needed, fully distributed. */
+  def detrendLinearT(df: DataFrame, trainEnd: Option[String] = None): DetrendLinear = {
+    val withT = df.withColumn("_t", row_number().over(w).cast("double"))
+    val p = trainSlice(withT, trainEnd).groupBy(SeriesId)
+      .agg((covar_samp(col("_t"), col(Y)) / var_samp(col("_t"))).as("slope"),
+           (avg(Y) - covar_samp(col("_t"), col(Y)) / var_samp(col("_t")) * avg("_t")).as("intercept"))
+    DetrendLinear(p)
+  }
+
+  /** DeseasonTransform(m, additive): classical moving-average decomposition
+    * (statsmodels seasonal_decompose, SeriesTransformer.py:700-829).
+    * Seasonal component = per-phase mean of (y − centered MA(m)); phases
+    * extend over the horizon by seasonal-naive lookup. */
+  def deseasonT(df: DataFrame, m: Int): Deseason = {
+    val half = m / 2
+    val trend =
+      if (m % 2 == 0)
+        // even period: (m+1)-window MA with half weights at the two ends —
+        // average of the two m-windows, statsmodels filt convention
+        (sum(Y).over(wRows(-half, half - 1)) + sum(Y).over(wRows(-half + 1, half))) / (2.0 * m)
+      else avg(Y).over(wRows(-half, half))
+    val obs = df.filter(!col(IsFuture))
+      .withColumn("_trend",
+        when(count(Y).over(wRows(-half, half)) === (2 * half + 1), trend))
+      .withColumn("_phase", pmod(row_number().over(w) - 1, lit(m)))
+    // statsmodels normalizes the per-phase means to sum to zero (mean of the
+    // period averages is subtracted)
+    val phaseMeans = obs.filter(col("_trend").isNotNull)
+      .groupBy(SeriesId, "_phase").agg(avg(col(Y) - col("_trend")).as("seasonal"))
+    val seasonal = phaseMeans.withColumn("seasonal",
+      col("seasonal") - avg("seasonal").over(Window.partitionBy(SeriesId)))
+    Deseason(m, seasonal)
+  }
+}
+
+/** m-step difference with exact seasonal-cumulative revert. */
+final case class DiffTransform(m: Int, stash: DataFrame) extends FittedTransform {
+  def transform(df: DataFrame): DataFrame =
+    df.withColumn(Y, col(Y) - lag(col(Y), m).over(w))
+
+  /** Reconstruct levels: running sum within each (series, phase mod m)
+    * stream, seeded by the stashed original values where no diffed value
+    * exists (the first m rows). For a non-y column (forecast/test preds) the
+    * observed gaps fall back to the diffed y so the prediction path continues
+    * from the right level (`seasrevert`, SeriesTransformer.py:636-643). */
+  def revert(df: DataFrame, valueCols: Seq[String] = Seq(Y)): DataFrame = {
+    val seeded = df
+      .join(stash.withColumnRenamed(Y, "_y0"), Seq(SeriesId, Ds), "left")
+      .withColumn("_phase", pmod(row_number().over(w) - 1, lit(m)))
+    val pw = Window.partitionBy(col(SeriesId), col("_phase")).orderBy(Ds)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    valueCols.foldLeft(seeded) { (f, c) =>
+      val eff =
+        if (c == Y) coalesce(col(c), col("_y0"))
+        else coalesce(col(c), col(Y), col("_y0"))
+      f.withColumn(c, sum(eff).over(pw))
+    }.drop("_y0", "_phase")
+  }
+}
+
+/** Linear detrend with per-series (slope, intercept) params. */
+final case class DetrendLinear(params: DataFrame) extends FittedTransform {
+  private def withTrend(df: DataFrame): DataFrame =
+    df.withColumn("_t", row_number().over(w).cast("double"))
+      .join(broadcast(params), Seq(SeriesId), "left")
+      .withColumn("_trend", col("intercept") + col("slope") * col("_t"))
+
+  def transform(df: DataFrame): DataFrame =
+    withTrend(df).withColumn(Y, col(Y) - col("_trend"))
+      .drop("_t", "slope", "intercept", "_trend")
+
+  def revert(df: DataFrame, valueCols: Seq[String] = Seq(Y)): DataFrame = {
+    val j = withTrend(df)
+    valueCols.foldLeft(j)((f, c) => f.withColumn(c, col(c) + col("_trend")))
+      .drop("_t", "slope", "intercept", "_trend")
+  }
+}
+
+/** Additive deseasonalization with per-(series, phase) seasonal means. */
+final case class Deseason(m: Int, seasonal: DataFrame) extends FittedTransform {
+  private def withSeasonal(df: DataFrame): DataFrame =
+    df.withColumn("_phase", pmod(row_number().over(w) - 1, lit(m)))
+      .join(broadcast(seasonal), Seq(SeriesId, "_phase"), "left")
+
+  def transform(df: DataFrame): DataFrame =
+    withSeasonal(df).withColumn(Y, col(Y) - col("seasonal")).drop("_phase", "seasonal")
+
+  def revert(df: DataFrame, valueCols: Seq[String] = Seq(Y)): DataFrame = {
+    val j = withSeasonal(df)
+    valueCols.foldLeft(j)((f, c) => f.withColumn(c, col(c) + col("seasonal")))
+      .drop("_phase", "seasonal")
+  }
+}
+
+/** Ordered stack of fitted transforms; revert runs in reverse —
+  * the reference's Transformer/Reverter pair
+  * (/root/reference/src/scalecast/Pipeline.py:70-214). */
+final case class TransformStack(stack: List[FittedTransform]) {
+  def transform(df: DataFrame): DataFrame = stack.foldLeft(df)((f, t) => t.transform(f))
+  def revert(df: DataFrame, valueCols: Seq[String] = Seq(Y)): DataFrame =
+    stack.reverse.foldLeft(df)((f, t) => t.revert(f, valueCols))
+}
