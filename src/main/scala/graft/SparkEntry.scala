@@ -2,9 +2,9 @@ package graft
 
 import graft.core.{SeriesFrame, Tables}
 import graft.core.SeriesFrame._
-import graft.functions.{FeatureOps, Metrics}
+import graft.functions.{FeatureOps, Metrics, TextOps}
 import graft.models.Baselines
-import graft.operators.{Conformal, Transforms}
+import graft.operators.{Conformal, Dedup, Multimodal, Similarity, Transforms}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,8 +45,75 @@ object SparkEntry {
     "ts_conformal"       -> ((s, d) => qConformal(s, d)),
     "mv_corr"            -> ((s, d) => qMvCorr(s, d)),
     "events_sessionize"  -> ((s, d) => qSessionize(s, d)),
-    "events_hourly"      -> ((s, d) => qEventsHourly(s, d))
+    "events_hourly"      -> ((s, d) => qEventsHourly(s, d)),
+    "doc_text_stats"     -> ((s, d) => qTextStats(s, d)),
+    "doc_langid"         -> ((s, d) => qLangId(s, d)),
+    "doc_dedup_exact"    -> ((s, d) => qDedupExact(s, d)),
+    "doc_jaccard_pairs"  -> ((s, d) => qJaccardPairs(s, d)),
+    "doc_minhash_lsh"    -> ((s, d) => qMinhashLsh(s, d)),
+    "doc_simhash"        -> ((s, d) => qSimhash(s, d)),
+    "doc_simhash_pairs"  -> ((s, d) => qSimhashPairs(s, d)),
+    "doc_multimodal"     -> ((s, d) => qMultimodal(s, d)),
+    "emb_knn"            -> ((s, d) => qEmbKnn(s, d)),
+    "emb_lsh_buckets"    -> ((s, d) => qEmbLshBuckets(s, d))
   )
+
+  // ------------------------------------------------- data-pipeline queries
+
+  /** Marker-token profiles for the language/topic-ID heuristic. */
+  private val profiles = Map(
+    "general" -> Seq("the", "a", "big", "small", "fast", "slow"),
+    "sql"     -> Seq("table", "join", "query", "scan", "merge", "sort", "hash", "group"),
+    "stream"  -> Seq("stream", "window", "batch", "spark", "line")
+  )
+
+  private def qTextStats(s: SparkSession, d: String): DataFrame =
+    TextOps.withTextStats(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars_calc").cast("long").as("n_chars_calc"),
+        col("n_tokens"), col("n_distinct_tokens"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        round(col("avg_token_len"), 6).as("avg_token_len"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("quality"), 6).as("quality"))
+
+  private def qLangId(s: SparkSession, d: String): DataFrame =
+    TextOps.withProfileScores(Tables.documents(s, d), profiles)
+      .select(col("doc_id"), round(col("score_general"), 6).as("score_general"),
+        round(col("score_sql"), 6).as("score_sql"),
+        round(col("score_stream"), 6).as("score_stream"), col("pred_profile"))
+
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+
+  private def qJaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+
+  private def qSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("simhash"))
+
+  private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 2)
+
+  private def qMultimodal(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.withBinaryPayload(Tables.documents(s, d), "text")).toDF()
+
+  private def qEmbKnn(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineKnn(Tables.embeddings(s, d), "vec_id", "embedding", 5,
+        col("vid") < 50)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+
+  private def qEmbLshBuckets(s: SparkSession, d: String): DataFrame =
+    Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding", 8)
+      .select(col("vid").as("vec_id"), col("bucket"))
 
   private def qArTerms(s: SparkSession, d: String): DataFrame =
     FeatureOps.addArLags(ordersMonthly(s, d), Seq(1, 2, 3, 12))
@@ -356,8 +423,130 @@ object SparkEntry {
     "events_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 6) AS avg_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "doc_text_stats" ->
+      """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars_calc,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+        |  ROUND(list_aggregate(list_transform(toks, x -> len(x)), 'sum') / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+        |  ROUND(len(list_filter(toks, x -> x IN ('the','a'))) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+        |  ROUND(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |      + 0.4 * (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) / CAST(len(toks) AS DOUBLE))
+        |      + 0.2 * least(len(toks) / 100.0, 1.0), 6) AS quality
+        |FROM t""".stripMargin,
+
+    "doc_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','big','small','fast','slow'))) / CAST(len(toks) AS DOUBLE) AS sg,
+        |  len(list_filter(toks, x -> x IN ('table','join','query','scan','merge','sort','hash','group'))) / CAST(len(toks) AS DOUBLE) AS sq,
+        |  len(list_filter(toks, x -> x IN ('stream','window','batch','spark','line'))) / CAST(len(toks) AS DOUBLE) AS ss
+        | FROM t)
+        |SELECT doc_id, ROUND(sg, 6) AS score_general, ROUND(sq, 6) AS score_sql,
+        |  ROUND(ss, 6) AS score_stream,
+        |  CASE WHEN ss > greatest(sg, sq) THEN 'stream'
+        |       WHEN sq > sg THEN 'sql' ELSE 'general' END AS pred_profile
+        |FROM s""".stripMargin,
+
+    "doc_dedup_exact" ->
+      "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS canonical_id FROM documents GROUP BY 1",
+
+    "doc_jaccard_pairs" ->
+      s"""$SHINGLES
+         |sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  ROUND(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8""".stripMargin,
+
+    "doc_minhash_lsh" ->
+      s"""$SHINGLES
+         |x AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS x FROM ds),
+         |h AS (SELECT doc_id, i, min((x * (2*i+1) + (7919*(i+1)) % 2147483647) % 2147483647) AS m
+         |      FROM x CROSS JOIN generate_series(0, 15) g(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(m::VARCHAR, '_' ORDER BY i)) AS bh
+         |          FROM h GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT doc_a, doc_b, sum(CASE WHEN ha.m = hb.m THEN 1 ELSE 0 END) / 16.0 AS ej
+         |        FROM cand JOIN h ha ON ha.doc_id = doc_a
+         |                  JOIN h hb ON hb.doc_id = doc_b AND hb.i = ha.i
+         |        GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, ROUND(ej, 6) AS est_jaccard FROM est""".stripMargin,
+
+    "doc_simhash" ->
+      s"""$SIMHASH
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+
+    "doc_simhash_pairs" ->
+      s"""$SIMHASH
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+
+    "doc_multimodal" ->
+      """WITH h AS (SELECT doc_id, strlen(text) AS nb, md5(text) AS checksum,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h60 FROM documents)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, checksum,
+        |  64 + h60 % 1857 AS width,
+        |  64 + (h60 // 7) % 1017 AS height,
+        |  500 + (h60 // 13) % 59500 AS duration_ms
+        |FROM h""".stripMargin,
+
+    "emb_knn" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |ed AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ed GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.v * b.v) AS d
+        |  FROM ed a JOIN ed b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50 GROUP BY 1, 2),
+        |sims AS (SELECT qa, qb, d / (na.n * nb.n) AS sim
+        |  FROM dots JOIN nrm na ON na.vec_id = qa JOIN nrm nb ON nb.vec_id = qb),
+        |ranked AS (SELECT qa AS query_id, qb AS neighbor_id, ROUND(sim, 6) AS sim,
+        |    row_number() OVER (PARTITION BY qa ORDER BY ROUND(sim, 6) DESC, qb) AS rank
+        |  FROM sims)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "emb_lsh_buckets" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |proj AS (SELECT vec_id, b,
+        |    sum(CAST(v AS DOUBLE) *
+        |        (((2654435761 * i * (2*b+1) + 40503*(b+1)) % 100003) / 100003.0 - 0.5)) AS p
+        |  FROM e CROSS JOIN generate_series(0, 7) g(b) GROUP BY 1, 2)
+        |SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+        |FROM proj GROUP BY 1""".stripMargin
   )
+
+  /** Shared DuckDB CTEs: distinct word-3-gram shingles per document. */
+  private val SHINGLES =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id, w || '_' || lead(w, 1) OVER win || '_' || lead(w, 2) OVER win AS shingle
+      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM tri),""".stripMargin
+
+  /** Shared DuckDB CTE: 32-bit simhash per document. */
+  private val SIMHASH =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok),
+      |bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+      |         FROM th CROSS JOIN generate_series(0, 31) g(j) GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      |       FROM bits GROUP BY 1)""".stripMargin
 
   /** Shared trend+seasonal-OLS scoring SQL: train = all but last 12 observed,
     * horizon = 12 future months; `tail` appends the final SELECT. */

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language/topic profiling, document
+  * fingerprinting. All pure Column expressions (whole-stage codegen; no
+  * UDFs), so a single scan handles billions of documents, and filters on the
+  * derived columns push down to nothing extra.
+  *
+  * Portability note: token hashing derives from md5 hex (identical across
+  * engines) rather than engine-native hash functions.
+  */
+object TextOps {
+
+  /** Whitespace tokens. Single-space split for cross-engine determinism. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 64-bit-ish (60-bit) content fingerprint: first 15 hex chars of md5. */
+  def fingerprint64(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  /** Portable 32-bit token hash (md5 prefix). */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Token/char statistics + a composite quality score. Mirrors the
+    * length/stopword-ratio heuristics used in data-cleaning pipelines. */
+  def withTextStats(df: DataFrame, textCol: String = "text",
+                    stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    df.withColumn("n_chars_calc", length(col(textCol)))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("sum_token_len",
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x))
+      .withColumn("n_stopwords",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("distinct_ratio", col("n_distinct_tokens") / col("n_tokens"))
+      .withColumn("avg_token_len", col("sum_token_len") / col("n_tokens"))
+      .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.4) * col("distinct_ratio")
+          + lit(0.4) * (lit(1.0) - col("stopword_ratio"))
+          + lit(0.2) * least(col("n_tokens") / 100.0, lit(1.0)))
+  }
+
+  /** Profile scores: fraction of tokens belonging to each named marker set —
+    * the n-gram-profile language-ID heuristic generalized to arbitrary
+    * profiles (language markers, topic lexicons). Adds one `score_<name>`
+    * column per profile plus `pred_<best>` label. */
+  def withProfileScores(df: DataFrame, profiles: Map[String, Seq[String]],
+                        textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = profiles.toSeq.sortBy(_._1).foldLeft(df) { case (f, (name, words)) =>
+      val arr = array(words.map(lit): _*)
+      f.withColumn(s"score_$name",
+        size(filter(toks, t => array_contains(arr, t))).cast("double") / size(toks))
+    }
+    // argmax with deterministic tie-break on profile name (sorted order)
+    val names = profiles.keys.toSeq.sorted
+    val best = names.tail.foldLeft((lit(names.head), col(s"score_${names.head}"))) {
+      case ((bn, bs), n) =>
+        val s = col(s"score_$n")
+        (when(s > bs, lit(n)).otherwise(bn), when(s > bs, s).otherwise(bs))
+    }
+    scored.withColumn("pred_profile", best._1)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * similarity-based:
+  *
+  *  - exact: hash-groupBy on content — one shuffle keyed by digest, the
+  *    canonical 100 TB dedup shape;
+  *  - n-gram Jaccard: shingle inverted-index self-join — exact pairwise
+  *    similarity, cost bounded by shared-shingle frequency;
+  *  - MinHash + LSH: k portable hash functions → banded signatures →
+  *    bucket-join; candidate generation cost is O(docs·bands), the standard
+  *    scale path when pairwise is infeasible;
+  *  - SimHash: 32-bit sign-aggregated token hashes; near-dup = small
+  *    Hamming distance.
+  *
+  * All hashes derive from md5 (portable across engines) — no engine-native
+  * hash functions, so results are reproducible anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup groups: digest → group size + canonical (min) id. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // shingle i = tokens[i..i+n-1] joined; build via transform over indices
+    val sh = when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws("_", slice(toks, i + 1, lit(n)))
+      )).otherwise(array())
+    df.select(col(idCol).as("doc"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
+    * filtered to jaccard ≥ minJ. Shuffle key = shingle (inverted index);
+    * skew from ultra-common shingles should be handled upstream by dropping
+    * shingles with document frequency above a cap. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJ: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** MinHash prime modulus (2^31 − 1) and deterministic hash-family params:
+    * h_i(x) = (a_i·x + b_i) mod P with a_i odd, b_i pseudo-random fixed. */
+  val P = 2147483647L
+  def aCoef(i: Int): Long = 2L * i + 1
+  def bCoef(i: Int): Long = (7919L * (i + 1)) % P
+
+  /** MinHash signatures: k portable hash functions over 32-bit shingle
+    * hashes. Output: (doc, sig: array<long> of length k). One aggregation —
+    * the explode×k happens inside a column expression, not as rows. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("x", TextOps.hash32(col("shingle")))
+    val mins = (0 until k).map { i =>
+      min(pmod(col("x") * aCoef(i) + bCoef(i), lit(P))).as(s"m$i")
+    }
+    sh.groupBy("doc").agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-long signature into `bands` bands of k/bands
+    * rows; docs sharing any band hash become candidate pairs; est_jaccard =
+    * fraction of matching signature positions. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, k).cache()
+    val banded = sig.select(col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("_", slice(col("sig"), b * r + 1, lit(r)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, z) => acc + z)
+          .cast("double") / k)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 32-bit SimHash: per bit j, sum ±1 over token hashes (with multiplicity);
+    * bit set iff the sum is positive. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", TextOps.hash32(col("t")))
+    val bitSums = (0 until 32).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")
+    }
+    tok.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+        (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce((x, y) => x + y).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist. Quadratic
+    * fallback; at scale, block on simhash bytes (4 rotations) first. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val sh = simhash(df, idCol, textCol).cache()
+    sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two tiers:
+  *
+  *  - [[cosineKnn]]: exact brute-force top-k — the correctness baseline.
+  *    Cross join, so O(n²·d); fine to ~10⁵ vectors per partition-side,
+  *    beyond that use the LSH tier.
+  *  - [[lshBuckets]] / [[cosineKnnLsh]]: random-hyperplane signatures
+  *    (deterministic pseudo-random planes derived from index arithmetic, no
+  *    RNG state) bucket vectors so the join only compares within buckets —
+  *    the 100 TB path: shuffle keyed by bucket, cost O(n·2^bits + Σ b²).
+  *
+  * All arithmetic in double (floats upcast) so results are reproducible
+  * across engines and partitionings at 1e-15.
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, z) => acc + z))
+
+  /** Normalize embeddings once: (id, v: array<double>, nrm). */
+  def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact top-k cosine neighbors for every vector (optionally only for ids
+    * satisfying `queryFilter`). Ties broken on (rounded sim desc, id asc)
+    * so ranking is reproducible across engines. */
+  def cosineKnn(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                queryFilter: Column = lit(true)): DataFrame = {
+    val p = prepared(df, idCol, vecCol).cache()
+    val q = p.filter(queryFilter) // predicate over the renamed `vid` column
+    val pairs = q.as("a").join(p.as("b"), col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+    val ranked = pairs.withColumn("rank",
+      row_number().over(Window.partitionBy("query_id")
+        .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+    ranked.filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed integer mix mapped to [-0.5, 0.5). Portable to SQL. */
+  private def planeCoef(plane: Int, dim: Column): Column =
+    (pmod(lit(2654435761L) * (dim + 1) * (2 * plane + 1) + lit(40503L) * (plane + 1), lit(100003L))
+      .cast("double") / 100003.0) - 0.5
+
+  /** Random-hyperplane LSH bucket id from `bits` sign bits. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val bucket = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(col("v"), transform(sequence(lit(0), size(col("v")) - 1),
+          d => planeCoef(b, d)), (x, w) => x * w),
+        lit(0.0), (acc, z) => acc + z)
+      when(proj > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    p.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k within LSH buckets — approximate; recall controlled by bits
+    * (fewer bits → bigger buckets → higher recall & cost). */
+  def cosineKnnLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   bits: Int): DataFrame = {
+    val p = lshBuckets(df, idCol, vecCol, bits).cache()
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+    pairs.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, each pair once. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val p = prepared(df, idCol, vecCol).cache()
+    p.as("a").join(p.as("b"), col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
