@@ -55,8 +55,110 @@ object SparkEntry {
     "doc_simhash_pairs"  -> ((s, d) => qSimhashPairs(s, d)),
     "doc_multimodal"     -> ((s, d) => qMultimodal(s, d)),
     "emb_knn"            -> ((s, d) => qEmbKnn(s, d)),
-    "emb_lsh_buckets"    -> ((s, d) => qEmbLshBuckets(s, d))
+    "emb_lsh_buckets"    -> ((s, d) => qEmbLshBuckets(s, d)),
+    "ts_ar1_mlr"         -> ((s, d) => qAr1Mlr(s, d)),
+    "ts_ses"             -> ((s, d) => qSes(s, d)),
+    "ts_impute"          -> ((s, d) => qImpute(s, d)),
+    "ts_cv_rolling"      -> ((s, d) => qCvRolling(s, d)),
+    "ts_backtest"        -> ((s, d) => qBacktest(s, d)),
+    "ts_mase_msis"       -> ((s, d) => qMaseMsis(s, d)),
+    "ts_holtwinters"     -> ((s, d) => qHoltWinters(s, d)),
+    "ts_rf_dynamic"      -> ((s, d) => qRfDynamic(s, d))
   )
+
+  // -------------------------------------------- model & evaluation queries
+
+  /** Z-scored monthly orders series (cross-engine stable inputs for O(1)
+    * metric aggregates). */
+  private def zOrdersMonthly(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    Transforms.scaleT(base).transform(base)
+  }
+
+  /** MLlib LinearRegression (exact OLS via normal solver) on AR(1) + the
+    * set-based recursive 12-step dynamic forecast. */
+  private def qAr1Mlr(s: SparkSession, d: String): DataFrame = {
+    val withAr = FeatureOps.addArTerms(withMonthlyHorizon(zOrdersMonthly(s, d), 12), 1)
+    val model = graft.models.MllibTsEstimator("mlr", Seq("ar_1")).fit(withAr)
+    graft.models.Recursive.dynamicForecast(withAr, model)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(when(isnan(col("yhat")), lit(null)).otherwise(col("yhat")), 6).as("yhat"),
+        col(IsFuture))
+  }
+
+  private def qSes(s: SparkSession, d: String): DataFrame =
+    graft.models.Smoothing.ses(withMonthlyHorizon(zOrdersMonthly(s, d), 6), 0.3)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("yhat"), 6).as("yhat"), col(IsFuture))
+
+  private def qHoltWinters(s: SparkSession, d: String): DataFrame =
+    graft.models.Smoothing.holtWinters(withMonthlyHorizon(zOrdersMonthly(s, d), 12),
+        0.3, 0.1, 0.2, 12)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("yhat"), 6).as("yhat"), col(IsFuture))
+
+  private def qRfDynamic(s: SparkSession, d: String): DataFrame = {
+    val withAr = FeatureOps.addArTerms(withMonthlyHorizon(zOrdersMonthly(s, d), 12), 3)
+    val model = graft.models.MllibTsEstimator("rf", Seq("ar_1", "ar_2", "ar_3"),
+      Map("n_estimators" -> 50.0, "max_depth" -> 4.0)).fit(withAr)
+    graft.models.Recursive.dynamicForecast(withAr, model)
+      .filter(col(IsFuture))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
+  }
+
+  private def qImpute(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Imputer
+    val gapped = lineitemDaily(s, d).filter(dayofmonth(col(Ds)) % 7 =!= 3)
+    val spined = Imputer.withDailySpine(gapped)
+      .withColumn("is_missing", col(Y).isNull)
+      .withColumn("y_interp", col(Y))
+      .withColumn("y_ffill", col(Y))
+      .withColumn("y_ma7", col(Y))
+    val out = Imputer.movingAverage(
+      Imputer.ffill(Imputer.linearInterp(spined, "y_interp"), "y_ffill"), 7, "y_ma7")
+    out.select(col(SeriesId), col(Ds), col("is_missing"),
+      round(col("y_interp"), 4).as("y_interp"),
+      round(col("y_ffill"), 2).as("y_ffill"),
+      round(col("y_ma7"), 4).as("y_ma7"))
+  }
+
+  private def qCvRolling(s: SparkSession, d: String): DataFrame =
+    graft.eval.Evaluation.rollingOriginCV(zOrdersMonthly(s, d), 3, 8,
+        f => Baselines.trendSeasonal(f), Seq("rmse", "mae"))
+      .select(col("fold").cast("long").as("fold"), col(SeriesId),
+        round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
+
+  private def qBacktest(s: SparkSession, d: String): DataFrame =
+    graft.eval.Evaluation.backtest(zOrdersMonthly(s, d), 3, 12, 6,
+        f => Baselines.naiveFitted(f, 12), Seq("rmse", "mae"))
+      .select(col("iter").cast("long").as("iter"), col(SeriesId),
+        round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
+
+  /** MASE + MSIS (M4 definitions) for the seasonal-naive on a 24-ob test
+    * slice: numerators over the test slice, the shared seasonal-difference
+    * denominator over train (Metrics.py:177-246). */
+  private def qMaseMsis(s: SparkSession, d: String): DataFrame = {
+    val m = 12; val testLen = 24; val alpha = 0.05
+    val flagged = withTestFlag(zOrdersMonthly(s, d), testLen)
+      .withColumn("yhat", lag(col(Y), m).over(w))
+      .withColumn("sdiff", abs(col(Y) - lag(col(Y), m).over(w)))
+    val train = flagged.filter(!col("is_test"))
+    val denom = train.filter(col("sdiff").isNotNull)
+      .groupBy(SeriesId).agg(Metrics.scaleDenominator(col("sdiff")).as("denom"))
+    val width = train.filter(col("yhat").isNotNull)
+      .groupBy(SeriesId)
+      .agg(expr(s"percentile(abs(y - yhat), 0.95)").as("width"))
+    val test = flagged.filter(col("is_test"))
+      .join(broadcast(width), Seq(SeriesId))
+      .withColumn("uf", col("yhat") + col("width"))
+      .withColumn("lf", col("yhat") - col("width"))
+    test.groupBy(SeriesId)
+      .agg(Metrics.maseNumerator(col(Y), col("yhat")).as("mae_num"),
+        Metrics.msisNumerator(col(Y), col("uf"), col("lf"), alpha).as("msis_num"))
+      .join(broadcast(denom), Seq(SeriesId))
+      .select(col(SeriesId), round(col("mae_num") / col("denom"), 6).as("mase"),
+        round(col("msis_num") / col("denom"), 6).as("msis"))
+  }
 
   // ------------------------------------------------- data-pipeline queries
 
@@ -523,8 +625,131 @@ object SparkEntry {
         |        (((2654435761 * i * (2*b+1) + 40503*(b+1)) % 100003) / 100003.0 - 0.5)) AS p
         |  FROM e CROSS JOIN generate_series(0, 7) g(b) GROUP BY 1, 2)
         |SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
-        |FROM proj GROUP BY 1""".stripMargin
+        |FROM proj GROUP BY 1""".stripMargin,
+
+    "ts_ar1_mlr" ->
+      s"""$ZS,
+         |lagd AS (SELECT series_id, ds, y, lag(y) OVER (ORDER BY ds) AS yl FROM series),
+         |fit AS (SELECT regr_slope(y, yl) AS b, regr_intercept(y, yl) AS a
+         |        FROM lagd WHERE yl IS NOT NULL),
+         |nn AS (SELECT max(ds) AS ld, count(*) AS n FROM series),
+         |yt AS (SELECT y AS yT FROM series ORDER BY ds DESC LIMIT 1),
+         |obs AS (SELECT series_id, ds, ROUND(y, 6) AS y, ROUND(a + b * yl, 6) AS yhat,
+         |        FALSE AS is_future FROM lagd, fit),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y,
+         |        ROUND(a * (1 - pow(b, i)) / (1 - b) + pow(b, i) * yT, 6) AS yhat,
+         |        TRUE AS is_future
+         |        FROM nn, fit, yt, generate_series(1, 12) g(i))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin,
+
+    "ts_ses" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS t FROM series),
+         |nn AS (SELECT count(*) AS n, max(ds) AS ld FROM s2),
+         |obs AS (SELECT a.series_id, a.ds, ROUND(a.y, 6) AS y,
+         |        ROUND((SELECT sum(CASE WHEN b.t = 1 THEN pow(0.7, a.t - 2) * b.y
+         |                       ELSE 0.3 * pow(0.7, a.t - 1 - b.t) * b.y END)
+         |               FROM s2 b WHERE b.t < a.t), 6) AS yhat, FALSE AS is_future
+         |        FROM s2 a),
+         |lvl AS (SELECT (SELECT sum(CASE WHEN b.t = 1 THEN pow(0.7, n - 1) * b.y
+         |                      ELSE 0.3 * pow(0.7, n - b.t) * b.y END)
+         |                FROM s2 b, nn) AS lT),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y, ROUND(lT, 6) AS yhat, TRUE AS is_future
+         |        FROM nn, lvl, generate_series(1, 6) g(i))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin,
+
+    "ts_impute" ->
+      """WITH daily AS (SELECT 'lineitem' AS series_id, CAST(l_shipdate AS DATE) AS ds,
+        |    ROUND(SUM(l_quantity), 2) AS y FROM lineitem GROUP BY 1, 2),
+        |gapped AS (SELECT * FROM daily WHERE day(ds) % 7 <> 3),
+        |bounds AS (SELECT min(ds) AS d0, max(ds) AS d1 FROM gapped),
+        |spine AS (SELECT 'lineitem' AS series_id,
+        |    CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS ds
+        |  FROM bounds),
+        |j AS (SELECT s.series_id, s.ds, g.y FROM spine s LEFT JOIN gapped g ON g.ds = s.ds),
+        |wv AS (SELECT series_id, ds, y,
+        |  datediff('day', DATE '1970-01-01', ds) AS dn,
+        |  last_value(y IGNORE NULLS) OVER wp AS pv,
+        |  first_value(y IGNORE NULLS) OVER wf AS nv,
+        |  last_value(CASE WHEN y IS NOT NULL THEN datediff('day', DATE '1970-01-01', ds) END IGNORE NULLS) OVER wp AS pd,
+        |  first_value(CASE WHEN y IS NOT NULL THEN datediff('day', DATE '1970-01-01', ds) END IGNORE NULLS) OVER wf AS nd,
+        |  last_value(y IGNORE NULLS) OVER wc AS ff,
+        |  avg(y) OVER (ORDER BY ds ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ma
+        | FROM j
+        | WINDOW wp AS (ORDER BY ds ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        wf AS (ORDER BY ds ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |        wc AS (ORDER BY ds ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT series_id, ds, y IS NULL AS is_missing,
+        |  ROUND(coalesce(y, pv + (nv - pv) * (dn - pd) / (nd - pd)), 4) AS y_interp,
+        |  ROUND(coalesce(y, ff), 2) AS y_ffill,
+        |  ROUND(coalesce(y, ma), 4) AS y_ma7
+        |FROM wv""".stripMargin,
+
+    "ts_cv_rolling" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y,
+         |    CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |folds AS (SELECT i AS f FROM generate_series(0, 2) g(i)),
+         |fr AS (SELECT s2.*, f, n FROM s2, folds, nn WHERE t <= n - f * 8),
+         |tr AS (SELECT * FROM fr WHERE t <= n - f * 8 - 8),
+         |fit AS (SELECT f, regr_slope(y, t) AS b, regr_intercept(y, t) AS a FROM tr GROUP BY 1),
+         |eff AS (SELECT tr.f, month(ds) AS m, avg(y - (a + b * t)) AS e
+         |        FROM tr JOIN fit ON fit.f = tr.f GROUP BY 1, 2),
+         |te AS (SELECT fr.series_id, fr.f, fr.y, a + b * fr.t + coalesce(e, 0.0) AS yhat
+         |       FROM fr JOIN fit ON fit.f = fr.f
+         |                 LEFT JOIN eff ON eff.f = fr.f AND eff.m = month(fr.ds)
+         |       WHERE fr.t > fr.n - fr.f * 8 - 8)
+         |SELECT CAST(f AS BIGINT) AS fold, series_id,
+         |  ROUND(sqrt(avg(pow(yhat - y, 2))), 6) AS rmse,
+         |  ROUND(avg(abs(yhat - y)), 6) AS mae
+         |FROM te GROUP BY 1, 2""".stripMargin,
+
+    "ts_backtest" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS t FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |iters AS (SELECT i AS it FROM generate_series(0, 2) g(i)),
+         |fr AS (SELECT s2.*, it, n FROM s2, iters, nn WHERE t <= n - it * 6),
+         |te AS (SELECT fr.series_id, fr.it, fr.y, b.y AS yhat
+         |       FROM fr JOIN s2 b ON b.t = fr.t - 12
+         |       WHERE fr.t > fr.n - fr.it * 6 - 12)
+         |SELECT CAST(it AS BIGINT) AS iter, series_id,
+         |  ROUND(sqrt(avg(pow(yhat - y, 2))), 6) AS rmse,
+         |  ROUND(avg(abs(yhat - y)), 6) AS mae
+         |FROM te GROUP BY 1, 2""".stripMargin,
+
+    "ts_mase_msis" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS t,
+         |       lag(y, 12) OVER (ORDER BY ds) AS yhat FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |tr AS (SELECT s2.* FROM s2, nn WHERE t <= n - 24),
+         |den AS (SELECT avg(abs(y - yhat)) AS denom FROM tr WHERE yhat IS NOT NULL),
+         |wid AS (SELECT quantile_cont(abs(y - yhat), 0.95) AS width FROM tr WHERE yhat IS NOT NULL),
+         |te AS (SELECT s2.*, width, yhat + width AS uf, yhat - width AS lf
+         |       FROM s2, nn, wid WHERE t > n - 24),
+         |agg AS (SELECT series_id,
+         |  avg(abs(yhat - y)) AS mae_num,
+         |  avg((uf - lf)
+         |      + CASE WHEN y < lf THEN (lf - y) * (2 / 0.05) ELSE 0 END
+         |      + CASE WHEN y > uf THEN (y - uf) * (2 / 0.05) ELSE 0 END) AS msis_num
+         |  FROM te GROUP BY 1)
+         |SELECT series_id, ROUND(mae_num / denom, 6) AS mase,
+         |  ROUND(msis_num / denom, 6) AS msis FROM agg, den""".stripMargin
   )
+
+  /** Shared DuckDB CTE: z-scored monthly orders series. */
+  private val ZS =
+    """WITH base AS (
+      |  SELECT 'orders' AS series_id,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+      |         ROUND(SUM(o_totalprice), 2) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |zp AS (SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM base),
+      |series AS (SELECT series_id, ds, (y - mu) / sd AS y FROM base, zp)""".stripMargin
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles per document. */
   private val SHINGLES =

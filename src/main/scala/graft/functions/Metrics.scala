@@ -17,10 +17,12 @@ object Metrics {
   /** |Σ(f−a)| (Metrics.py:33-51). */
   def abias(a: Column, f: Column): Column = abs(sum(f - a))
 
-  /** mean |f−a|/|a|; NULL if any a == 0 (reference yields NaN, Metrics.py:53-72). */
+  /** mean |f−a|/|a|; NULL if any a == 0 (reference yields NaN, Metrics.py:53-72).
+    * The division is guarded per-row — ANSI mode (Spark 4 default) raises on
+    * divide-by-zero even inside a dead aggregate branch. */
   def mape(a: Column, f: Column): Column =
     when(max(when(a === 0, 1).otherwise(0)) === 1, lit(null).cast("double"))
-      .otherwise(avg(abs((f - a) / a)))
+      .otherwise(avg(when(a =!= 0, abs((f - a) / a))))
 
   /** 1 − SSE/SST (Metrics.py:75-91). SST uses the single-pass identity
     * Σa² − (Σa)²/n so the whole metric is one aggregation. */

@@ -1,0 +1,82 @@
+package graft.models
+
+import graft.core.SeriesFrame._
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.feature.{MinMaxScaler, RobustScaler, StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed estimators with the reference's registry semantics
+  * (/root/reference/src/scalecast/cfg.py:26-54: mlr/lasso/ridge/elasticnet →
+  * LinearRegression params; rf/gbt → tree ensembles) and normalizer registry
+  * (cfg.py:67-73: none/minmax/scale/robust → MLlib scaler stages).
+  *
+  * `fit` trains on observed non-test rows with complete features (the
+  * reference drops the first max-lag rows, models.py:78-84); `transform`
+  * scores any frame vectorized. Dynamic multi-step prediction with AR
+  * features is [[Recursive.dynamicForecast]] — h small whole-frame
+  * transforms, never a per-series driver loop.
+  */
+final case class MllibTsEstimator(
+    algo: String,
+    features: Seq[String],
+    params: Map[String, Double] = Map.empty,
+    normalizer: String = "none",
+    seed: Long = 42L) {
+
+  private def p(name: String, default: Double): Double = params.getOrElse(name, default)
+
+  def pipeline(): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("_fraw")
+      .setHandleInvalid("keep") // incomplete-lag rows score NaN instead of erroring
+    val (scalerStage, featCol): (Option[PipelineStage], String) = normalizer match {
+      case "none"   => (None, "_fraw")
+      case "minmax" => (Some(new MinMaxScaler().setInputCol("_fraw").setOutputCol("_f")), "_f")
+      case "scale"  => (Some(new StandardScaler().setWithMean(true).setWithStd(true)
+                              .setInputCol("_fraw").setOutputCol("_f")), "_f")
+      case "robust" => (Some(new RobustScaler().setWithCentering(true).setWithScaling(true)
+                              .setInputCol("_fraw").setOutputCol("_f")), "_f")
+      case other    => throw new IllegalArgumentException(s"unknown normalizer $other")
+    }
+    val reg = algo match {
+      case "mlr" => new LinearRegression().setSolver("normal")
+        .setRegParam(0.0).setStandardization(false)
+        .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
+      case "lasso" => new LinearRegression()
+        .setRegParam(p("alpha", 1.0)).setElasticNetParam(1.0).setMaxIter(p("maxiter", 100).toInt)
+        .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
+      case "ridge" => new LinearRegression()
+        .setRegParam(p("alpha", 1.0)).setElasticNetParam(0.0)
+        .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
+      case "elasticnet" => new LinearRegression()
+        .setRegParam(p("alpha", 1.0)).setElasticNetParam(p("l1_ratio", 0.5))
+        .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
+      case "rf" => new RandomForestRegressor().setSeed(seed)
+        .setNumTrees(p("n_estimators", 100).toInt)
+        .setMaxDepth(p("max_depth", 5).toInt)
+        .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
+      case "gbt" => new GBTRegressor().setSeed(seed)
+        .setMaxIter(p("n_estimators", 50).toInt)
+        .setMaxDepth(p("max_depth", 3).toInt)
+        .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
+      case other => throw new IllegalArgumentException(s"unknown algo $other")
+    }
+    new Pipeline().setStages((assembler +: scalerStage.toSeq :+ reg).toArray)
+  }
+
+  /** Train on observed, non-test, feature-complete rows. */
+  def fit(frame: DataFrame): PipelineModel = {
+    val hasTest = frame.columns.contains("is_test")
+    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
+    val train0 = if (hasTest) obs.filter(!col("is_test")) else obs
+    val train = features.foldLeft(train0)((f, c) => f.filter(col(c).isNotNull))
+    pipeline().fit(train)
+  }
+}
+
+object MllibTsEstimator {
+  /** Registry parity with cfg.py:26-48 for the MLlib-expressible estimators. */
+  val supportedAlgos: Seq[String] = Seq("mlr", "lasso", "ridge", "elasticnet", "rf", "gbt")
+}

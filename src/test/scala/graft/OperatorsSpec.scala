@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Conformal, Dedup, Imputer, Similarity}
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("linear interp fills [1,2,·,4] with 3.0 (util.py known answer)") {
+    val df = seriesOf(Seq(Some(1.0), Some(2.0), None, Some(4.0)))
+    val out = Imputer.linearInterp(df)
+    assert(col1(out, "y") === Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("monthly date-spine inserts missing rows (FIXTURES §4)") {
+    import spark.implicits._
+    val df = Seq(
+      ("s", java.sql.Date.valueOf("2020-01-01"), Some(1.0), false),
+      ("s", java.sql.Date.valueOf("2020-02-01"), Some(2.0), false),
+      ("s", java.sql.Date.valueOf("2020-04-01"), Some(4.0), false)
+    ).toDF("series_id", "ds", "y", "is_future")
+    val out = Imputer.linearInterp(Imputer.withMonthlySpine(df))
+    assert(out.count() === 4)
+    // inserted 2020-03-01 fills 3.0 — positional interp (FIXTURES §4)
+    val v = out.filter(col("ds") === "2020-03-01").select("y").first().getDouble(0)
+    assert(math.abs(v - 3.0) < 1e-9)
+  }
+
+  private def eqNaN(a: Seq[Double], b: Seq[Double]): Boolean =
+    a.size == b.size && a.zip(b).forall { case (x, y) =>
+      (x.isNaN && y.isNaN) || x == y
+    }
+
+  test("ffill / bfill / moving average") {
+    val df = seriesOf(Seq(Some(1.0), None, Some(3.0), None))
+    assert(eqNaN(col1(Imputer.ffill(df), "y"), Seq(1.0, 1.0, 3.0, 3.0)))
+    assert(eqNaN(col1(Imputer.bfill(df), "y"), Seq(1.0, 3.0, 3.0, Double.NaN)))
+    assert(eqNaN(col1(Imputer.movingAverage(df, 2), "y"), Seq(1.0, 1.0, 3.0, 3.0)))
+  }
+
+  test("conformal width is the cilevel-percentile of |test residuals|") {
+    import spark.implicits._
+    // residuals |y - yhat| = 1..20 → 0.95-percentile (linear interp) = 19.05
+    val rows = (1 to 20).map(i =>
+      ("s", java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusMonths(i)),
+        i.toDouble, false, true, 0.0))
+    val df = rows.toDF("series_id", "ds", "y", "is_future", "is_test", "yhat")
+    val out = Conformal.withIntervals(df)
+    val w = out.select("ci_width").first().getDouble(0)
+    assert(math.abs(w - 19.05) < 1e-9)
+    assert(Conformal.minTestLength(0.95) === 20)
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(g.length === 2)
+    val dup = g.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("jaccard pairs find near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"), // shares most 3-grams with 1
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("doc_a") === 1L && pairs.head.getAs[Long]("doc_b") === 2L)
+  }
+
+  test("minhash est_jaccard ≈ 1 for identical docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "z z2 z3 z4 z5 z6"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(df, "doc_id", "text").collect()
+    val p = cand.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(p.isDefined && p.get.getAs[Double]("est_jaccard") === 1.0)
+  }
+
+  test("simhash: identical docs have hamming 0") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", 0).collect()
+    assert(pairs.length === 1 && pairs.head.getAs[Long]("hamming") === 0L)
+  }
+
+  test("cosine kNN ranks an identical vector first") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0f, 0f)), (1L, Array(1.0f, 0f, 0f)),
+      (2L, Array(0f, 1.0f, 0f)), (3L, Array(0.9f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.cosineKnn(df, "vec_id", "embedding", 2)
+    val top = knn.filter(col("query_id") === 0 && col("rank") === 1).first()
+    assert(top.getAs[Long]("neighbor_id") === 1L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("text stats: tokens, distinct ratio, stopwords") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    val r = TextOps.withTextStats(df).first()
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("n_distinct_tokens") === 4L)
+    assert(r.getAs[Long]("n_stopwords") === 2L) // 'the' twice
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Drives the streaming operators with MemoryStream — real incremental
+  * execution with state across triggers, no external source needed. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming sessionize: sessions close across trigger batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 — two events 10 min apart (one open session)
+      input.addData(Ev(1L, 1L, 0L, 1.0), Ev(1L, 2L, 600000L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0) // still open
+      // batch 2: 40 min later → closes session 1, opens session 2
+      input.addData(Ev(1L, 3L, 600000L + 2400000L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[SessionOut].collect()
+      assert(rows.length === 1)
+      val s = rows.head
+      assert(s.session_num === 1L && s.n_events === 2L
+        && s.duration_ms === 600000L && s.sum_value === 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming hourly aggregates with watermark produce windowed counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyAggregates(df)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:15:00"), "click", 1.0),
+        (t("2024-01-01 10:45:00"), "click", 2.0),
+        (t("2024-01-01 11:30:00"), "view", 4.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 window
+      input.addData((t("2024-01-01 14:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out").collect()
+      val tenOclock = rows.find(r => r.getAs[java.sql.Timestamp]("hour_start")
+        .toString.startsWith("2024-01-01 10"))
+      assert(tenOclock.isDefined)
+      assert(tenOclock.get.getAs[Long]("n") === 2L)
+      assert(tenOclock.get.getAs[Double]("sum_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("batch closeOpenSessions matches the batch sessionize query semantics") {
+    val spark0 = spark
+    import spark0.implicits._
+    val evs = Seq(Ev(7L, 1L, 0L, 1.0), Ev(7L, 2L, 100L, 1.0)).toDS()
+    val out = EventStreams.closeOpenSessions(evs).collect()
+    assert(out.length === 1 && out.head.n_events === 2L)
+  }
+}

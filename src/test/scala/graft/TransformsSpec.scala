@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Transforms
+import org.apache.spark.sql.DataFrame
+
+/** Transform→revert round-trips restore y exactly (the reference's strongest
+  * correctness property, /root/reference/test/test_SeriesTransformer.py:22-53;
+  * we target 1e-8 per BASELINE.md). */
+class TransformsSpec extends SparkSpec {
+
+  // positive trend + seasonality + deterministic "noise"
+  val y: Seq[Double] = (0 until 48).map(t =>
+    100.0 + 0.5 * t + 20 * math.sin(2 * math.Pi * (t % 12) / 12.0) + ((t * 37) % 11) - 5)
+
+  def roundTrip(name: String)(mk: DataFrame => graft.operators.FittedTransform): Unit =
+    test(s"$name revert∘transform == id") {
+      val df = obsSeries(y)
+      val t = mk(df)
+      val back = col1(t.revert(t.transform(df)), "y")
+      y.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-8, s"$a vs $b") }
+    }
+
+  roundTrip("log")(Transforms.logT)
+  roundTrip("sqrt")(Transforms.sqrtT)
+  roundTrip("boxcox λ=0.5")(Transforms.boxcoxT(_, 0.5))
+  roundTrip("boxcox λ=0 (ln)")(Transforms.boxcoxT(_, 0.0))
+  roundTrip("scale")(Transforms.scaleT(_))
+  roundTrip("minmax")(Transforms.minmaxT(_))
+  roundTrip("robust")(Transforms.robustT(_))
+  roundTrip("diff m=1")(Transforms.diffT(_, 1))
+  roundTrip("diff m=12")(Transforms.diffT(_, 12))
+  roundTrip("detrend linear")(Transforms.detrendLinearT(_))
+  roundTrip("deseason m=12")(Transforms.deseasonT(_, 12))
+
+  test("stacked log→diff(1)→diff(12) reverts exactly") {
+    val df = obsSeries(y)
+    val t1 = Transforms.logT(df)
+    val s1 = t1.transform(df)
+    val t2 = Transforms.diffT(s1, 1)
+    val s2 = t2.transform(s1)
+    val t3 = Transforms.diffT(s2, 12)
+    val s3 = t3.transform(s2)
+    val stack = graft.operators.TransformStack(List(t1, t2, t3))
+    val back = col1(stack.revert(s3), "y")
+    y.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-8) }
+  }
+
+  test("scale params are per-series (multi-series frame)") {
+    val df = obsSeries(y, "a").unionByName(obsSeries(y.map(_ * 10), "b"))
+    val t = Transforms.scaleT(df)
+    val z = t.transform(df)
+    // both series z-score to the same values
+    val za = col1(z.filter(z("series_id") === "a"), "y")
+    val zb = col1(z.filter(z("series_id") === "b"), "y")
+    za.zip(zb).foreach { case (p, q) => assert(math.abs(p - q) < 1e-8) }
+  }
+}
