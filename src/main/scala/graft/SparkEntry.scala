@@ -63,8 +63,51 @@ object SparkEntry {
     "ts_backtest"        -> ((s, d) => qBacktest(s, d)),
     "ts_mase_msis"       -> ((s, d) => qMaseMsis(s, d)),
     "ts_holtwinters"     -> ((s, d) => qHoltWinters(s, d)),
-    "ts_rf_dynamic"      -> ((s, d) => qRfDynamic(s, d))
+    "ts_rf_dynamic"      -> ((s, d) => qRfDynamic(s, d)),
+    "ts_acf"             -> ((s, d) => qAcf(s, d)),
+    "ts_model_summaries" -> ((s, d) => qModelSummaries(s, d)),
+    "ts_synthesize"      -> ((s, d) => qSynthesize(s, d))
   )
+
+  // ------------------------------------------- results-store & diagnostics
+
+  /** Bank naive / snaive / trend+seasonal on the z-scored series (test=12)
+    * into the long results store and emit per-model summaries. */
+  private def bankedResults(s: SparkSession, d: String): DataFrame = {
+    import graft.results.ResultsStore
+    val base = withTestFlag(zOrdersMonthly(s, d), 12)
+    ResultsStore.union(
+      ResultsStore.bank(Baselines.naiveFitted(base, 1), "naive"),
+      ResultsStore.bank(Baselines.naiveFitted(base, 12), "snaive"),
+      ResultsStore.bank(Baselines.trendSeasonal(base), "trend_seasonal"))
+  }
+
+  private def qModelSummaries(s: SparkSession, d: String): DataFrame = {
+    val sm = graft.results.ResultsStore.modelSummaries(bankedResults(s, d))
+    val metricCols = sm.columns.filter(c => c.startsWith("test_") || c.startsWith("insample_"))
+      .filterNot(c => c.endsWith("_n"))
+    metricCols.foldLeft(sm)((f, c) => f.withColumn(c, round(col(c), 6)))
+      .select(col("model"), col(SeriesId), col("insample_rmse"), col("insample_mae"),
+        col("insample_smape"), col("insample_r2"), col("insample_n"),
+        col("test_rmse"), col("test_mae"), col("test_smape"), col("test_r2"), col("test_n"))
+  }
+
+  private def qSynthesize(s: SparkSession, d: String): DataFrame = {
+    import graft.results.ResultsStore
+    val base = withTestFlag(withMonthlyHorizon(zOrdersMonthly(s, d), 12), 12)
+    val results = ResultsStore.union(
+      ResultsStore.bank(Baselines.naiveForecast(base, 1, "yhat"), "naive"),
+      ResultsStore.bank(Baselines.naiveForecast(base, 12, "yhat"), "snaive"),
+      ResultsStore.bank(Baselines.trendSeasonal(base), "trend_seasonal"))
+    ResultsStore.synthesize(results, Seq("naive", "snaive", "trend_seasonal"))
+      .filter(col(IsFuture))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"),
+        round(col("lower"), 6).as("lower"), round(col("upper"), 6).as("upper"))
+  }
+
+  private def qAcf(s: SparkSession, d: String): DataFrame =
+    graft.functions.Diagnostics.acf(ordersMonthly(s, d), 12)
+      .select(col(SeriesId), col("lag").cast("long").as("lag"), round(col("acf"), 6).as("acf"))
 
   // -------------------------------------------- model & evaluation queries
 
@@ -738,8 +781,98 @@ object SparkEntry {
          |      + CASE WHEN y > uf THEN (y - uf) * (2 / 0.05) ELSE 0 END) AS msis_num
          |  FROM te GROUP BY 1)
          |SELECT series_id, ROUND(mae_num / denom, 6) AS mase,
-         |  ROUND(msis_num / denom, 6) AS msis FROM agg, den""".stripMargin
+         |  ROUND(msis_num / denom, 6) AS msis FROM agg, den""".stripMargin,
+
+    "ts_acf" ->
+      s"""$S, s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS rn FROM series),
+         |mu AS (SELECT avg(y) AS mu, count(*) AS n FROM s2),
+         |c AS (SELECT series_id, rn, y - mu AS c FROM s2, mu),
+         |d AS (SELECT sum(c * c) AS d FROM c)
+         |SELECT a.series_id, g.k AS lag,
+         |  ROUND(sum(a.c * b.c) / (SELECT d FROM d), 6) AS acf
+         |FROM generate_series(1, 12) g(k)
+         |JOIN c a ON a.rn > g.k
+         |JOIN c b ON b.rn = a.rn - g.k AND b.series_id = a.series_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "ts_model_summaries" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, month(ds) AS mon,
+         |    CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |fit AS (SELECT regr_slope(y, t) AS b, regr_intercept(y, t) AS a
+         |        FROM s2, nn WHERE t <= n - 12),
+         |eff AS (SELECT mon, avg(y - (a + b * t)) AS e
+         |        FROM s2, nn, fit WHERE t <= n - 12 GROUP BY 1),
+         |scored AS (
+         |  SELECT 'naive' AS model, s2.series_id, s2.y, t > n - 12 AS is_test,
+         |         lag(y, 1) OVER (ORDER BY ds) AS yhat FROM s2, nn
+         |  UNION ALL
+         |  SELECT 'snaive', s2.series_id, s2.y, t > n - 12,
+         |         lag(y, 12) OVER (ORDER BY ds) FROM s2, nn
+         |  UNION ALL
+         |  SELECT 'trend_seasonal', s2.series_id, s2.y, t > n - 12,
+         |         a + b * t + coalesce(e, 0.0)
+         |  FROM s2 CROSS JOIN nn CROSS JOIN fit LEFT JOIN eff ON eff.mon = s2.mon),
+         |valid AS (SELECT * FROM scored WHERE yhat IS NOT NULL),
+         |ins AS (SELECT model, series_id,
+         |    ROUND(sqrt(avg(pow(yhat - y, 2))), 6) AS insample_rmse,
+         |    ROUND(avg(abs(yhat - y)), 6) AS insample_mae,
+         |    ROUND(avg(2 * abs(yhat - y) / (abs(y) + abs(yhat))), 6) AS insample_smape,
+         |    ROUND(1 - sum(pow(yhat - y, 2)) / (sum(pow(y, 2)) - pow(sum(y), 2) / count(*)), 6) AS insample_r2,
+         |    count(*) AS insample_n
+         |  FROM valid WHERE NOT is_test GROUP BY 1, 2),
+         |tes AS (SELECT model, series_id,
+         |    ROUND(sqrt(avg(pow(yhat - y, 2))), 6) AS test_rmse,
+         |    ROUND(avg(abs(yhat - y)), 6) AS test_mae,
+         |    ROUND(avg(2 * abs(yhat - y) / (abs(y) + abs(yhat))), 6) AS test_smape,
+         |    ROUND(1 - sum(pow(yhat - y, 2)) / (sum(pow(y, 2)) - pow(sum(y), 2) / count(*)), 6) AS test_r2,
+         |    count(*) AS test_n
+         |  FROM valid WHERE is_test GROUP BY 1, 2)
+         |SELECT ins.model, ins.series_id, insample_rmse, insample_mae, insample_smape,
+         |  insample_r2, insample_n, test_rmse, test_mae, test_smape, test_r2, test_n
+         |FROM ins JOIN tes ON tes.model = ins.model AND tes.series_id = ins.series_id""".stripMargin,
+
+    "ts_synthesize" -> zTrendSeasonalForecastSql(
+      """, futsteps AS (
+        |  SELECT CAST(last_ds + to_months(CAST(i AS INT)) AS DATE) AS ds, i
+        |  FROM nn, generate_series(1, 12) g(i)),
+        |all3 AS (
+        |  SELECT ds, yhat FROM scored WHERE is_future
+        |  UNION ALL
+        |  SELECT fs.ds, (SELECT y FROM s2, nn WHERE t = n) AS yhat FROM futsteps fs
+        |  UNION ALL
+        |  SELECT fs.ds, (SELECT y FROM s2, nn WHERE t = n - 12 + fs.i) AS yhat
+        |  FROM futsteps fs),
+        |syn AS (SELECT ds, avg(yhat) AS yhat, stddev_samp(yhat) AS sd, count(yhat) AS n3
+        |        FROM all3 GROUP BY 1)
+        |SELECT 'orders' AS series_id, ds, ROUND(yhat, 6) AS yhat,
+        |  ROUND(yhat - 1.959963984540054 * sd / sqrt(n3), 6) AS lower,
+        |  ROUND(yhat + 1.959963984540054 * sd / sqrt(n3), 6) AS upper
+        |FROM syn""".stripMargin)
   )
+
+  /** Z-scored trend+seasonal scoring with horizon (train = all but last 12);
+    * same shape as [[trendSeasonalSql]] but over the z-scored series. */
+  private def zTrendSeasonalForecastSql(tail: String): String =
+    s"""$ZS, s2 AS (SELECT series_id, ds, y,
+       |    CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+       |nn AS (SELECT count(*) AS n, max(ds) AS last_ds FROM s2),
+       |train AS (SELECT s2.* FROM s2, nn WHERE t <= n - 12),
+       |fit AS (SELECT regr_slope(y, t) AS b, regr_intercept(y, t) AS a FROM train),
+       |eff AS (SELECT month(ds) AS m, avg(y - (a + b * t)) AS e
+       |        FROM train, fit GROUP BY 1),
+       |allrows AS (
+       |  SELECT series_id, ds, y, t, FALSE AS is_future FROM s2
+       |  UNION ALL
+       |  SELECT 'orders', CAST(last_ds + to_months(CAST(i AS INT)) AS DATE),
+       |         CAST(NULL AS DOUBLE), n + i, TRUE
+       |  FROM nn, generate_series(1, 12) t(i)),
+       |scored AS (
+       |  SELECT r.series_id, r.ds, r.y, r.is_future,
+       |         a + b * r.t + coalesce(eff.e, 0.0) AS yhat
+       |  FROM allrows r CROSS JOIN fit LEFT JOIN eff ON eff.m = month(r.ds))
+       |$tail""".stripMargin
 
   /** Shared DuckDB CTE: z-scored monthly orders series. */
   private val ZS =

@@ -1,0 +1,83 @@
+package graft
+
+import graft.core.SeriesFrame
+import graft.eval.{AutoSelect, Evaluation}
+import graft.functions.Diagnostics
+import graft.models.{Baselines, Theta}
+import graft.results.ResultsStore
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+
+  // trending + seasonal series with deterministic noise
+  val ys: Seq[Double] = (0 until 60).map(t =>
+    100.0 + 2.0 * t + 15 * math.sin(2 * math.Pi * (t % 12) / 12.0) + ((t * 31) % 7) - 3)
+
+  test("autoXvarSelect picks trend and some AR structure on a trending series") {
+    val sel = AutoSelect.autoXvarSelect(obsSeries(ys), maxAr = 3, h = 6)
+    assert(sel.trend.nonEmpty, s"expected a trend rep, got $sel")
+    assert(!sel.rmse.isNaN)
+  }
+
+  test("bestSeriesLength evaluates all candidates and returns a winner") {
+    val (len, rmse) = AutoSelect.bestSeriesLength(obsSeries(ys), Seq(24, 36, 48), 6,
+      f => Baselines.trendSeasonal(f))
+    assert(Seq(24, 36, 48).contains(len) && !rmse.isNaN)
+  }
+
+  test("findOptimalTransformation only keeps improving transforms") {
+    val (stack, _, score) = AutoSelect.findOptimalTransformation(obsSeries(ys), m = 12, h = 6)
+    assert(!score.isNaN)
+    assert(stack.stack.size <= 5)
+  }
+
+  test("theta forecast blends trend extrapolation and SES") {
+    val df = SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6)
+    val out = Theta.thetaForecast(df)
+    val fc = col1(out.filter(col("is_future")), "yhat")
+    assert(fc.length === 6 && fc.forall(v => !v.isNaN))
+    // trend slope 2/month dominates: forecasts should keep rising
+    assert(fc.last > fc.head)
+  }
+
+  test("results store: bank, summaries, ordering, synthesize") {
+    val base = SeriesFrame.withTestFlag(obsSeries(ys), 6)
+    val res = ResultsStore.union(
+      ResultsStore.bank(Baselines.naiveFitted(base, 1), "naive"),
+      ResultsStore.bank(Baselines.trendSeasonal(base), "ts"))
+    val sm = ResultsStore.modelSummaries(res)
+    assert(sm.count() === 2)
+    val ranked = ResultsStore.orderModels(sm, "test_rmse").collect()
+    assert(ranked.head.getString(0) === "ts") // trend model beats naive on a trend
+    val syn = ResultsStore.synthesize(res, Seq("naive", "ts"))
+    assert(syn.filter(col("yhat").isNotNull).count() > 0)
+    val popped = ResultsStore.pop(res, "naive")
+    assert(popped.select("model").distinct().count() === 1)
+  }
+
+  test("ACF of a strongly trending series is high at lag 1; PACF cuts off") {
+    val df = obsSeries(ys)
+    val a = Diagnostics.acf(df, 3).orderBy("lag").collect().map(_.getDouble(2))
+    assert(a(0) > 0.5, s"lag-1 acf ${a(0)}")
+    val p = Diagnostics.pacf(df, 3)
+    assert(p.size === 3)
+    // durbin-levinson sanity: pacf(1) == acf(1)
+    assert(math.abs(p.find(_._2 == 1).get._3 - a(0)) < 1e-9)
+  }
+
+  test("ADF t-stat: stationary noise is clearly more negative than a random walk") {
+    val noise = (0 until 80).map(t => ((t * 37) % 11).toDouble - 5)
+    val walk = noise.scanLeft(0.0)(_ + _).tail
+    val tNoise = Diagnostics.adfT(obsSeries(noise)).head._2
+    val tWalk = Diagnostics.adfT(obsSeries(walk)).head._2
+    assert(tNoise < tWalk, s"stationary $tNoise should be < walk $tWalk")
+    assert(tNoise < -2.86) // rejects unit root at 5%
+  }
+
+  test("corrLags: series correlates perfectly with itself at lag 0") {
+    val df = obsSeries(ys, "a").unionByName(obsSeries(ys, "b"))
+    val c = Diagnostics.corrLags(df, "a", "b", 2)
+      .filter(col("lag") === 0).first().getAs[Double]("corr")
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+}
