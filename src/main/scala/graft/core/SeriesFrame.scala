@@ -88,6 +88,47 @@ object SeriesFrame {
     a.unionByName(b2.select(cols.map(col).toSeq: _*))
   }
 
+  /** `line_up_dates`: trim every series to the range covered by ALL series
+    * (/root/reference/src/scalecast/multiseries.py:39-53) so a multivariate
+    * frame shares one calendar. */
+  def lineUpDates(df: DataFrame): DataFrame = {
+    val bounds = df.filter(!col(IsFuture))
+      .groupBy(SeriesId).agg(min(Ds).as("_lo"), max(Ds).as("_hi"))
+      .agg(max("_lo").as("_lo"), min("_hi").as("_hi"))
+    df.join(broadcast(bounds)).filter(col(Ds).between(col("_lo"), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
+  /** `ingest_Xvars_df`: left-join an external regressor frame on ds, turning
+    * non-numeric columns into 0/1 dummies (pd.get_dummies,
+    * /root/reference/src/scalecast/_Forecaster_parent.py:1471-1543); optional
+    * zero-padding for dates the regressor frame misses. */
+  def ingestXvars(frame: DataFrame, xvars: DataFrame, dateCol: String = "ds",
+                  pad: Boolean = true, dropFirst: Boolean = false): DataFrame = {
+    val renamed = xvars.withColumnRenamed(dateCol, Ds)
+    val (numeric, categorical) = renamed.schema.fields
+      .filterNot(_.name == Ds)
+      .partition(f => f.dataType.typeName match {
+        case "string" | "boolean" => false
+        case _ => true
+      })
+    val dummied = categorical.foldLeft(renamed) { (f, field) =>
+      val levels = renamed.select(field.name).distinct()
+        .collect().map(_.get(0)).filter(_ != null).map(_.toString).sorted
+      val keep = if (dropFirst) levels.drop(1) else levels
+      keep.foldLeft(f)((g, v) =>
+        g.withColumn(s"${field.name}_$v",
+          when(col(field.name).cast("string") === v, 1.0).otherwise(0.0)))
+        .drop(field.name)
+    }
+    val casted = numeric.foldLeft(dummied)((f, field) =>
+      f.withColumn(field.name, col(field.name).cast("double")))
+    val joined = frame.join(casted, Seq(Ds), "left")
+    if (!pad) joined
+    else casted.columns.filterNot(_ == Ds).foldLeft(joined)((f, c) =>
+      f.withColumn(c, coalesce(col(c), lit(0.0))))
+  }
+
   // ---- Row-range ops (SURVEY §2.2) ------------------------------------
 
   /** Drop the last `n` observed rows of every series

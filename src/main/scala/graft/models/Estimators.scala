@@ -79,4 +79,12 @@ final case class MllibTsEstimator(
 object MllibTsEstimator {
   /** Registry parity with cfg.py:26-48 for the MLlib-expressible estimators. */
   val supportedAlgos: Seq[String] = Seq("mlr", "lasso", "ridge", "elasticnet", "rf", "gbt")
+
+  /** `transfer_predict` support
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:1869-1942): persist
+    * a fitted pipeline and re-apply it to a different frame later / elsewhere
+    * — MLlib's native model persistence. */
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+  def load(path: String): PipelineModel = PipelineModel.load(path)
 }

@@ -28,4 +28,33 @@ object Conformal {
   }
 
   def minTestLength(cilevel: Double): Int = math.ceil(1.0 / (1.0 - cilevel)).toInt
+
+  /** Dynamic (per-step) conformal intervals from a backtest residual matrix
+    * (`backtest_for_resid_matrix` → `overwrite_forecast_intervals`,
+    * /root/reference/src/scalecast/util.py:1157-1270): collect |residual|
+    * per (iteration, horizon step) from backtest-scored frames, take the
+    * cilevel-percentile per step across iterations, and attach step-indexed
+    * bounds to the horizon rows of `forecast`. Widths widen with the step —
+    * unlike the flat width of [[withIntervals]]. */
+  def dynamicIntervals(backtestScored: Seq[DataFrame], forecast: DataFrame,
+                       yhat: String = "yhat", cilevel: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // horizon-step index within each scored run's test slice
+    val stepW = Window.partitionBy(col(SeriesId)).orderBy(col(Ds))
+    val resids = backtestScored.zipWithIndex.map { case (df, i) =>
+      df.filter(col("is_test") && col(yhat).isNotNull && col(Y).isNotNull)
+        .withColumn("_step", row_number().over(stepW))
+        .select(col(SeriesId), col("_step"), abs(col(Y) - col(yhat)).as("_r"))
+        .withColumn("_iter", lit(i))
+    }.reduce(_ unionByName _)
+    val widths = resids.groupBy(SeriesId, "_step")
+      .agg(expr(s"percentile(_r, $cilevel)").as("_w"))
+    forecast.withColumn("_step",
+        when(col(IsFuture), row_number().over(
+          Window.partitionBy(col(SeriesId), col(IsFuture)).orderBy(col(Ds)))))
+      .join(broadcast(widths), Seq(SeriesId, "_step"), "left")
+      .withColumn("lower", col(yhat) - col("_w"))
+      .withColumn("upper", col(yhat) + col("_w"))
+      .drop("_step", "_w")
+  }
 }
