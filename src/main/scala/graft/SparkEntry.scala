@@ -66,8 +66,18 @@ object SparkEntry {
     "ts_rf_dynamic"      -> ((s, d) => qRfDynamic(s, d)),
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
     "ts_model_summaries" -> ((s, d) => qModelSummaries(s, d)),
-    "ts_synthesize"      -> ((s, d) => qSynthesize(s, d))
+    "ts_synthesize"      -> ((s, d) => qSynthesize(s, d)),
+    "mv_xlags"           -> ((s, d) => qMvXlags(s, d))
   )
+
+  private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** Cross-series lag matrix over the segment series (the SKLearnMV feature
+    * build, models.py:213-337). */
+  private def qMvXlags(s: SparkSession, d: String): DataFrame =
+    graft.models.MvForecast.addCrossSeriesLags(segmentMonthly(s, d), Segments, 1)
+      .select((Seq(col(SeriesId), col(Ds), col(Y)) ++
+        Segments.map(sid => col(s"xlag_${sid}_1"))): _*)
 
   // ------------------------------------------- results-store & diagnostics
 
@@ -832,6 +842,17 @@ object SparkEntry {
          |SELECT ins.model, ins.series_id, insample_rmse, insample_mae, insample_smape,
          |  insample_r2, insample_n, test_rmse, test_mae, test_smape, test_r2, test_n
          |FROM ins JOIN tes ON tes.model = ins.model AND tes.series_id = ins.series_id""".stripMargin,
+
+    "mv_xlags" ->
+      s"""$SEG, wide AS (SELECT ds,
+         |  ${Segments.map(x => s"max(CASE WHEN series_id = '$x' THEN y END) AS c_$x").mkString(",\n  ")}
+         |  FROM series GROUP BY 1),
+         |lagged AS (SELECT ds,
+         |  ${Segments.map(x => s"""lag(c_$x) OVER (ORDER BY ds) AS "xlag_${x}_1"""").mkString(",\n  ")}
+         |  FROM wide)
+         |SELECT s.series_id, s.ds, s.y,
+         |  ${Segments.map(x => s""""xlag_${x}_1"""").mkString(", ")}
+         |FROM series s JOIN lagged ON lagged.ds = s.ds""".stripMargin,
 
     "ts_synthesize" -> zTrendSeasonalForecastSql(
       """, futsteps AS (

@@ -63,6 +63,77 @@ object AutoSelect {
 
   private def nanSafe(d: Double): Double = if (d.isNaN) Double.MaxValue else d
 
+  /** `auto_arima`-style order search (/root/reference/src/scalecast/
+    * auxmodels.py:6-45) restricted to the AR(p) family: pick p in
+    * 1..maxP minimizing AIC = n·ln(SSE/n) + 2(p+1) of the OLS fit on lag
+    * features. Each candidate is one distributed fit. */
+  def autoAr(frame: DataFrame, maxP: Int = 8): (Int, Double) = {
+    val withAr = FeatureOps.addArTerms(frame.filter(!col(IsFuture)), maxP).cache()
+    val scored = (1 to maxP).map { p =>
+      val feats = (1 to p).map(i => s"ar_$i")
+      val model = MllibTsEstimator("mlr", feats).fit(withAr)
+      val scoredDf = model.transform(withAr)
+        .filter(!isnan(col("yhat")) && col("yhat").isNotNull)
+      val row = scoredDf.agg(
+        sum(pow(col(Y) - col("yhat"), 2)).as("sse"), count(lit(1)).as("n")).first()
+      val sse = row.getDouble(0); val n = row.getLong(1).toDouble
+      (p, n * math.log(sse / n) + 2.0 * (p + 1))
+    }
+    scored.minBy(s => nanSafe(s._2))
+  }
+
+  /** `find_seasonal_length` (/root/reference/src/scalecast/util.py:58-83
+    * generalized): the candidate period with the highest ACF. */
+  def findSeasonalLength(frame: DataFrame, candidates: Seq[Int] = Seq(4, 6, 12, 24)): Int = {
+    val a = graft.functions.Diagnostics.acf(frame, candidates.max)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    candidates.maxBy(c => a.getOrElse(c, Double.MinValue))
+  }
+
+  /** `reduce_Xvars` (/root/reference/src/scalecast/Forecaster.py:451-631):
+    * backward elimination — repeatedly drop the feature with the smallest
+    * |standardized coefficient| (the MLlib-importance stand-in for SHAP),
+    * re-score, and keep the best-scoring feature set seen. */
+  def reduceXvars(frame: DataFrame, features: Seq[String], h: Int,
+                  minFeatures: Int = 1): (Seq[String], Double) = {
+    var cur = features
+    var best = (features, scoreFeatures(frame, features, h))
+    while (cur.size > minFeatures) {
+      val flagged = withTestFlag(frame, h)
+      val est = MllibTsEstimator("mlr", cur, normalizer = "scale")
+      val model = est.fit(flagged)
+      val lr = model.stages.last.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+      val weakest = cur.zip(lr.coefficients.toArray.map(math.abs)).minBy(_._2)._1
+      cur = cur.filterNot(_ == weakest)
+      val s = scoreFeatures(frame, cur, h)
+      if (!s.isNaN && s < best._2) best = (cur, s)
+    }
+    best
+  }
+
+  /** `limit_grid_size` (/root/reference/src/scalecast/_Forecaster_parent.py:
+    * 1096-1131): deterministic subsample of a hyperparameter grid. */
+  def limitGridSize[T](grid: Seq[T], n: Int, seed: Long = 42L): Seq[T] = {
+    if (grid.size <= n) grid
+    else new scala.util.Random(seed).shuffle(grid).take(n)
+  }
+
+  /** Periodogram via direct DFT on the collected series (driver-side — the
+    * reference calls scipy.signal.periodogram on 10²-10⁴ points,
+    * Forecaster.py:1368-1392). Returns (frequency index, power). */
+  def periodogram(frame: DataFrame, sid: String): Seq[(Int, Double)] = {
+    val ys = frame.filter(!col(IsFuture) && col(SeriesId) === sid)
+      .orderBy(Ds).select(Y).collect().map(_.getDouble(0))
+    val n = ys.length
+    val mean = ys.sum / n
+    val c = ys.map(_ - mean)
+    (1 to n / 2).map { k =>
+      val re = c.indices.map(t => c(t) * math.cos(2 * math.Pi * k * t / n)).sum
+      val im = c.indices.map(t => c(t) * math.sin(2 * math.Pi * k * t / n)).sum
+      (k, (re * re + im * im) / n)
+    }
+  }
+
   /** Try keeping only the last L observations for each candidate L; return
     * (bestLength, rmse) under the given model function. */
   def bestSeriesLength(frame: DataFrame, candidates: Seq[Int], h: Int,

@@ -69,6 +69,37 @@ object Transforms {
       y => (pow(y, lambda) - 1) / lambda,
       y => pow(y * lambda + 1, 1.0 / lambda))(df)
 
+  /** Box-Cox with per-series MLE λ — `add_pt_terms(method='box-cox')`
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:675-718, sklearn
+    * PowerTransformer). Profile log-likelihood
+    * ll(λ) = −(n/2)·ln(var(bc(y,λ))) + (λ−1)·Σ ln y is evaluated for every
+    * candidate λ in ONE aggregation pass (sum/sumsq pairs per λ), the argmax
+    * picked from the per-series stat row. Requires y > 0. */
+  def boxcoxMleT(df: DataFrame, candidates: Seq[Double] = (-20 to 20).map(_ / 10.0),
+                 trainEnd: Option[String] = None): ExprTransform = {
+    val obs = trainSlice(df, trainEnd)
+    val aggs = candidates.zipWithIndex.flatMap { case (l, i) =>
+      val bc = if (l == 0.0) log(col(Y)) else (pow(col(Y), l) - 1) / l
+      Seq(sum(bc).as(s"_s$i"), sum(bc * bc).as(s"_q$i"))
+    } ++ Seq(count(lit(1)).as("_n"), sum(log(col(Y))).as("_slog"))
+    val stats = obs.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*).collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lambdas = stats.map { r =>
+      val n = r.getAs[Long]("_n").toDouble
+      val slog = r.getAs[Double]("_slog")
+      val best = candidates.zipWithIndex.maxBy { case (l, i) =>
+        val s = r.getAs[Double](s"_s$i"); val q = r.getAs[Double](s"_q$i")
+        val v = q / n - (s / n) * (s / n)
+        if (v <= 0) Double.MinValue else -(n / 2.0) * math.log(v) + (l - 1.0) * slog
+      }._1
+      (r.getAs[String](SeriesId), best, 0.0)
+    }.toSeq.toDF(SeriesId, "p1", "p2")
+    ExprTransform("boxcox_mle", lambdas,
+      (y, l, _) => when(l === 0.0, log(y)).otherwise((pow(y, l) - 1) / l),
+      (y, l, _) => when(l === 0.0, exp(y)).otherwise(pow(y * l + 1, lit(1.0) / l)))
+  }
+
   private def trainSlice(df: DataFrame, trainEnd: Option[String]): DataFrame =
     trainEnd.fold(df.filter(!col(IsFuture)))(e =>
       df.filter(!col(IsFuture) && col(Ds) <= lit(e).cast("date")))
