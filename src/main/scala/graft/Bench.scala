@@ -10,7 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM/session warmup so the first measured query doesn't absorb startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
+      else SparkEntry.queries
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -67,8 +67,46 @@ object SparkEntry {
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
     "ts_model_summaries" -> ((s, d) => qModelSummaries(s, d)),
     "ts_synthesize"      -> ((s, d) => qSynthesize(s, d)),
-    "mv_xlags"           -> ((s, d) => qMvXlags(s, d))
+    "mv_xlags"           -> ((s, d) => qMvXlags(s, d)),
+    "doc_pipeline"       -> ((s, d) => qDocPipeline(s, d)),
+    "events_forecast"    -> ((s, d) => qEventsForecast(s, d))
   )
+
+  /** End-to-end training-data pipeline: quality-filter → near-dup removal
+    * (drop the higher doc_id of each jaccard≥0.8 pair) → fingerprint. */
+  private def qDocPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = TextOps.withTextStats(docs)
+    val dupIds = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    stats.filter(col("quality") >= 0.7)
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+        TextOps.fingerprint64(col("text")).as("fingerprint"))
+  }
+
+  /** Events → series bridge: hourly event counts on a dense hour spine,
+    * seasonal-naive (m=24h) fitted values + a 24-hour tiled forecast. */
+  private def qEventsForecast(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(expr("ts div 3600000000000").as("hr")) // epoch hours
+      .agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val spine = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
+    val dense = spine.join(counts, Seq("hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val hw = Window.orderBy("hr")
+    val fitted = dense.withColumn("yhat", lag(col("n"), 24).over(hw))
+      .withColumn("is_future", lit(false))
+    val lastCycle = dense.join(bounds).filter(col("hr") > col("h1") - 24)
+      .select((col("hr") + 24).as("hr"), col("n").as("yhat"))
+    val fut = lastCycle
+      .withColumn("n", lit(null).cast("long"))
+      .withColumn("is_future", lit(true))
+      .select("hr", "n", "yhat", "is_future")
+    fitted.select("hr", "n", "yhat", "is_future").unionByName(fut)
+      .withColumn("hour_ms", col("hr") * 3600000L).drop("hr")
+  }
 
   private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
@@ -153,7 +191,7 @@ object SparkEntry {
   private def qRfDynamic(s: SparkSession, d: String): DataFrame = {
     val withAr = FeatureOps.addArTerms(withMonthlyHorizon(zOrdersMonthly(s, d), 12), 3)
     val model = graft.models.MllibTsEstimator("rf", Seq("ar_1", "ar_2", "ar_3"),
-      Map("n_estimators" -> 50.0, "max_depth" -> 4.0)).fit(withAr)
+      Map("n_estimators" -> 30.0, "max_depth" -> 4.0)).fit(withAr)
     graft.models.Recursive.dynamicForecast(withAr, model)
       .filter(col(IsFuture))
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
@@ -842,6 +880,38 @@ object SparkEntry {
          |SELECT ins.model, ins.series_id, insample_rmse, insample_mae, insample_smape,
          |  insample_r2, insample_n, test_rmse, test_mae, test_smape, test_r2, test_n
          |FROM ins JOIN tes ON tes.model = ins.model AND tes.series_id = ins.series_id""".stripMargin,
+
+    "doc_pipeline" ->
+      s"""$SHINGLES
+         |sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |dups AS (SELECT DISTINCT doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),
+         |q AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         |scoredq AS (SELECT doc_id, text,
+         |    0.4 * (len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE))
+         |    + 0.4 * (1.0 - len(list_filter(tk, x -> x IN ('the','a'))) / CAST(len(tk) AS DOUBLE))
+         |    + 0.2 * least(len(tk) / 100.0, 1.0) AS quality FROM q)
+         |SELECT s.doc_id, ROUND(s.quality, 6) AS quality,
+         |  CAST(concat('0x', substr(md5(s.text), 1, 15)) AS BIGINT) AS fingerprint
+         |FROM scoredq s LEFT JOIN dups ON dups.doc_b = s.doc_id
+         |WHERE dups.doc_b IS NULL AND s.quality >= 0.7""".stripMargin,
+
+    "events_forecast" ->
+      """WITH counts AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS n FROM events GROUP BY 1),
+        |bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM counts),
+        |spine AS (SELECT unnest(generate_series(h0, h1)) AS hr FROM bounds),
+        |dense AS (SELECT s.hr, coalesce(c.n, 0) AS n FROM spine s LEFT JOIN counts c ON c.hr = s.hr),
+        |fitted AS (SELECT hr, n, lag(n, 24) OVER (ORDER BY hr) AS yhat, FALSE AS is_future
+        |           FROM dense),
+        |fut AS (SELECT d.hr + 24 AS hr, CAST(NULL AS BIGINT) AS n, d.n AS yhat, TRUE AS is_future
+        |        FROM dense d, bounds WHERE d.hr > h1 - 24)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(yhat AS BIGINT) AS yhat, is_future,
+        |  CAST(hr * 3600000 AS BIGINT) AS hour_ms
+        |FROM (SELECT * FROM fitted UNION ALL SELECT * FROM fut)""".stripMargin,
 
     "mv_xlags" ->
       s"""$SEG, wide AS (SELECT ds,

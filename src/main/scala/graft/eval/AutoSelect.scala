@@ -118,6 +118,28 @@ object AutoSelect {
     else new scala.util.Random(seed).shuffle(grid).take(n)
   }
 
+  /** `find_optimal_lag_order` for the VAR family
+    * (/root/reference/src/scalecast/util.py:298-341, statsmodels
+    * VAR.select_order): choose lag order p minimizing the summed
+    * per-equation AIC of the cross-series OLS fits. */
+  def autoVarOrder(frame: DataFrame, seriesIds: Seq[String], maxP: Int = 4): (Int, Double) = {
+    import graft.models.MvForecast
+    val scored = (1 to maxP).map { p =>
+      val withLags = MvForecast.addCrossSeriesLags(frame.filter(!col(IsFuture)), seriesIds, p)
+      val feats = for (sid <- seriesIds; k <- 1 to p) yield MvForecast.xlagCol(sid, k)
+      val aics = seriesIds.map { sid =>
+        val model = MllibTsEstimator("mlr", feats).fit(withLags.filter(col(SeriesId) === sid))
+        val scoredDf = model.transform(withLags.filter(col(SeriesId) === sid))
+          .filter(!isnan(col("yhat")) && col("yhat").isNotNull)
+        val r = scoredDf.agg(sum(pow(col(Y) - col("yhat"), 2)), count(lit(1))).first()
+        val sse = r.getDouble(0); val n = r.getLong(1).toDouble
+        n * math.log(sse / n) + 2.0 * (feats.size + 1)
+      }
+      (p, aics.sum)
+    }
+    scored.minBy(s => nanSafe(s._2))
+  }
+
   /** Periodogram via direct DFT on the collected series (driver-side — the
     * reference calls scipy.signal.periodogram on 10²-10⁴ points,
     * Forecaster.py:1368-1392). Returns (frequency index, power). */

@@ -61,7 +61,11 @@ object MvForecast {
       val r = fut.agg(max("_step")).first()
       if (r.isNullAt(0)) 0 else r.getInt(0)
     }
-    var known = obs.select(col(SeriesId), col("_t"), col(Y).as("_v")).localCheckpoint(true)
+    // bounded ledger: only the last (maxLag + h) values per series are joinable
+    val lastT = obs.groupBy(SeriesId).agg(max("_t").as("_maxT"))
+    var known = obs.join(lastT, Seq(SeriesId))
+      .filter(col("_t") > col("_maxT") - (maxLag + maxStep))
+      .select(col(SeriesId), col("_t"), col(Y).as("_v")).localCheckpoint(true)
     var preds = List.empty[DataFrame]
     for (i <- 1 to maxStep) {
       var rows = fut.filter(col("_step") === i)

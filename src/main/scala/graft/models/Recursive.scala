@@ -43,8 +43,16 @@ object Recursive {
       if (r.isNullAt(0)) 0 else r.getInt(0)
     }
 
-    // ledger of known values: actuals, then predictions as steps complete
-    var known = obs.select(col(SeriesId), col("_t"), col(Y).as("_v"))
+    // ledger of known values: actuals, then predictions as steps complete.
+    // Only the last (maxLag + h) actuals per series can ever be referenced,
+    // so trim the ledger up front — keeps the per-step join bounded at
+    // series × (lags + h) rows no matter how long the history is.
+    val maxLag = if (arLags.isEmpty) 0 else arLags.max
+    val keep = maxLag + maxStep
+    val lastT = obs.groupBy(SeriesId).agg(max("_t").as("_maxT"))
+    var known = obs.join(lastT, Seq(SeriesId))
+      .filter(col("_t") > col("_maxT") - keep)
+      .select(col(SeriesId), col("_t"), col(Y).as("_v"))
       .localCheckpoint(true)
     var preds = List.empty[DataFrame]
     for (i <- 1 to maxStep) {

@@ -78,6 +78,39 @@ object Imputer {
     df.withColumn(valueCol, coalesce(col(valueCol),
       avg(col(valueCol)).over(w.rowsBetween(-k, -1))))
 
+  /** Deterministic noise injection on the cells that were imputed: adds
+    * seeded N(0, noiseScale·σ_series) only where `wasMissing`
+    * (util.py:1127-1145). */
+  def withImputationNoise(df: DataFrame, wasMissing: Column, seed: Long = 42L,
+                          noiseScale: Double = 1.0, valueCol: String = Y): DataFrame = {
+    val stats = df.filter(!wasMissing).groupBy(SeriesId)
+      .agg(stddev_samp(col(valueCol)).as("_sd"))
+    df.join(broadcast(stats), Seq(SeriesId), "left")
+      .withColumn(valueCol,
+        when(wasMissing, col(valueCol) + randn(seed) * col("_sd") * noiseScale)
+          .otherwise(col(valueCol)))
+      .drop("_sd")
+  }
+
+  /** First-observation strategy 'drop': remove the leading rows of each
+    * series that precede the first non-null value (util.py:1035-1049). */
+  def dropLeadingNulls(df: DataFrame, valueCol: String = Y): DataFrame =
+    df.withColumn("_seen",
+        count(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("_seen") > 0).drop("_seen")
+
+  /** `impute_pool`: fill from a pseudo-random draw (deterministic in ds) out
+    * of the previous k non-null observations (util.py:1117-1118). */
+  def imputePool(df: DataFrame, k: Int, valueCol: String = Y): DataFrame = {
+    val pool = collect_list(col(valueCol)).over(w.rowsBetween(-k, -1))
+    df.withColumn("_pool", pool)
+      .withColumn(valueCol, coalesce(col(valueCol),
+        when(size(col("_pool")) > 0, // guard: pmod by 0 raises under ANSI
+          element_at(col("_pool"),
+            (pmod(xxhash64(col(Ds)), size(col("_pool"))) + 1).cast("int")))))
+      .drop("_pool")
+  }
+
   /** Fill from the mean of previous same-phase (seasonal) observations
     * (`moving_seasonal_average`, util.py:1096-1115). */
   def movingSeasonalAverage(df: DataFrame, m: Int, k: Int, valueCol: String = Y): DataFrame = {
