@@ -69,8 +69,20 @@ object SparkEntry {
     "ts_synthesize"      -> ((s, d) => qSynthesize(s, d)),
     "mv_xlags"           -> ((s, d) => qMvXlags(s, d)),
     "doc_pipeline"       -> ((s, d) => qDocPipeline(s, d)),
-    "events_forecast"    -> ((s, d) => qEventsForecast(s, d))
+    "events_forecast"    -> ((s, d) => qEventsForecast(s, d)),
+    "ts_arma"            -> ((s, d) => qArma(s, d))
   )
+
+  /** ARMA(1,1) via Hannan–Rissanen on the z-scored series (rows-only check:
+    * the two-stage OLS has no tractable portable-SQL oracle). */
+  private def qArma(s: SparkSession, d: String): DataFrame = {
+    val base = withMonthlyHorizon(zOrdersMonthly(s, d), 12)
+    val fit = graft.models.Arima.fitArma(base, 1, 1)
+    graft.models.Arima.forecast(fit)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(when(isnan(col("yhat")), lit(null)).otherwise(col("yhat")), 6).as("yhat"),
+        col(IsFuture))
+  }
 
   /** End-to-end training-data pipeline: quality-filter → near-dup removal
     * (drop the higher doc_id of each jaccard≥0.8 pair) → fingerprint. */
