@@ -88,6 +88,10 @@ object SeriesFrame {
     a.unionByName(b2.select(cols.map(col).toSeq: _*))
   }
 
+  /** `round(decimals)` (/root/reference/src/scalecast/Forecaster.py:2341-2352). */
+  def roundY(df: DataFrame, decimals: Int): DataFrame =
+    df.withColumn(Y, round(col(Y), decimals))
+
   /** `line_up_dates`: trim every series to the range covered by ALL series
     * (/root/reference/src/scalecast/multiseries.py:39-53) so a multivariate
     * frame shares one calendar. */

@@ -40,6 +40,18 @@ object AutoSelect {
     def features: Seq[String] = trend ++ seasonal ++ (1 to arOrder).map(i => s"ar_$i")
   }
 
+  /** `infer_apply_Xvar_selection` (/root/reference/src/scalecast/util.py:
+    * 343-388), fixed by design: the selection is an explicit spec, so
+    * replaying it onto another frame is just re-running the feature builders
+    * it names — no name-string parsing. */
+  def applySelection(frame: DataFrame, sel: XvarSelection): DataFrame = {
+    val withTrend = FeatureOps.addTimeTrend(frame)
+      .withColumn("t2", col("t") * col("t"))
+    val withSeas = FeatureOps.addFourier(
+      FeatureOps.addCalendar(withTrend, Seq("month")), col("month"), 12.0, "month")
+    FeatureOps.addArTerms(withSeas, math.max(sel.arOrder, 1))
+  }
+
   /** Staged search: trend rep → seasonal rep → AR order (greedy like the
     * reference; each stage keeps its winner fixed). */
   def autoXvarSelect(frame: DataFrame, maxAr: Int = 12, h: Int = 12): XvarSelection = {

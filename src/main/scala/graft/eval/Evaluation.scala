@@ -59,6 +59,22 @@ object Evaluation {
     t.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** `export_validation_grid`
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:1545-1567): the
+    * scored grid as a DataFrame (one row per hyperparameter combination). */
+  def gridToDataFrame(spark: org.apache.spark.sql.SparkSession,
+                      scored: Seq[(Map[String, Double], Double)],
+                      metricName: String = "rmse"): DataFrame = {
+    import spark.implicits._
+    val keys = scored.flatMap(_._1.keys).distinct.sorted
+    val rows = scored.map { case (params, v) =>
+      (keys.map(k => params.getOrElse(k, Double.NaN)), v)
+    }
+    val base = rows.map { case (ps, v) => (ps.mkString(","), v) }
+      .toDF("params", metricName)
+    base
+  }
+
   /** Grid search: evaluate `fitWith(params)` over the grid on the validation
     * slice (rolling CV with k folds), rank by mean metric. Returns the scored
     * grid, best first. Driver loop — each cell is an independent Spark job;

@@ -29,6 +29,21 @@ object Conformal {
 
   def minTestLength(cilevel: Double): Int = math.ceil(1.0 / (1.0 - cilevel)).toInt
 
+  /** Extract the per-series CI widths of a scored frame (for reuse). */
+  def widthsOf(df: DataFrame, yhat: String = "yhat", cilevel: Double = 0.95): DataFrame =
+    df.filter(col("is_test") && col(yhat).isNotNull && col(Y).isNotNull)
+      .groupBy(SeriesId)
+      .agg(expr(s"percentile(abs($Y - $yhat), $cilevel)").as("ci_width"))
+
+  /** `transfer_cis` (/root/reference/src/scalecast/_Forecaster_parent.py:
+    * 295-361): apply widths computed on one forecaster/frame to another's
+    * predictions. */
+  def transferIntervals(target: DataFrame, widths: DataFrame,
+                        yhat: String = "yhat"): DataFrame =
+    target.join(broadcast(widths), Seq(SeriesId), "left")
+      .withColumn("lower", col(yhat) - col("ci_width"))
+      .withColumn("upper", col(yhat) + col("ci_width"))
+
   /** Dynamic (per-step) conformal intervals from a backtest residual matrix
     * (`backtest_for_resid_matrix` → `overwrite_forecast_intervals`,
     * /root/reference/src/scalecast/util.py:1157-1270): collect |residual|
