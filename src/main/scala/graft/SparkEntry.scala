@@ -70,8 +70,16 @@ object SparkEntry {
     "mv_xlags"           -> ((s, d) => qMvXlags(s, d)),
     "doc_pipeline"       -> ((s, d) => qDocPipeline(s, d)),
     "events_forecast"    -> ((s, d) => qEventsForecast(s, d)),
-    "ts_arma"            -> ((s, d) => qArma(s, d))
+    "ts_arma"            -> ((s, d) => qArma(s, d)),
+    "emb_norms"          -> ((s, d) => qEmbNorms(s, d))
   )
+
+  /** Per-vector L2 norms + dimension count (vector hygiene checks that run
+    * before any ANN stage). */
+  private def qEmbNorms(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vid").as("vec_id"), size(col("v")).cast("long").as("dim"),
+        round(col("nrm"), 6).as("norm"))
 
   /** ARMA(1,1) via Hannan–Rissanen on the z-scored series (rows-only check:
     * the two-stage OLS has no tractable portable-SQL oracle). */
@@ -719,6 +727,13 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "emb_norms" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    len(embedding) AS dim FROM embeddings)
+        |SELECT vec_id, CAST(min(dim) AS BIGINT) AS dim,
+        |  ROUND(sqrt(sum(v * v)), 6) AS norm
+        |FROM e GROUP BY 1""".stripMargin,
 
     "emb_lsh_buckets" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
