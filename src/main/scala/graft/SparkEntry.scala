@@ -63,7 +63,9 @@ object SparkEntry {
     "ts_backtest"        -> ((s, d) => qBacktest(s, d)),
     "ts_mase_msis"       -> ((s, d) => qMaseMsis(s, d)),
     "ts_holtwinters"     -> ((s, d) => qHoltWinters(s, d)),
-    "ts_rf_dynamic"      -> ((s, d) => qRfDynamic(s, d)),
+    "ts_ar3_dynamic"     -> ((s, d) => qAr3Dynamic(s, d)),
+    "ts_mlr_dynk4"       -> ((s, d) => qMlrDynK4(s, d)),
+    "ts_weekly_naive"    -> ((s, d) => qWeeklyNaive(s, d)),
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
     "ts_model_summaries" -> ((s, d) => qModelSummaries(s, d)),
     "ts_synthesize"      -> ((s, d) => qSynthesize(s, d)),
@@ -81,8 +83,8 @@ object SparkEntry {
       .select(col("vid").as("vec_id"), size(col("v")).cast("long").as("dim"),
         round(col("nrm"), 6).as("norm"))
 
-  /** ARMA(1,1) via Hannan–Rissanen on the z-scored series (rows-only check:
-    * the two-stage OLS has no tractable portable-SQL oracle). */
+  /** ARMA(1,1) via Hannan–Rissanen on the z-scored series; the oracle
+    * replays both OLS stages through [[OracleGen]]'s unrolled Cholesky. */
   private def qArma(s: SparkSession, d: String): DataFrame = {
     val base = withMonthlyHorizon(zOrdersMonthly(s, d), 12)
     val fit = graft.models.Arima.fitArma(base, 1, 1)
@@ -208,13 +210,36 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(col("yhat"), 6).as("yhat"), col(IsFuture))
 
-  private def qRfDynamic(s: SparkSession, d: String): DataFrame = {
+  /** AR(3) OLS + the full 12-step dynamic recursion (multi-lag ledger path).
+    * Oracle: unrolled-Cholesky OLS + a recursive CTE carrying the last three
+    * predictions. (The rf twin of this query lives in ModelsSpec — tree
+    * predictions aren't portable-SQL-expressible.) */
+  private def qAr3Dynamic(s: SparkSession, d: String): DataFrame = {
     val withAr = FeatureOps.addArTerms(withMonthlyHorizon(zOrdersMonthly(s, d), 12), 3)
-    val model = graft.models.MllibTsEstimator("rf", Seq("ar_1", "ar_2", "ar_3"),
-      Map("n_estimators" -> 30.0, "max_depth" -> 4.0)).fit(withAr)
+    val model = graft.models.MllibTsEstimator("mlr", Seq("ar_1", "ar_2", "ar_3")).fit(withAr)
     graft.models.Recursive.dynamicForecast(withAr, model)
       .filter(col(IsFuture))
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
+  }
+
+  /** `dynamic_testing = 4` peeking cadence (models.py:124-140): AR(1) OLS
+    * scored over a 24-ob test slice in 4-step chunks re-seeded from actuals. */
+  private def qMlrDynK4(s: SparkSession, d: String): DataFrame = {
+    val flagged = FeatureOps.addArTerms(withTestFlag(zOrdersMonthly(s, d), 24), 1)
+    val model = graft.models.MllibTsEstimator("mlr", Seq("ar_1")).fit(flagged)
+    graft.models.Recursive.dynamicTestForecast(flagged, model, 4)
+      .filter(col("is_test"))
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("yhat"), 6).as("yhat"))
+  }
+
+  /** Weekly series + inferred-frequency horizon (`pd.infer_freq` contract):
+    * the horizon spine must come out weekly, not the monthly default. */
+  private def qWeeklyNaive(s: SparkSession, d: String): DataFrame = {
+    val base = lineitemWeekly(s, d)
+    val withH = withInferredHorizon(base, 8) // inferFreq must yield "W"
+    Baselines.naiveForecast(withH, 1, "yhat")
+      .select(col(SeriesId), col(Ds), col(Y), col("yhat"), col(IsFuture))
   }
 
   private def qImpute(s: SparkSession, d: String): DataFrame = {
@@ -337,9 +362,13 @@ object SparkEntry {
       FeatureOps.addTimeTrend(ordersMonthly(s, d)), Seq("month", "quarter", "year"))
     val f1 = FeatureOps.addFourier(f0, col("month"), 12.0, "month")
     val f2 = FeatureOps.addCycle(f1, 13.5, "cyc")
+    // `+ 0.0` normalizes IEEE negative zero: DuckDB's ROUND(sin(pi), 6) yields
+    // -0.0 where Spark yields +0.0; values compare equal but bit-level hashes differ.
     f2.select(col(SeriesId), col(Ds), col("t"), col("month"), col("quarter"), col("year"),
-      round(col("monthsin"), 6).as("monthsin"), round(col("monthcos"), 6).as("monthcos"),
-      round(col("cycsin"), 6).as("cycsin"), round(col("cyccos"), 6).as("cyccos"))
+      (round(col("monthsin"), 6) + lit(0.0)).as("monthsin"),
+      (round(col("monthcos"), 6) + lit(0.0)).as("monthcos"),
+      (round(col("cycsin"), 6) + lit(0.0)).as("cycsin"),
+      (round(col("cyccos"), 6) + lit(0.0)).as("cyccos"))
   }
 
   private def qNaive(s: SparkSession, d: String): DataFrame = {
@@ -497,10 +526,10 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t,
          |  CAST(month(ds) AS DOUBLE) AS month, CAST(quarter(ds) AS DOUBLE) AS quarter,
          |  CAST(year(ds) AS DOUBLE) AS year,
-         |  ROUND(sin(pi() * month(ds) / 6.0), 6) AS monthsin,
-         |  ROUND(cos(pi() * month(ds) / 6.0), 6) AS monthcos,
-         |  ROUND(sin(pi() * (row_number() OVER (ORDER BY ds)) / 6.75), 6) AS cycsin,
-         |  ROUND(cos(pi() * (row_number() OVER (ORDER BY ds)) / 6.75), 6) AS cyccos
+         |  ROUND(sin(pi() * month(ds) / 6.0), 6) + 0.0 AS monthsin,
+         |  ROUND(cos(pi() * month(ds) / 6.0), 6) + 0.0 AS monthcos,
+         |  ROUND(sin(pi() * (row_number() OVER (ORDER BY ds)) / 6.75), 6) + 0.0 AS cycsin,
+         |  ROUND(cos(pi() * (row_number() OVER (ORDER BY ds)) / 6.75), 6) + 0.0 AS cyccos
          |FROM series""".stripMargin,
 
     "ts_naive" ->
@@ -967,7 +996,134 @@ object SparkEntry {
         |SELECT 'orders' AS series_id, ds, ROUND(yhat, 6) AS yhat,
         |  ROUND(yhat - 1.959963984540054 * sd / sqrt(n3), 6) AS lower,
         |  ROUND(yhat + 1.959963984540054 * sd / sqrt(n3), 6) AS upper
-        |FROM syn""".stripMargin)
+        |FROM syn""".stripMargin),
+
+    // Hannan–Rissanen ARMA(1,1): stage-1 long-AR(6) OLS via unrolled Cholesky
+    // (OracleGen), residuals as innovation estimates, stage-2 OLS on
+    // (y-lag, resid-lag), flat-innovation horizon recursion in closed form.
+    "ts_arma" ->
+      s"""$ZS,
+         |lagd AS (SELECT series_id, ds, y,
+         |  ${(1 to 6).map(i => s"lag(y, $i) OVER (ORDER BY ds) AS x$i").mkString(", ")}
+         |  FROM series),
+         |${OracleGen.momentsCte("s1", (1 to 6).map(i => s"x$i"), "lagd WHERE x6 IS NOT NULL")},
+         |${OracleGen.solveCtes("s1", 6)},
+         |er AS (SELECT lagd.*, CASE WHEN x6 IS NOT NULL THEN y -
+         |  (beta_0 + beta_1*x1 + beta_2*x2 + beta_3*x3 + beta_4*x4 + beta_5*x5 + beta_6*x6)
+         |  END AS e FROM lagd, s1_fit),
+         |e2 AS (SELECT series_id, ds, y, x1 AS ar1,
+         |       lag(e, 1) OVER (ORDER BY ds) AS elag FROM er),
+         |${OracleGen.momentsCte("s2f", Seq("ar1", "elag"), "e2 WHERE elag IS NOT NULL")},
+         |${OracleGen.solveCtes("s2f", 2)},
+         |f2 AS (SELECT beta_0, beta_1, beta_2 FROM s2f_fit),
+         |obs AS (SELECT series_id, ds, ROUND(y, 6) AS y,
+         |        ROUND(CASE WHEN ar1 IS NOT NULL AND elag IS NOT NULL
+         |              THEN beta_0 + beta_1*ar1 + beta_2*elag END, 6) AS yhat,
+         |        FALSE AS is_future FROM e2, f2),
+         |lastrow AS (SELECT y AS yT, e AS eT FROM er ORDER BY ds DESC LIMIT 1),
+         |nn AS (SELECT max(ds) AS ld FROM series),
+         |h1 AS (SELECT beta_0 + beta_1*yT + beta_2*eT AS y1 FROM f2, lastrow),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y,
+         |        ROUND(CASE WHEN i = 1 THEN y1
+         |              ELSE beta_0 * (1 - pow(beta_1, i - 1)) / (1 - beta_1)
+         |                   + pow(beta_1, i - 1) * y1 END, 6) AS yhat,
+         |        TRUE AS is_future
+         |        FROM nn, f2, h1, generate_series(1, 12) g(i))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin,
+
+    // Additive Holt-Winters (α=.3, β=.1, γ=.2, m=12), classical first-cycle
+    // init: the level/trend recursion runs in a recursive CTE; the seasonal
+    // array rides along as a rotating LIST (head = current season, updated
+    // value appended to the tail), so seas[1] is always this step's index.
+    "ts_holtwinters" ->
+      s"""$ZSR,
+         |s2 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS INT) AS t FROM series),
+         |agg AS (SELECT list(y ORDER BY ds) AS ys, CAST(count(*) AS INT) AS n,
+         |        max(ds) AS ld FROM s2),
+         |init AS (SELECT n, ld,
+         |         (${(1 to 12).map(i => s"ys[$i]").mkString(" + ")}) / 12.0 AS m1,
+         |         (${(13 to 24).map(i => s"ys[$i]").mkString(" + ")}) / 12.0 AS m2,
+         |         (m2 - m1) / 12.0 AS b0,
+         |         list_transform(ys[1:12], s -> s - m1) AS seas0 FROM agg),
+         |hw AS (
+         |  SELECT 0 AS t, m1 AS level, b0 AS trend, seas0 AS seas,
+         |         CAST(NULL AS DOUBLE) AS yhat FROM init
+         |  UNION ALL
+         |  SELECT s2.t,
+         |    0.3 * (s2.y - hw.seas[1]) + 0.7 * (hw.level + hw.trend) AS newlevel,
+         |    0.1 * (newlevel - hw.level) + 0.9 * hw.trend,
+         |    hw.seas[2:] || [0.2 * (s2.y - newlevel) + 0.8 * hw.seas[1]],
+         |    hw.level + hw.trend + hw.seas[1]
+         |  FROM hw JOIN s2 ON s2.t = hw.t + 1),
+         |obs AS (SELECT s2.series_id, s2.ds, ROUND(s2.y, 6) AS y,
+         |        ROUND(hw.yhat, 6) AS yhat, FALSE AS is_future
+         |        FROM s2 JOIN hw ON hw.t = s2.t),
+         |fin AS (SELECT hw.* FROM hw, agg WHERE hw.t = agg.n),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y,
+         |        ROUND(fin.level + i * fin.trend + fin.seas[i], 6) AS yhat, TRUE AS is_future
+         |        FROM agg, fin, generate_series(1, 12) g(i))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin,
+
+    // AR(3) OLS (Cholesky) + 12-step dynamic recursion carrying the last
+    // three predictions through a recursive CTE.
+    "ts_ar3_dynamic" ->
+      s"""$ZSR,
+         |lagd AS (SELECT series_id, ds, y, lag(y, 1) OVER win AS x1,
+         |         lag(y, 2) OVER win AS x2, lag(y, 3) OVER win AS x3
+         |         FROM series WINDOW win AS (ORDER BY ds)),
+         |${OracleGen.momentsCte("a3", Seq("x1", "x2", "x3"), "lagd WHERE x3 IS NOT NULL")},
+         |${OracleGen.solveCtes("a3", 3)},
+         |f AS (SELECT beta_0, beta_1, beta_2, beta_3 FROM a3_fit),
+         |tl AS (SELECT list(y ORDER BY ds DESC) AS t3
+         |       FROM (SELECT y, ds FROM series ORDER BY ds DESC LIMIT 3)),
+         |nn AS (SELECT max(ds) AS ld FROM series),
+         |rec AS (
+         |  SELECT 0 AS i, t3[1] AS p1, t3[2] AS p2, t3[3] AS p3 FROM tl
+         |  UNION ALL
+         |  SELECT rec.i + 1, beta_0 + beta_1*rec.p1 + beta_2*rec.p2 + beta_3*rec.p3,
+         |         rec.p1, rec.p2
+         |  FROM rec, f WHERE rec.i < 12)
+         |SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |       ROUND(p1, 6) AS yhat
+         |FROM rec, nn WHERE i >= 1""".stripMargin,
+
+    // dynamic_testing=4: AR(1) OLS fit on train; each 4-step test chunk
+    // recurses from the actual value preceding the chunk (closed form).
+    "ts_mlr_dynk4" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS INT) AS t,
+         |       lag(y, 1) OVER (ORDER BY ds) AS yl FROM series),
+         |nn AS (SELECT CAST(count(*) AS INT) AS n FROM s2),
+         |fit AS (SELECT regr_slope(y, yl) AS b, regr_intercept(y, yl) AS a
+         |        FROM s2, nn WHERE yl IS NOT NULL AND t <= n - 24),
+         |test AS (SELECT s2.*, t - (n - 24) AS s, n FROM s2, nn WHERE t > n - 24),
+         |steps AS (SELECT series_id, ds, y, ((s - 1) % 4) + 1 AS j,
+         |          n - 24 + 4 * ((s - 1) // 4) AS t0 FROM test),
+         |seeded AS (SELECT st.*, sd.y AS y0 FROM steps st JOIN s2 sd ON sd.t = st.t0)
+         |SELECT series_id, ds, ROUND(y, 6) AS y,
+         |       ROUND(a * (1 - pow(b, j)) / (1 - b) + pow(b, j) * y0, 6) AS yhat
+         |FROM seeded, fit""".stripMargin,
+
+    // Weekly series + naive: checks the weekly horizon spine (ds + 7·i days)
+    // that frequency inference must produce.
+    "ts_weekly_naive" ->
+      """WITH series AS (
+        |  SELECT 'lineitem' AS series_id,
+        |         CAST(date_trunc('week', l_shipdate) AS DATE) AS ds,
+        |         ROUND(SUM(l_quantity), 2) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |nn AS (SELECT max(ds) AS ld FROM series),
+        |yt AS (SELECT y AS yT FROM series ORDER BY ds DESC LIMIT 1),
+        |obs AS (SELECT series_id, ds, y, lag(y, 1) OVER (ORDER BY ds) AS yhat,
+        |        FALSE AS is_future FROM series),
+        |fut AS (SELECT 'lineitem' AS series_id, CAST(ld + to_days(7 * i::INT) AS DATE) AS ds,
+        |        CAST(NULL AS DOUBLE) AS y, yT AS yhat, TRUE AS is_future
+        |        FROM nn, yt, generate_series(1, 8) g(i))
+        |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
   )
 
   /** Z-scored trend+seasonal scoring with horizon (train = all but last 12);
@@ -1001,6 +1157,10 @@ object SparkEntry {
       |  FROM orders GROUP BY 1, 2),
       |zp AS (SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM base),
       |series AS (SELECT series_id, ds, (y - mu) / sd AS y FROM base, zp)""".stripMargin
+
+  /** [[ZS]] with RECURSIVE enabled (DuckDB scopes the keyword to the whole
+    * WITH clause) for oracles that carry sequential state in a recursive CTE. */
+  private val ZSR = ZS.replaceFirst("WITH ", "WITH RECURSIVE ")
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles per document. */
   private val SHINGLES =

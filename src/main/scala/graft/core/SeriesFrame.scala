@@ -66,20 +66,72 @@ object SeriesFrame {
       .withColumn(IsFuture, lit(false))
       .select(SeriesId, Ds, Y, IsFuture)
 
-  /** Append `h` monthly horizon rows per series (y = NULL, is_future = true).
-    * Maps `generate_future_dates`
-    * (/root/reference/src/scalecast/_Forecaster_parent.py:1317-1356).
+  /** Infer the series' calendar frequency from observed date gaps — the
+    * `pd.infer_freq` contract (/root/reference/src/scalecast/Forecaster.py:324-335).
+    * Modal gap across all series, mapped to a pandas-style code
+    * (D/W/MS/QS/YS). One global aggregate; only the single modal-gap row
+    * reaches the driver, so this scales to any number of series/rows.
+    */
+  def inferFreq(df: DataFrame): String = {
+    val top = df.filter(!col(IsFuture))
+      .withColumn("_gap", datediff(col(Ds), lag(col(Ds), 1).over(w)))
+      .filter(col("_gap").isNotNull)
+      .groupBy("_gap").agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("_gap")).limit(1)
+      .collect()
+    if (top.isEmpty) "D" else freqOfGap(top(0).getInt(0))
+  }
+
+  private def freqOfGap(g: Int): String = g match {
+    case 1                        => "D"
+    case 7                        => "W"
+    case x if x >= 28 && x <= 31  => "MS"
+    case x if x >= 89 && x <= 92  => "QS"
+    case x if x >= 365 && x <= 366 => "YS"
+    case _                        => "D" // irregular → densest supported spine
+  }
+
+  /** Weekly shipped-quantity series from `lineitem` (exercises frequency
+    * inference on a non-monthly cadence; weeks truncate to ISO Monday). */
+  def lineitemWeekly(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(trunc(col("l_shipdate"), "week").as(Ds))
+      .agg(round(sum("l_quantity"), 2).as(Y))
+      .withColumn(SeriesId, lit("lineitem"))
+      .withColumn(IsFuture, lit(false))
+      .select(SeriesId, Ds, Y, IsFuture)
+
+  /** Append `h` horizon rows per series at calendar frequency `freq`
+    * (y = NULL, is_future = true). Maps `generate_future_dates`
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:1317-1356) for any
+    * inferred/declared frequency, not just monthly.
     * Set-based: one groupBy for last dates + an explode — no driver loop.
     */
-  def withMonthlyHorizon(df: DataFrame, h: Int): DataFrame = {
+  def withHorizon(df: DataFrame, h: Int, freq: String): DataFrame = {
+    val step = freq match {
+      case "D"               => "i -> date_add(last_ds, i)"
+      case "W"               => "i -> date_add(last_ds, 7 * i)"
+      case "MS" | "M"        => "i -> add_months(last_ds, i)"
+      case "QS" | "Q"        => "i -> add_months(last_ds, 3 * i)"
+      case "YS" | "Y" | "A"  => "i -> add_months(last_ds, 12 * i)"
+      case other => throw new IllegalArgumentException(s"unsupported freq $other")
+    }
     val lastDs = df.filter(!col(IsFuture)).groupBy(SeriesId).agg(max(Ds).as("last_ds"))
     val future = lastDs.select(
       col(SeriesId),
-      explode(expr(s"transform(sequence(1, $h), i -> add_months(last_ds, i))")).as(Ds)
+      explode(expr(s"transform(sequence(1, $h), $step)")).as(Ds)
     ).withColumn(Y, lit(null).cast("double")).withColumn(IsFuture, lit(true))
     val extras = df.columns.filterNot(Set(SeriesId, Ds, Y, IsFuture))
     unionLoose(df, extras.foldLeft(future)((f, c) => f.withColumn(c, lit(null))))
   }
+
+  /** Horizon at the series' own inferred frequency. */
+  def withInferredHorizon(df: DataFrame, h: Int): DataFrame =
+    withHorizon(df, h, inferFreq(df))
+
+  /** Monthly horizon — `withHorizon` at MS (kept as the common fixture path). */
+  def withMonthlyHorizon(df: DataFrame, h: Int): DataFrame =
+    withHorizon(df, h, "MS")
 
   /** Union two frames aligning by column name, adding missing columns as null. */
   def unionLoose(a: DataFrame, b: DataFrame): DataFrame = {
