@@ -55,6 +55,7 @@ object SparkEntry {
     "doc_simhash_pairs"  -> ((s, d) => qSimhashPairs(s, d)),
     "doc_multimodal"     -> ((s, d) => qMultimodal(s, d)),
     "emb_knn"            -> ((s, d) => qEmbKnn(s, d)),
+    "emb_knn_lsh"        -> ((s, d) => qEmbKnnLsh(s, d)),
     "emb_lsh_buckets"    -> ((s, d) => qEmbLshBuckets(s, d)),
     "ts_ar1_mlr"         -> ((s, d) => qAr1Mlr(s, d)),
     "ts_ses"             -> ((s, d) => qSes(s, d)),
@@ -99,7 +100,7 @@ object SparkEntry {
   private def qDocPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val stats = TextOps.withTextStats(docs)
-    val dupIds = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val dupIds = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, JaccardDfCap)
       .select(col("doc_b").as("doc_id")).distinct()
     stats.filter(col("quality") >= 0.7)
       .join(dupIds, Seq("doc_id"), "left_anti")
@@ -117,8 +118,12 @@ object SparkEntry {
     val spine = bounds.select(explode(expr("sequence(h0, h1)")).as("hr"))
     val dense = spine.join(counts, Seq("hr"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-    val hw = Window.orderBy("hr")
-    val fitted = dense.withColumn("yhat", lag(col("n"), 24).over(hw))
+    // seasonal-naive fitted values via a self-join on the hour key (the spine
+    // is dense, so hr−24 is exact) — shuffle-partitioned by hr, no global
+    // single-partition window.
+    val fitted = dense.join(
+        dense.select((col("hr") + 24).as("hr"), col("n").as("yhat")),
+        Seq("hr"), "left")
       .withColumn("is_future", lit(false))
     val lastCycle = dense.join(bounds).filter(col("hr") > col("h1") - 24)
       .select((col("hr") + 24).as("hr"), col("n").as("yhat"))
@@ -260,13 +265,13 @@ object SparkEntry {
 
   private def qCvRolling(s: SparkSession, d: String): DataFrame =
     graft.eval.Evaluation.rollingOriginCV(zOrdersMonthly(s, d), 3, 8,
-        f => Baselines.trendSeasonal(f), Seq("rmse", "mae"))
+        f => Baselines.trendSeasonal(f), Seq("rmse", "mae"), parallelism = 3)
       .select(col("fold").cast("long").as("fold"), col(SeriesId),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
 
   private def qBacktest(s: SparkSession, d: String): DataFrame =
     graft.eval.Evaluation.backtest(zOrdersMonthly(s, d), 3, 12, 6,
-        f => Baselines.naiveFitted(f, 12), Seq("rmse", "mae"))
+        f => Baselines.naiveFitted(f, 12), Seq("rmse", "mae"), parallelism = 3)
       .select(col("iter").cast("long").as("iter"), col(SeriesId),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
 
@@ -324,9 +329,13 @@ object SparkEntry {
     Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
 
   private def qJaccardPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8, JaccardDfCap)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         round(col("jaccard"), 6).as("jaccard"))
+
+  /** Hot-shingle document-frequency cap for the declared Jaccard queries:
+    * bounds every inverted-index join key at ≤ cap docs (cap² pairs). */
+  private val JaccardDfCap = 100
 
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
@@ -346,6 +355,13 @@ object SparkEntry {
   private def qEmbKnn(s: SparkSession, d: String): DataFrame =
     Similarity.cosineKnn(Tables.embeddings(s, d), "vec_id", "embedding", 5,
         col("vid") < 50)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+
+  /** The scale path for ANN: LSH buckets bound the join (shuffle keyed by
+    * bucket), exact cosine re-ranks within each bucket. */
+  private def qEmbKnnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineKnnLsh(Tables.embeddings(s, d), "vec_id", "embedding", 3, 4)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
 
@@ -698,9 +714,11 @@ object SparkEntry {
 
     "doc_jaccard_pairs" ->
       s"""$SHINGLES
-         |sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+         |dsc AS (SELECT * FROM ds
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $JaccardDfCap),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM dsc GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  FROM dsc a JOIN dsc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_common,
          |  ROUND(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
          |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
@@ -756,6 +774,30 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "emb_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |ed AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM e),
+        |proj AS (SELECT vec_id, b,
+        |    sum(v * (((2654435761 * i * (2*b+1) + 40503*(b+1)) % 100003) / 100003.0 - 0.5)) AS p
+        |  FROM ed CROSS JOIN generate_series(0, 3) g(b) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ed GROUP BY 1),
+        |cand AS (SELECT a.vec_id AS qa, b.vec_id AS qb
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |dots AS (SELECT c.qa, c.qb, sum(ea.v * eb.v) AS d
+        |  FROM cand c JOIN ed ea ON ea.vec_id = c.qa
+        |              JOIN ed eb ON eb.vec_id = c.qb AND eb.i = ea.i
+        |  GROUP BY 1, 2),
+        |sims AS (SELECT qa, qb, d / (na.n * nb.n) AS sim
+        |  FROM dots JOIN nrm na ON na.vec_id = qa JOIN nrm nb ON nb.vec_id = qb),
+        |ranked AS (SELECT qa AS query_id, qb AS neighbor_id, ROUND(sim, 6) AS sim,
+        |    row_number() OVER (PARTITION BY qa ORDER BY ROUND(sim, 6) DESC, qb) AS rank
+        |  FROM sims)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "emb_norms" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -939,9 +981,11 @@ object SparkEntry {
 
     "doc_pipeline" ->
       s"""$SHINGLES
-         |sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+         |dsc AS (SELECT * FROM ds
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $JaccardDfCap),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM dsc GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |  FROM dsc a JOIN dsc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |dups AS (SELECT DISTINCT doc_b FROM inter
          |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |  WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),

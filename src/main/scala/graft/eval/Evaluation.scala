@@ -22,12 +22,41 @@ object Evaluation {
 
   type ModelFn = DataFrame => DataFrame
 
+  /** Run independent evaluation cells (folds / grid points / backtest
+    * iterations) through a bounded thread pool. Each cell is an independent
+    * Spark job — concurrent submission lets the scheduler interleave their
+    * stages across executors (tag a FAIR pool so no cell starves). Results
+    * come back in `items` order, so callers stay deterministic regardless of
+    * completion order. parallelism ≤ 1 degrades to the plain sequential map. */
+  def fanOut[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (parallelism <= 1 || items.size <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = items.map { a =>
+          scala.concurrent.Future {
+            org.apache.spark.sql.SparkSession.active.sparkContext
+              .setLocalProperty("spark.scheduler.pool", "graft-eval")
+            f(a)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+
   /** Rolling-origin CV: fold i (0-based) drops the last i·h observed rows,
     * then holds out the final h as the validation slice. Returns one row per
-    * (series, fold) with the requested metric aggregates over the slice. */
+    * (series, fold) with the requested metric aggregates over the slice.
+    * `parallelism` > 1 fits the folds concurrently (independent jobs). */
   def rollingOriginCV(frame: DataFrame, k: Int, h: Int, modelFn: ModelFn,
-                      metricNames: Seq[String] = Seq("rmse", "mae")): DataFrame = {
-    val folds = (0 until k).map { i =>
+                      metricNames: Seq[String] = Seq("rmse", "mae"),
+                      parallelism: Int = 1): DataFrame = {
+    val folds = fanOut(0 until k, parallelism) { i =>
       val chopped = if (i == 0) frame.filter(!col(IsFuture)) else chopFromFront(frame, i * h)
       val flagged = withTestFlag(chopped, h)
       val scored = modelFn(flagged)
@@ -41,8 +70,9 @@ object Evaluation {
     * (Pipeline.py:229-359, util.py:112-230 backtest_metrics). */
   def backtest(frame: DataFrame, nIter: Int, h: Int, jumpBack: Int,
                modelFn: ModelFn,
-               metricNames: Seq[String] = Seq("rmse", "mae")): DataFrame = {
-    val iters = (0 until nIter).map { i =>
+               metricNames: Seq[String] = Seq("rmse", "mae"),
+               parallelism: Int = 1): DataFrame = {
+    val iters = fanOut(0 until nIter, parallelism) { i =>
       val chopped = if (i == 0) frame.filter(!col(IsFuture))
                     else chopFromFront(frame, i * jumpBack)
       val flagged = withTestFlag(chopped, h)
@@ -52,6 +82,29 @@ object Evaluation {
     iters.reduce(_ unionByName _)
   }
 
+  /** MV `optimize_on` (/root/reference/src/scalecast/MVForecaster.py:151-156,
+    * 412-444): collapse per-series metric rows into the single model-selection
+    * scalar — "mean"/"min"/"max" across series, a specific series_id, or
+    * explicit per-series weights (the reference's custom-callable case made
+    * declarative). */
+  def optimizeOn(perSeries: DataFrame, metricName: String,
+                 how: String = "mean",
+                 weights: Map[String, Double] = Map.empty): Double = how match {
+    case "mean" => perSeries.agg(avg(col(metricName))).first().getDouble(0)
+    case "min"  => perSeries.agg(min(col(metricName))).first().getDouble(0)
+    case "max"  => perSeries.agg(max(col(metricName))).first().getDouble(0)
+    case "weighted" =>
+      require(weights.nonEmpty, "optimize_on=weighted needs weights")
+      val wcol = weights.foldLeft(lit(0.0)) { case (acc, (sid, wt)) =>
+        when(col(SeriesId) === sid, wt).otherwise(acc)
+      }
+      perSeries.agg((sum(col(metricName) * wcol) / sum(wcol)))
+        .first().getDouble(0)
+    case sid => // a series_id: optimize for that one series
+      perSeries.filter(col(SeriesId) === sid)
+        .agg(avg(col(metricName))).first().getDouble(0)
+  }
+
   /** Metric aggregates over the `is_test` slice, one row per series. */
   def metricsOverTest(scored: DataFrame, metricNames: Seq[String]): DataFrame = {
     val t = scored.filter(col("is_test") && col("yhat").isNotNull && !isnan(col("yhat")))
@@ -59,35 +112,68 @@ object Evaluation {
     t.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** `export_validation_grid`
-    * (/root/reference/src/scalecast/_Forecaster_parent.py:1545-1567): the
-    * scored grid as a DataFrame (one row per hyperparameter combination). */
-  def gridToDataFrame(spark: org.apache.spark.sql.SparkSession,
-                      scored: Seq[(Map[String, Double], Double)],
-                      metricName: String = "rmse"): DataFrame = {
-    import spark.implicits._
-    val keys = scored.flatMap(_._1.keys).distinct.sorted
-    val rows = scored.map { case (params, v) =>
-      (keys.map(k => params.getOrElse(k, Double.NaN)), v)
+  /** `ingest_grid` cartesian expansion
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:1050-1094): a
+    * {param → candidate values} space expands to every combination, in
+    * deterministic (sorted-key, listed-value) order. */
+  def expandGrid(space: Map[String, Seq[Double]]): Seq[Map[String, Double]] =
+    space.toSeq.sortBy(_._1).foldLeft(Seq(Map.empty[String, Double])) {
+      case (acc, (k, vs)) => for (m <- acc; v <- vs) yield m + (k -> v)
     }
-    val base = rows.map { case (ps, v) => (ps.mkString(","), v) }
-      .toDF("params", metricName)
-    base
-  }
 
-  /** Grid search: evaluate `fitWith(params)` over the grid on the validation
-    * slice (rolling CV with k folds), rank by mean metric. Returns the scored
-    * grid, best first. Driver loop — each cell is an independent Spark job;
-    * at scale submit with a thread pool over FAIR scheduler pools. */
+  /** One scored grid cell: params, per-fold mean-over-series metric values
+    * (fold order), and the across-fold mean. */
+  final case class GridCell(params: Map[String, Double],
+                            foldMetrics: Seq[Double], mean: Double)
+
+  /** Grid search with per-fold detail: evaluate `fitWith(params)` over the
+    * grid with k-fold rolling-origin CV. Grid cells fan out through
+    * [[fanOut]] (each cell = k independent fold jobs). Returns cells in grid
+    * order; rank with [[gridSearch]] or export with [[validationGrid]]. */
+  def gridSearchDetailed(frame: DataFrame, grid: Seq[Map[String, Double]],
+                         fitWith: Map[String, Double] => ModelFn,
+                         k: Int, h: Int, metricName: String = "rmse",
+                         parallelism: Int = 1): Seq[GridCell] =
+    fanOut(grid, parallelism) { params =>
+      val cv = rollingOriginCV(frame, k, h, fitWith(params), Seq(metricName))
+      val byFold = cv.groupBy("fold").agg(avg(col(metricName)).as("_m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2).toSeq
+      GridCell(params, byFold, byFold.sum / byFold.size)
+    }
+
+  /** Grid search: rank by mean metric, best first. */
   def gridSearch(frame: DataFrame, grid: Seq[Map[String, Double]],
                  fitWith: Map[String, Double] => ModelFn,
-                 k: Int, h: Int, metricName: String = "rmse"): Seq[(Map[String, Double], Double)] = {
+                 k: Int, h: Int, metricName: String = "rmse",
+                 parallelism: Int = 1): Seq[(Map[String, Double], Double)] = {
     val lower = Metrics.lowerIsBetter(metricName)
-    val scored = grid.map { params =>
-      val cv = rollingOriginCV(frame, k, h, fitWith(params), Seq(metricName))
-      val meanMetric = cv.agg(avg(col(metricName))).first().getDouble(0)
-      (params, meanMetric)
+    gridSearchDetailed(frame, grid, fitWith, k, h, metricName, parallelism)
+      .map(c => (c.params, c.mean))
+      .sortBy(s => if (lower) s._2 else -s._2)
+  }
+
+  /** `export_validation_grid`
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:1545-1567): the
+    * grid × fold metric matrix as a DataFrame with ONE TYPED DOUBLE COLUMN
+    * PER HYPERPARAMETER, one `fold_<i>_<metric>` column per fold, and the
+    * across-fold mean — not a stringified params blob. */
+  def validationGrid(spark: org.apache.spark.sql.SparkSession,
+                     cells: Seq[GridCell],
+                     metricName: String = "rmse"): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val keys = cells.flatMap(_.params.keys).distinct.sorted
+    val nFolds = cells.map(_.foldMetrics.size).max
+    val schema = StructType(
+      keys.map(StructField(_, DoubleType)) ++
+      (0 until nFolds).map(i => StructField(s"fold_${i}_$metricName", DoubleType)) :+
+      StructField(s"mean_$metricName", DoubleType))
+    val rows = cells.map { c =>
+      org.apache.spark.sql.Row.fromSeq(
+        keys.map(k => c.params.getOrElse(k, Double.NaN)) ++
+        (0 until nFolds).map(i => c.foldMetrics.lift(i).getOrElse(Double.NaN)) :+
+        c.mean)
     }
-    scored.sortBy(s => if (lower) s._2 else -s._2)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), schema)
   }
 }

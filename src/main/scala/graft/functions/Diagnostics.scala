@@ -69,9 +69,10 @@ object Diagnostics {
     * Δy_t = α + γ·y_(t−1) + Σ_(i=1..p) β_i·Δy_(t−i) + ε. Returns the γ
     * t-statistic per series; compare against MacKinnon 5% critical value
     * ≈ −2.86 (reject unit root ⇒ stationary)
-    * (/root/reference/src/scalecast/Forecaster.py:1258-1301). The OLS runs
-    * on the driver per series (regressor count ≤ p+2, closed-form normal
-    * equations); the lag matrix build is distributed. */
+    * (/root/reference/src/scalecast/Forecaster.py:1258-1301). Fully
+    * distributed: the normal-equation moments (X'X, X'y, y'y — k ≤ p+2) are
+    * per-series aggregates, so only ONE tiny stats row per series reaches the
+    * driver (same contract as boxcoxMleT) — never the observation rows. */
   def adfT(df: DataFrame, p: Int = 1): Seq[(String, Double)] = {
     val obs = df.filter(!col(IsFuture))
       .withColumn("_dy", col(Y) - lag(col(Y), 1).over(w))
@@ -80,23 +81,30 @@ object Diagnostics {
       f.withColumn(s"_dy$i", lag(col("_dy"), i).over(w)))
     val cols = Seq("_dy", "_ylag") ++ (1 to p).map(i => s"_dy$i")
     val complete = cols.foldLeft(withLags)((f, c) => f.filter(col(c).isNotNull))
-    complete.select(col(SeriesId), col("_dy"), col("_ylag"),
-        array((1 to p).map(i => col(s"_dy$i")): _*).as("_dls"))
-      .collect()
-      .groupBy(_.getString(0))
-      .toSeq.map { case (sid, rows) =>
-        val ys = rows.map(_.getDouble(1))
-        val xs = rows.map(r => Array(1.0, r.getDouble(2)) ++ r.getSeq[Double](3))
-        sid -> tStatOfSecondCoef(xs, ys)
+    val k = p + 2
+    val x = Seq(lit(1.0), col("_ylag")) ++ (1 to p).map(i => col(s"_dy$i"))
+    val aggs =
+      (for (i <- 0 until k; j <- 0 to i) yield sum(x(i) * x(j)).as(s"_sa_${i}_$j")) ++
+      (0 until k).map(i => sum(x(i) * col("_dy")).as(s"_sb_$i")) ++
+      Seq(sum(col("_dy") * col("_dy")).as("_syy"), count(lit(1)).as("_n"))
+    complete.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { row =>
+        val xtx = Array.tabulate(k, k)((i, j) =>
+          row.getDouble(row.fieldIndex(s"_sa_${math.max(i, j)}_${math.min(i, j)}")))
+        val xty = Array.tabulate(k)(i => row.getDouble(row.fieldIndex(s"_sb_$i")))
+        val syy = row.getDouble(row.fieldIndex("_syy"))
+        val n = row.getLong(row.fieldIndex("_n"))
+        row.getString(row.fieldIndex(SeriesId)) -> tStatFromMoments(xtx, xty, syy, n)
       }
   }
 
-  /** OLS t-stat of coefficient index 1 (the y_(t−1) term) via normal
-    * equations + residual variance — plain Gaussian elimination, k ≤ 4. */
-  private def tStatOfSecondCoef(x: Array[Array[Double]], y: Array[Double]): Double = {
-    val n = x.length; val k = x(0).length
-    val xtx = Array.tabulate(k, k)((i, j) => x.map(r => r(i) * r(j)).sum)
-    val xty = Array.tabulate(k)(i => x.zip(y).map { case (r, v) => r(i) * v }.sum)
+  /** OLS t-stat of coefficient index 1 (the y_(t−1) term) from the
+    * normal-equation moments: solve X'X·β = X'y by Gaussian elimination
+    * (k ≤ p+2, also building the inverse for the standard error) and use the
+    * OLS identity RSS = y'y − β'X'y for the residual variance. */
+  private def tStatFromMoments(xtx: Array[Array[Double]], xty: Array[Double],
+                               syy: Double, n: Long): Double = {
+    val k = xty.length
     val a = xtx.map(_.clone); val b = xty.clone
     // gaussian elimination with partial pivoting, also building the inverse
     val inv = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
@@ -115,8 +123,8 @@ object Diagnostics {
       }
     }
     val beta = b
-    val resid = x.zip(y).map { case (r, v) => v - r.zip(beta).map(p => p._1 * p._2).sum }
-    val sigma2 = resid.map(e => e * e).sum / (n - k)
+    val rss = syy - beta.zip(xty).map(p => p._1 * p._2).sum
+    val sigma2 = rss / (n - k)
     val se = math.sqrt(sigma2 * inv(1)(1))
     beta(1) / se
   }
@@ -130,16 +138,18 @@ object Diagnostics {
         count(lit(1)).as("n"))
 
   /** `corr_lags` — Pearson correlation of one series with the k-lagged other
-    * (/root/reference/src/scalecast/MVForecaster.py:1012-1074). */
+    * (/root/reference/src/scalecast/MVForecaster.py:1012-1074). All maxLag+1
+    * lags come out of ONE window pass partitioned by series_id (the lag array
+    * shares the sort), then one groupBy(lag) aggregate — no unpartitioned
+    * windows, no per-lag jobs. */
   def corrLags(df: DataFrame, sidA: String, sidB: String, maxLag: Int): DataFrame = {
     val a = df.filter(col(SeriesId) === sidA).select(col(Ds), col(Y).as("ya"))
-    val b = df.filter(col(SeriesId) === sidB).select(col(Ds), col(Y).as("yb"))
-    (0 to maxLag).map { k =>
-      val bl = b.withColumn("yb", lag(col("yb"), k).over(Window.orderBy(Ds)))
-      a.join(bl, Seq(Ds.toString)).filter(col("yb").isNotNull)
-        .agg(corr(col("ya"), col("yb")).as("corr"))
-        .withColumn("lag", lit(k))
-        .select(lit(sidA).as("sid_a"), lit(sidB).as("sid_b"), col("lag"), col("corr"))
-    }.reduce(_ unionByName _)
+    val bl = df.filter(col(SeriesId) === sidB)
+      .select(col(Ds),
+        array((0 to maxLag).map(k => lag(col(Y), k).over(w)): _*).as("_lags"))
+      .select(col(Ds), posexplode(col("_lags")).as(Seq("lag", "yb")))
+    a.join(bl, Seq(Ds.toString)).filter(col("yb").isNotNull)
+      .groupBy("lag").agg(corr(col("ya"), col("yb")).as("corr"))
+      .select(lit(sidA).as("sid_a"), lit(sidB).as("sid_b"), col("lag"), col("corr"))
   }
 }

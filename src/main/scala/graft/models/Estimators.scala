@@ -53,6 +53,14 @@ final case class MllibTsEstimator(
       case "elasticnet" => new LinearRegression()
         .setRegParam(p("alpha", 1.0)).setElasticNetParam(p("l1_ratio", 0.5))
         .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
+      // sklearn SGDRegressor semantics (cfg.py:26-48): squared loss +
+      // elastic-net penalty, alpha=1e-4 default. The optimizer differs
+      // (MLlib uses OWL-QN/L-BFGS, not literal SGD) but the fitted model
+      // family and regularization match — documented substitution.
+      case "sgd" => new LinearRegression()
+        .setRegParam(p("alpha", 0.0001)).setElasticNetParam(p("l1_ratio", 0.15))
+        .setMaxIter(p("maxiter", 1000).toInt)
+        .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
       case "rf" => new RandomForestRegressor().setSeed(seed)
         .setNumTrees(p("n_estimators", 100).toInt)
         .setMaxDepth(p("max_depth", 5).toInt)
@@ -77,8 +85,9 @@ final case class MllibTsEstimator(
 }
 
 object MllibTsEstimator {
-  /** Registry parity with cfg.py:26-48 for the MLlib-expressible estimators. */
-  val supportedAlgos: Seq[String] = Seq("mlr", "lasso", "ridge", "elasticnet", "rf", "gbt")
+  /** Registry parity with cfg.py:26-48 for the MLlib-expressible estimators
+    * (knn lives in [[KnnRegressor]] — join-based, not an MLlib pipeline). */
+  val supportedAlgos: Seq[String] = Seq("mlr", "lasso", "ridge", "elasticnet", "sgd", "rf", "gbt")
 
   /** `transfer_predict` support
     * (/root/reference/src/scalecast/_Forecaster_parent.py:1869-1942): persist

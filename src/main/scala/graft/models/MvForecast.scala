@@ -20,17 +20,27 @@ object MvForecast {
 
   def xlagCol(sid: String, k: Int): String = s"xlag_${sid}_$k"
 
-  /** Add lags 1..maxLag of every series as feature columns on every row. */
+  /** Add lags 1..maxLag of every series as feature columns on every row.
+    *
+    * Lag semantics are over the UNION calendar (a date any series has): each
+    * series is densified onto the shared date spine (missing dates → null y)
+    * and lagged inside its OWN window partition — so every window is
+    * partitioned by series_id and the plan scales with #series, unlike a
+    * wide pivot + global-ordered window. The per-series lag columns
+    * (calendar-sized, driver-bounded) broadcast-join back onto every row. */
   def addCrossSeriesLags(df: DataFrame, seriesIds: Seq[String], maxLag: Int): DataFrame = {
-    val wide = df.groupBy(Ds).pivot(SeriesId, seriesIds).agg(first(Y))
-    // the wide frame has ONE row per date — a driver-sized calendar, so the
-    // unpartitioned window is bounded (dates, not rows×series)
-    val ww = org.apache.spark.sql.expressions.Window.orderBy(Ds)
-    val withLags = seriesIds.foldLeft(wide)((f, sid) =>
-      (1 to maxLag).foldLeft(f)((g, k) =>
-        g.withColumn(xlagCol(sid, k), lag(col(sid), k).over(ww))))
-    val lagCols = for (sid <- seriesIds; k <- 1 to maxLag) yield xlagCol(sid, k)
-    df.join(withLags.select((Ds +: lagCols).map(col): _*), Seq(Ds), "left")
+    val spine = df.select(col(Ds)).distinct()
+    val dense = spine
+      .withColumn(SeriesId, explode(lit(seriesIds.toArray)))
+      .join(df.select(col(SeriesId), col(Ds), col(Y)), Seq(SeriesId, Ds), "left")
+    val lagged = dense.select(
+      (Seq(col(SeriesId), col(Ds)) ++
+        (1 to maxLag).map(k => lag(col(Y), k).over(w).as(s"_xl$k"))): _*)
+    seriesIds.foldLeft(df) { (f, sid) =>
+      val cols = col(Ds) +: (1 to maxLag).map(k => col(s"_xl$k").as(xlagCol(sid, k)))
+      f.join(broadcast(lagged.filter(col(SeriesId) === sid).select(cols: _*)),
+        Seq(Ds), "left")
+    }
   }
 
   /** Fit one estimator per target series on the cross-series lag features

@@ -41,12 +41,26 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
-    * filtered to jaccard ≥ minJ. Shuffle key = shingle (inverted index);
-    * skew from ultra-common shingles should be handled upstream by dropping
-    * shingles with document frequency above a cap. */
+    * filtered to jaccard ≥ minJ. Shuffle key = shingle (inverted index).
+    *
+    * `maxDocFreq` caps the document frequency of index shingles: a shingle
+    * appearing in more than that many documents (a stop-phrase) is excluded
+    * from the similarity, which bounds every join key's fan-out at
+    * maxDocFreq² candidate pairs — without the cap one hot shingle creates a
+    * quadratic bucket at scale. Both the intersection AND the per-doc sizes
+    * use the capped shingle set, so jaccard stays a true Jaccard over the
+    * informative shingles. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, minJ: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+                   n: Int, minJ: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val shAll = shingles(df, idCol, textCol, n)
+    val capped =
+      if (maxDocFreq == Int.MaxValue) shAll
+      else {
+        val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDocFreq).select("shingle")
+        shAll.join(rare, Seq("shingle"))
+      }
+    val sh = capped.cache()
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -119,15 +133,32 @@ object Dedup {
           .reduce((x, y) => x + y).as("simhash"))
   }
 
-  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist. Quadratic
-    * fallback; at scale, block on simhash bytes (4 rotations) first. */
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist, via
+    * pigeonhole band-blocking: split the 32 bits into (maxDist+1) bands —
+    * any pair within Hamming ≤ maxDist differs in at most maxDist bands, so
+    * it agrees EXACTLY on at least one band. Equi-join on (band, band_value)
+    * generates all candidates (no cross join anywhere in the plan), then the
+    * exact Hamming filter keeps true pairs. Output is identical to the
+    * all-pairs definition; cost is one shuffle keyed by band value. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
-    sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+    val bands = maxDist + 1
+    val bandCols = (0 until bands).map { b =>
+      val lo = b * 32 / bands
+      val hi = (b + 1) * 32 / bands
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col("doc"), col("simhash"),
+        posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+      .cache()
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct() // pairs can share several bands
       .filter(col("hamming") <= maxDist)
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
   }
 }

@@ -145,6 +145,159 @@ object Transforms {
     DetrendLinear(p)
   }
 
+  /** DetrendTransform(poly_order = n) (SeriesTransformer.py:121-311): subtract
+    * a per-series polynomial OLS fit of y on the row index. Normal-equation
+    * moments are ONE distributed aggregate (k = order+1 ≤ ~4); the tiny
+    * per-series solve runs on the driver (Breeze), coefficients broadcast
+    * back. `basis` exponents 0..order. */
+  def detrendPolyT(df: DataFrame, order: Int,
+                   trainEnd: Option[String] = None): DetrendBasis = {
+    require(order >= 1, "poly order must be >= 1")
+    detrendBasisT(df, (0 to order).map(i => (t: Column) => pow(t, i)), trainEnd)
+  }
+
+  /** DetrendTransform(ln_trend = True): y ~ a + b·ln(t). */
+  def detrendLnT(df: DataFrame, trainEnd: Option[String] = None): DetrendBasis =
+    detrendBasisT(df, Seq((_: Column) => lit(1.0), (t: Column) => log(t)), trainEnd)
+
+  /** Shared basis-function detrend: per-series OLS of y on basis(t). */
+  private def detrendBasisT(df: DataFrame, basis: Seq[Column => Column],
+                            trainEnd: Option[String]): DetrendBasis = {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val k = basis.length
+    val withT = df.withColumn("_t", row_number().over(w).cast("double"))
+    val b = basis.map(f => f(col("_t")))
+    val aggs = (for (i <- 0 until k; j <- 0 to i)
+      yield sum(b(i) * b(j)).as(s"_sa_${i}_$j")) ++
+      (0 until k).map(i => sum(b(i) * col(Y)).as(s"_sb_$i"))
+    val stats = trainSlice(withT, trainEnd).groupBy(SeriesId)
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val spark = df.sparkSession
+    val rows = stats.map { r =>
+      val xtx = DenseMatrix.tabulate(k, k)((i, j) =>
+        r.getDouble(r.fieldIndex(s"_sa_${math.max(i, j)}_${math.min(i, j)}")))
+      val xty = DenseVector.tabulate(k)(i => r.getDouble(r.fieldIndex(s"_sb_$i")))
+      val beta = xtx \ xty
+      org.apache.spark.sql.Row.fromSeq(
+        r.getString(r.fieldIndex(SeriesId)) +: (0 until k).map(beta(_)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(SeriesId,
+        org.apache.spark.sql.types.StringType) +:
+      (0 until k).map(i => org.apache.spark.sql.types.StructField(s"c_$i",
+        org.apache.spark.sql.types.DoubleType)))
+    val params = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), schema)
+    DetrendBasis(basis, params, k)
+  }
+
+  /** DetrendTransform(loess = True): subtract a per-series LOWESS trend
+    * (statsmodels nonparametric lowess: tricube-weighted local linear fits,
+    * `it` bisquare robustifying iterations). The point-wise fit is inherently
+    * per-series sequential → `mapGroups` (a series fits in executor memory;
+    * series parallelize across the cluster); the fitted trend is a
+    * (series, ds, trend) frame joined back for transform/revert. Horizon rows
+    * carry the last in-sample trend value (flat extension). */
+  def detrendLoessT(df: DataFrame, frac: Double = 2.0 / 3.0, it: Int = 3,
+                    trainEnd: Option[String] = None): DetrendLoess = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = trainSlice(df, trainEnd)
+      .select(col(SeriesId).cast("string"), col(Ds).cast("date"), col(Y).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+    val trend = obs.groupByKey(_._1).flatMapGroups { (sid, rowsIt) =>
+      val rows = rowsIt.toIndexedSeq.sortBy(_._2.getTime)
+      val ys = rows.map(_._3).toArray
+      val fit = lowess(ys, frac, it)
+      rows.zip(fit).map { case ((_, ds, _), tr) => (sid, ds, tr) }
+    }.toDF(SeriesId, Ds, "_trend")
+    DetrendLoess(trend)
+  }
+
+  /** Degree-1 LOWESS over the index 0..n−1 with tricube weights and `it`
+    * bisquare robustness iterations (the statsmodels algorithm). */
+  private[operators] def lowess(ys: Array[Double], frac: Double, it: Int): Array[Double] = {
+    val n = ys.length
+    val q = math.max(2, math.min(n, math.ceil(frac * n).toInt))
+    val robust = Array.fill(n)(1.0)
+    var fitted = Array.ofDim[Double](n)
+    for (iter <- 0 to it) {
+      fitted = Array.tabulate(n) { i =>
+        val lo0 = math.max(0, math.min(i - (q - 1) / 2, n - q))
+        val window = (lo0 until lo0 + q)
+        val dmax = math.max(math.abs(i - window.head), math.abs(i - window.last)).toDouble
+        var sw = 0.0; var swx = 0.0; var swy = 0.0; var swxx = 0.0; var swxy = 0.0
+        for (j <- window) {
+          val d = math.abs(j - i) / math.max(dmax, 1e-12)
+          val tri = { val u = 1.0 - d * d * d; if (u <= 0) 0.0 else u * u * u }
+          val wj = tri * robust(j)
+          sw += wj; swx += wj * j; swy += wj * ys(j)
+          swxx += wj * j.toDouble * j; swxy += wj * j * ys(j)
+        }
+        val den = sw * swxx - swx * swx
+        if (math.abs(den) < 1e-12 || sw == 0.0) (if (sw == 0.0) ys(i) else swy / sw)
+        else {
+          val beta = (sw * swxy - swx * swy) / den
+          val alpha = (swy - beta * swx) / sw
+          alpha + beta * i
+        }
+      }
+      if (iter < it) {
+        val res = Array.tabulate(n)(i => math.abs(ys(i) - fitted(i)))
+        val s = { val sorted = res.sorted; sorted(n / 2) } // median abs residual
+        for (j <- 0 until n) {
+          val u = res(j) / math.max(6.0 * s, 1e-12)
+          robust(j) = if (u >= 1.0) 0.0 else { val v = 1.0 - u * u; v * v }
+        }
+      }
+    }
+    fitted
+  }
+
+  /** Yeo-Johnson with per-series MLE λ — `add_pt_terms(method='yeo-johnson')`
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:675-718, sklearn
+    * PowerTransformer). Same one-pass candidate-grid profile likelihood as
+    * [[boxcoxMleT]]: ll(λ) = −(n/2)·ln(var(ψ(y,λ))) + (λ−1)·Σ sign(y)·ln(|y|+1),
+    * works for any sign of y. */
+  def yeoJohnsonMleT(df: DataFrame, candidates: Seq[Double] = (-20 to 20).map(_ / 10.0),
+                     trainEnd: Option[String] = None): ExprTransform = {
+    def psi(y: Column, l: Double): Column = {
+      val pos = if (l == 0.0) log(y + 1) else (pow(y + 1, l) - 1) / l
+      val neg = if (l == 2.0) -log(-y + 1) else -(pow(-y + 1, 2 - l) - 1) / (2 - l)
+      when(y >= 0, pos).otherwise(neg)
+    }
+    val obs = trainSlice(df, trainEnd)
+    val aggs = candidates.zipWithIndex.flatMap { case (l, i) =>
+      val p = psi(col(Y), l)
+      Seq(sum(p).as(s"_s$i"), sum(p * p).as(s"_q$i"))
+    } ++ Seq(count(lit(1)).as("_n"),
+      sum(signum(col(Y)) * log(abs(col(Y)) + 1)).as("_slog"))
+    val stats = obs.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*).collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lambdas = stats.map { r =>
+      val n = r.getAs[Long]("_n").toDouble
+      val slog = r.getAs[Double]("_slog")
+      val best = candidates.zipWithIndex.maxBy { case (l, i) =>
+        val s = r.getAs[Double](s"_s$i"); val q = r.getAs[Double](s"_q$i")
+        val v = q / n - (s / n) * (s / n)
+        if (v <= 0) Double.MinValue else -(n / 2.0) * math.log(v) + (l - 1.0) * slog
+      }._1
+      (r.getAs[String](SeriesId), best, 0.0)
+    }.toSeq.toDF(SeriesId, "p1", "p2")
+    // ψ preserves sign, so the inverse branches on sign(ψ) the same way
+    val fwd = (y: Column, l: Column, _: Column) => when(y >= 0,
+        when(l === 0.0, log(y + 1)).otherwise((pow(y + 1, l) - 1) / l))
+      .otherwise(
+        when(l === 2.0, -log(-y + 1)).otherwise(-(pow(-y + 1, lit(2.0) - l) - 1) / (lit(2.0) - l)))
+    val inv = (z: Column, l: Column, _: Column) => when(z >= 0,
+        when(l === 0.0, exp(z) - 1).otherwise(pow(z * l + 1, lit(1.0) / l) - 1))
+      .otherwise(
+        when(l === 2.0, lit(1.0) - exp(-z))
+          .otherwise(lit(1.0) - pow(-z * (lit(2.0) - l) + 1, lit(1.0) / (lit(2.0) - l))))
+    ExprTransform("yeojohnson_mle", lambdas, fwd, inv)
+  }
+
   /** DeseasonTransform(m, additive): classical moving-average decomposition
     * (statsmodels seasonal_decompose, SeriesTransformer.py:700-829).
     * Seasonal component = per-phase mean of (y − centered MA(m)); phases
@@ -212,6 +365,45 @@ final case class DetrendLinear(params: DataFrame) extends FittedTransform {
     valueCols.foldLeft(j)((f, c) => f.withColumn(c, col(c) + col("_trend")))
       .drop("_t", "slope", "intercept", "_trend")
   }
+}
+
+/** Basis-function detrend (poly / ln) with per-series coefficient columns
+  * `c_0..c_(k−1)`; trend(t) = Σ c_i·basis_i(t) extends over the horizon. */
+final case class DetrendBasis(basis: Seq[Column => Column], params: DataFrame,
+                              k: Int) extends FittedTransform {
+  private def withTrend(df: DataFrame): DataFrame = {
+    val t = row_number().over(w).cast("double")
+    val trend = basis.zipWithIndex
+      .map { case (f, i) => col(s"c_$i") * f(t) }
+      .reduce(_ + _)
+    df.join(broadcast(params), Seq(SeriesId), "left").withColumn("_trend", trend)
+  }
+  private def cleanup(df: DataFrame): DataFrame =
+    df.drop(("_trend" +: (0 until k).map(i => s"c_$i")): _*)
+
+  def transform(df: DataFrame): DataFrame =
+    cleanup(withTrend(df).withColumn(Y, col(Y) - col("_trend")))
+
+  def revert(df: DataFrame, valueCols: Seq[String] = Seq(Y)): DataFrame =
+    cleanup(valueCols.foldLeft(withTrend(df))((f, c) =>
+      f.withColumn(c, col(c) + col("_trend"))))
+}
+
+/** LOWESS detrend: per-(series, ds) fitted trend; rows past the fitted range
+  * (the horizon) carry the series' last trend value forward. */
+final case class DetrendLoess(trend: DataFrame) extends FittedTransform {
+  private def withTrend(df: DataFrame): DataFrame = {
+    val filled = last(col("_trend"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    df.join(broadcast(trend), Seq(SeriesId, Ds), "left")
+      .withColumn("_trend", filled)
+  }
+  def transform(df: DataFrame): DataFrame =
+    withTrend(df).withColumn(Y, col(Y) - col("_trend")).drop("_trend")
+
+  def revert(df: DataFrame, valueCols: Seq[String] = Seq(Y)): DataFrame =
+    valueCols.foldLeft(withTrend(df))((f, c) =>
+      f.withColumn(c, col(c) + col("_trend"))).drop("_trend")
 }
 
 /** Additive deseasonalization with per-(series, phase) seasonal means. */

@@ -83,6 +83,36 @@ class ModelsSpec extends SparkSpec {
     exp.zip(fc).foreach { case (e, g) => assert(math.abs(e - g) < 1e-6, s"$e vs $g") }
   }
 
+  test("knn predicts the mean y of the k nearest train rows") {
+    import graft.models.KnnRegressor
+    // y = step function of x: neighbors of x=2.1 are x∈{2,3,1} → mean of their y
+    val spark2 = spark; import spark2.implicits._
+    val train = Seq(("s", 1.0, 10.0), ("s", 2.0, 20.0), ("s", 3.0, 30.0),
+        ("s", 10.0, 100.0), ("s", 11.0, 110.0))
+      .toDF("series_id", "x", "y")
+      .withColumn("is_future", lit(false))
+    val model = KnnRegressor.fit(train, Seq("x"), k = 3)
+    val scored = model.transform(Seq(("s", 2.1), ("s", 10.5)).toDF("series_id", "x"))
+      .orderBy("x").collect().map(_.getAs[Double]("yhat"))
+    assert(math.abs(scored(0) - 20.0) < 1e-9) // (10+20+30)/3
+    assert(math.abs(scored(1) - 80.0) < 1e-9) // (30+100+110)/3
+  }
+
+  test("sgd and rf estimators fit and dynamically forecast (registry parity)") {
+    val ys = (1 to 60).map(i => 10.0 + 0.5 * i + 3 * math.sin(i / 4.0))
+    val frame = FeatureOps.addArTerms(
+      SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6), 3)
+    for (algo <- Seq("sgd", "rf")) {
+      val model = MllibTsEstimator(algo, Seq("ar_1", "ar_2", "ar_3"),
+        Map("n_estimators" -> 20.0, "max_depth" -> 4.0)).fit(frame)
+      val fc = col1(Recursive.dynamicForecast(frame, model)
+        .filter(col("is_future")), "yhat")
+      assert(fc.size == 6 && fc.forall(v => !v.isNaN), s"$algo horizon complete")
+      // predictions stay in the series' neighborhood
+      assert(fc.forall(v => v > 10 && v < 60), s"$algo forecast sane: $fc")
+    }
+  }
+
   test("trendSeasonal fits train only and predicts horizon") {
     val ys = (0 until 36).map(t => 50.0 + 2 * t + (if (t % 12 == 0) 10 else 0))
     val base = SeriesFrame.withTestFlag(

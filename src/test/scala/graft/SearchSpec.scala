@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
 
 class SearchSpec extends SparkSpec {
 
+  test("expandGrid is the deterministic cartesian product") {
+    val g = graft.eval.Evaluation.expandGrid(
+      Map("alpha" -> Seq(0.1, 0.2), "beta" -> Seq(1.0, 2.0, 3.0)))
+    assert(g.size == 6)
+    assert(g.head == Map("alpha" -> 0.1, "beta" -> 1.0))
+    assert(g.last == Map("alpha" -> 0.2, "beta" -> 3.0))
+  }
+
+  test("validationGrid exports typed param and per-fold metric columns") {
+    import graft.eval.Evaluation
+    val ys = (1 to 48).map(i => 10.0 + i + 3 * math.sin(i / 6.0))
+    val grid = Evaluation.expandGrid(Map("m" -> Seq(1.0, 12.0)))
+    val cells = Evaluation.gridSearchDetailed(obsSeries(ys), grid,
+      p => f => graft.models.Baselines.naiveFitted(f, p("m").toInt),
+      k = 2, h = 6, parallelism = 2)
+    assert(cells.size == 2 && cells.forall(_.foldMetrics.size == 2))
+    val df = Evaluation.validationGrid(spark, cells)
+    assert(df.columns.toSeq == Seq("m", "fold_0_rmse", "fold_1_rmse", "mean_rmse"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "double"))
+    assert(df.count() == 2)
+    // ranking agrees with the detailed cells
+    val best = Evaluation.gridSearch(obsSeries(ys), grid,
+      p => f => graft.models.Baselines.naiveFitted(f, p("m").toInt),
+      k = 2, h = 6, parallelism = 2).head._1
+    assert(best == cells.minBy(_.mean).params)
+  }
+
   // trending + seasonal series with deterministic noise
   val ys: Seq[Double] = (0 until 60).map(t =>
     100.0 + 2.0 * t + 15 * math.sin(2 * math.Pi * (t % 12) / 12.0) + ((t * 31) % 7) - 3)

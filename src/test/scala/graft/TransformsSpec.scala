@@ -30,7 +30,31 @@ class TransformsSpec extends SparkSpec {
   roundTrip("diff m=1")(Transforms.diffT(_, 1))
   roundTrip("diff m=12")(Transforms.diffT(_, 12))
   roundTrip("detrend linear")(Transforms.detrendLinearT(_))
+  roundTrip("detrend poly order 2")(Transforms.detrendPolyT(_, 2))
+  roundTrip("detrend ln")(Transforms.detrendLnT(_))
+  roundTrip("detrend loess")(Transforms.detrendLoessT(_))
+  roundTrip("yeo-johnson mle")(Transforms.yeoJohnsonMleT(_))
   roundTrip("deseason m=12")(Transforms.deseasonT(_, 12))
+
+  test("yeo-johnson handles negative values; poly detrend flattens a quadratic") {
+    val neg = (0 until 40).map(t => math.sin(t / 3.0) * 10 - 2.0) // mixed sign
+    val df = obsSeries(neg)
+    val t = Transforms.yeoJohnsonMleT(df)
+    val back = col1(t.revert(t.transform(df)), "y")
+    neg.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-8) }
+
+    val quad = (1 to 40).map(t => 5.0 + 0.3 * t + 0.05 * t * t)
+    val dq = obsSeries(quad)
+    val resid = col1(Transforms.detrendPolyT(dq, 2).transform(dq), "y")
+    assert(resid.map(math.abs).max < 1e-6, "quadratic should detrend to ~0")
+  }
+
+  test("loess trend tracks a smooth curve closely") {
+    val smooth = (0 until 60).map(t => 50.0 + 10 * math.sin(t / 9.0))
+    val df = obsSeries(smooth)
+    val resid = col1(Transforms.detrendLoessT(df, frac = 0.3).transform(df), "y")
+    assert(resid.map(math.abs).max < 1.0, s"max resid ${resid.map(math.abs).max}")
+  }
 
   test("stacked log→diff(1)→diff(12) reverts exactly") {
     val df = obsSeries(y)
