@@ -185,6 +185,17 @@ object SeriesFrame {
       f.withColumn(c, coalesce(col(c), lit(0.0))))
   }
 
+  /** `export_Xvars_df` (/root/reference/src/scalecast/_Forecaster_parent.py:
+    * 1430-1469): the date spine plus every regressor column (everything that
+    * isn't the target or frame metadata). */
+  def exportXvars(df: DataFrame, dropBeforeIntersection: Boolean = false): DataFrame = {
+    val meta = Set(Y, IsFuture, "is_test")
+    val xcols = df.columns.filterNot(c => meta.contains(c) || c == SeriesId || c == Ds)
+    val out = df.select((Seq(SeriesId, Ds) ++ xcols).map(col): _*)
+    if (!dropBeforeIntersection) out
+    else xcols.foldLeft(out)((f, c) => f.filter(col(c).isNotNull))
+  }
+
   // ---- Row-range ops (SURVEY §2.2) ------------------------------------
 
   /** Drop the last `n` observed rows of every series

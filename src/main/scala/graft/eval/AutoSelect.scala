@@ -94,6 +94,68 @@ object AutoSelect {
     scored.minBy(s => nanSafe(s._2))
   }
 
+  /** Full `auto_arima` order search (/root/reference/src/scalecast/
+    * auxmodels.py:6-45, pmdarima spirit): grid over ARMA(p, q) (d composes
+    * via diffT upstream), each candidate a Hannan-Rissanen fit scored by
+    * AIC = n·ln(SSE/n) + 2·(p+q+1). Candidates fan out concurrently. */
+  def autoArma(frame: DataFrame, maxP: Int = 3, maxQ: Int = 2,
+               parallelism: Int = 1): ((Int, Int), Double) = {
+    val obs = frame.filter(!col(IsFuture)).cache()
+    val grid = for (p <- 0 to maxP; q <- 0 to maxQ if p + q > 0) yield (p, q)
+    val scored = Evaluation.fanOut(grid, parallelism) { case (p, q) =>
+      val fit = graft.models.Arima.fitArma(obs, p, q)
+      val scoredDf = fit.model.transform(fit.prepared)
+        .filter(!isnan(col("yhat")) && col("yhat").isNotNull && !col(IsFuture))
+      val r = scoredDf.agg(
+        sum(pow(col(Y) - col("yhat"), 2)).as("sse"), count(lit(1)).as("n")).first()
+      val sse = r.getDouble(0); val n = r.getLong(1).toDouble
+      ((p, q), n * math.log(sse / n) + 2.0 * (p + q + 1))
+    }
+    scored.minBy(s => nanSafe(s._2))
+  }
+
+  /** `find_statistical_transformation` (util.py:440-560): test-driven recipe.
+    *
+    *  - goal "stationary": ADF on each series (shared decision = worst-case
+    *    t-stat); if it fails the 5% critical value (−2.86) the reference
+    *    prescribes log (only when every y > 0) + diff(1).
+    *  - goal "seasonally_adj": the reference asks seasonal auto_arima for its
+    *    seasonal d; substituted here (documented) by the seasonal ACF at lag
+    *    m — a significant positive lag-m autocorrelation (> 1.96/√n)
+    *    prescribes diff(m).
+    *
+    * Returns the fitted stack (revert comes free) and the transformed frame. */
+  def findStatisticalTransformation(frame: DataFrame,
+                                    goals: Seq[String] = Seq("stationary"),
+                                    m: Int = 12, useLog: Boolean = true,
+                                    criticalT: Double = -2.86)
+      : (TransformStack, DataFrame) = {
+    var cur = frame
+    var accepted = List.empty[FittedTransform]
+    def apply1(t: FittedTransform): Unit = {
+      cur = t.transform(cur).filter(col(Y).isNotNull)
+      accepted = t :: accepted
+    }
+    goals.foreach {
+      case "stationary" =>
+        val worstT = graft.functions.Diagnostics.adfT(cur).map(_._2).max
+        if (worstT > criticalT) { // unit root not rejected → not stationary
+          val minY = cur.filter(!col(IsFuture)).agg(min(Y)).first().getDouble(0)
+          if (useLog && minY > 0) apply1(Transforms.logT(cur))
+          apply1(Transforms.diffT(cur, 1))
+        }
+      case "seasonally_adj" if m > 1 =>
+        val acfRows = graft.functions.Diagnostics.acf(cur, m)
+          .filter(col("lag") === m).collect()
+        val nObs = cur.filter(!col(IsFuture)).count().toDouble
+        val sig = 1.96 / math.sqrt(nObs)
+        if (acfRows.nonEmpty && acfRows.map(_.getDouble(2)).max > sig)
+          apply1(Transforms.diffT(cur, m))
+      case _ => ()
+    }
+    (TransformStack(accepted.reverse), cur)
+  }
+
   /** `find_seasonal_length` (/root/reference/src/scalecast/util.py:58-83
     * generalized): the candidate period with the highest ACF. */
   def findSeasonalLength(frame: DataFrame, candidates: Seq[Int] = Seq(4, 6, 12, 24)): Int = {

@@ -137,6 +137,39 @@ object Diagnostics {
       .agg(skewness(col(Y)).as("skewness"), kurtosis(col(Y)).as("kurtosis"),
         count(lit(1)).as("n"))
 
+  /** Full D'Agostino-Pearson K² normality test (scipy.stats.normaltest
+    * semantics, Forecaster.py:1304-1318): skew and kurtosis z-scores
+    * (D'Agostino 1973; Anscombe-Glynn 1983) combined as K² = Z_s² + Z_k²,
+    * p-value from χ²(2) (= exp(−K²/2)). Distributed moments; the per-series
+    * closed-form z transforms are driver math on one stats row per series. */
+  def normalityTest(df: DataFrame): Seq[(String, Double, Double)] =
+    momentsForNormality(df).collect().toSeq.map { r =>
+      val g1 = r.getDouble(r.fieldIndex("skewness"))
+      val g2 = r.getDouble(r.fieldIndex("kurtosis")) // excess
+      val n = r.getLong(r.fieldIndex("n")).toDouble
+      // skewtest (D'Agostino 1973)
+      val y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+      val beta2 = 3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) /
+        ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+      val w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1))
+      val delta = 1.0 / math.sqrt(0.5 * math.log(w2))
+      val alpha = math.sqrt(2.0 / (w2 - 1))
+      val ya = y / alpha
+      val zS = delta * math.log(ya + math.sqrt(ya * ya + 1))
+      // kurtosistest (Anscombe-Glynn 1983)
+      val b2 = g2 + 3.0
+      val eB2 = 3.0 * (n - 1) / (n + 1)
+      val varB2 = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+      val x = (b2 - eB2) / math.sqrt(varB2)
+      val sqrtB1 = 6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9)) *
+        math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+      val a = 6.0 + 8.0 / sqrtB1 * (2.0 / sqrtB1 + math.sqrt(1 + 4.0 / (sqrtB1 * sqrtB1)))
+      val t = (1 - 2.0 / a) / (1 + x * math.sqrt(2.0 / (a - 4)))
+      val zK = ((1 - 2.0 / (9 * a)) - math.cbrt(t)) / math.sqrt(2.0 / (9 * a))
+      val k2 = zS * zS + zK * zK
+      (r.getString(r.fieldIndex(SeriesId)), k2, math.exp(-k2 / 2.0))
+    }
+
   /** `corr_lags` — Pearson correlation of one series with the k-lagged other
     * (/root/reference/src/scalecast/MVForecaster.py:1012-1074). All maxLag+1
     * lags come out of ONE window pass partitioned by series_id (the lag array

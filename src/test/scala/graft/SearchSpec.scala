@@ -9,6 +9,42 @@ import org.apache.spark.sql.functions._
 
 class SearchSpec extends SparkSpec {
 
+  test("autoArma prefers q>0 for an MA-flavored process") {
+    // strong MA(1) signature: y_t = e_t + 0.8 e_{t-1} over deterministic noise
+    val e = (0 until 80).map(i => math.sin(i * 2.39) * 2 + math.cos(i * 0.77))
+    val ys = (1 until 80).map(i => 10 + e(i) + 0.8 * e(i - 1))
+    val ((p, q), aic) = graft.eval.AutoSelect.autoArma(obsSeries(ys), 2, 2,
+      parallelism = 2)
+    assert(!aic.isNaN && (p + q) > 0)
+  }
+
+  test("findStatisticalTransformation prescribes diff for a trending series, nothing for noise") {
+    // strong trend: the constant-only ADF regression cannot reject a unit root
+    val trending = (0 until 120).map(i => 100.0 + 2.0 * i + math.sin(i / 3.0))
+    val (stack, _) = graft.eval.AutoSelect.findStatisticalTransformation(obsSeries(trending))
+    assert(stack.stack.nonEmpty, "trending series should get a transform")
+
+    val noise = (0 until 120).map(i => 5.0 + math.sin(i * 2.39))
+    val (stack2, _) = graft.eval.AutoSelect.findStatisticalTransformation(obsSeries(noise))
+    assert(stack2.stack.isEmpty, "stationary noise should pass untouched")
+  }
+
+  test("normalityTest: gaussian-ish sample passes, exponential fails") {
+    val rnd = new scala.util.Random(11)
+    val gauss = (0 until 300).map(_ => rnd.nextGaussian())
+    val expo = (0 until 300).map(_ => -math.log(rnd.nextDouble()))
+    val pg = graft.functions.Diagnostics.normalityTest(obsSeries(gauss)).head._3
+    val pe = graft.functions.Diagnostics.normalityTest(obsSeries(expo)).head._3
+    assert(pg > 0.05, s"gaussian p=$pg")
+    assert(pe < 0.01, s"exponential p=$pe")
+  }
+
+  test("exportXvars keeps only the spine and regressors") {
+    val df = graft.functions.FeatureOps.addTimeTrend(obsSeries((1 to 20).map(_.toDouble)))
+    val out = graft.core.SeriesFrame.exportXvars(df)
+    assert(out.columns.toSeq == Seq("series_id", "ds", "t"))
+  }
+
   test("expandGrid is the deterministic cartesian product") {
     val g = graft.eval.Evaluation.expandGrid(
       Map("alpha" -> Seq(0.1, 0.2), "beta" -> Seq(1.0, 2.0, 3.0)))
