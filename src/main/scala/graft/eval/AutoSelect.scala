@@ -257,6 +257,7 @@ object AutoSelect {
     val candidates: Seq[(String, DataFrame => FittedTransform)] = Seq(
       "detrend"  -> ((df: DataFrame) => Transforms.detrendLinearT(df)),
       "deseason" -> ((df: DataFrame) => Transforms.deseasonT(df, m)),
+      "boxcox"   -> ((df: DataFrame) => Transforms.boxcoxMleT(df)),
       "diff1"    -> ((df: DataFrame) => Transforms.diffT(df, 1)),
       s"diff$m"  -> ((df: DataFrame) => Transforms.diffT(df, m)),
       "scale"    -> ((df: DataFrame) => Transforms.scaleT(df))
@@ -265,13 +266,20 @@ object AutoSelect {
     var curScore = score(frame)
     var accepted = List.empty[FittedTransform]
     candidates.foreach { case (_, mk) =>
-      val t = mk(cur)
-      val candidate = t.transform(cur)
-      val s = score(candidate.filter(col(Y).isNotNull))
-      if (!s.isNaN && s < curScore) {
-        cur = candidate.filter(col(Y).isNotNull)
-        curScore = s
-        accepted = t :: accepted
+      // a candidate that errors or yields non-finite values (e.g. boxcox on
+      // a negative-valued series) is simply rejected, like the reference's
+      // error policy in its try-order loop
+      scala.util.Try {
+        val t = mk(cur)
+        val candidate = t.transform(cur)
+          .filter(col(Y).isNotNull && !isnan(col(Y)))
+        (t, candidate, score(candidate))
+      }.toOption.foreach { case (t, candidate, s) =>
+        if (!s.isNaN && s < curScore) {
+          cur = candidate
+          curScore = s
+          accepted = t :: accepted
+        }
       }
     }
     (TransformStack(accepted.reverse), cur, curScore)

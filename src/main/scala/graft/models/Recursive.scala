@@ -45,28 +45,31 @@ object Recursive {
 
     // ledger of known values: actuals, then predictions as steps complete.
     // Only the last (maxLag + h) actuals per series can ever be referenced,
-    // so trim the ledger up front — keeps the per-step join bounded at
+    // so trim the ledger up front — keeps the per-step state bounded at
     // series × (lags + h) rows no matter how long the history is.
+    // Per step the ledger collapses to ONE tiny map column per series
+    // (t → value), so filling ALL k AR lags is a single join + k map lookups
+    // instead of k joins — one job per horizon step total. Ledger pieces are
+    // each checkpointed, so the running union stays a shallow plan without
+    // re-checkpointing.
     val maxLag = if (arLags.isEmpty) 0 else arLags.max
     val keep = maxLag + maxStep
     val lastT = obs.groupBy(SeriesId).agg(max("_t").as("_maxT"))
-    var known = obs.join(lastT, Seq(SeriesId))
+    var knownParts = List(obs.join(lastT, Seq(SeriesId))
       .filter(col("_t") > col("_maxT") - keep)
       .select(col(SeriesId), col("_t"), col(Y).as("_v"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     var preds = List.empty[DataFrame]
     for (i <- 1 to maxStep) {
-      var rows = fut.filter(col("_step") === i)
-      for (k <- arLags) {
-        val lagged = known.select(col(SeriesId), (col("_t") + k).as("_t"),
-          col("_v").as(s"${FeatureOps.ArPrefix}$k"))
+      val ledgerMap = knownParts.reduce(_ unionByName _)
+        .groupBy(SeriesId)
+        .agg(map_from_entries(collect_list(struct(col("_t"), col("_v")))).as("_lm"))
+      var rows = fut.filter(col("_step") === i).join(ledgerMap, Seq(SeriesId), "left")
+      for (k <- arLags)
         rows = rows.drop(s"${FeatureOps.ArPrefix}$k")
-          .join(lagged, Seq(SeriesId, "_t"), "left")
-      }
-      val scored = model.transform(rows).localCheckpoint(true)
-      known = known.unionByName(
-        scored.select(col(SeriesId), col("_t"), col("yhat").as("_v")))
-        .localCheckpoint(true)
+          .withColumn(s"${FeatureOps.ArPrefix}$k", element_at(col("_lm"), col("_t") - k))
+      val scored = model.transform(rows.drop("_lm")).localCheckpoint(true)
+      knownParts ::= scored.select(col(SeriesId), col("_t"), col("yhat").as("_v"))
       preds ::= scored
     }
     val out = preds.foldLeft(fitted)((acc, p) =>
@@ -100,29 +103,32 @@ object Recursive {
       .localCheckpoint(true)
     // non-test rows score vectorized (train rows see actual AR cells)
     val fittedRest = model.transform(withT.filter(!isTestRow))
-    val actuals = withT.filter(!col(IsFuture))
-      .select(col(SeriesId), col("_t"), col(Y).as("_va")).localCheckpoint(true)
-    var chunkPreds = test.select(col(SeriesId), col("_t"), col("_chunk"),
-      col(Y).as("_vp")).limit(0)
+    // one actuals map per series (computed once) + one per-chunk prediction
+    // map per iteration: filling all k AR lags is 2 joins + map lookups per
+    // iteration, independent of the lag count.
+    val actualsMap = withT.filter(!col(IsFuture))
+      .groupBy(SeriesId)
+      .agg(map_from_entries(collect_list(struct(col("_t"), col(Y)))).as("_am"))
+      .localCheckpoint(true)
+    var predParts = List.empty[DataFrame]
     var preds = List.empty[DataFrame]
     for (j <- 1 to k) {
-      var rows = test.filter(col("_j") === j)
+      var rows = test.filter(col("_j") === j).join(actualsMap, Seq(SeriesId), "left")
+      if (predParts.nonEmpty) {
+        val predMap = predParts.reduce(_ unionByName _)
+          .groupBy(SeriesId, "_chunk")
+          .agg(map_from_entries(collect_list(struct(col("_t"), col("_vp")))).as("_pm"))
+        rows = rows.join(predMap, Seq(SeriesId, "_chunk"), "left")
+      } else rows = rows.withColumn("_pm", lit(null).cast("map<int,double>"))
       for (l <- arLags) {
         val ar = s"${FeatureOps.ArPrefix}$l"
-        val fromPred = chunkPreds.select(col(SeriesId), (col("_t") + l).as("_t"),
-          col("_chunk"), col("_vp"))
-        val fromActual = actuals.select(col(SeriesId), (col("_t") + l).as("_t"),
-          col("_va"))
-        rows = rows.drop(ar)
-          .join(fromPred, Seq(SeriesId, "_t", "_chunk"), "left")
-          .join(fromActual, Seq(SeriesId, "_t"), "left")
-          .withColumn(ar, coalesce(col("_vp"), col("_va")))
-          .drop("_vp", "_va")
+        rows = rows.drop(ar).withColumn(ar,
+          coalesce(element_at(col("_pm"), col("_t") - l),
+            element_at(col("_am"), col("_t") - l)))
       }
-      val scored = model.transform(rows).localCheckpoint(true)
-      chunkPreds = chunkPreds.unionByName(
-        scored.select(col(SeriesId), col("_t"), col("_chunk"), col("yhat").as("_vp")))
-        .localCheckpoint(true)
+      val scored = model.transform(rows.drop("_am", "_pm")).localCheckpoint(true)
+      predParts ::= scored.select(col(SeriesId), col("_t"), col("_chunk"),
+        col("yhat").as("_vp"))
       preds ::= scored
     }
     val out = preds.foldLeft(fittedRest)((acc, p) =>

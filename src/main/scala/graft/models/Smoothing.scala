@@ -97,8 +97,9 @@ object Smoothing {
     * mirrors statsmodels' optimized=True spirit with a coarse grid. Driver
     * picks the best scored combination; each combination is one Spark job. */
   def holtWintersGridSearch(df: DataFrame, m: Int,
-                            grid: Seq[(Double, Double, Double)]): ((Double, Double, Double), Double) = {
-    val scored = grid.map { case (a, b, g) =>
+                            grid: Seq[(Double, Double, Double)],
+                            parallelism: Int = 1): ((Double, Double, Double), Double) = {
+    val scored = graft.eval.Evaluation.fanOut(grid, parallelism) { case (a, b, g) =>
       val sse = holtWinters(df, a, b, g, m)
         .filter(!col(IsFuture) && col("yhat").isNotNull)
         .agg(sum(pow(col(Y) - col("yhat"), 2)).as("sse"))
