@@ -185,6 +185,23 @@ object AutoSelect {
     best
   }
 
+  /** `save_feature_importance` (Forecaster.py:1531-1673): per-feature
+    * importance ranking — MLlib's native `featureImportances` for tree
+    * ensembles, |standardized coefficient| for linear models (the documented
+    * SHAP substitution). Descending. */
+  def featureImportance(model: org.apache.spark.ml.PipelineModel,
+                        features: Seq[String]): Seq[(String, Double)] = {
+    import org.apache.spark.ml.regression._
+    val scores = model.stages.last match {
+      case lr: LinearRegressionModel  => lr.coefficients.toArray.map(math.abs)
+      case rf: RandomForestRegressionModel => rf.featureImportances.toArray
+      case gb: GBTRegressionModel     => gb.featureImportances.toArray
+      case other => throw new IllegalArgumentException(
+        s"no importance for ${other.getClass.getSimpleName}")
+    }
+    features.zip(scores).sortBy(-_._2)
+  }
+
   /** `limit_grid_size` (/root/reference/src/scalecast/_Forecaster_parent.py:
     * 1096-1131): deterministic subsample of a hyperparameter grid. */
   def limitGridSize[T](grid: Seq[T], n: Int, seed: Long = 42L): Seq[T] = {

@@ -152,6 +152,27 @@ object Evaluation {
       .sortBy(s => if (lower) s._2 else -s._2)
   }
 
+  /** `tune_test_forecast` (/root/reference/src/scalecast/_utils.py:89-142,
+    * Forecaster.py:1458-1529): for each named model spec — grid-tune by
+    * rolling CV, refit the winner, score the held-out test slice. Model
+    * specs fan out concurrently ([[fanOut]]); a failing spec is skipped
+    * (the reference's errors='ignore' policy) unless `strict`. */
+  def tuneTestForecast(frame: DataFrame,
+      specs: Map[String, (Seq[Map[String, Double]], Map[String, Double] => ModelFn)],
+      k: Int, h: Int, testLength: Int, metricName: String = "rmse",
+      parallelism: Int = 1, strict: Boolean = false)
+      : Map[String, (Map[String, Double], DataFrame)] =
+    fanOut(specs.toSeq.sortBy(_._1), parallelism) { case (name, (grid, fitWith)) =>
+      val attempt = scala.util.Try {
+        val best = gridSearch(frame, grid, fitWith, k, h, metricName).head._1
+        val flagged = withTestFlag(frame, testLength)
+        val scored = fitWith(best)(flagged)
+        best -> metricsOverTest(scored, Seq(metricName))
+      }
+      if (strict) name -> Some(attempt.get)
+      else name -> attempt.toOption
+    }.collect { case (n, Some(r)) => n -> r }.toMap
+
   /** `export_validation_grid`
     * (/root/reference/src/scalecast/_Forecaster_parent.py:1545-1567): the
     * grid × fold metric matrix as a DataFrame with ONE TYPED DOUBLE COLUMN

@@ -23,13 +23,16 @@ object Diagnostics {
     val centered = obs.join(broadcast(means), Seq(SeriesId))
       .withColumn("_c", col(Y) - col("_mu"))
     val denom = centered.groupBy(SeriesId).agg(sum(col("_c") * col("_c")).as("_d"))
-    val lags = (1 to maxLag).map { k =>
-      centered
-        .withColumn("_cl", lag(col("_c"), k).over(w))
-        .filter(col("_cl").isNotNull)
-        .groupBy(SeriesId).agg(sum(col("_c") * col("_cl")).as("_num"))
-        .withColumn("lag", lit(k))
-    }.reduce(_ unionByName _)
+    // all maxLag numerators in ONE window pass (the lag array shares the
+    // per-series sort) + one (series, lag) aggregate — not maxLag jobs
+    val lags = centered
+      .select(col(SeriesId),
+        array((1 to maxLag).map(k => lag(col("_c"), k).over(w)): _*).as("_cls"),
+        col("_c"))
+      .select(col(SeriesId), col("_c"), posexplode(col("_cls")).as(Seq("_k", "_cl")))
+      .filter(col("_cl").isNotNull)
+      .groupBy(SeriesId, "_k").agg(sum(col("_c") * col("_cl")).as("_num"))
+      .withColumn("lag", col("_k") + 1)
     lags.join(broadcast(denom), Seq(SeriesId))
       .select(col(SeriesId), col("lag"), (col("_num") / col("_d")).as("acf"))
   }

@@ -31,6 +31,18 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"), col("avg_value"))
 
+  /** Streaming exact dedup: keep the first record per key within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` keeps EVICTABLE
+    * state (keys older than the watermark are dropped), so the query runs
+    * indefinitely at ingest scale — a plain `dropDuplicates` on a stream
+    * accumulates state forever. The streaming twin of
+    * [[graft.operators.Dedup.exactGroups]] for continuous ingest, dedup key
+    * = content digest. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
   final case class SessionState(sessionNum: Long, lastMs: Long,
                                 startMs: Long, n: Long, sumValue: Double)

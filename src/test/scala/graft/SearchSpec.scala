@@ -45,6 +45,40 @@ class SearchSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("series_id", "ds", "t"))
   }
 
+  test("tuneTestForecast tunes each model spec and scores the test slice") {
+    import graft.eval.Evaluation
+    val ys = (1 to 48).map(i => 10.0 + i + 3 * math.sin(i / 6.0))
+    val specs = Map(
+      "naive" -> (Evaluation.expandGrid(Map("m" -> Seq(1.0, 12.0))),
+        (p: Map[String, Double]) => (f: org.apache.spark.sql.DataFrame) =>
+          graft.models.Baselines.naiveFitted(f, p("m").toInt)),
+      "broken" -> (Seq(Map("x" -> 1.0)),
+        (_: Map[String, Double]) => (_: org.apache.spark.sql.DataFrame) =>
+          throw new RuntimeException("boom"))
+    )
+    val out = Evaluation.tuneTestForecast(obsSeries(ys), specs,
+      k = 2, h = 6, testLength = 6, parallelism = 2)
+    assert(out.keySet == Set("naive"), "broken spec skipped, naive kept")
+    val (best, metrics) = out("naive")
+    assert(best.contains("m"))
+    assert(metrics.columns.contains("rmse") && metrics.count() == 1)
+  }
+
+  test("featureImportance ranks the informative feature first for trees and linear") {
+    import graft.models.MllibTsEstimator
+    val spark2 = spark; import spark2.implicits._
+    val df = (1 to 200).map { i =>
+      val x1 = math.sin(i * 2.39) * 10          // informative
+      val x2 = math.cos(i * 7.13) * 0.01        // noise
+      ("s", java.sql.Date.valueOf(f"2020-01-${i % 28 + 1}%02d"), 3.0 * x1 + 0.5, false, x1, x2)
+    }.toDF("series_id", "ds", "y", "is_future", "x1", "x2")
+    for (algo <- Seq("mlr", "rf")) {
+      val m = MllibTsEstimator(algo, Seq("x1", "x2")).fit(df)
+      val imp = graft.eval.AutoSelect.featureImportance(m, Seq("x1", "x2"))
+      assert(imp.head._1 == "x1", s"$algo importance: $imp")
+    }
+  }
+
   test("expandGrid is the deterministic cartesian product") {
     val g = graft.eval.Evaluation.expandGrid(
       Map("alpha" -> Seq(0.1, 0.2), "beta" -> Seq(1.0, 2.0, 3.0)))

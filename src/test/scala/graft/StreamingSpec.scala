@@ -67,4 +67,26 @@ class StreamingSpec extends SparkSpec {
     val out = EventStreams.closeOpenSessions(evs).collect()
     assert(out.length === 1 && out.head.n_events === 2L)
   }
+
+  test("streaming dedup keeps the first record per digest within the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "digest", "value")
+    val q = EventStreams.dedupStream(df, Seq("digest"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:00:00"), "a", 1.0),
+        (t("2024-01-01 10:05:00"), "a", 2.0), // dup within watermark → dropped
+        (t("2024-01-01 10:10:00"), "b", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length === 2, s"expected 2 distinct digests, got ${rows.length}")
+      assert(rows.map(_.getAs[String]("digest")).toSet === Set("a", "b"))
+    } finally q.stop()
+  }
 }
