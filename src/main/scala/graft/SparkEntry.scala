@@ -67,6 +67,8 @@ object SparkEntry {
     "ts_ar3_dynamic"     -> ((s, d) => qAr3Dynamic(s, d)),
     "ts_mlr_dynk4"       -> ((s, d) => qMlrDynK4(s, d)),
     "ts_weekly_naive"    -> ((s, d) => qWeeklyNaive(s, d)),
+    "ts_detrend_poly"    -> ((s, d) => qDetrendPoly(s, d)),
+    "ts_yeojohnson"      -> ((s, d) => qYeoJohnson(s, d)),
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
     "ts_model_summaries" -> ((s, d) => qModelSummaries(s, d)),
     "ts_synthesize"      -> ((s, d) => qSynthesize(s, d)),
@@ -236,6 +238,22 @@ object SparkEntry {
       .filter(col("is_test"))
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(col("yhat"), 6).as("yhat"))
+  }
+
+  /** Quadratic detrend on the z-scored series (DetrendTransform poly_order=2);
+    * oracle replays the 3-basis OLS through the Cholesky CTE chain. */
+  private def qDetrendPoly(s: SparkSession, d: String): DataFrame = {
+    val base = zOrdersMonthly(s, d)
+    Transforms.detrendPolyT(base, 2).transform(base)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_detrended"))
+  }
+
+  /** Yeo-Johnson with MLE λ on the z-scored (mixed-sign) series; the oracle
+    * replays the candidate-grid profile likelihood and argmax in SQL. */
+  private def qYeoJohnson(s: SparkSession, d: String): DataFrame = {
+    val base = zOrdersMonthly(s, d)
+    Transforms.yeoJohnsonMleT(base).transform(base)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_yj"))
   }
 
   /** Weekly series + inferred-frequency horizon (`pd.infer_freq` contract):
@@ -1151,6 +1169,48 @@ object SparkEntry {
          |SELECT series_id, ds, ROUND(y, 6) AS y,
          |       ROUND(a * (1 - pow(b, j)) / (1 - b) + pow(b, j) * y0, 6) AS yhat
          |FROM seeded, fit""".stripMargin,
+
+    // Quadratic detrend: 3-basis OLS (1, t, t²) via the Cholesky CTE chain;
+    // y_detrended = y − (β0 + β1·t + β2·t²).
+    "ts_detrend_poly" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |${OracleGen.momentsCte("dp", Seq("t", "t*t"), "s2")},
+         |${OracleGen.solveCtes("dp", 2)}
+         |SELECT series_id, ds,
+         |  ROUND(y - (beta_0 + beta_1 * t + beta_2 * (t*t)), 6) AS y_detrended
+         |FROM s2, dp_fit""".stripMargin,
+
+    // Yeo-Johnson candidate-grid MLE: λ over -2.0..2.0 step 0.1; profile
+    // log-likelihood -(n/2)·ln(var ψ) + (λ-1)·Σ sign(y)·ln(|y|+1), argmax
+    // with the smallest-λ tie-break (mirrors the Scala candidates order).
+    "ts_yeojohnson" ->
+      s"""$ZS,
+         |cands AS (SELECT i / 10.0 AS l FROM generate_series(-20, 20) g(i)),
+         |psi AS (SELECT c.l, s.ds, s.y,
+         |  CASE WHEN s.y >= 0 THEN
+         |    CASE WHEN c.l = 0.0 THEN ln(s.y + 1) ELSE (pow(s.y + 1, c.l) - 1) / c.l END
+         |  ELSE
+         |    CASE WHEN c.l = 2.0 THEN -ln(-s.y + 1)
+         |         ELSE -(pow(-s.y + 1, 2 - c.l) - 1) / (2 - c.l) END
+         |  END AS p
+         |  FROM series s CROSS JOIN cands c),
+         |slog AS (SELECT sum(sign(y) * ln(abs(y) + 1)) AS sl FROM series),
+         |ll AS (SELECT l,
+         |  CASE WHEN sum(p*p)/count(*) - pow(sum(p)/count(*), 2) <= 0 THEN -1e308
+         |       ELSE -(count(*)/2.0) * ln(sum(p*p)/count(*) - pow(sum(p)/count(*), 2))
+         |            + (l - 1.0) * sl END AS ll
+         |  FROM psi, slog GROUP BY l, sl),
+         |best AS (SELECT l FROM ll ORDER BY ll DESC, l ASC LIMIT 1)
+         |SELECT s.series_id, s.ds,
+         |  ROUND(CASE WHEN s.y >= 0 THEN
+         |    CASE WHEN b.l = 0.0 THEN ln(s.y + 1) ELSE (pow(s.y + 1, b.l) - 1) / b.l END
+         |  ELSE
+         |    CASE WHEN b.l = 2.0 THEN -ln(-s.y + 1)
+         |         ELSE -(pow(-s.y + 1, 2 - b.l) - 1) / (2 - b.l) END
+         |  END, 6) AS y_yj
+         |FROM series s, best b""".stripMargin,
 
     // Weekly series + naive: checks the weekly horizon spine (ds + 7·i days)
     // that frequency inference must produce.

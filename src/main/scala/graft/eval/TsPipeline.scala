@@ -40,8 +40,9 @@ object TsPipeline {
     * dynamic-interval estimation. */
   def backtest(frame: DataFrame, nIter: Int, h: Int, jumpBack: Int,
                mkTransforms: Seq[DataFrame => FittedTransform],
-               modelFn: DataFrame => DataFrame): Seq[DataFrame] =
-    (0 until nIter).map { i =>
+               modelFn: DataFrame => DataFrame,
+               parallelism: Int = 1): Seq[DataFrame] =
+    Evaluation.fanOut(0 until nIter, parallelism) { i =>
       val chopped = if (i == 0) frame.filter(!col(IsFuture))
                     else chopFromFront(frame, i * jumpBack)
       val flagged = withTestFlag(chopped, h)

@@ -254,6 +254,56 @@ object Transforms {
     fitted
   }
 
+  /** STL decomposition (Cleveland et al. 1990; statsmodels `STL`,
+    * Forecaster.py:1394-1456): additive seasonal-trend decomposition by
+    * LOESS — inner loop of cycle-subseries LOWESS smoothing, low-pass
+    * filtering, and trend LOWESS. Inherently per-series sequential →
+    * `mapGroups` (a series fits in executor memory; series parallelize
+    * across the cluster). Returns (series_id, ds, trend, seasonal, resid). */
+  def stl(df: DataFrame, m: Int, innerIter: Int = 2,
+          seasonalFrac: Double = 0.75, trendFrac: Double = 0.4): DataFrame = {
+    require(m >= 2, "seasonal period must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.filter(!col(IsFuture))
+      .select(col(SeriesId).cast("string"), col(Ds).cast("date"), col(Y).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+    obs.groupByKey(_._1).flatMapGroups { (sid, rowsIt) =>
+      val rows = rowsIt.toIndexedSeq.sortBy(_._2.getTime)
+      val ys = rows.map(_._3).toArray
+      val n = ys.length
+      var trend = Array.fill(n)(0.0)
+      var seasonal = Array.fill(n)(0.0)
+      for (_ <- 1 to innerIter) {
+        // 1. detrend, 2. cycle-subseries LOWESS → C
+        val det = Array.tabulate(n)(i => ys(i) - trend(i))
+        val c = Array.ofDim[Double](n)
+        for (p <- 0 until m) {
+          val idx = p.until(n, m).toArray
+          if (idx.nonEmpty) {
+            val sub = idx.map(det)
+            val sm = if (idx.length < 3) sub else lowess(sub, seasonalFrac, 0)
+            idx.zip(sm).foreach { case (i, v) => c(i) = v }
+          }
+        }
+        // 3. low-pass of C: centered MA(m) twice then MA(3)
+        def ma(a: Array[Double], w: Int): Array[Double] = Array.tabulate(a.length) { i =>
+          val lo = math.max(0, i - w / 2); val hi = math.min(a.length - 1, i + w / 2)
+          var s = 0.0; for (j <- lo to hi) s += a(j); s / (hi - lo + 1)
+        }
+        val l = ma(ma(ma(c, m), m), 3)
+        // 4. seasonal = C − L (detrended cycle component)
+        for (i <- 0 until n) seasonal(i) = c(i) - l(i)
+        // 5. trend = LOWESS of deseasonalized series
+        val deseas = Array.tabulate(n)(i => ys(i) - seasonal(i))
+        trend = if (n < 3) deseas else lowess(deseas, trendFrac, 0)
+      }
+      rows.indices.map { i =>
+        (sid, rows(i)._2, trend(i), seasonal(i), ys(i) - trend(i) - seasonal(i))
+      }
+    }.toDF(SeriesId, Ds, "trend", "seasonal", "resid")
+  }
+
   /** Yeo-Johnson with per-series MLE λ — `add_pt_terms(method='yeo-johnson')`
     * (/root/reference/src/scalecast/_Forecaster_parent.py:675-718, sklearn
     * PowerTransformer). Same one-pass candidate-grid profile likelihood as

@@ -49,6 +49,21 @@ class TransformsSpec extends SparkSpec {
     assert(resid.map(math.abs).max < 1e-6, "quadratic should detrend to ~0")
   }
 
+  test("STL recovers trend and seasonality of a synthetic series") {
+    import org.apache.spark.sql.functions.{abs => sabs, avg, col}
+    val m = 12
+    val series = (0 until 96).map(t =>
+      50.0 + 0.5 * t + 8 * math.sin(2 * math.Pi * (t % m) / m))
+    val out = Transforms.stl(obsSeries(series), m).cache()
+    // residuals should be small relative to the seasonal amplitude
+    val residMae = out.agg(avg(sabs(col("resid")))).first().getDouble(0)
+    assert(residMae < 1.5, s"resid MAE $residMae")
+    // the seasonal component should carry most of the sine's swing
+    val seasRange = out.agg(org.apache.spark.sql.functions.max(col("seasonal"))
+      - org.apache.spark.sql.functions.min(col("seasonal"))).first().getDouble(0)
+    assert(seasRange > 10.0, s"seasonal range $seasRange")
+  }
+
   test("loess trend tracks a smooth curve closely") {
     val smooth = (0 until 60).map(t => 50.0 + 10 * math.sin(t / 9.0))
     val df = obsSeries(smooth)
