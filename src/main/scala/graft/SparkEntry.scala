@@ -44,6 +44,7 @@ object SparkEntry {
     "ts_trend_seasonal"  -> ((s, d) => qTrendSeasonal(s, d)),
     "ts_conformal"       -> ((s, d) => qConformal(s, d)),
     "mv_corr"            -> ((s, d) => qMvCorr(s, d)),
+    "mv_coint_rank"      -> ((s, d) => qMvCointRank(s, d)),
     "events_sessionize"  -> ((s, d) => qSessionize(s, d)),
     "events_hourly"      -> ((s, d) => qEventsHourly(s, d)),
     "doc_text_stats"     -> ((s, d) => qTextStats(s, d)),
@@ -490,6 +491,22 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col("yhat"), 0).as("yhat"),
         round(col("lower"), 0).as("lower"), round(col("upper"), 0).as("upper"),
         round(col("ci_width"), 0).as("ci_width"))
+  }
+
+  /** Johansen trace test on two segment series (k = 2 — the oracle solves
+    * the 2×2 generalized eigenproblem in closed form). */
+  private def qMvCointRank(s: SparkSession, d: String): DataFrame = {
+    val sids = Seq("AUTOMOBILE", "BUILDING")
+    val seg = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
+    val (lambda, trace, rank) =
+      graft.models.Vecm.johansenTrace(seg, sids, diffLags = 1, detOrder = -1)
+    import s.implicits._
+    Seq((lambda(0), lambda(1), trace(0), trace(1), rank.toLong))
+      .toDF("lambda1", "lambda2", "trace0", "trace1", "rank")
+      .select(round(col("lambda1"), 6).as("lambda1"),
+        round(col("lambda2"), 6).as("lambda2"),
+        round(col("trace0"), 6).as("trace0"),
+        round(col("trace1"), 6).as("trace1"), col("rank"))
   }
 
   private def qMvCorr(s: SparkSession, d: String): DataFrame = {
@@ -1169,6 +1186,78 @@ object SparkEntry {
          |SELECT series_id, ds, ROUND(y, 6) AS y,
          |       ROUND(a * (1 - pow(b, j)) / (1 - b) + pow(b, j) * y0, 6) AS yhat
          |FROM seeded, fit""".stripMargin,
+
+    // Johansen trace (k=2, p=1, no deterministic term): per-series Δ/level/
+    // Δ-lag columns → date-wide complete cases → 6×6 moments → partial
+    // regression on Z → closed-form 2×2 generalized eigenvalues → trace
+    // stats vs the MHM 5% case-0 table. Mirrors Vecm.johansenTrace exactly.
+    "mv_coint_rank" -> {
+      def adj(a: Int, b: Int) = { // S entries: m_ab − m_aZ · MZZ⁻¹ · m_Zb
+        def sa(i: Int, j: Int) = s"sa_${math.max(i, j)}_${math.min(i, j)}"
+        s"${sa(a, b)} - ((${sa(a, 4)})*(izz00*(${sa(b, 4)}) + izz01*(${sa(b, 5)}))" +
+          s" + (${sa(a, 5)})*(izz01*(${sa(b, 4)}) + izz11*(${sa(b, 5)})))"
+      }
+      val vars = Seq("d_0", "d_1", "l_0", "l_1", "z_0", "z_1")
+      val moms = (for (i <- 0 until 6; j <- 0 to i)
+        yield s"sum((${vars(i)})*(${vars(j)})) AS sa_${i}_$j").mkString(", ")
+      s"""$SEG,
+         |two AS (SELECT * FROM series WHERE series_id IN ('AUTOMOBILE', 'BUILDING')),
+         |lng AS (SELECT series_id, ds, y,
+         |        y - lag(y) OVER win AS dy, lag(y) OVER win AS lvl
+         |        FROM two WINDOW win AS (PARTITION BY series_id ORDER BY ds)),
+         |lng2 AS (SELECT *, lag(dy) OVER (PARTITION BY series_id ORDER BY ds) AS dl
+         |         FROM lng),
+         |wide AS (SELECT ds,
+         |  max(CASE WHEN series_id = 'AUTOMOBILE' THEN dy END) AS d_0,
+         |  max(CASE WHEN series_id = 'BUILDING' THEN dy END) AS d_1,
+         |  max(CASE WHEN series_id = 'AUTOMOBILE' THEN lvl END) AS l_0,
+         |  max(CASE WHEN series_id = 'BUILDING' THEN lvl END) AS l_1,
+         |  max(CASE WHEN series_id = 'AUTOMOBILE' THEN dl END) AS z_0,
+         |  max(CASE WHEN series_id = 'BUILDING' THEN dl END) AS z_1
+         |  FROM lng2 GROUP BY ds),
+         |cc AS (SELECT * FROM wide WHERE d_0 IS NOT NULL AND d_1 IS NOT NULL
+         |       AND l_0 IS NOT NULL AND l_1 IS NOT NULL
+         |       AND z_0 IS NOT NULL AND z_1 IS NOT NULL),
+         |mom AS (SELECT $moms, count(*) AS n FROM cc),
+         |j0 AS (SELECT *, sa_4_4*sa_5_5 - sa_5_4*sa_5_4 AS detz FROM mom),
+         |j1 AS (SELECT *, sa_5_5/detz AS izz00, -sa_5_4/detz AS izz01,
+         |       sa_4_4/detz AS izz11 FROM j0),
+         |j2 AS (SELECT *,
+         |  ${adj(0, 0)} AS s00_00, ${adj(0, 1)} AS s00_01, ${adj(1, 1)} AS s00_11,
+         |  ${adj(2, 2)} AS s11_00, ${adj(2, 3)} AS s11_01, ${adj(3, 3)} AS s11_11,
+         |  ${adj(0, 2)} AS s01_00, ${adj(0, 3)} AS s01_01,
+         |  ${adj(1, 2)} AS s01_10, ${adj(1, 3)} AS s01_11
+         |  FROM j1),
+         |j3 AS (SELECT *, s00_00*s00_11 - s00_01*s00_01 AS det00,
+         |       s11_00*s11_11 - s11_01*s11_01 AS det11 FROM j2),
+         |j4 AS (SELECT *, s00_11/det00 AS i00_00, -s00_01/det00 AS i00_01,
+         |       s00_00/det00 AS i00_11, s11_11/det11 AS i11_00,
+         |       -s11_01/det11 AS i11_01, s11_00/det11 AS i11_11 FROM j3),
+         |j5 AS (SELECT *, i00_00*s01_00 + i00_01*s01_10 AS c00,
+         |       i00_00*s01_01 + i00_01*s01_11 AS c01,
+         |       i00_01*s01_00 + i00_11*s01_10 AS c10,
+         |       i00_01*s01_01 + i00_11*s01_11 AS c11 FROM j4),
+         |j6 AS (SELECT *, s01_00*c00 + s01_10*c10 AS b00,
+         |       s01_00*c01 + s01_10*c11 AS b01,
+         |       s01_01*c00 + s01_11*c10 AS b10,
+         |       s01_01*c01 + s01_11*c11 AS b11 FROM j5),
+         |j7 AS (SELECT *, i11_00*b00 + i11_01*b10 AS a00,
+         |       i11_00*b01 + i11_01*b11 AS a01,
+         |       i11_01*b00 + i11_11*b10 AS a10,
+         |       i11_01*b01 + i11_11*b11 AS a11 FROM j6),
+         |j8 AS (SELECT *, a00 + a11 AS tr, a00*a11 - a01*a10 AS dd FROM j7),
+         |j9 AS (SELECT *, sqrt(greatest(tr*tr - 4*dd, 0.0)) AS disc FROM j8),
+         |jA AS (SELECT *,
+         |  least(greatest((tr + disc) / 2, 0.0), 1.0 - 1e-12) AS lam1,
+         |  least(greatest((tr - disc) / 2, 0.0), 1.0 - 1e-12) AS lam2 FROM j9),
+         |jB AS (SELECT *, -n * (ln(1.0 - lam1) + ln(1.0 - lam2)) AS trace0,
+         |       -n * ln(1.0 - lam2) AS trace1 FROM jA)
+         |SELECT ROUND(lam1, 6) AS lambda1, ROUND(lam2, 6) AS lambda2,
+         |  ROUND(trace0, 6) AS trace0, ROUND(trace1, 6) AS trace1,
+         |  CAST(CASE WHEN trace0 < 12.321 THEN 0
+         |            WHEN trace1 < 4.130 THEN 1 ELSE 2 END AS BIGINT) AS rank
+         |FROM jB""".stripMargin
+    },
 
     // Quadratic detrend: 3-basis OLS (1, t, t²) via the Cholesky CTE chain;
     // y_detrended = y − (β0 + β1·t + β2·t²).

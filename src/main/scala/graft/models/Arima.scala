@@ -27,8 +27,28 @@ object Arima {
 
   /** Fit ARMA(p, q) on the observed slice; `prepared` carries the y-lag and
     * residual-lag feature columns for scoring/forecasting. */
-  def fitArma(frame: DataFrame, p: Int, q: Int, longAr: Int = 0): ArmaFit = {
-    val L = if (longAr > 0) longAr else p + q + 4
+  def fitArma(frame: DataFrame, p: Int, q: Int, longAr: Int = 0): ArmaFit =
+    fitArmaLags(frame, 1 to p, 1 to q, longAr)
+
+  /** Seasonal ARMA (p, q)×(P, Q)_m — the reference's `arima` seasonal orders
+    * (models.py:1150-1273 seasonal_order) via the same two-stage estimation:
+    * the multiplicative seasonal polynomial is approximated additively with
+    * y lags {1..p} ∪ {m..Pm} and innovation lags {1..q} ∪ {m..Qm}. Seasonal
+    * d composes with diffT(m) upstream, like d with diffT(1). */
+  def fitSarma(frame: DataFrame, p: Int, q: Int, bigP: Int, bigQ: Int, m: Int,
+               longAr: Int = 0): ArmaFit =
+    fitArmaLags(frame,
+      ((1 to p) ++ (1 to bigP).map(_ * m)).distinct.sorted,
+      ((1 to q) ++ (1 to bigQ).map(_ * m)).distinct.sorted, longAr)
+
+  /** Hannan–Rissanen with explicit lag sets. */
+  def fitArmaLags(frame: DataFrame, arLags: Seq[Int], maLags: Seq[Int],
+                  longAr: Int = 0): ArmaFit = {
+    // default long-AR order: p+q+4 in the plain case (ts_arma's oracle
+    // replays exactly AR(6) for (1,1)), stretched to cover seasonal lags
+    val maxNeeded = (arLags ++ maLags ++ Seq(0)).max
+    val L = if (longAr > 0) longAr
+            else math.max(maxNeeded, arLags.size + maLags.size) + 4
     // stage 1: long-AR residuals as innovation estimates
     val withLongAr = FeatureOps.addArTerms(frame, L)
     val stage1 = MllibTsEstimator("mlr", (1 to L).map(i => s"ar_$i")).fit(withLongAr)
@@ -42,14 +62,14 @@ object Arima {
     // Observed rows keep null elags at the series head so stage-2 training
     // drops them rather than learning from fake zeros.
     val noAr = resid.drop((1 to L).map(i => s"ar_$i"): _*)
-    val withELags = (1 to q).foldLeft(noAr)((f, j) =>
+    val withELags = maLags.foldLeft(noAr)((f, j) =>
       f.withColumn(s"elag_$j",
         when(col(IsFuture), coalesce(lag(col("_e"), j).over(w), lit(0.0)))
           .otherwise(lag(col("_e"), j).over(w))))
-    val prepared = FeatureOps.addArLags(withELags, 1 to p)
-    val feats = (1 to p).map(i => s"ar_$i") ++ (1 to q).map(j => s"elag_$j")
+    val prepared = FeatureOps.addArLags(withELags, arLags)
+    val feats = arLags.map(i => s"ar_$i") ++ maLags.map(j => s"elag_$j")
     val stage2 = MllibTsEstimator("mlr", feats).fit(prepared)
-    ArmaFit(stage2, p, q, prepared)
+    ArmaFit(stage2, arLags.size, maLags.size, prepared)
   }
 
   /** Fitted values + recursive dynamic horizon forecast. */

@@ -43,4 +43,23 @@ class ArimaSpec extends SparkSpec {
     // stationary mean = 5/(1-0.7) ≈ 16.7; forecasts should be in range
     assert(fc.forall(v => v > 10 && v < 25), s"fc=$fc")
   }
+
+  test("seasonal ARMA captures a strong annual lag the plain ARMA misses") {
+    val m = 12
+    // seasonal AR: y_t = 2 + 0.8 y_(t-12) + e_t
+    val sys = {
+      val out = Array.ofDim[Double](144)
+      for (t <- 0 until 12) out(t) = 10.0 + (t % 5)
+      for (t <- 12 until 144) out(t) = 2.0 + 0.8 * out(t - 12) + 0.3 * white(t)
+      out.toSeq
+    }
+    val base = SeriesFrame.withMonthlyHorizon(obsSeries(sys), 12)
+    val fit = Arima.fitSarma(base, p = 1, q = 1, bigP = 1, bigQ = 0, m = m)
+    val lr = fit.model.stages.last.asInstanceOf[LinearRegressionModel]
+    // features = ar_1, ar_12, elag_1 — the seasonal coefficient carries it
+    val phiSeason = lr.coefficients(1)
+    assert(math.abs(phiSeason - 0.8) < 0.2, s"phi_12=$phiSeason")
+    val fc = col1(Arima.forecast(fit).filter(col("is_future")), "yhat")
+    assert(fc.length === 12 && fc.forall(v => !v.isNaN))
+  }
 }
