@@ -69,6 +69,7 @@ object SparkEntry {
     "ts_mlr_dynk4"       -> ((s, d) => qMlrDynK4(s, d)),
     "ts_weekly_naive"    -> ((s, d) => qWeeklyNaive(s, d)),
     "ts_detrend_poly"    -> ((s, d) => qDetrendPoly(s, d)),
+    "ts_theta"           -> ((s, d) => qTheta(s, d)),
     "ts_yeojohnson"      -> ((s, d) => qYeoJohnson(s, d)),
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
     "ts_model_summaries" -> ((s, d) => qModelSummaries(s, d)),
@@ -240,6 +241,13 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(col("yhat"), 6).as("yhat"))
   }
+
+  /** Theta method (θ=2): trend extrapolation blended with SES of the
+    * theta-2 line; oracle = regr trend + the ts_ses closed-form unroll. */
+  private def qTheta(s: SparkSession, d: String): DataFrame =
+    graft.models.Theta.thetaForecast(withMonthlyHorizon(zOrdersMonthly(s, d), 12), 0.3)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("yhat"), 6).as("yhat"), col(IsFuture))
 
   /** Quadratic detrend on the z-scored series (DetrendTransform poly_order=2);
     * oracle replays the 3-basis OLS through the Cholesky CTE chain. */
@@ -1186,6 +1194,31 @@ object SparkEntry {
          |SELECT series_id, ds, ROUND(y, 6) AS y,
          |       ROUND(a * (1 - pow(b, j)) / (1 - b) + pow(b, j) * y0, 6) AS yhat
          |FROM seeded, fit""".stripMargin,
+
+    // Theta (θ=2): Z0 = per-series OLS trend, Z2 = 2y − Z0, ŷ = (Z0 + SES(Z2))/2;
+    // SES via the ts_ses closed-form unroll with α=0.3.
+    "ts_theta" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |fit AS (SELECT regr_slope(y, t) AS b, regr_intercept(y, t) AS a FROM s2),
+         |z3 AS (SELECT s2.series_id, s2.ds, s2.y, s2.t,
+         |       CAST(s2.t AS INT) AS ti, a + b * s2.t AS trend,
+         |       2 * s2.y - (a + b * s2.t) AS z2 FROM s2, fit),
+         |nn AS (SELECT count(*) AS n, max(ds) AS ld FROM s2),
+         |obs AS (SELECT x.series_id, x.ds, ROUND(x.y, 6) AS y,
+         |        ROUND((x.trend + (SELECT sum(CASE WHEN b.ti = 1 THEN pow(0.7, x.ti - 2) * b.z2
+         |                       ELSE 0.3 * pow(0.7, x.ti - 1 - b.ti) * b.z2 END)
+         |               FROM z3 b WHERE b.ti < x.ti)) / 2.0, 6) AS yhat,
+         |        FALSE AS is_future FROM z3 x),
+         |lvl AS (SELECT (SELECT sum(CASE WHEN b.ti = 1 THEN pow(0.7, n - 1) * b.z2
+         |               ELSE 0.3 * pow(0.7, n - b.ti) * b.z2 END)
+         |               FROM z3 b, nn) AS lT),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y,
+         |        ROUND(((a + b * (n + i)) + lT) / 2.0, 6) AS yhat, TRUE AS is_future
+         |        FROM nn, fit, lvl, generate_series(1, 12) g(i))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin,
 
     // Johansen trace (k=2, p=1, no deterministic term): per-series Δ/level/
     // Δ-lag columns → date-wide complete cases → 6×6 moments → partial

@@ -77,4 +77,19 @@ object Baselines {
     val wsum = weighted.map(_._2).sum
     df.withColumn(out, weighted.map { case (c, wt) => col(c) * wt }.reduce(_ + _) / wsum)
   }
+
+  /** The reference's metric-derived weighting (models.py:1604-1617):
+    * weight_i ∝ score_i / Σ scores, and when the metric is lower-is-better
+    * the weight list is REVERSED — with models ordered worst→best by the
+    * metric this hands the best model the largest share (the reference's
+    * worst-inverted trick, reproduced faithfully). */
+  def comboMetricWeighted(df: DataFrame, yhatCols: Seq[String],
+                          scores: Seq[Double], lowerIsBetter: Boolean = true,
+                          out: String = "yhat_combo"): DataFrame = {
+    require(yhatCols.size == scores.size, "one score per prediction column")
+    val total = scores.sum
+    val w0 = scores.map(_ / total)
+    val w = if (lowerIsBetter) w0.reverse else w0
+    comboWeighted(df, yhatCols.zip(w), out)
+  }
 }

@@ -34,6 +34,17 @@ class ModelsSpec extends SparkSpec {
     assert(col1(out, "yhat_combo") === Seq(12.5))
   }
 
+  test("metric-weighted combo hands the best model the largest weight") {
+    val spark2 = spark; import spark2.implicits._
+    // models ordered worst→best by rmse (10.0 vs 2.0, lower is better)
+    val df = Seq((1.0, 100.0, 0.0)).toDF("y", "f_bad", "f_good")
+    val out = Baselines.comboMetricWeighted(df, Seq("f_bad", "f_good"),
+      scores = Seq(10.0, 2.0), lowerIsBetter = true)
+    // reversed weights: f_bad gets 2/12, f_good gets 10/12 → 100·(2/12)
+    val v = out.select("yhat_combo").first().getDouble(0)
+    assert(math.abs(v - 100.0 * 2.0 / 12.0) < 1e-9, s"combo=$v")
+  }
+
   test("SES recursion: hand-computed case") {
     // alpha=0.5, y=[10,12,14]: l1=10; yhat2=10; l2=11; yhat3=11; l3=12.5
     val df = SeriesFrame.withMonthlyHorizon(obsSeries(Seq(10.0, 12, 14)), 2)
