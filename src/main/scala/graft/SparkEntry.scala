@@ -45,6 +45,7 @@ object SparkEntry {
     "ts_conformal"       -> ((s, d) => qConformal(s, d)),
     "mv_corr"            -> ((s, d) => qMvCorr(s, d)),
     "mv_coint_rank"      -> ((s, d) => qMvCointRank(s, d)),
+    "mv_vecm"            -> ((s, d) => qMvVecm(s, d)),
     "events_sessionize"  -> ((s, d) => qSessionize(s, d)),
     "events_hourly"      -> ((s, d) => qEventsHourly(s, d)),
     "doc_text_stats"     -> ((s, d) => qTextStats(s, d)),
@@ -515,6 +516,17 @@ object SparkEntry {
         round(col("lambda2"), 6).as("lambda2"),
         round(col("trace0"), 6).as("trace0"),
         round(col("trace1"), 6).as("trace1"), col("rank"))
+  }
+
+  /** Unrestricted VECM one-step level predictions on two z-scored segment
+    * series; the oracle replays both per-equation OLS fits via Cholesky. */
+  private def qMvVecm(s: SparkSession, d: String): DataFrame = {
+    val sids = Seq("AUTOMOBILE", "BUILDING")
+    val seg = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
+    val z = Transforms.scaleT(seg).transform(seg)
+    graft.models.Vecm.fitPredict(z, sids, diffLags = 1)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("yhat"), 6).as("yhat"))
   }
 
   private def qMvCorr(s: SparkSession, d: String): DataFrame = {
@@ -1194,6 +1206,53 @@ object SparkEntry {
          |SELECT series_id, ds, ROUND(y, 6) AS y,
          |       ROUND(a * (1 - pow(b, j)) / (1 - b) + pow(b, j) * y0, 6) AS yhat
          |FROM seeded, fit""".stripMargin,
+
+    // VECM per-equation OLS (k=2, one Δ-lag): per-series z-scoring, Δy
+    // target with own-row lag, level/Δ-lag features over the union calendar
+    // (date spine densify), one Cholesky fit per equation, ŷ = y(t−1) + Δŷ.
+    "mv_vecm" -> {
+      val feats = Seq("lvl_a", "lvl_b", "dl_a", "dl_b")
+      def eq(tag: String, sid: String) = {
+        val filter = s"eqrows WHERE series_id = '$sid' AND dy IS NOT NULL AND " +
+          feats.map(f => s"$f IS NOT NULL").mkString(" AND ")
+        s"""${OracleGen.momentsCte(tag, feats, filter, yExpr = "dy")},
+           |${OracleGen.solveCtes(tag, 4)}""".stripMargin
+      }
+      def out(tag: String, sid: String) =
+        s"""SELECT e.series_id, e.ds, ROUND(e.y, 6) AS y,
+           |  ROUND(CASE WHEN e.dy IS NOT NULL AND e.lvl_a IS NOT NULL
+           |         AND e.lvl_b IS NOT NULL AND e.dl_a IS NOT NULL AND e.dl_b IS NOT NULL
+           |        THEN e.y - e.dy + (beta_0 + beta_1*e.lvl_a + beta_2*e.lvl_b
+           |                           + beta_3*e.dl_a + beta_4*e.dl_b) END, 6) AS yhat
+           |FROM eqrows e, ${tag}_fit WHERE e.series_id = '$sid'""".stripMargin
+      s"""$SEG,
+         |two AS (SELECT * FROM series WHERE series_id IN ('AUTOMOBILE', 'BUILDING')),
+         |zp AS (SELECT series_id, avg(y) AS mu, stddev_samp(y) AS sd
+         |       FROM two GROUP BY 1),
+         |tz AS (SELECT t.series_id, t.ds, (t.y - zp.mu) / zp.sd AS y
+         |       FROM two t JOIN zp USING (series_id)),
+         |longd AS (SELECT series_id, ds, y,
+         |          y - lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS dy FROM tz),
+         |spine AS (SELECT DISTINCT ds FROM tz),
+         |dense AS (SELECT sp.ds, sid.series_id, l.y, l.dy
+         |  FROM spine sp CROSS JOIN (VALUES ('AUTOMOBILE'), ('BUILDING')) sid(series_id)
+         |  LEFT JOIN longd l ON l.series_id = sid.series_id AND l.ds = sp.ds),
+         |lagged AS (SELECT *, lag(y) OVER wv AS lvl, lag(dy) OVER wv AS dl
+         |  FROM dense WINDOW wv AS (PARTITION BY series_id ORDER BY ds)),
+         |fw AS (SELECT ds,
+         |  max(CASE WHEN series_id = 'AUTOMOBILE' THEN lvl END) AS lvl_a,
+         |  max(CASE WHEN series_id = 'BUILDING' THEN lvl END) AS lvl_b,
+         |  max(CASE WHEN series_id = 'AUTOMOBILE' THEN dl END) AS dl_a,
+         |  max(CASE WHEN series_id = 'BUILDING' THEN dl END) AS dl_b
+         |  FROM lagged GROUP BY ds),
+         |eqrows AS (SELECT l.series_id, l.ds, l.y, l.dy, f.lvl_a, f.lvl_b, f.dl_a, f.dl_b
+         |  FROM longd l JOIN fw f ON f.ds = l.ds),
+         |${eq("va", "AUTOMOBILE")},
+         |${eq("vb", "BUILDING")}
+         |${out("va", "AUTOMOBILE")}
+         |UNION ALL
+         |${out("vb", "BUILDING")}""".stripMargin
+    },
 
     // Theta (θ=2): Z0 = per-series OLS trend, Z2 = 2y − Z0, ŷ = (Z0 + SES(Z2))/2;
     // SES via the ts_ses closed-form unroll with α=0.3.
