@@ -71,6 +71,7 @@ object SparkEntry {
     "ts_weekly_naive"    -> ((s, d) => qWeeklyNaive(s, d)),
     "ts_detrend_poly"    -> ((s, d) => qDetrendPoly(s, d)),
     "ts_theta"           -> ((s, d) => qTheta(s, d)),
+    "ts_dynamic_ci"      -> ((s, d) => qDynamicCi(s, d)),
     "ts_yeojohnson"      -> ((s, d) => qYeoJohnson(s, d)),
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
     "ts_model_summaries" -> ((s, d) => qModelSummaries(s, d)),
@@ -241,6 +242,22 @@ object SparkEntry {
       .filter(col("is_test"))
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(col("yhat"), 6).as("yhat"))
+  }
+
+  /** Per-step dynamic conformal intervals (`backtest_for_resid_matrix` →
+    * `overwrite_forecast_intervals`): 3 backtest iterations of the seasonal
+    * naive feed a per-horizon-step residual percentile. */
+  private def qDynamicCi(s: SparkSession, d: String): DataFrame = {
+    val z = zOrdersMonthly(s, d)
+    val scored = (0 until 3).map { i =>
+      val chopped = if (i == 0) z else chopFromFront(z, i * 6)
+      Baselines.naiveFitted(withTestFlag(chopped, 6), 12)
+    }
+    val fc = Baselines.naiveForecast(withMonthlyHorizon(z, 6), 12)
+    Conformal.dynamicIntervals(scored, fc)
+      .filter(col(IsFuture))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"),
+        round(col("lower"), 6).as("lower"), round(col("upper"), 6).as("upper"))
   }
 
   /** Theta method (θ=2): trend extrapolation blended with SES of the
@@ -1206,6 +1223,28 @@ object SparkEntry {
          |SELECT series_id, ds, ROUND(y, 6) AS y,
          |       ROUND(a * (1 - pow(b, j)) / (1 - b) + pow(b, j) * y0, 6) AS yhat
          |FROM seeded, fit""".stripMargin,
+
+    // Dynamic per-step conformal: backtest iteration i tests rows
+    // t ∈ (n−6i−6, n−6i] against the seasonal naive; width(step) = 95th
+    // quantile_cont of |resid| across iterations; bounds on the 6-step
+    // seasonal-naive forecast.
+    "ts_dynamic_ci" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS INT) AS t FROM series),
+         |nn AS (SELECT CAST(count(*) AS INT) AS n, max(ds) AS ld FROM s2),
+         |resid AS (SELECT g.i AS iter, a.t - (n - 6*g.i - 6) AS s, abs(a.y - b.y) AS r
+         |  FROM generate_series(0, 2) g(i)
+         |  CROSS JOIN nn
+         |  JOIN s2 a ON a.t > n - 6*g.i - 6 AND a.t <= n - 6*g.i
+         |  JOIN s2 b ON b.t = a.t - 12),
+         |w AS (SELECT s, quantile_cont(r, 0.95) AS wd FROM resid GROUP BY s),
+         |fut AS (SELECT CAST(ld + to_months(k::INT) AS DATE) AS ds, b.y AS yhat, k AS s
+         |        FROM nn CROSS JOIN generate_series(1, 6) g(k)
+         |        JOIN s2 b ON b.t = n - 12 + k)
+         |SELECT 'orders' AS series_id, fut.ds, ROUND(yhat, 6) AS yhat,
+         |  ROUND(yhat - wd, 6) AS lower, ROUND(yhat + wd, 6) AS upper
+         |FROM fut JOIN w ON w.s = fut.s""".stripMargin,
 
     // VECM per-equation OLS (k=2, one Δ-lag): per-series z-scoring, Δy
     // target with own-row lag, level/Δ-lag features over the union calendar
