@@ -72,6 +72,7 @@ object SparkEntry {
     "ts_detrend_poly"    -> ((s, d) => qDetrendPoly(s, d)),
     "ts_theta"           -> ((s, d) => qTheta(s, d)),
     "ts_dynamic_ci"      -> ((s, d) => qDynamicCi(s, d)),
+    "ts_history_ops"     -> ((s, d) => qHistoryOps(s, d)),
     "ts_yeojohnson"      -> ((s, d) => qYeoJohnson(s, d)),
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
     "ts_model_summaries" -> ((s, d) => qModelSummaries(s, d)),
@@ -243,6 +244,13 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(col("yhat"), 6).as("yhat"))
   }
+
+  /** Row-range ops: keep_smaller_history(48) ∘ chop_from_front(6) ∘ round(2)
+    * (§2.2 — Forecaster.py:1675-1749, 2341-2352). round stays at the
+    * series' own 2dp so no half-boundary can differ across engines. */
+  private def qHistoryOps(s: SparkSession, d: String): DataFrame =
+    roundY(chopFromFront(keepSmallerHistory(ordersMonthly(s, d), 48), 6), 2)
+      .select(col(SeriesId), col(Ds), col(Y))
 
   /** Per-step dynamic conformal intervals (`backtest_for_resid_matrix` →
     * `overwrite_forecast_intervals`): 3 backtest iterations of the seasonal
@@ -1223,6 +1231,14 @@ object SparkEntry {
          |SELECT series_id, ds, ROUND(y, 6) AS y,
          |       ROUND(a * (1 - pow(b, j)) / (1 - b) + pow(b, j) * y0, 6) AS yhat
          |FROM seeded, fit""".stripMargin,
+
+    // Row-range ops: last 48 observations minus the final 6.
+    "ts_history_ops" ->
+      s"""$S,
+         |s2 AS (SELECT series_id, ds, y,
+         |       row_number() OVER (ORDER BY ds DESC) AS rb FROM series)
+         |SELECT series_id, ds, ROUND(y, 2) AS y
+         |FROM s2 WHERE rb <= 48 AND rb > 6""".stripMargin,
 
     // Dynamic per-step conformal: backtest iteration i tests rows
     // t ∈ (n−6i−6, n−6i] against the seasonal naive; width(step) = 95th
