@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.SeriesFrame
+import graft.functions.FeatureOps
+import graft.models.{MllibTsEstimator, Recursive}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Exact-equality properties tying the scale-path implementations to their
+  * brute-force definitions. */
+class ExactPropertySpec extends SparkSpec {
+
+  private def datedSeries(stepDays: Int, n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      ("s", java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 6).plusDays(i.toLong * stepDays)),
+        Some(10.0 + i), false)
+    }.toDF("series_id", "ds", "y", "is_future")
+  }
+
+  test("inferFreq maps gaps to D/W/MS/QS/YS") {
+    assert(SeriesFrame.inferFreq(datedSeries(1, 30)) == "D")
+    assert(SeriesFrame.inferFreq(datedSeries(7, 30)) == "W")
+    assert(SeriesFrame.inferFreq(obsSeries((1 to 30).map(_.toDouble))) == "MS")
+    import spark.implicits._
+    val quarterly = (0 until 20).map { i =>
+      ("s", java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusMonths(3L * i)),
+        Some(1.0 + i), false)
+    }.toDF("series_id", "ds", "y", "is_future")
+    assert(SeriesFrame.inferFreq(quarterly) == "QS")
+    val yearly = (0 until 15).map { i =>
+      ("s", java.sql.Date.valueOf(java.time.LocalDate.of(2010, 1, 1).plusYears(i.toLong)),
+        Some(1.0 + i), false)
+    }.toDF("series_id", "ds", "y", "is_future")
+    assert(SeriesFrame.inferFreq(yearly) == "YS")
+  }
+
+  test("withHorizon spines advance by the declared frequency") {
+    def futureDs(freq: String, base: org.apache.spark.sql.DataFrame): Seq[String] =
+      SeriesFrame.withHorizon(base, 3, freq).filter(col("is_future"))
+        .orderBy("ds").collect().map(_.getDate(1).toString).toSeq
+    val weekly = datedSeries(7, 4) // last ds = 2020-01-27
+    assert(futureDs("W", weekly) == Seq("2020-02-03", "2020-02-10", "2020-02-17"))
+    val monthly = obsSeries(Seq(1.0, 2, 3)) // last ds = 2020-03-01
+    assert(futureDs("QS", monthly) == Seq("2020-06-01", "2020-09-01", "2020-12-01"))
+  }
+
+  test("banded simhashPairs equals the brute-force all-pairs definition") {
+    import spark.implicits._
+    // near-dup clusters: small perturbations of two base token streams
+    val docs = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) "alpha beta gamma delta epsilon zeta eta theta"
+                 else "one two three four five six seven eight"
+      (i.toLong, if (i % 6 < 2) base else s"$base extra${i % 6} token${i % 3}")
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc"), col("b.doc"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("h"))
+      .filter(col("h") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
+  test("dynamicTestForecast with k=1 equals one-step-ahead vectorized scoring") {
+    val ys = (1 to 60).map(i => 5.0 + 0.6 * i + 2 * math.sin(i / 3.0))
+    val flagged = FeatureOps.addArTerms(
+      SeriesFrame.withTestFlag(obsSeries(ys), 12), 1)
+    val model = MllibTsEstimator("mlr", Seq("ar_1")).fit(flagged)
+    // k=1: every step re-seeds from actuals → identical to plain transform
+    val peeked = Recursive.dynamicTestForecast(flagged, model, 1)
+      .filter(col("is_test")).orderBy("ds")
+      .collect().map(_.getAs[Double]("yhat")).toSeq
+    val vectorized = model.transform(flagged)
+      .filter(col("is_test")).orderBy("ds")
+      .collect().map(_.getAs[Double]("yhat")).toSeq
+    assert(peeked.size == 12)
+    peeked.zip(vectorized).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"$a vs $b")
+    }
+  }
+
+  test("jaccard DF cap drops stop-shingle matches but keeps rare-shingle pairs") {
+    import spark.implicits._
+    // every doc shares the hot prefix; only docs 0/1 share a rare tail
+    val docs = (0 until 12).map { i =>
+      val tail = if (i < 2) "rare unique ending here" else s"tail$i x$i y$i z$i"
+      (i.toLong, s"common hot shingle prefix words $tail")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.01)
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.01, maxDocFreq = 3)
+    assert(uncapped.count() > capped.count(), "cap must remove hot-shingle-only pairs")
+    // the rare-shingle pair (0,1) survives the cap
+    assert(capped.filter(col("doc_a") === 0 && col("doc_b") === 1).count() == 1)
+  }
+}
