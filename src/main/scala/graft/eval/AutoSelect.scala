@@ -101,17 +101,19 @@ object AutoSelect {
   def autoArma(frame: DataFrame, maxP: Int = 3, maxQ: Int = 2,
                parallelism: Int = 1): ((Int, Int), Double) = {
     val obs = frame.filter(!col(IsFuture)).cache()
-    val grid = for (p <- 0 to maxP; q <- 0 to maxQ if p + q > 0) yield (p, q)
-    val scored = Evaluation.fanOut(grid, parallelism) { case (p, q) =>
-      val fit = graft.models.Arima.fitArma(obs, p, q)
-      val scoredDf = fit.model.transform(fit.prepared)
-        .filter(!isnan(col("yhat")) && col("yhat").isNotNull && !col(IsFuture))
-      val r = scoredDf.agg(
-        sum(pow(col(Y) - col("yhat"), 2)).as("sse"), count(lit(1)).as("n")).first()
-      val sse = r.getDouble(0); val n = r.getLong(1).toDouble
-      ((p, q), n * math.log(sse / n) + 2.0 * (p + q + 1))
-    }
-    scored.minBy(s => nanSafe(s._2))
+    try {
+      val grid = for (p <- 0 to maxP; q <- 0 to maxQ if p + q > 0) yield (p, q)
+      val scored = Evaluation.fanOut(grid, parallelism) { case (p, q) =>
+        val fit = graft.models.Arima.fitArma(obs, p, q)
+        val scoredDf = fit.model.transform(fit.prepared)
+          .filter(!isnan(col("yhat")) && col("yhat").isNotNull && !col(IsFuture))
+        val r = scoredDf.agg(
+          sum(pow(col(Y) - col("yhat"), 2)).as("sse"), count(lit(1)).as("n")).first()
+        val sse = r.getDouble(0); val n = r.getLong(1).toDouble
+        ((p, q), n * math.log(sse / n) + 2.0 * (p + q + 1))
+      }
+      scored.minBy(s => nanSafe(s._2))
+    } finally obs.unpersist()
   }
 
   /** `find_statistical_transformation` (util.py:440-560): test-driven recipe.
@@ -138,7 +140,9 @@ object AutoSelect {
     }
     goals.foreach {
       case "stationary" =>
-        val worstT = graft.functions.Diagnostics.adfT(cur).map(_._2).max
+        // shared decision = worst-case t-stat; ONE scalar crosses to the driver
+        val worstT = graft.functions.Diagnostics.adfT(cur)
+          .agg(max("adf_t")).first().getDouble(0)
         if (worstT > criticalT) { // unit root not rejected → not stationary
           val minY = cur.filter(!col(IsFuture)).agg(min(Y)).first().getDouble(0)
           if (useLog && minY > 0) apply1(Transforms.logT(cur))
@@ -231,20 +235,29 @@ object AutoSelect {
     scored.minBy(s => nanSafe(s._2))
   }
 
-  /** Periodogram via direct DFT on the collected series (driver-side — the
-    * reference calls scipy.signal.periodogram on 10²-10⁴ points,
-    * Forecaster.py:1368-1392). Returns (frequency index, power). */
-  def periodogram(frame: DataFrame, sid: String): Seq[(Int, Double)] = {
-    val ys = frame.filter(!col(IsFuture) && col(SeriesId) === sid)
-      .orderBy(Ds).select(Y).collect().map(_.getDouble(0))
-    val n = ys.length
-    val mean = ys.sum / n
-    val c = ys.map(_ - mean)
-    (1 to n / 2).map { k =>
-      val re = c.indices.map(t => c(t) * math.cos(2 * math.Pi * k * t / n)).sum
-      val im = c.indices.map(t => c(t) * math.sin(2 * math.Pi * k * t / n)).sum
-      (k, (re * re + im * im) / n)
-    }
+  /** Periodogram via direct DFT (the reference calls
+    * scipy.signal.periodogram on 10²-10⁴ points, Forecaster.py:1368-1392).
+    * Per-series sequential by nature → `mapGroups`: each series' points fit
+    * in executor memory and the DFT runs there; series parallelize across
+    * the cluster and NO observation row reaches the driver. Returns a
+    * (series_id, freq, power) frame. */
+  def periodogram(frame: DataFrame): DataFrame = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    frame.filter(!col(IsFuture))
+      .select(col(SeriesId).cast("string"), col(Ds).cast("date"), col(Y).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1).flatMapGroups { (sid, it) =>
+        val ys = it.toIndexedSeq.sortBy(_._2.getTime).map(_._3).toArray
+        val n = ys.length
+        val mean = ys.sum / n
+        val c = ys.map(_ - mean)
+        (1 to n / 2).map { k =>
+          val re = c.indices.map(t => c(t) * math.cos(2 * math.Pi * k * t / n)).sum
+          val im = c.indices.map(t => c(t) * math.sin(2 * math.Pi * k * t / n)).sum
+          (sid, k, (re * re + im * im) / n)
+        }
+      }.toDF(SeriesId, "freq", "power")
   }
 
   /** Try keeping only the last L observations for each candidate L; return

@@ -183,7 +183,7 @@ object Evaluation {
                      metricName: String = "rmse"): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val keys = cells.flatMap(_.params.keys).distinct.sorted
-    val nFolds = cells.map(_.foldMetrics.size).max
+    val nFolds = cells.map(_.foldMetrics.size).maxOption.getOrElse(0)
     val schema = StructType(
       keys.map(StructField(_, DoubleType)) ++
       (0 until nFolds).map(i => StructField(s"fold_${i}_$metricName", DoubleType)) :+

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.core.Joins.maybeBroadcast
 import graft.core.SeriesFrame._
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
@@ -7,9 +8,10 @@ import org.apache.spark.sql.functions._
 
 /** Statistical diagnostics (SURVEY §2.9): ACF/PACF, augmented Dickey-Fuller,
   * D'Agostino-style normality, lagged cross-correlation. ACF and corr are
-  * fully distributed aggregations; PACF (Durbin-Levinson) and the ADF
-  * regression are driver-side closed-form math over tiny per-series
-  * statistics — the "small-data driver math" tier reserved in SURVEY §4.
+  * fully distributed aggregations; the ADF regression and normality z-scores
+  * reduce to per-series moment rows whose tiny closed-form finish maps over
+  * the stats frame on the executors — per-series data never hits the driver.
+  * Only PACF (Durbin-Levinson over ≤ maxLag ACF numbers) stays driver-side.
   */
 object Diagnostics {
 
@@ -20,7 +22,7 @@ object Diagnostics {
   def acf(df: DataFrame, maxLag: Int): DataFrame = {
     val obs = df.filter(!col(IsFuture))
     val means = obs.groupBy(SeriesId).agg(avg(Y).as("_mu"), count(lit(1)).as("_n"))
-    val centered = obs.join(broadcast(means), Seq(SeriesId))
+    val centered = obs.join(maybeBroadcast(means), Seq(SeriesId))
       .withColumn("_c", col(Y) - col("_mu"))
     val denom = centered.groupBy(SeriesId).agg(sum(col("_c") * col("_c")).as("_d"))
     // all maxLag numerators in ONE window pass (the lag array shares the
@@ -33,7 +35,7 @@ object Diagnostics {
       .filter(col("_cl").isNotNull)
       .groupBy(SeriesId, "_k").agg(sum(col("_c") * col("_cl")).as("_num"))
       .withColumn("lag", col("_k") + 1)
-    lags.join(broadcast(denom), Seq(SeriesId))
+    lags.join(maybeBroadcast(denom), Seq(SeriesId))
       .select(col(SeriesId), col("lag"), (col("_num") / col("_d")).as("acf"))
   }
 
@@ -73,10 +75,14 @@ object Diagnostics {
     * t-statistic per series; compare against MacKinnon 5% critical value
     * ≈ −2.86 (reject unit root ⇒ stationary)
     * (/root/reference/src/scalecast/Forecaster.py:1258-1301). Fully
-    * distributed: the normal-equation moments (X'X, X'y, y'y — k ≤ p+2) are
-    * per-series aggregates, so only ONE tiny stats row per series reaches the
-    * driver (same contract as boxcoxMleT) — never the observation rows. */
-  def adfT(df: DataFrame, p: Int = 1): Seq[(String, Double)] = {
+    * distributed END TO END: the normal-equation moments (X'X, X'y, y'y —
+    * k ≤ p+2) are per-series aggregates, and the tiny k×k solve maps over the
+    * stats rows on the executors — the returned (series_id, adf_t) frame
+    * stays partitioned, so neither observations nor per-series stats ever
+    * reach the driver at any series count. */
+  def adfT(df: DataFrame, p: Int = 1): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
     val obs = df.filter(!col(IsFuture))
       .withColumn("_dy", col(Y) - lag(col(Y), 1).over(w))
       .withColumn("_ylag", lag(col(Y), 1).over(w))
@@ -90,15 +96,18 @@ object Diagnostics {
       (for (i <- 0 until k; j <- 0 to i) yield sum(x(i) * x(j)).as(s"_sa_${i}_$j")) ++
       (0 until k).map(i => sum(x(i) * col("_dy")).as(s"_sb_$i")) ++
       Seq(sum(col("_dy") * col("_dy")).as("_syy"), count(lit(1)).as("_n"))
+    val schema = StructType(Seq(
+      StructField(SeriesId, StringType), StructField("adf_t", DoubleType)))
     complete.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq.map { row =>
+      .map({ row =>
         val xtx = Array.tabulate(k, k)((i, j) =>
           row.getDouble(row.fieldIndex(s"_sa_${math.max(i, j)}_${math.min(i, j)}")))
         val xty = Array.tabulate(k)(i => row.getDouble(row.fieldIndex(s"_sb_$i")))
         val syy = row.getDouble(row.fieldIndex("_syy"))
         val n = row.getLong(row.fieldIndex("_n"))
-        row.getString(row.fieldIndex(SeriesId)) -> tStatFromMoments(xtx, xty, syy, n)
-      }
+        org.apache.spark.sql.Row(row.getString(row.fieldIndex(SeriesId)),
+          tStatFromMoments(xtx, xty, syy, n))
+      })(Encoders.row(schema)).toDF()
   }
 
   /** OLS t-stat of coefficient index 1 (the y_(t−1) term) from the
@@ -144,9 +153,14 @@ object Diagnostics {
     * semantics, Forecaster.py:1304-1318): skew and kurtosis z-scores
     * (D'Agostino 1973; Anscombe-Glynn 1983) combined as K² = Z_s² + Z_k²,
     * p-value from χ²(2) (= exp(−K²/2)). Distributed moments; the per-series
-    * closed-form z transforms are driver math on one stats row per series. */
-  def normalityTest(df: DataFrame): Seq[(String, Double, Double)] =
-    momentsForNormality(df).collect().toSeq.map { r =>
+    * closed-form z transforms map over the stats rows on the executors, so
+    * the returned (series_id, k2, pvalue) frame stays partitioned. */
+  def normalityTest(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField(SeriesId, StringType),
+      StructField("k2", DoubleType), StructField("pvalue", DoubleType)))
+    momentsForNormality(df).map({ r =>
       val g1 = r.getDouble(r.fieldIndex("skewness"))
       val g2 = r.getDouble(r.fieldIndex("kurtosis")) // excess
       val n = r.getLong(r.fieldIndex("n")).toDouble
@@ -170,8 +184,9 @@ object Diagnostics {
       val t = (1 - 2.0 / a) / (1 + x * math.sqrt(2.0 / (a - 4)))
       val zK = ((1 - 2.0 / (9 * a)) - math.cbrt(t)) / math.sqrt(2.0 / (9 * a))
       val k2 = zS * zS + zK * zK
-      (r.getString(r.fieldIndex(SeriesId)), k2, math.exp(-k2 / 2.0))
-    }
+      org.apache.spark.sql.Row(r.getString(r.fieldIndex(SeriesId)), k2, math.exp(-k2 / 2.0))
+    })(Encoders.row(schema)).toDF()
+  }
 
   /** `corr_lags` — Pearson correlation of one series with the k-lagged other
     * (/root/reference/src/scalecast/MVForecaster.py:1012-1074). All maxLag+1

@@ -1,5 +1,6 @@
 package graft.models
 
+import graft.core.Joins.maybeBroadcast
 import graft.core.SeriesFrame._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -31,7 +32,7 @@ object Baselines {
     val fut = df.filter(col(IsFuture))
       .withColumn("_step", row_number().over(w))
       .withColumn("_phase", pmod(lit(m) - col("_step"), lit(m)))
-      .join(broadcast(lastCycle), Seq(SeriesId, "_phase"), "left")
+      .join(maybeBroadcast(lastCycle), Seq(SeriesId, "_phase"), "left")
       .withColumn(yhat, col("_tile"))
       .drop("_step", "_phase", "_tile")
     unionLoose(naiveFitted(df.filter(!col(IsFuture)), m, yhat), fut.drop("_rn_back"))
@@ -56,14 +57,14 @@ object Baselines {
     val withT = df.withColumn("_t", row_number().over(w).cast("double"))
       .withColumn("_month", month(col(Ds)))
     val params = trendParams(df)
-    val joined = withT.join(broadcast(params), Seq(SeriesId), "left")
+    val joined = withT.join(maybeBroadcast(params), Seq(SeriesId), "left")
       .withColumn("_trend", col("intercept") + col("slope") * col("_t"))
     val hasTest = joined.columns.contains("is_test")
     val trainRows = if (hasTest) joined.filter(!col(IsFuture) && !col("is_test"))
                     else joined.filter(!col(IsFuture))
     val effects = trainRows.groupBy(SeriesId, "_month")
       .agg(avg(col(Y) - col("_trend")).as("_effect"))
-    joined.join(broadcast(effects), Seq(SeriesId, "_month"), "left")
+    joined.join(maybeBroadcast(effects), Seq(SeriesId, "_month"), "left")
       .withColumn(yhat, col("_trend") + coalesce(col("_effect"), lit(0.0)))
       .drop("_t", "_month", "slope", "intercept", "_trend", "_effect")
   }

@@ -33,7 +33,12 @@ final class KnnRegressor(override val uid: String, trainRows: DataFrame,
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
+    // materialize the generated ids before branching: monotonically_increasing_id
+    // is non-deterministic, and the final self-join evaluates `withId` twice —
+    // without the checkpoint a task retry could re-assign ids on one branch
+    // and mispair predictions with rows.
     val withId = df.withColumn("_rid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val train = broadcast(trainRows.select(
       (features.map(c => col(c).as(s"_tr_$c")) :+ col(Y).as("_try")): _*))
     val complete = features.foldLeft(withId)((f, c) =>

@@ -78,61 +78,85 @@ object Recursive {
   }
 
   /** Test-set prediction with peeking cadence `dynamic_testing = k`
-    * (/root/reference/src/scalecast/models.py:124-140): test rows are
-    * predicted recursively in chunks of `k` steps, and at every chunk
-    * boundary the AR state re-seeds from actual values. `k = 1` is the
-    * fully-peeked one-step case; `k ≥ testLength` degenerates to the
-    * all-dynamic recursion.
+    * (/root/reference/src/scalecast/models.py:109-149): the reference walks
+    * the test slice sequentially, appending each PREDICTION to its value
+    * ledger except at peek positions s where s % k == 0, which re-seed with
+    * the ACTUAL (`series.append(peeks[i]) only when (i+1) % k == 0`). So an
+    * AR cell referencing an earlier test position reads the prediction made
+    * there unless that position was a peek. `k = 1` peeks everywhere (fully
+    * vectorized one-step); `k ≥ testLength` never peeks (the all-dynamic
+    * recursion).
     *
-    * Spark-first shape: all chunks advance in lockstep — iteration j fills
-    * step j of EVERY chunk of every series in one whole-frame op, so the loop
-    * runs `k` times total regardless of test length or series count (the
-    * reference's speed/accuracy knob, made cheaper: cost is O(k) jobs, not
-    * O(testLength)). AR cells prefer the own-chunk prediction ledger and fall
-    * back to actuals, which is exactly the chunk-reset semantics.
+    * Spark-first shape: wavefront scheduling over the exact dependency DAG.
+    * Position s depends on position s−l for each AR lag l unless the
+    * dependency is cut (s−l precedes the test slice → train actual, or
+    * s−l is a peek). Dependency LEVELS are series-independent driver int
+    * math (an O(testLength·lags) array); iteration v scores every position
+    * of level v of EVERY series/chunk in one whole-frame op. For AR(1) this
+    * degenerates to exactly k iterations (the chunk-lockstep shape); for
+    * deeper lags it runs just as many iterations as the reference's data
+    * dependencies force — never one per test row when peeks cut the chains.
     */
   def dynamicTestForecast(frame: DataFrame, model: Transformer, k: Int): DataFrame = {
     require(k >= 1, s"peek cadence must be >= 1, got $k")
     val arLags = FeatureOps.arCols(frame).map(c => c.stripPrefix(FeatureOps.ArPrefix).toInt)
     val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
     val isTestRow = col("is_test") && !col(IsFuture)
-    val test = withT.filter(isTestRow)
+    val test0 = withT.filter(isTestRow)
       .withColumn("_s", row_number().over(w))
-      .withColumn("_chunk", floor((col("_s") - 1) / k))
-      .withColumn("_j", (col("_s") - 1) % k + 1)
       .localCheckpoint(true)
+    val maxS = {
+      val r = test0.agg(max("_s")).first()
+      if (r.isNullAt(0)) 0 else r.getInt(0)
+    }
+    // dependency level of test position s (1-based): 1 + max level over
+    // uncut AR dependencies. Positions are aligned across series (the test
+    // slice is the last testLength rows of each), so ONE integer array
+    // covers every series — no per-series state.
+    val level = Array.ofDim[Int](maxS + 1)
+    for (s <- 1 to maxS) {
+      val deps = arLags.filter(l => s - l >= 1 && (s - l) % k != 0).map(l => level(s - l))
+      level(s) = if (deps.isEmpty) 1 else deps.max + 1
+    }
+    val maxLevel = if (maxS == 0) 0 else (1 to maxS).map(level).max
+    val test =
+      if (maxS == 0) test0.withColumn("_lvl", lit(1))
+      else test0.withColumn("_lvl",
+        element_at(array((1 to maxS).map(s => lit(level(s))): _*), col("_s")))
     // non-test rows score vectorized (train rows see actual AR cells)
     val fittedRest = model.transform(withT.filter(!isTestRow))
-    // one actuals map per series (computed once) + one per-chunk prediction
-    // map per iteration: filling all k AR lags is 2 joins + map lookups per
-    // iteration, independent of the lag count.
-    val actualsMap = withT.filter(!col(IsFuture))
+    // the ledger's actual values: everything before the test slice + the
+    // peek positions. Predictions everywhere else — actuals win at peeks.
+    val peekT = test0.filter(col("_s") % k === 0)
+      .select(col(SeriesId), col("_t"), col(Y).as("_v"))
+    val knownMap = withT.filter(!col(IsFuture) && !col("is_test"))
+      .select(col(SeriesId), col("_t"), col(Y).as("_v"))
+      .unionByName(peekT)
       .groupBy(SeriesId)
-      .agg(map_from_entries(collect_list(struct(col("_t"), col(Y)))).as("_am"))
+      .agg(map_from_entries(collect_list(struct(col("_t"), col("_v")))).as("_am"))
       .localCheckpoint(true)
     var predParts = List.empty[DataFrame]
     var preds = List.empty[DataFrame]
-    for (j <- 1 to k) {
-      var rows = test.filter(col("_j") === j).join(actualsMap, Seq(SeriesId), "left")
+    for (v <- 1 to maxLevel) {
+      var rows = test.filter(col("_lvl") === v).join(knownMap, Seq(SeriesId), "left")
       if (predParts.nonEmpty) {
         val predMap = predParts.reduce(_ unionByName _)
-          .groupBy(SeriesId, "_chunk")
+          .groupBy(SeriesId)
           .agg(map_from_entries(collect_list(struct(col("_t"), col("_vp")))).as("_pm"))
-        rows = rows.join(predMap, Seq(SeriesId, "_chunk"), "left")
+        rows = rows.join(predMap, Seq(SeriesId), "left")
       } else rows = rows.withColumn("_pm", lit(null).cast("map<int,double>"))
       for (l <- arLags) {
         val ar = s"${FeatureOps.ArPrefix}$l"
         rows = rows.drop(ar).withColumn(ar,
-          coalesce(element_at(col("_pm"), col("_t") - l),
-            element_at(col("_am"), col("_t") - l)))
+          coalesce(element_at(col("_am"), col("_t") - l),
+            element_at(col("_pm"), col("_t") - l)))
       }
       val scored = model.transform(rows.drop("_am", "_pm")).localCheckpoint(true)
-      predParts ::= scored.select(col(SeriesId), col("_t"), col("_chunk"),
-        col("yhat").as("_vp"))
+      predParts ::= scored.select(col(SeriesId), col("_t"), col("yhat").as("_vp"))
       preds ::= scored
     }
     val out = preds.foldLeft(fittedRest)((acc, p) =>
       acc.unionByName(p.select(fittedRest.columns.map(col).toSeq: _*)))
-    out.drop("_t", "_s", "_chunk", "_j", "_fraw", "_f")
+    out.drop("_t", "_s", "_lvl", "_fraw", "_f")
   }
 }

@@ -67,7 +67,7 @@ object Vecm {
   def johansenTrace(frame: DataFrame, seriesIds: Seq[String],
                     diffLags: Int = 1,
                     detOrder: Int = -1): (Array[Double], Array[Double], Int) = {
-    import breeze.linalg.{DenseMatrix, DenseVector, eig, inv}
+    import breeze.linalg.{DenseMatrix, DenseVector, inv}
     val k = seriesIds.length
     val withD = frame.filter(!col(IsFuture))
       .withColumn("_dy", col(Y) - lag(col(Y), 1).over(w))
@@ -106,8 +106,19 @@ object Vecm {
          sub(li, li) - sub(li, zi) * zzInv * sub(zi, li),
          sub(di, li) - sub(di, zi) * zzInv * sub(zi, li))
       }
-    val a = inv(s11) * s01.t * inv(s00) * s01
-    val lambda = eig(a).eigenvalues.toArray
+    // Generalized eigenproblem λ·S11·v = S10·S00⁻¹·S01·v, solved SYMMETRICALLY:
+    // whiten with the Cholesky factor S11 = L·Lᵀ and take eigSym of
+    // L⁻¹·M·L⁻ᵀ where M = S01ᵀ·S00⁻¹·S01 (symmetric PSD) — same spectrum as
+    // inv(S11)·M but guaranteed real eigenvalues (breeze `eig` on the
+    // non-symmetric product can emit complex pairs on near-degenerate data
+    // and silently distort the trace statistics).
+    val mSym = {
+      val m0 = s01.t * inv(s00) * s01
+      (m0 + m0.t) * 0.5 // symmetrize away 1e-16 asymmetry before eigSym
+    }
+    val lChol = breeze.linalg.cholesky((s11 + s11.t) * 0.5)
+    val lInv = inv(lChol)
+    val lambda = breeze.linalg.eigSym(lInv * mSym * lInv.t).eigenvalues.toArray
       .map(v => math.min(math.max(v, 0.0), 1.0 - 1e-12)).sorted.reverse
     val trace = Array.tabulate(k)(r =>
       -bigT * (r until k).map(i => math.log(1.0 - lambda(i))).sum)

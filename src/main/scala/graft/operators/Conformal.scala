@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Joins.maybeBroadcast
 import graft.core.SeriesFrame._
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
@@ -22,7 +23,7 @@ object Conformal {
     val widths = df.filter(col("is_test") && col(yhat).isNotNull && col(Y).isNotNull)
       .groupBy(SeriesId)
       .agg(expr(s"percentile(abs($Y - $yhat), $cilevel)").as("ci_width"))
-    df.join(broadcast(widths), Seq(SeriesId), "left")
+    df.join(maybeBroadcast(widths), Seq(SeriesId), "left")
       .withColumn("lower", col(yhat) - col("ci_width"))
       .withColumn("upper", col(yhat) + col("ci_width"))
   }
@@ -40,7 +41,7 @@ object Conformal {
     * predictions. */
   def transferIntervals(target: DataFrame, widths: DataFrame,
                         yhat: String = "yhat"): DataFrame =
-    target.join(broadcast(widths), Seq(SeriesId), "left")
+    target.join(maybeBroadcast(widths), Seq(SeriesId), "left")
       .withColumn("lower", col(yhat) - col("ci_width"))
       .withColumn("upper", col(yhat) + col("ci_width"))
 
@@ -67,7 +68,7 @@ object Conformal {
     forecast.withColumn("_step",
         when(col(IsFuture), row_number().over(
           Window.partitionBy(col(SeriesId), col(IsFuture)).orderBy(col(Ds)))))
-      .join(broadcast(widths), Seq(SeriesId, "_step"), "left")
+      .join(maybeBroadcast(widths), Seq(SeriesId, "_step"), "left")
       .withColumn("lower", col(yhat) - col("_w"))
       .withColumn("upper", col(yhat) + col("_w"))
       .drop("_step", "_w")

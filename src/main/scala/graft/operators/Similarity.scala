@@ -85,13 +85,52 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, each pair once. */
+  /** Per-vector banded hyperplane signature: `bands` independent bucket ids
+    * of `bitsPerBand` sign bits each, exploded to one (vid, band, band_val)
+    * row per band. OR-amplification: two vectors are candidates if ANY band
+    * matches, so recall rises with `bands` while each band's equi-join stays
+    * bounded — the same banding shape as [[graft.operators.Dedup.simhashPairs]]. */
+  def bandedSignatures(df: DataFrame, idCol: String, vecCol: String,
+                       bands: Int, bitsPerBand: Int): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val bandVals = (0 until bands).map { b =>
+      val bucket = (0 until bitsPerBand).map { bit =>
+        val plane = b * bitsPerBand + bit
+        val proj = aggregate(
+          zip_with(col("v"), transform(sequence(lit(0), size(col("v")) - 1),
+            d => planeCoef(plane, d)), (x, w) => x * w),
+          lit(0.0), (acc, z) => acc + z)
+        when(proj > 0, lit(1L << bit)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("band_val"))
+    }
+    p.select(col("vid"), col("v"), col("nrm"),
+        explode(array(bandVals: _*)).as("_bv"))
+      .select(col("vid"), col("v"), col("nrm"),
+        col("_bv.band").as("band"), col("_bv.band_val").as("band_val"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, each pair once.
+    *
+    * Candidate generation is an EQUI-join on (band, band_val) over banded
+    * hyperplane signatures — never an all-pairs non-equi self-join: the plan
+    * is shuffle-keyed by band value and cost is O(n·bands + Σ bucket²), the
+    * 100 TB shape. Exact cosine then re-checks every candidate, so precision
+    * is exact; recall is governed by (bands, bitsPerBand) — at near-dup
+    * thresholds (≥ ~0.9 ⇒ angle ≤ 26°) a plane splits a pair with
+    * probability θ/π ≤ 0.14, so 16 bands of 8 bits give a pair miss rate of
+    * (1 − (1−θ/π)^8)^16 < 1e-3; ExactPropertySpec pins equality with the
+    * brute-force definition on the fixture. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
-    val p = prepared(df, idCol, vecCol).cache()
-    p.as("a").join(p.as("b"), col("a.vid") < col("b.vid"))
+                         threshold: Double, bands: Int = 16,
+                         bitsPerBand: Int = 8): DataFrame = {
+    val sigs = bandedSignatures(df, idCol, vecCol, bands, bitsPerBand)
+    sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

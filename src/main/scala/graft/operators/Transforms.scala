@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Joins.maybeBroadcast
 import graft.core.SeriesFrame._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -35,7 +36,7 @@ final case class ExprTransform(
 ) extends FittedTransform {
 
   private def withParams(df: DataFrame): DataFrame =
-    df.join(broadcast(params), Seq(SeriesId), "left")
+    df.join(maybeBroadcast(params), Seq(SeriesId), "left")
 
   def transform(df: DataFrame): DataFrame =
     withParams(df).withColumn(Y, fwd(col(Y), col("p1"), col("p2"))).drop("p1", "p2")
@@ -69,12 +70,29 @@ object Transforms {
       y => (pow(y, lambda) - 1) / lambda,
       y => pow(y * lambda + 1, 1.0 / lambda))(df)
 
+  /** Per-series argmax over a candidate grid, fully distributed: the stats
+    * frame has one row per series with `ll(candidate_i)` derivable as a column
+    * expression; the winner comes from `array_max` over (ll, −i, λ) structs
+    * (struct ordering ⇒ max ll, ties to the EARLIEST candidate — the same
+    * contract as Scala's maxBy on the driver, which this replaces). No
+    * observation row and no stats row ever reaches the driver. */
+  private def gridArgmax(stats: DataFrame, candidates: Seq[Double],
+                         ll: (Double, Int) => Column): DataFrame = {
+    val cells = candidates.zipWithIndex.map { case (l, i) =>
+      struct(ll(l, i).as("ll"), lit(-i).as("ni"), lit(l).as("lam"))
+    }
+    stats.select(col(SeriesId),
+      array_max(array(cells: _*)).getField("lam").as("p1"), lit(0.0).as("p2"))
+  }
+
   /** Box-Cox with per-series MLE λ — `add_pt_terms(method='box-cox')`
     * (/root/reference/src/scalecast/_Forecaster_parent.py:675-718, sklearn
     * PowerTransformer). Profile log-likelihood
     * ll(λ) = −(n/2)·ln(var(bc(y,λ))) + (λ−1)·Σ ln y is evaluated for every
-    * candidate λ in ONE aggregation pass (sum/sumsq pairs per λ), the argmax
-    * picked from the per-series stat row. Requires y > 0. */
+    * candidate λ in ONE aggregation pass (sum/sumsq pairs per λ); the argmax
+    * is a per-row expression over the stats frame ([[gridArgmax]]), so the
+    * whole fit is two narrow distributed ops at any series count.
+    * Requires y > 0. */
   def boxcoxMleT(df: DataFrame, candidates: Seq[Double] = (-20 to 20).map(_ / 10.0),
                  trainEnd: Option[String] = None): ExprTransform = {
     val obs = trainSlice(df, trainEnd)
@@ -82,19 +100,14 @@ object Transforms {
       val bc = if (l == 0.0) log(col(Y)) else (pow(col(Y), l) - 1) / l
       Seq(sum(bc).as(s"_s$i"), sum(bc * bc).as(s"_q$i"))
     } ++ Seq(count(lit(1)).as("_n"), sum(log(col(Y))).as("_slog"))
-    val stats = obs.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*).collect()
-    val spark = df.sparkSession
-    import spark.implicits._
-    val lambdas = stats.map { r =>
-      val n = r.getAs[Long]("_n").toDouble
-      val slog = r.getAs[Double]("_slog")
-      val best = candidates.zipWithIndex.maxBy { case (l, i) =>
-        val s = r.getAs[Double](s"_s$i"); val q = r.getAs[Double](s"_q$i")
-        val v = q / n - (s / n) * (s / n)
-        if (v <= 0) Double.MinValue else -(n / 2.0) * math.log(v) + (l - 1.0) * slog
-      }._1
-      (r.getAs[String](SeriesId), best, 0.0)
-    }.toSeq.toDF(SeriesId, "p1", "p2")
+    val stats = obs.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*)
+    val lambdas = gridArgmax(stats, candidates, (l, i) => {
+      val n = col("_n").cast("double")
+      val s = col(s"_s$i"); val q = col(s"_q$i")
+      val v = q / n - (s / n) * (s / n)
+      when(v <= 0, lit(Double.MinValue))
+        .otherwise(-(n / 2.0) * log(v) + col("_slog") * (l - 1.0))
+    })
     ExprTransform("boxcox_mle", lambdas,
       (y, l, _) => when(l === 0.0, log(y)).otherwise((pow(y, l) - 1) / l),
       (y, l, _) => when(l === 0.0, exp(y)).otherwise(pow(y * l + 1, lit(1.0) / l)))
@@ -148,8 +161,8 @@ object Transforms {
   /** DetrendTransform(poly_order = n) (SeriesTransformer.py:121-311): subtract
     * a per-series polynomial OLS fit of y on the row index. Normal-equation
     * moments are ONE distributed aggregate (k = order+1 ≤ ~4); the tiny
-    * per-series solve runs on the driver (Breeze), coefficients broadcast
-    * back. `basis` exponents 0..order. */
+    * per-series solve maps over the stats rows on the executors.
+    * `basis` exponents 0..order. */
   def detrendPolyT(df: DataFrame, order: Int,
                    trainEnd: Option[String] = None): DetrendBasis = {
     require(order >= 1, "poly order must be >= 1")
@@ -160,10 +173,16 @@ object Transforms {
   def detrendLnT(df: DataFrame, trainEnd: Option[String] = None): DetrendBasis =
     detrendBasisT(df, Seq((_: Column) => lit(1.0), (t: Column) => log(t)), trainEnd)
 
-  /** Shared basis-function detrend: per-series OLS of y on basis(t). */
+  /** Shared basis-function detrend: per-series OLS of y on basis(t). The
+    * normal-equation moments (k ≤ ~4) are ONE distributed aggregate, and the
+    * tiny k×k solve runs as a distributed `map` over the per-series stats
+    * rows (Breeze on the executors) — the params frame stays partitioned, so
+    * nothing per-series ever reaches the driver at any series count. */
   private def detrendBasisT(df: DataFrame, basis: Seq[Column => Column],
                             trainEnd: Option[String]): DetrendBasis = {
     import breeze.linalg.{DenseMatrix, DenseVector}
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
     val k = basis.length
     val withT = df.withColumn("_t", row_number().over(w).cast("double"))
     val b = basis.map(f => f(col("_t")))
@@ -171,24 +190,17 @@ object Transforms {
       yield sum(b(i) * b(j)).as(s"_sa_${i}_$j")) ++
       (0 until k).map(i => sum(b(i) * col(Y)).as(s"_sb_$i"))
     val stats = trainSlice(withT, trainEnd).groupBy(SeriesId)
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val spark = df.sparkSession
-    val rows = stats.map { r =>
+      .agg(aggs.head, aggs.tail: _*)
+    val schema = StructType(StructField(SeriesId, StringType) +:
+      (0 until k).map(i => StructField(s"c_$i", DoubleType)))
+    val params = stats.map({ r =>
       val xtx = DenseMatrix.tabulate(k, k)((i, j) =>
         r.getDouble(r.fieldIndex(s"_sa_${math.max(i, j)}_${math.min(i, j)}")))
       val xty = DenseVector.tabulate(k)(i => r.getDouble(r.fieldIndex(s"_sb_$i")))
       val beta = xtx \ xty
-      org.apache.spark.sql.Row.fromSeq(
-        r.getString(r.fieldIndex(SeriesId)) +: (0 until k).map(beta(_)))
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField(SeriesId,
-        org.apache.spark.sql.types.StringType) +:
-      (0 until k).map(i => org.apache.spark.sql.types.StructField(s"c_$i",
-        org.apache.spark.sql.types.DoubleType)))
-    val params = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toList, 1), schema)
-    DetrendBasis(basis, params, k)
+      Row.fromSeq(r.getString(r.fieldIndex(SeriesId)) +: (0 until k).map(beta(_)))
+    })(Encoders.row(schema))
+    DetrendBasis(basis, params.toDF(), k)
   }
 
   /** DetrendTransform(loess = True): subtract a per-series LOWESS trend
@@ -322,19 +334,14 @@ object Transforms {
       Seq(sum(p).as(s"_s$i"), sum(p * p).as(s"_q$i"))
     } ++ Seq(count(lit(1)).as("_n"),
       sum(signum(col(Y)) * log(abs(col(Y)) + 1)).as("_slog"))
-    val stats = obs.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*).collect()
-    val spark = df.sparkSession
-    import spark.implicits._
-    val lambdas = stats.map { r =>
-      val n = r.getAs[Long]("_n").toDouble
-      val slog = r.getAs[Double]("_slog")
-      val best = candidates.zipWithIndex.maxBy { case (l, i) =>
-        val s = r.getAs[Double](s"_s$i"); val q = r.getAs[Double](s"_q$i")
-        val v = q / n - (s / n) * (s / n)
-        if (v <= 0) Double.MinValue else -(n / 2.0) * math.log(v) + (l - 1.0) * slog
-      }._1
-      (r.getAs[String](SeriesId), best, 0.0)
-    }.toSeq.toDF(SeriesId, "p1", "p2")
+    val stats = obs.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*)
+    val lambdas = gridArgmax(stats, candidates, (l, i) => {
+      val n = col("_n").cast("double")
+      val s = col(s"_s$i"); val q = col(s"_q$i")
+      val v = q / n - (s / n) * (s / n)
+      when(v <= 0, lit(Double.MinValue))
+        .otherwise(-(n / 2.0) * log(v) + col("_slog") * (l - 1.0))
+    })
     // ψ preserves sign, so the inverse branches on sign(ψ) the same way
     val fwd = (y: Column, l: Column, _: Column) => when(y >= 0,
         when(l === 0.0, log(y + 1)).otherwise((pow(y + 1, l) - 1) / l))
@@ -403,7 +410,7 @@ final case class DiffTransform(m: Int, stash: DataFrame) extends FittedTransform
 final case class DetrendLinear(params: DataFrame) extends FittedTransform {
   private def withTrend(df: DataFrame): DataFrame =
     df.withColumn("_t", row_number().over(w).cast("double"))
-      .join(broadcast(params), Seq(SeriesId), "left")
+      .join(maybeBroadcast(params), Seq(SeriesId), "left")
       .withColumn("_trend", col("intercept") + col("slope") * col("_t"))
 
   def transform(df: DataFrame): DataFrame =
@@ -426,7 +433,7 @@ final case class DetrendBasis(basis: Seq[Column => Column], params: DataFrame,
     val trend = basis.zipWithIndex
       .map { case (f, i) => col(s"c_$i") * f(t) }
       .reduce(_ + _)
-    df.join(broadcast(params), Seq(SeriesId), "left").withColumn("_trend", trend)
+    df.join(maybeBroadcast(params), Seq(SeriesId), "left").withColumn("_trend", trend)
   }
   private def cleanup(df: DataFrame): DataFrame =
     df.drop(("_trend" +: (0 until k).map(i => s"c_$i")): _*)
@@ -445,7 +452,7 @@ final case class DetrendLoess(trend: DataFrame) extends FittedTransform {
   private def withTrend(df: DataFrame): DataFrame = {
     val filled = last(col("_trend"), ignoreNulls = true)
       .over(w.rowsBetween(Window.unboundedPreceding, 0))
-    df.join(broadcast(trend), Seq(SeriesId, Ds), "left")
+    df.join(maybeBroadcast(trend), Seq(SeriesId, Ds), "left")
       .withColumn("_trend", filled)
   }
   def transform(df: DataFrame): DataFrame =
@@ -460,7 +467,7 @@ final case class DetrendLoess(trend: DataFrame) extends FittedTransform {
 final case class Deseason(m: Int, seasonal: DataFrame) extends FittedTransform {
   private def withSeasonal(df: DataFrame): DataFrame =
     df.withColumn("_phase", pmod(row_number().over(w) - 1, lit(m)))
-      .join(broadcast(seasonal), Seq(SeriesId, "_phase"), "left")
+      .join(maybeBroadcast(seasonal), Seq(SeriesId, "_phase"), "left")
 
   def transform(df: DataFrame): DataFrame =
     withSeasonal(df).withColumn(Y, col(Y) - col("seasonal")).drop("_phase", "seasonal")

@@ -37,7 +37,8 @@ class AutoSelectSpec extends SparkSpec {
 
   test("periodogram peaks at the true frequency") {
     val ys = (0 until 48).map(t => 10 * math.sin(2 * math.Pi * 4 * t / 48.0))
-    val p = AutoSelect.periodogram(obsSeries(ys), "s")
+    val p = AutoSelect.periodogram(obsSeries(ys))
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
     assert(p.maxBy(_._2)._1 === 4)
   }
 

@@ -64,6 +64,61 @@ class ExactPropertySpec extends SparkSpec {
     assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
   }
 
+  test("banded cosineNearDupPairs equals the brute-force all-pairs definition") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // planted near-dup clusters: 12 base vectors, each with two tiny
+    // perturbations (cos sim > 0.99); cross-cluster sims stay far below 0.95
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val vecs = (0 until 12).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { j =>
+        val v = base.map(x => x + (if (j == 0) 0f else 0.02f * rnd.nextGaussian().toFloat))
+        (c.toLong * 3 + j, v.toSeq)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = toSet(Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.95))
+    val p = Similarity.prepared(df, "vec_id", "embedding")
+    val brute = toSet(p.as("a").join(p.as("b"), col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        (Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= 0.95))
+    assert(brute.nonEmpty, "fixture must contain true near-dup pairs")
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
+  test("dynamicTestForecast AR(2), 1<k<testLength matches the reference's sequential ledger") {
+    // the hard case: a lag can reach across a chunk boundary into a NON-peek
+    // position, where the reference keeps the earlier PREDICTION (models.py
+    // predict: series.append(peeks[i]) only when (i+1) % k == 0)
+    val ys = (1 to 72).map(i => 20.0 + 0.3 * i + 4 * math.sin(i / 2.0) + ((i * 7) % 5))
+    val testLen = 12; val k = 2
+    val flagged = FeatureOps.addArTerms(
+      SeriesFrame.withTestFlag(obsSeries(ys), testLen), 2)
+    val model = MllibTsEstimator("mlr", Seq("ar_1", "ar_2")).fit(flagged)
+    val got = Recursive.dynamicTestForecast(flagged, model, k)
+      .filter(col("is_test")).orderBy("ds")
+      .collect().map(_.getAs[Double]("yhat")).toSeq
+    // driver replay of the reference loop on the fitted coefficients
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    val b = lr.coefficients.toArray; val a = lr.intercept
+    val nTrain = ys.length - testLen
+    val ledger = scala.collection.mutable.ArrayBuffer(ys.take(nTrain): _*)
+    val expected = (1 to testLen).map { s =>
+      val pred = a + b(0) * ledger(ledger.length - 1) + b(1) * ledger(ledger.length - 2)
+      ledger += (if (s % k == 0) ys(nTrain + s - 1) else pred)
+      pred
+    }
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-8, s"got $g expected $e")
+    }
+  }
+
   test("dynamicTestForecast with k=1 equals one-step-ahead vectorized scoring") {
     val ys = (1 to 60).map(i => 5.0 + 0.6 * i + 2 * math.sin(i / 3.0))
     val flagged = FeatureOps.addArTerms(

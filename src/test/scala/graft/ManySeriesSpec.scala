@@ -47,6 +47,47 @@ class ManySeriesSpec extends SparkSpec {
     assert(scored.filter(col("yhat").isNull || isnan(col("yhat"))).count() == 0)
   }
 
+  test("boxcoxMleT + adfT stay distributed and complete over 10^4 series") {
+    // distinct per-series shapes: exponential growth rate varies with the
+    // series index, so the MLE λ must differ across series (argmax really is
+    // per-series, not a shared constant)
+    import spark.implicits._
+    val n = 10000; val obs = 24
+    // even series: pure exponential growth (MLE λ → 0); odd: linear (λ → 1)
+    val big = spark.range(n.toLong * obs).select(
+      format_string("s%05d", (col("id") / obs).cast("int")).as("series_id"),
+      expr("date_add(date '2020-01-01', cast(id % 24 as int) * 7)").cast("date").as("ds"),
+      when(((col("id") / obs) % 2) === 0,
+          exp((col("id") % obs).cast("double") * 0.3) * (sin(col("id").cast("double")) * 0.05 + 1.0))
+        .otherwise((col("id") % obs).cast("double") * 3.0 + 5.0 +
+          sin(col("id").cast("double"))).as("y"),
+      lit(false).as("is_future"))
+    val t0 = graft.operators.Transforms.boxcoxMleT(big, Seq(-0.5, 0.0, 0.5, 1.0))
+    val lam = t0.params.groupBy("p1").count()
+    assert(t0.params.count() == n.toLong)
+    assert(lam.count() >= 2, "λ must vary across series")
+    val adf = graft.functions.Diagnostics.adfT(big)
+    assert(adf.count() == n.toLong)
+    assert(adf.filter(col("adf_t").isNull || isnan(col("adf_t"))).count() == 0)
+  }
+
+  test("param joins give identical results with the broadcast gate on and off") {
+    val base = manySeries()
+    def run(): Set[(String, String, Double)] = {
+      val t = graft.operators.Transforms.scaleT(base)
+      val scored = graft.models.Baselines.naiveForecast(
+        SeriesFrame.withMonthlyHorizon(t.transform(base), 3), 1)
+      scored.filter(col("is_future"))
+        .select(col("series_id"), col("ds").cast("string"), round(col("yhat"), 9))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    }
+    val key = graft.core.Joins.ModeKey
+    spark.conf.set(key, "shuffle")
+    val viaShuffle = try run() finally spark.conf.set(key, "broadcast")
+    val viaBroadcast = try run() finally spark.conf.unset(key)
+    assert(viaShuffle == viaBroadcast && viaShuffle.size == nSeries * 3)
+  }
+
   test("inferFreq and withTestFlag stay per-series on a shared frame") {
     val df = manySeries()
     assert(SeriesFrame.inferFreq(df) == "MS")

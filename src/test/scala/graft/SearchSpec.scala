@@ -33,8 +33,10 @@ class SearchSpec extends SparkSpec {
     val rnd = new scala.util.Random(11)
     val gauss = (0 until 300).map(_ => rnd.nextGaussian())
     val expo = (0 until 300).map(_ => -math.log(rnd.nextDouble()))
-    val pg = graft.functions.Diagnostics.normalityTest(obsSeries(gauss)).head._3
-    val pe = graft.functions.Diagnostics.normalityTest(obsSeries(expo)).head._3
+    val pg = graft.functions.Diagnostics.normalityTest(obsSeries(gauss))
+      .select("pvalue").first().getDouble(0)
+    val pe = graft.functions.Diagnostics.normalityTest(obsSeries(expo))
+      .select("pvalue").first().getDouble(0)
     assert(pg > 0.05, s"gaussian p=$pg")
     assert(pe < 0.01, s"exponential p=$pe")
   }
@@ -165,8 +167,8 @@ class SearchSpec extends SparkSpec {
   test("ADF t-stat: stationary noise is clearly more negative than a random walk") {
     val noise = (0 until 80).map(t => ((t * 37) % 11).toDouble - 5)
     val walk = noise.scanLeft(0.0)(_ + _).tail
-    val tNoise = Diagnostics.adfT(obsSeries(noise)).head._2
-    val tWalk = Diagnostics.adfT(obsSeries(walk)).head._2
+    val tNoise = Diagnostics.adfT(obsSeries(noise)).select("adf_t").first().getDouble(0)
+    val tWalk = Diagnostics.adfT(obsSeries(walk)).select("adf_t").first().getDouble(0)
     assert(tNoise < tWalk, s"stationary $tNoise should be < walk $tWalk")
     assert(tNoise < -2.86) // rejects unit root at 5%
   }
