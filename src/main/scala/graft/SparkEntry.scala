@@ -81,7 +81,11 @@ object SparkEntry {
     "doc_pipeline"       -> ((s, d) => qDocPipeline(s, d)),
     "events_forecast"    -> ((s, d) => qEventsForecast(s, d)),
     "ts_arma"            -> ((s, d) => qArma(s, d)),
-    "emb_norms"          -> ((s, d) => qEmbNorms(s, d))
+    "emb_norms"          -> ((s, d) => qEmbNorms(s, d)),
+    "doc_neardup_cosine" -> ((s, d) => qDocNearDupCosine(s, d)),
+    "ts_prophet_like"    -> ((s, d) => qProphetLike(s, d)),
+    "ts_backtest_metrics" -> ((s, d) => qBacktestMetrics(s, d)),
+    "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -211,10 +215,33 @@ object SparkEntry {
         col(IsFuture))
   }
 
+  /** prophet_like named estimator (the documented prophet substitution):
+    * linear growth + order-2 Fourier seasonality at m=12, vectorized over
+    * observed + horizon. Oracle replays the 5-feature OLS via Cholesky with
+    * the SAME angular-coefficient double literals. */
+  private def qProphetLike(s: SparkSession, d: String): DataFrame =
+    graft.models.ProphetLike.forecast(withMonthlyHorizon(zOrdersMonthly(s, d), 12))
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("yhat"), 6).as("yhat"), col(IsFuture))
+
   private def qSes(s: SparkSession, d: String): DataFrame =
     graft.models.Smoothing.ses(withMonthlyHorizon(zOrdersMonthly(s, d), 6), 0.3)
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(col("yhat"), 6).as("yhat"), col(IsFuture))
+
+  /** Optimized HWES: the (α, β, γ) grid search over in-sample SSE
+    * (statsmodels optimized=True spirit, Smoothing.holtWintersGridSearch).
+    * The oracle replays all 9 recursions in ONE recursive CTE whose state
+    * carries the grid point, then takes the argmin. */
+  private def qHwOpt(s: SparkSession, d: String): DataFrame = {
+    val grid = for (a <- Seq(0.2, 0.5, 0.8); b <- Seq(0.1); g <- Seq(0.1, 0.3, 0.5))
+      yield (a, b, g)
+    val ((a, b, g), sse) = graft.models.Smoothing.holtWintersGridSearch(
+      zOrdersMonthly(s, d), 12, grid, parallelism = 4)
+    import s.implicits._
+    Seq((a, b, g, sse)).toDF("alpha", "beta", "gamma", "sse")
+      .select(col("alpha"), col("beta"), col("gamma"), round(col("sse"), 6).as("sse"))
+  }
 
   private def qHoltWinters(s: SparkSession, d: String): DataFrame =
     graft.models.Smoothing.holtWinters(withMonthlyHorizon(zOrdersMonthly(s, d), 12),
@@ -328,6 +355,17 @@ object SparkEntry {
       .select(col("iter").cast("long").as("iter"), col(SeriesId),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
 
+  /** `backtest_metrics` pivot: same backtest as ts_backtest, reshaped to
+    * (series, metric) × iter_0..2 + Average (util.py:112-230). */
+  private def qBacktestMetrics(s: SparkSession, d: String): DataFrame = {
+    val perIter = graft.eval.Evaluation.backtest(zOrdersMonthly(s, d), 3, 12, 6,
+      f => Baselines.naiveFitted(f, 12), Seq("rmse", "mae"), parallelism = 3)
+    graft.eval.Evaluation.backtestMetrics(perIter, Seq("rmse", "mae"), 3)
+      .select(col(SeriesId), col("metric"),
+        round(col("iter_0"), 6).as("iter_0"), round(col("iter_1"), 6).as("iter_1"),
+        round(col("iter_2"), 6).as("iter_2"), round(col("average"), 6).as("average"))
+  }
+
   /** MASE + MSIS (M4 definitions) for the seasonal-naive on a 24-ob test
     * slice: numerators over the test slice, the shared seasonal-difference
     * denominator over train (Metrics.py:177-246). */
@@ -404,6 +442,18 @@ object SparkEntry {
   private def qMultimodal(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.withBinaryPayload(Tables.documents(s, d), "text")).toDF()
+
+  /** Embedding-cosine near-duplicate pairs over deterministic char-trigram
+    * embeddings (the docs near-dup path when no learned embedding exists):
+    * banded hyperplane LSH candidates via equi-join, exact cosine re-check.
+    * The oracle is the brute-force all-pairs definition — banded recall at
+    * sim ≥ 0.98 is < 1e-6 miss probability and exact on this fixture. */
+  private def qDocNearDupCosine(s: SparkSession, d: String): DataFrame = {
+    val vecs = TextOps.trigramVectors(Tables.documents(s, d), "doc_id", "text")
+    Similarity.cosineNearDupPairs(vecs, "vid", "vec", 0.98)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("sim"), 6).as("sim"))
+  }
 
   private def qEmbKnn(s: SparkSession, d: String): DataFrame =
     Similarity.cosineKnn(Tables.embeddings(s, d), "vec_id", "embedding", 5,
@@ -879,6 +929,24 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
+    // brute-force definition of the trigram-embedding near-dup pairs (the
+    // Spark side goes through banded-LSH blocking; precision is exact and
+    // recall on this fixture is proven equal by ExactPropertySpec + this hash)
+    "doc_neardup_cosine" ->
+      """WITH tri AS (
+        |  SELECT doc_id,
+        |    (CAST(concat('0x', substr(md5(substr(text, i, 3)), 1, 4)) AS BIGINT) % 64) AS b
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-2)) AS i)
+        |),
+        |vec AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM tri GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sqrt(sum(c*c)) AS n FROM vec GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS qa, b.doc_id AS qb, sum(a.c*b.c) AS d
+        |  FROM vec a JOIN vec b ON a.b = b.b AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sims AS (SELECT qa, qb, d / (na.n * nb.n) AS sim
+        |  FROM dots JOIN nrm na ON na.doc_id = qa JOIN nrm nb ON nb.doc_id = qb)
+        |SELECT qa AS doc_a, qb AS doc_b, ROUND(sim, 6) AS sim
+        |FROM sims WHERE sim >= 0.98""".stripMargin,
+
     "emb_norms" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |    len(embedding) AS dim FROM embeddings)
@@ -911,6 +979,30 @@ object SparkEntry {
          |        TRUE AS is_future
          |        FROM nn, fit, yt, generate_series(1, 12) g(i))
          |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin,
+
+    // prophet_like: trend + order-2 Fourier OLS; the sin/cos angular
+    // coefficients are spliced as the SAME Scala double literals the Spark
+    // side uses, so both engines evaluate sin(c*t) on identical bits.
+    "ts_prophet_like" -> {
+      val w1 = graft.models.ProphetLike.omega(1, 12.0)
+      val w2 = graft.models.ProphetLike.omega(2, 12.0)
+      val xs = Seq("t", s"sin($w1 * t)", s"cos($w1 * t)", s"sin($w2 * t)", s"cos($w2 * t)")
+      val pred = s"beta_0 + beta_1*t + beta_2*sin($w1 * t) + beta_3*cos($w1 * t) " +
+        s"+ beta_4*sin($w2 * t) + beta_5*cos($w2 * t)"
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |nn AS (SELECT count(*) AS n, max(ds) AS ld FROM s2),
+         |${OracleGen.momentsCte("pl", xs, "s2")},
+         |${OracleGen.solveCtes("pl", 5)},
+         |obs AS (SELECT series_id, ds, ROUND(y, 6) AS y, ROUND($pred, 6) AS yhat,
+         |        FALSE AS is_future FROM s2, pl_fit),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y, ROUND($pred, 6) AS yhat, TRUE AS is_future
+         |        FROM nn, pl_fit, LATERAL (SELECT i, CAST(n + i AS DOUBLE) AS t
+         |                                  FROM generate_series(1, 12) g(i)))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
+    },
 
     "ts_ses" ->
       s"""$ZS,
@@ -989,6 +1081,32 @@ object SparkEntry {
          |  ROUND(sqrt(avg(pow(yhat - y, 2))), 6) AS rmse,
          |  ROUND(avg(abs(yhat - y)), 6) AS mae
          |FROM te GROUP BY 1, 2""".stripMargin,
+
+    // backtest_metrics: the ts_backtest math pivoted to (series, metric) ×
+    // iter columns; average = (i0+i1+i2)/3 in the same explicit order as the
+    // Spark reduce so both engines add identically before rounding.
+    "ts_backtest_metrics" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS t FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |iters AS (SELECT i AS it FROM generate_series(0, 2) g(i)),
+         |fr AS (SELECT s2.*, it, n FROM s2, iters, nn WHERE t <= n - it * 6),
+         |te AS (SELECT fr.series_id, fr.it, fr.y, b.y AS yhat
+         |       FROM fr JOIN s2 b ON b.t = fr.t - 12
+         |       WHERE fr.t > fr.n - fr.it * 6 - 12),
+         |per AS (SELECT it, series_id,
+         |        sqrt(avg(pow(yhat - y, 2))) AS rmse, avg(abs(yhat - y)) AS mae
+         |        FROM te GROUP BY 1, 2),
+         |lng AS (SELECT series_id, 'rmse' AS metric, it, rmse AS v FROM per
+         |        UNION ALL SELECT series_id, 'mae', it, mae FROM per),
+         |pv AS (SELECT series_id, metric,
+         |       max(CASE WHEN it = 0 THEN v END) AS i0,
+         |       max(CASE WHEN it = 1 THEN v END) AS i1,
+         |       max(CASE WHEN it = 2 THEN v END) AS i2
+         |       FROM lng GROUP BY 1, 2)
+         |SELECT series_id, metric, ROUND(i0, 6) AS iter_0, ROUND(i1, 6) AS iter_1,
+         |  ROUND(i2, 6) AS iter_2, ROUND((i0 + i1 + i2) / 3, 6) AS average
+         |FROM pv""".stripMargin,
 
     "ts_mase_msis" ->
       s"""$ZS,
@@ -1190,6 +1308,38 @@ object SparkEntry {
          |        ROUND(fin.level + i * fin.trend + fin.seas[i], 6) AS yhat, TRUE AS is_future
          |        FROM agg, fin, generate_series(1, 12) g(i))
          |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin,
+
+    // HW grid search: all 9 (α, β, γ) recursions advance in ONE recursive
+    // CTE (the grid point is part of the state), SSE accumulates in time
+    // order, argmin at the end — mirrors holtWintersGridSearch exactly.
+    "ts_hw_opt" ->
+      s"""$ZSR,
+         |s2 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS INT) AS t FROM series),
+         |agg AS (SELECT list(y ORDER BY ds) AS ys, CAST(count(*) AS INT) AS n FROM s2),
+         |init AS (SELECT n,
+         |         (${(1 to 12).map(i => s"ys[$i]").mkString(" + ")}) / 12.0 AS m1,
+         |         (${(13 to 24).map(i => s"ys[$i]").mkString(" + ")}) / 12.0 AS m2,
+         |         (m2 - m1) / 12.0 AS b0,
+         |         list_transform(ys[1:12], s -> s - m1) AS seas0 FROM agg),
+         |grid AS (SELECT CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b,
+         |                CAST(g AS DOUBLE) AS g
+         |         FROM (VALUES (0.2), (0.5), (0.8)) va(a),
+         |              (VALUES (0.1)) vb(b),
+         |              (VALUES (0.1), (0.3), (0.5)) vg(g)),
+         |hw AS (
+         |  SELECT a, b, g, 0 AS t, m1 AS level, b0 AS trend, seas0 AS seas,
+         |         CAST(0.0 AS DOUBLE) AS sse FROM init, grid
+         |  UNION ALL
+         |  SELECT hw.a, hw.b, hw.g, s2.t,
+         |    hw.a * (s2.y - hw.seas[1]) + (1 - hw.a) * (hw.level + hw.trend) AS newlevel,
+         |    hw.b * (newlevel - hw.level) + (1 - hw.b) * hw.trend,
+         |    hw.seas[2:] || [hw.g * (s2.y - newlevel) + (1 - hw.g) * hw.seas[1]],
+         |    hw.sse + pow(hw.level + hw.trend + hw.seas[1] - s2.y, 2)
+         |  FROM hw JOIN s2 ON s2.t = hw.t + 1),
+         |fin AS (SELECT a, b, g, sse FROM hw, agg WHERE hw.t = agg.n)
+         |SELECT a AS alpha, b AS beta, g AS gamma, ROUND(sse, 6) AS sse
+         |FROM fin ORDER BY sse, a, b, g LIMIT 1""".stripMargin,
 
     // AR(3) OLS (Cholesky) + 12-step dynamic recursion carrying the last
     // three predictions through a recursive CTE.

@@ -82,6 +82,28 @@ object Evaluation {
     iters.reduce(_ unionByName _)
   }
 
+  /** `backtest_metrics` result table
+    * (/root/reference/src/scalecast/util.py:112-230): pivot the
+    * per-iteration long rows of [[backtest]] into one row per
+    * (series, metric) with `iter_<i>` columns plus the across-iteration
+    * `average` — the reference's Iter1..N + Average frame. The pivot axis is
+    * the BOUNDED iteration count (a static column list), so the plan stays
+    * one shuffle keyed by (series, metric) and scales with series count. */
+  def backtestMetrics(perIter: DataFrame, metricNames: Seq[String],
+                      nIter: Int): DataFrame = {
+    require(nIter >= 1 && metricNames.nonEmpty, "need >= 1 iteration and metric")
+    val stackArgs = metricNames.map(m => s"'$m', $m").mkString(", ")
+    val long = perIter.selectExpr(SeriesId, "iter",
+      s"stack(${metricNames.size}, $stackArgs) AS (metric, _value)")
+    val pivoted = long.groupBy(SeriesId, "metric")
+      .pivot("iter", 0 until nIter).agg(first("_value"))
+    val iterCols = (0 until nIter).map(i => col(i.toString))
+    pivoted.select(
+      (Seq(col(SeriesId), col("metric")) ++
+        iterCols.zipWithIndex.map { case (c, i) => c.as(s"iter_$i") }) :+
+        (iterCols.reduce(_ + _) / nIter).as("average"): _*)
+  }
+
   /** MV `optimize_on` (/root/reference/src/scalecast/MVForecaster.py:151-156,
     * 412-444): collapse per-series metric rows into the single model-selection
     * scalar — "mean"/"min"/"max" across series, a specific series_id, or

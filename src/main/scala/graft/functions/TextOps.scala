@@ -47,6 +47,30 @@ object TextOps {
           + lit(0.2) * least(col("n_tokens") / 100.0, lit(1.0)))
   }
 
+  /** Deterministic character-trigram count embedding: `dims`-dimensional
+    * vector where v[j] = number of char trigrams whose md5-derived bucket is
+    * j. Near-duplicate texts share almost all trigrams, so their cosine
+    * similarity approaches 1 — the portable "embedding" feeding
+    * [[graft.operators.Similarity.cosineNearDupPairs]] when no learned
+    * embedding column exists. Pure Column expressions (explode + one
+    * groupBy), reproducible across engines via the md5 bucketing. */
+  def trigramVectors(df: DataFrame, idCol: String, textCol: String,
+                     dims: Int = 64): DataFrame = {
+    val tris = df.select(col(idCol).as("vid"),
+      explode(expr(
+        s"CASE WHEN length($textCol) >= 3 THEN " +
+        s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)) " +
+        "ELSE array() END")).as("_tri"))
+    val counts = tris
+      .withColumn("_b", conv(substring(md5(col("_tri")), 1, 4), 16, 10).cast("long") % dims)
+      .groupBy("vid", "_b").agg(count(lit(1)).cast("double").as("_c"))
+    counts.groupBy("vid")
+      .agg(map_from_entries(collect_list(struct(col("_b"), col("_c")))).as("_m"))
+      .select(col("vid"),
+        expr(s"transform(sequence(0, ${dims - 1}), j -> coalesce(_m[cast(j AS BIGINT)], 0.0d))")
+          .as("vec"))
+  }
+
   /** Profile scores: fraction of tokens belonging to each named marker set —
     * the n-gram-profile language-ID heuristic generalized to arbitrary
     * profiles (language markers, topic lexicons). Adds one `score_<name>`

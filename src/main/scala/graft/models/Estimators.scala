@@ -41,7 +41,10 @@ final case class MllibTsEstimator(
       case other    => throw new IllegalArgumentException(s"unknown normalizer $other")
     }
     val reg = algo match {
-      case "mlr" => new LinearRegression().setSolver("normal")
+      // prophet_like shares the exact-OLS solver: the prophet substitution is
+      // a feature recipe (trend + Fourier + holiday dummies, see
+      // [[ProphetLike]]) over a linear fit, named so registry users see it.
+      case "mlr" | "prophet_like" => new LinearRegression().setSolver("normal")
         .setRegParam(0.0).setStandardization(false)
         .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
       case "lasso" => new LinearRegression()
@@ -69,6 +72,14 @@ final case class MllibTsEstimator(
         .setMaxIter(p("n_estimators", 50).toInt)
         .setMaxDepth(p("max_depth", 3).toInt)
         .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
+      // explicit scope boundaries, not silent absences (cfg.py:26-48 lists
+      // svr/mlp in the sklearn registry; MLlib has no kernel SVR and no MLP
+      // REGRESSOR — only the MLP classifier — so substituting would change
+      // the model family silently)
+      case "svr" | "mlp" => throw new UnsupportedOperationException(
+        s"estimator '$algo' is unsupported: no MLlib equivalent " +
+          "(kernel SVR / MLP regressor); nearest supported families: " +
+          "mlr/ridge (linear), gbt/rf (nonlinear), knn (KnnRegressor)")
       case other => throw new IllegalArgumentException(s"unknown algo $other")
     }
     new Pipeline().setStages((assembler +: scalerStage.toSeq :+ reg).toArray)
@@ -87,7 +98,8 @@ final case class MllibTsEstimator(
 object MllibTsEstimator {
   /** Registry parity with cfg.py:26-48 for the MLlib-expressible estimators
     * (knn lives in [[KnnRegressor]] — join-based, not an MLlib pipeline). */
-  val supportedAlgos: Seq[String] = Seq("mlr", "lasso", "ridge", "elasticnet", "sgd", "rf", "gbt")
+  val supportedAlgos: Seq[String] =
+    Seq("mlr", "lasso", "ridge", "elasticnet", "sgd", "rf", "gbt", "prophet_like")
 
   /** `transfer_predict` support
     * (/root/reference/src/scalecast/_Forecaster_parent.py:1869-1942): persist

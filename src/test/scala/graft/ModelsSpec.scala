@@ -124,6 +124,25 @@ class ModelsSpec extends SparkSpec {
     }
   }
 
+  test("svr/mlp fail loudly as unsupported; prophet_like fits the curve vectorized") {
+    for (algo <- Seq("svr", "mlp")) {
+      val e = intercept[UnsupportedOperationException] {
+        MllibTsEstimator(algo, Seq("ar_1")).pipeline()
+      }
+      assert(e.getMessage.contains("unsupported"), s"$algo message: ${e.getMessage}")
+    }
+    // prophet_like: exact recovery of a trend + sinusoid at period 12
+    val ys = (0 until 48).map(t => 10.0 + 0.5 * (t + 1) +
+      3 * math.sin(2 * math.Pi * (t + 1) / 12.0))
+    val out = graft.models.ProphetLike.forecast(
+      SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6))
+    val fut = col1(out.filter(col("is_future")), "yhat")
+    val expect = (48 until 54).map(t => 10.0 + 0.5 * (t + 1) +
+      3 * math.sin(2 * math.Pi * (t + 1) / 12.0))
+    fut.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"prophet_like horizon: $g vs $e") }
+  }
+
   test("trendSeasonal fits train only and predicts horizon") {
     val ys = (0 until 36).map(t => 50.0 + 2 * t + (if (t % 12 == 0) 10 else 0))
     val base = SeriesFrame.withTestFlag(
