@@ -85,7 +85,10 @@ object SparkEntry {
     "doc_neardup_cosine" -> ((s, d) => qDocNearDupCosine(s, d)),
     "ts_prophet_like"    -> ((s, d) => qProphetLike(s, d)),
     "ts_backtest_metrics" -> ((s, d) => qBacktestMetrics(s, d)),
-    "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d))
+    "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d)),
+    "mv_dynamic"         -> ((s, d) => qMvDynamic(s, d)),
+    "ts_seg_dynamic"     -> ((s, d) => qSegDynamic(s, d)),
+    "ts_validation_grid" -> ((s, d) => qValidationGrid(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -349,6 +352,30 @@ object SparkEntry {
       .select(col("fold").cast("long").as("fold"), col(SeriesId),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
 
+  /** `export_validation_grid` (_Forecaster_parent.py:1545-1567): a 2-param
+    * mlr grid (AR order × trend on/off) scored by 2-fold rolling-origin CV,
+    * exported with typed param columns + per-fold metrics + mean. Oracle:
+    * one Cholesky OLS chain per (cell, fold) — 8 fits total. */
+  private def qValidationGrid(s: SparkSession, d: String): DataFrame = {
+    import graft.eval.Evaluation
+    val z = zOrdersMonthly(s, d)
+    val grid = Evaluation.expandGrid(Map("ar" -> Seq(1.0, 2.0), "trend" -> Seq(0.0, 1.0)))
+    val fitWith: Map[String, Double] => Evaluation.ModelFn = params => { flagged =>
+      val p = params("ar").toInt
+      val withTrend = params("trend") == 1.0
+      val withF0 = FeatureOps.addArTerms(flagged, p)
+      val withF = if (withTrend) FeatureOps.addTimeTrend(withF0) else withF0
+      val feats = (1 to p).map(i => s"ar_$i") ++ (if (withTrend) Seq("t") else Nil)
+      graft.models.MllibTsEstimator("mlr", feats).fit(withF).transform(withF)
+    }
+    val cells = Evaluation.gridSearchDetailed(z, grid, fitWith, 2, 8, "rmse", parallelism = 4)
+    Evaluation.validationGrid(s, cells, "rmse")
+      .select(col("ar"), col("trend"),
+        round(col("fold_0_rmse"), 6).as("fold_0_rmse"),
+        round(col("fold_1_rmse"), 6).as("fold_1_rmse"),
+        round(col("mean_rmse"), 6).as("mean_rmse"))
+  }
+
   private def qBacktest(s: SparkSession, d: String): DataFrame =
     graft.eval.Evaluation.backtest(zOrdersMonthly(s, d), 3, 12, 6,
         f => Baselines.naiveFitted(f, 12), Seq("rmse", "mae"), parallelism = 3)
@@ -602,6 +629,39 @@ object SparkEntry {
     graft.models.Vecm.fitPredict(z, sids, diffLags = 1)
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(col("yhat"), 6).as("yhat"))
+  }
+
+  /** Multi-series recursion honesty check: one POOLED AR(1) mlr over all 5
+    * segment series + the shared-ledger dynamic forecast. Every window in
+    * the plan is partitioned by a real 5-value series_id, so the bench keeps
+    * partitioned WindowExecs (no single-partition degeneration) and the
+    * ledger recursion is exercised across series. Oracle: pooled
+    * regr_slope/intercept + per-series AR(1) closed form. */
+  private def qSegDynamic(s: SparkSession, d: String): DataFrame = {
+    val seg = segmentMonthly(s, d)
+    val z = Transforms.scaleT(seg).transform(seg)
+    val withAr = FeatureOps.addArTerms(withMonthlyHorizon(z, 6), 1)
+    val model = graft.models.MllibTsEstimator("mlr", Seq("ar_1")).fit(withAr)
+    graft.models.Recursive.dynamicForecast(withAr, model)
+      .filter(col(IsFuture))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
+  }
+
+  /** MV recursive multi-step forecast (models.py:368-407): one mlr per
+    * target on cross-series lag-1 features, 6 horizon steps where EVERY
+    * series' step-i prediction feeds every series' step-i+1 lags. Oracle:
+    * per-equation Cholesky OLS + one recursive CTE carrying both series'
+    * predictions. */
+  private def qMvDynamic(s: SparkSession, d: String): DataFrame = {
+    import graft.models.MvForecast
+    val sids = Seq("AUTOMOBILE", "BUILDING")
+    val seg = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
+    val z = Transforms.scaleT(seg).transform(seg)
+    val withLags = MvForecast.addCrossSeriesLags(withMonthlyHorizon(z, 6), sids, 1)
+    val models = MvForecast.fitPerSeries(withLags, sids, 1)
+    MvForecast.dynamicForecast(withLags, models, sids, 1)
+      .filter(col(IsFuture))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
   }
 
   private def qMvCorr(s: SparkSession, d: String): DataFrame = {
@@ -1457,6 +1517,111 @@ object SparkEntry {
          |${out("va", "AUTOMOBILE")}
          |UNION ALL
          |${out("vb", "BUILDING")}""".stripMargin
+    },
+
+    // Validation grid: (AR order, trend) × 2 rolling folds. Chopping removes
+    // rows from the END, so row numbers / lags of surviving rows are the
+    // full-series ones — one lagd CTE serves every fold via t-range filters.
+    "ts_validation_grid" -> {
+      val cells = Seq((1, false), (1, true), (2, false), (2, true))
+      def xsOf(p: Int, tr: Boolean): Seq[String] =
+        (1 to p).map(i => s"x$i") ++ (if (tr) Seq("tt") else Nil)
+      val defs = cells.zipWithIndex.flatMap { case ((p, tr), ci) =>
+        (0 to 1).map { f =>
+          val xs = xsOf(p, tr)
+          val notNull = xs.map(x => s"$x IS NOT NULL").mkString(" AND ")
+          val tag = s"g${ci}f$f"
+          val from = s"lagd, nn WHERE $notNull AND t <= n - ${f * 8 + 8}"
+          s"${OracleGen.momentsCte(tag, xs, from)},\n${OracleGen.solveCtes(tag, xs.size)}"
+        }
+      }.mkString(",\n")
+      val rows = cells.zipWithIndex.map { case ((p, tr), ci) =>
+        val xs = xsOf(p, tr)
+        def rmse(f: Int): String = {
+          val tag = s"g${ci}f$f"
+          val pred = ("beta_0" +: xs.zipWithIndex.map { case (x, i) => s"beta_${i + 1}*$x" })
+            .mkString(" + ")
+          s"(SELECT sqrt(avg(pow(($pred) - y, 2))) FROM lagd, nn, ${tag}_fit " +
+            s"WHERE t > n - ${f * 8 + 8} AND t <= n - ${f * 8})"
+        }
+        s"SELECT CAST($p AS DOUBLE) AS ar, CAST(${if (tr) 1 else 0} AS DOUBLE) AS trend, " +
+          s"ROUND(${rmse(0)}, 6) AS fold_0_rmse, ROUND(${rmse(1)}, 6) AS fold_1_rmse, " +
+          s"ROUND((${rmse(0)} + ${rmse(1)}) / 2, 6) AS mean_rmse"
+      }.mkString("\nUNION ALL\n")
+      s"""$ZS,
+         |lagd AS (SELECT series_id, ds, y,
+         |         CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS tt,
+         |         CAST(row_number() OVER (ORDER BY ds) AS INT) AS t,
+         |         lag(y, 1) OVER (ORDER BY ds) AS x1,
+         |         lag(y, 2) OVER (ORDER BY ds) AS x2 FROM series),
+         |nn AS (SELECT CAST(count(*) AS INT) AS n FROM lagd),
+         |$defs
+         |$rows""".stripMargin
+    },
+
+    // Pooled AR(1) over 5 z-scored segment series; recursion per series is
+    // the AR(1) closed form seeded from each series' last observation.
+    "ts_seg_dynamic" ->
+      s"""$SEG,
+         |zp AS (SELECT series_id, avg(y) AS mu, stddev_samp(y) AS sd
+         |       FROM series GROUP BY 1),
+         |tz AS (SELECT t.series_id, t.ds, (t.y - zp.mu) / zp.sd AS y
+         |       FROM series t JOIN zp USING (series_id)),
+         |lagd AS (SELECT series_id, ds, y,
+         |         lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS x1 FROM tz),
+         |fit AS (SELECT regr_slope(y, x1) AS b, regr_intercept(y, x1) AS a
+         |        FROM lagd WHERE x1 IS NOT NULL),
+         |lastv AS (SELECT series_id, max(ds) AS ld FROM tz GROUP BY 1),
+         |seed AS (SELECT l.series_id, l.ld, t.y AS y0
+         |         FROM lastv l JOIN tz t ON t.series_id = l.series_id AND t.ds = l.ld)
+         |SELECT s.series_id, CAST(s.ld + to_months(i::INT) AS DATE) AS ds,
+         |  ROUND(a * (1 - pow(b, i)) / (1 - b) + pow(b, i) * s.y0, 6) AS yhat
+         |FROM seed s, fit, generate_series(1, 6) g(i)""".stripMargin,
+
+    // MV recursion (k=2, lag 1): per-series z-score, per-equation OLS of y
+    // on BOTH series' lag-1 values (union-calendar spine), then a recursive
+    // CTE where step i+1's lags are step i's predictions for both series.
+    "mv_dynamic" -> {
+      def eq(tag: String, sid: String) =
+        s"""${OracleGen.momentsCte(tag, Seq("xa", "xb"),
+             s"eqrows WHERE series_id = '$sid' AND xa IS NOT NULL AND xb IS NOT NULL")},
+           |${OracleGen.solveCtes(tag, 2)}""".stripMargin
+      s"""${SEG.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |two AS (SELECT * FROM series WHERE series_id IN ('AUTOMOBILE', 'BUILDING')),
+         |zp AS (SELECT series_id, avg(y) AS mu, stddev_samp(y) AS sd
+         |       FROM two GROUP BY 1),
+         |tz AS (SELECT t.series_id, t.ds, (t.y - zp.mu) / zp.sd AS y
+         |       FROM two t JOIN zp USING (series_id)),
+         |spine AS (SELECT DISTINCT ds FROM tz),
+         |dense AS (SELECT sp.ds, sid.series_id, l.y
+         |  FROM spine sp CROSS JOIN (VALUES ('AUTOMOBILE'), ('BUILDING')) sid(series_id)
+         |  LEFT JOIN tz l ON l.series_id = sid.series_id AND l.ds = sp.ds),
+         |lagged AS (SELECT *, lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS lv
+         |  FROM dense),
+         |fw AS (SELECT ds,
+         |  max(CASE WHEN series_id = 'AUTOMOBILE' THEN lv END) AS xa,
+         |  max(CASE WHEN series_id = 'BUILDING' THEN lv END) AS xb
+         |  FROM lagged GROUP BY ds),
+         |eqrows AS (SELECT l.series_id, l.ds, l.y, f.xa, f.xb
+         |  FROM tz l JOIN fw f ON f.ds = l.ds),
+         |${eq("ma", "AUTOMOBILE")},
+         |${eq("mb", "BUILDING")},
+         |nn AS (SELECT max(ds) AS ld FROM tz),
+         |seed AS (SELECT
+         |  (SELECT y FROM tz, nn WHERE series_id = 'AUTOMOBILE' AND ds = ld) AS pa,
+         |  (SELECT y FROM tz, nn WHERE series_id = 'BUILDING' AND ds = ld) AS pb),
+         |rec AS (
+         |  SELECT 0 AS i, pa, pb FROM seed
+         |  UNION ALL
+         |  SELECT rec.i + 1,
+         |         ma_fit.beta_0 + ma_fit.beta_1 * rec.pa + ma_fit.beta_2 * rec.pb,
+         |         mb_fit.beta_0 + mb_fit.beta_1 * rec.pa + mb_fit.beta_2 * rec.pb
+         |  FROM rec, ma_fit, mb_fit WHERE rec.i < 6)
+         |SELECT 'AUTOMOBILE' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |       ROUND(pa, 6) AS yhat FROM rec, nn WHERE i >= 1
+         |UNION ALL
+         |SELECT 'BUILDING', CAST(ld + to_months(i::INT) AS DATE), ROUND(pb, 6)
+         |FROM rec, nn WHERE i >= 1""".stripMargin
     },
 
     // Theta (θ=2): Z0 = per-series OLS trend, Z2 = 2y − Z0, ŷ = (Z0 + SES(Z2))/2;
