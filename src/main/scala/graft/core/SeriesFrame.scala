@@ -185,6 +185,35 @@ object SeriesFrame {
       f.withColumn(c, coalesce(col(c), lit(0.0))))
   }
 
+  /** `add_series` (/root/reference/src/scalecast/_Forecaster_parent.py:
+    * 1436-1469): attach a driver-supplied value list as a regressor column.
+    * Dates are generated from `firstDate` (default: the frame's first
+    * observed date) at the frame's inferred frequency; dates the list does
+    * not cover are 0-padded when `pad` (the reference's default). The list
+    * is driver data by contract (the reference takes a Python list), so
+    * building the tiny (ds, value) frame on the driver is the honest shape —
+    * the join back is the same ingest path as any regressor frame. */
+  def addSeries(frame: DataFrame, values: Seq[Double], called: String,
+                firstDate: Option[String] = None, pad: Boolean = true): DataFrame = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val freq = inferFreq(frame)
+    val start = java.time.LocalDate.parse(firstDate.getOrElse(
+      frame.filter(!col(IsFuture)).agg(min(Ds)).first().getDate(0).toString))
+    val dates = values.indices.map { i =>
+      val d = freq match {
+        case "D"  => start.plusDays(i.toLong)
+        case "W"  => start.plusWeeks(i.toLong)
+        case "MS" => start.plusMonths(i.toLong)
+        case "QS" => start.plusMonths(3L * i)
+        case "YS" => start.plusYears(i.toLong)
+      }
+      java.sql.Date.valueOf(d)
+    }
+    val xdf = dates.zip(values).toDF(Ds, called)
+    ingestXvars(frame, xdf, dateCol = Ds, pad = pad)
+  }
+
   /** `export_Xvars_df` (/root/reference/src/scalecast/_Forecaster_parent.py:
     * 1430-1469): the date spine plus every regressor column (everything that
     * isn't the target or frame metadata). */

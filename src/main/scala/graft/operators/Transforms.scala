@@ -108,14 +108,40 @@ object Transforms {
       when(v <= 0, lit(Double.MinValue))
         .otherwise(-(n / 2.0) * log(v) + col("_slog") * (l - 1.0))
     })
-    ExprTransform("boxcox_mle", lambdas,
-      (y, l, _) => when(l === 0.0, log(y)).otherwise((pow(y, l) - 1) / l),
-      (y, l, _) => when(l === 0.0, exp(y)).otherwise(pow(y * l + 1, lit(1.0) / l)))
+    ExprTransform("boxcox_mle", lambdas, bcMleFwd, bcMleInv)
   }
+
+  // named fwd/inv pairs shared by the fit paths and PipelineStore.rebuild
+  private[operators] val bcMleFwd = (y: Column, l: Column, _: Column) =>
+    when(l === 0.0, log(y)).otherwise((pow(y, l) - 1) / l)
+  private[operators] val bcMleInv = (y: Column, l: Column, _: Column) =>
+    when(l === 0.0, exp(y)).otherwise(pow(y * l + 1, lit(1.0) / l))
 
   private def trainSlice(df: DataFrame, trainEnd: Option[String]): DataFrame =
     trainEnd.fold(df.filter(!col(IsFuture)))(e =>
       df.filter(!col(IsFuture) && col(Ds) <= lit(e).cast("date")))
+
+  /** Rebuild a named point-wise transform from its SAVED params frame —
+    * the persistence path ([[graft.results.PipelineStore]]): the name fully
+    * determines the fwd/inv expressions, the params carry the fitted state. */
+  private[graft] def rebuildExpr(name: String, params: DataFrame): ExprTransform = {
+    val bcFixed = """boxcox\((.+)\)""".r
+    name match {
+      case "log"  => ExprTransform(name, params, (y, _, _) => log(y), (y, _, _) => exp(y))
+      case "sqrt" => ExprTransform(name, params, (y, _, _) => sqrt(y), (y, _, _) => y * y)
+      case bcFixed(l) =>
+        val lam = l.toDouble
+        ExprTransform(name, params,
+          (y, _, _) => (pow(y, lam) - 1) / lam,
+          (y, _, _) => pow(y * lam + 1, 1.0 / lam))
+      case "boxcox_mle"     => ExprTransform(name, params, bcMleFwd, bcMleInv)
+      case "yeojohnson_mle" => ExprTransform(name, params, yjMleFwd, yjMleInv)
+      case "scale"  => ExprTransform(name, params, (y, m, s) => (y - m) / s, (y, m, s) => y * s + m)
+      case "minmax" => ExprTransform(name, params, (y, lo, r) => (y - lo) / r, (y, lo, r) => y * r + lo)
+      case "robust" => ExprTransform(name, params, (y, md, q) => (y - md) / q, (y, md, q) => y * q + md)
+      case other => throw new IllegalArgumentException(s"unknown transform name $other")
+    }
+  }
 
   /** ScaleTransform: (y−μ)/σ with sample σ (ddof=1 — pandas .std(), matches
     * SeriesTransformer.py:381-441). */
@@ -166,20 +192,28 @@ object Transforms {
   def detrendPolyT(df: DataFrame, order: Int,
                    trainEnd: Option[String] = None): DetrendBasis = {
     require(order >= 1, "poly order must be >= 1")
-    detrendBasisT(df, (0 to order).map(i => (t: Column) => pow(t, i)), trainEnd)
+    detrendBasisT(df, basisOf(s"poly:$order"), trainEnd, s"poly:$order")
   }
 
   /** DetrendTransform(ln_trend = True): y ~ a + b·ln(t). */
   def detrendLnT(df: DataFrame, trainEnd: Option[String] = None): DetrendBasis =
-    detrendBasisT(df, Seq((_: Column) => lit(1.0), (t: Column) => log(t)), trainEnd)
+    detrendBasisT(df, basisOf("ln"), trainEnd, "ln")
 
   /** Shared basis-function detrend: per-series OLS of y on basis(t). The
     * normal-equation moments (k ≤ ~4) are ONE distributed aggregate, and the
     * tiny k×k solve runs as a distributed `map` over the per-series stats
     * rows (Breeze on the executors) — the params frame stays partitioned, so
     * nothing per-series ever reaches the driver at any series count. */
+  /** Named basis families, rebuildable from a spec string (persistence). */
+  private[graft] def basisOf(spec: String): Seq[Column => Column] = spec match {
+    case s if s.startsWith("poly:") =>
+      (0 to s.stripPrefix("poly:").toInt).map(i => (t: Column) => pow(t, i))
+    case "ln" => Seq((_: Column) => lit(1.0), (t: Column) => log(t))
+    case other => throw new IllegalArgumentException(s"unknown basis spec $other")
+  }
+
   private def detrendBasisT(df: DataFrame, basis: Seq[Column => Column],
-                            trainEnd: Option[String]): DetrendBasis = {
+                            trainEnd: Option[String], spec: String = ""): DetrendBasis = {
     import breeze.linalg.{DenseMatrix, DenseVector}
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
@@ -200,7 +234,7 @@ object Transforms {
       val beta = xtx \ xty
       Row.fromSeq(r.getString(r.fieldIndex(SeriesId)) +: (0 until k).map(beta(_)))
     })(Encoders.row(schema))
-    DetrendBasis(basis, params.toDF(), k)
+    DetrendBasis(basis, params.toDF(), k, spec)
   }
 
   /** DetrendTransform(loess = True): subtract a per-series LOWESS trend
@@ -342,18 +376,19 @@ object Transforms {
       when(v <= 0, lit(Double.MinValue))
         .otherwise(-(n / 2.0) * log(v) + col("_slog") * (l - 1.0))
     })
-    // ψ preserves sign, so the inverse branches on sign(ψ) the same way
-    val fwd = (y: Column, l: Column, _: Column) => when(y >= 0,
-        when(l === 0.0, log(y + 1)).otherwise((pow(y + 1, l) - 1) / l))
-      .otherwise(
-        when(l === 2.0, -log(-y + 1)).otherwise(-(pow(-y + 1, lit(2.0) - l) - 1) / (lit(2.0) - l)))
-    val inv = (z: Column, l: Column, _: Column) => when(z >= 0,
-        when(l === 0.0, exp(z) - 1).otherwise(pow(z * l + 1, lit(1.0) / l) - 1))
-      .otherwise(
-        when(l === 2.0, lit(1.0) - exp(-z))
-          .otherwise(lit(1.0) - pow(-z * (lit(2.0) - l) + 1, lit(1.0) / (lit(2.0) - l))))
-    ExprTransform("yeojohnson_mle", lambdas, fwd, inv)
+    ExprTransform("yeojohnson_mle", lambdas, yjMleFwd, yjMleInv)
   }
+
+  // ψ preserves sign, so the inverse branches on sign(ψ) the same way
+  private[operators] val yjMleFwd = (y: Column, l: Column, _: Column) => when(y >= 0,
+      when(l === 0.0, log(y + 1)).otherwise((pow(y + 1, l) - 1) / l))
+    .otherwise(
+      when(l === 2.0, -log(-y + 1)).otherwise(-(pow(-y + 1, lit(2.0) - l) - 1) / (lit(2.0) - l)))
+  private[operators] val yjMleInv = (z: Column, l: Column, _: Column) => when(z >= 0,
+      when(l === 0.0, exp(z) - 1).otherwise(pow(z * l + 1, lit(1.0) / l) - 1))
+    .otherwise(
+      when(l === 2.0, lit(1.0) - exp(-z))
+        .otherwise(lit(1.0) - pow(-z * (lit(2.0) - l) + 1, lit(1.0) / (lit(2.0) - l))))
 
   /** DeseasonTransform(m, additive): classical moving-average decomposition
     * (statsmodels seasonal_decompose, SeriesTransformer.py:700-829).
@@ -427,7 +462,7 @@ final case class DetrendLinear(params: DataFrame) extends FittedTransform {
 /** Basis-function detrend (poly / ln) with per-series coefficient columns
   * `c_0..c_(k−1)`; trend(t) = Σ c_i·basis_i(t) extends over the horizon. */
 final case class DetrendBasis(basis: Seq[Column => Column], params: DataFrame,
-                              k: Int) extends FittedTransform {
+                              k: Int, spec: String = "") extends FittedTransform {
   private def withTrend(df: DataFrame): DataFrame = {
     val t = row_number().over(w).cast("double")
     val trend = basis.zipWithIndex
