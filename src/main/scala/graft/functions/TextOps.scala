@@ -56,11 +56,17 @@ object TextOps {
     * groupBy), reproducible across engines via the md5 bucketing. */
   def trigramVectors(df: DataFrame, idCol: String, textCol: String,
                      dims: Int = 64): DataFrame = {
-    val tris = df.select(col(idCol).as("vid"),
-      explode(expr(
-        s"CASE WHEN length($textCol) >= 3 THEN " +
-        s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)) " +
-        "ELSE array() END")).as("_tri"))
+    // explode a NATIVE int sequence (codegen generator), then one substring
+    // per row — not an interpreted per-row array of substrings. Rebalance the
+    // raw docs BEFORE the ~|text|-fold explode: the explode multiplies work
+    // ~300×, so a one-time shuffle of the (tiny relative to its expansion)
+    // doc frame keeps the hash/count stage wide even when the source arrives
+    // in a handful of splits.
+    val tris = df.filter(length(col(textCol)) >= 3)
+      .select(col(idCol).as("vid"), col(textCol).as("_txt"))
+      .repartition(col("vid"))
+      .select(col("vid"), expr("explode(sequence(1, length(_txt) - 2))").as("_i"), col("_txt"))
+      .select(col("vid"), expr("substring(_txt, _i, 3)").as("_tri"))
     val counts = tris
       .withColumn("_b", conv(substring(md5(col("_tri")), 1, 4), 16, 10).cast("long") % dims)
       .groupBy("vid", "_b").agg(count(lit(1)).cast("double").as("_c"))

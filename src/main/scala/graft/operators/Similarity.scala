@@ -85,29 +85,54 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** [[planeCoef]] evaluated at plan time — numerically identical to the
+    * Column expression (pmod == floorMod on the same longs), so signatures
+    * match across the expression and literal-matrix paths. */
+  private def planeCoefV(plane: Int, dim: Int): Double =
+    java.lang.Math.floorMod(
+      2654435761L * (dim + 1) * (2L * plane + 1) + 40503L * (plane + 1),
+      100003L).toDouble / 100003.0 - 0.5
+
   /** Per-vector banded hyperplane signature: `bands` independent bucket ids
     * of `bitsPerBand` sign bits each, exploded to one (vid, band, band_val)
     * row per band. OR-amplification: two vectors are candidates if ANY band
     * matches, so recall rises with `bands` while each band's equi-join stays
-    * bounded — the same banding shape as [[graft.operators.Dedup.simhashPairs]]. */
+    * bounded — the same banding shape as [[graft.operators.Dedup.simhashPairs]].
+    *
+    * The bands·bits·dims projection kernel is dense per-row numeric work, so
+    * it runs as a typed `flatMap` with a tight primitive loop over a
+    * plan-time coefficient matrix (planes depend only on (plane, dim),
+    * never on data) — the imperative escape hatch SURVEY §4 reserves for
+    * genuine per-row math that higher-order Column aggregates would
+    * interpret element-by-element. Still one narrow pass; output is the
+    * slim (vid, band, band_val) frame. */
   def bandedSignatures(df: DataFrame, idCol: String, vecCol: String,
                        bands: Int, bitsPerBand: Int): DataFrame = {
-    val p = prepared(df, idCol, vecCol)
-    val bandVals = (0 until bands).map { b =>
-      val bucket = (0 until bitsPerBand).map { bit =>
-        val plane = b * bitsPerBand + bit
-        val proj = aggregate(
-          zip_with(col("v"), transform(sequence(lit(0), size(col("v")) - 1),
-            d => planeCoef(plane, d)), (x, w) => x * w),
-          lit(0.0), (acc, z) => acc + z)
-        when(proj > 0, lit(1L << bit)).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("band_val"))
-    }
-    p.select(col("vid"), col("v"), col("nrm"),
-        explode(array(bandVals: _*)).as("_bv"))
-      .select(col("vid"), col("v"), col("nrm"),
-        col("_bv.band").as("band"), col("_bv.band_val").as("band_val"))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val p = prepared(df, idCol, vecCol).select(col("vid"), col("v"))
+    val coefs = Array.tabulate(bands * bitsPerBand,
+      df.select(size(col(vecCol))).first().getInt(0))(planeCoefV)
+    val outSchema = StructType(Seq(p.schema.fields.head.copy(name = "vid"),
+      StructField("band", IntegerType), StructField("band_val", LongType)))
+    p.flatMap({ r =>
+      val vid = r.get(0)
+      val arr = r.getSeq[Double](1).toArray
+      (0 until bands).map { b =>
+        var bucket = 0L
+        var bit = 0
+        while (bit < bitsPerBand) {
+          val c = coefs(b * bitsPerBand + bit)
+          var s = 0.0
+          var d = 0
+          val n = math.min(arr.length, c.length)
+          while (d < n) { s += arr(d) * c(d); d += 1 }
+          if (s > 0) bucket |= (1L << bit)
+          bit += 1
+        }
+        Row(vid, b, bucket)
+      }
+    })(Encoders.row(outSchema)).toDF()
   }
 
   /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, each pair once.
@@ -115,22 +140,30 @@ object Similarity {
     * Candidate generation is an EQUI-join on (band, band_val) over banded
     * hyperplane signatures — never an all-pairs non-equi self-join: the plan
     * is shuffle-keyed by band value and cost is O(n·bands + Σ bucket²), the
-    * 100 TB shape. Exact cosine then re-checks every candidate, so precision
-    * is exact; recall is governed by (bands, bitsPerBand) — at near-dup
-    * thresholds (≥ ~0.9 ⇒ angle ≤ 26°) a plane splits a pair with
-    * probability θ/π ≤ 0.14, so 16 bands of 8 bits give a pair miss rate of
-    * (1 − (1−θ/π)^8)^16 < 1e-3; ExactPropertySpec pins equality with the
-    * brute-force definition on the fixture. */
+    * 100 TB shape. The signature frame is materialized ONCE (checkpoint) and
+    * carries only (vid, band, band_val); vectors join back only for the
+    * deduplicated candidate pairs. Exact cosine then re-checks every
+    * candidate, so precision is exact; recall is governed by
+    * (bands, bitsPerBand) — at near-dup thresholds (≥ ~0.9 ⇒ angle ≤ 26°) a
+    * plane splits a pair with probability θ/π ≤ 0.14, so 16 bands of 8 bits
+    * give a pair miss rate of (1 − (1−θ/π)^8)^16 < 1e-3; ExactPropertySpec
+    * pins equality with the brute-force definition on the fixture. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bands: Int = 16,
                          bitsPerBand: Int = 8): DataFrame = {
-    val sigs = bandedSignatures(df, idCol, vecCol, bands, bitsPerBand)
-    sigs.as("a").join(sigs.as("b"),
+    val p = prepared(df, idCol, vecCol).localCheckpoint(true)
+    val sigs = bandedSignatures(p.select(col("vid").as("id"), col("v")), "id", "v",
+      bands, bitsPerBand).localCheckpoint(true)
+    val cand = sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
           col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+    cand
+      .join(p.select(col("vid").as("id_a"), col("v").as("_va"), col("nrm").as("_na")), Seq("id_a"))
+      .join(p.select(col("vid").as("id_b"), col("v").as("_vb"), col("nrm").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 }
