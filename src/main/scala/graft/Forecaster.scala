@@ -1,0 +1,200 @@
+package graft
+
+import graft.core.SeriesFrame._
+import graft.functions.FeatureOps
+import graft.models._
+import graft.operators.Conformal
+import graft.results.ResultsStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-facing facade mirroring the reference's `Forecaster` workflow
+  * (/root/reference/src/scalecast/Forecaster.py:44-208): build a series,
+  * generate future dates, add regressors, pick an estimator, call
+  * `manualForecast`, export. Unlike the reference's mutable object, every
+  * step returns a NEW immutable Forecaster (frames are lazy plans; nothing
+  * executes until an export/action) — the same call sequence a scalecast
+  * user writes, over the distributed engine:
+  *
+  * {{{
+  *   val f = Forecaster(series)                 // long (series_id, ds, y)
+  *     .generateFutureDates(12)                 // infer freq, spine horizon
+  *     .setTestLength(12)                       // temporal holdout
+  *     .addArTerms(3).addTimeTrend()            // regressors
+  *     .setEstimator("mlr")
+  *     .manualForecast(callMe = "mlr_ar3")      // fit + dynamic predict + bank
+  *     .setEstimator("hwes", Map("alpha" -> 0.3, "beta" -> 0.1,
+  *                               "gamma" -> 0.2, "m" -> 12))
+  *     .manualForecast(callMe = "hw")
+  *   f.exportModelSummaries()                   // per (model, series) metrics
+  *   f.exportForecasts()                        // horizon pivot, one col/model
+  * }}}
+  *
+  * Estimator registry routed here: the MLlib family + prophet_like + knn
+  * (AR features drive the recursive ledger predictor), the closed-form
+  * models (naive/snaive/trend_seasonal/theta/ses/hwes/arima), and `combo`
+  * over already-banked models. svr/mlp raise the registry's explicit
+  * unsupported error.
+  */
+final case class Forecaster(
+    frame: DataFrame,
+    results: Option[DataFrame] = None,
+    estimator: String = "mlr",
+    params: Map[String, Double] = Map.empty,
+    normalizer: String = "none",
+    comboModels: Seq[String] = Nil,
+    dynamicTesting: Int = Int.MaxValue,
+    testLength: Int = 0,
+    cilevel: Double = 0.95) {
+
+  private def p(name: String, default: Double): Double = params.getOrElse(name, default)
+
+  // ---- spine / holdout ------------------------------------------------
+  /** `generate_future_dates` at the inferred (or given) frequency. */
+  def generateFutureDates(h: Int, freq: Option[String] = None): Forecaster =
+    copy(frame = freq.fold(withInferredHorizon(frame, h))(f => withHorizon(frame, h, f)))
+
+  /** `set_test_length`: flags the trailing rows per series as the holdout. */
+  def setTestLength(n: Int): Forecaster =
+    copy(frame = withTestFlag(frame.drop("is_test"), n), testLength = n)
+
+  /** `set_cilevel` (needs testLength ≥ 1/(1−cilevel) for conformal CIs). */
+  def setCilevel(level: Double): Forecaster = copy(cilevel = level)
+
+  /** `dynamic_testing = k` peeking cadence for test-slice evaluation. */
+  def setDynamicTesting(k: Int): Forecaster = copy(dynamicTesting = k)
+
+  // ---- regressors -----------------------------------------------------
+  def addArTerms(n: Int): Forecaster = copy(frame = FeatureOps.addArTerms(frame, n))
+  def addSeasonalArTerms(n: Int, m: Int): Forecaster =
+    copy(frame = FeatureOps.addSeasonalArTerms(frame, n, m))
+  def addTimeTrend(called: String = "t"): Forecaster =
+    copy(frame = FeatureOps.addTimeTrend(frame, called))
+  def addSeasonalRegressors(parts: String*): Forecaster =
+    copy(frame = FeatureOps.addCalendar(frame, parts))
+  def addFourier(raw: String, cycleLen: Double, name: String): Forecaster =
+    copy(frame = FeatureOps.addFourier(frame, col(raw), cycleLen, name))
+  def addCycle(cycleLen: Double, called: String): Forecaster =
+    copy(frame = FeatureOps.addCycle(frame, cycleLen, called))
+  def addSeries(values: Seq[Double], called: String,
+                firstDate: Option[String] = None, pad: Boolean = true): Forecaster =
+    copy(frame = graft.core.SeriesFrame.addSeries(frame, values, called, firstDate, pad))
+  def ingestXvars(xvars: DataFrame, dateCol: String = "ds", pad: Boolean = true): Forecaster =
+    copy(frame = graft.core.SeriesFrame.ingestXvars(frame, xvars, dateCol, pad))
+  def dropRegressors(cols: String*): Forecaster = copy(frame = frame.drop(cols: _*))
+
+  // ---- estimator selection -------------------------------------------
+  def setEstimator(name: String, params: Map[String, Double] = Map.empty,
+                   normalizer: String = "none"): Forecaster =
+    copy(estimator = name, params = params, normalizer = normalizer)
+
+  def setComboModels(models: String*): Forecaster = copy(comboModels = models)
+
+  // ---- the core "query" ----------------------------------------------
+  /** `manual_forecast`: fit the selected estimator, predict the test slice
+    * (peeking cadence `dynamicTesting`) and the horizon (full recursion for
+    * AR features; vectorized otherwise), attach conformal CIs when the
+    * holdout supports the cilevel, and bank under `callMe`. */
+  def manualForecast(callMe: String = ""): Forecaster = {
+    val name = if (callMe.nonEmpty) callMe else estimator
+    val scored = scoreCurrent()
+    val withCis =
+      if (testLength >= Conformal.minTestLength(cilevel))
+        Conformal.withIntervals(scored, "yhat", cilevel)
+      else scored
+    val banked = ResultsStore.bank(withCis, name)
+    copy(results = Some(results.fold(banked)(r => ResultsStore.union(r, banked))))
+  }
+
+  private def scoreCurrent(): DataFrame = {
+    val flagged = if (frame.columns.contains("is_test")) frame
+                  else frame.withColumn("is_test", lit(false))
+    estimator match {
+      case "naive"  => Baselines.naiveForecast(flagged, p("m", 1.0).toInt)
+      case "snaive" => Baselines.naiveForecast(flagged, p("m", 12.0).toInt)
+      case "trend_seasonal" => Baselines.trendSeasonal(flagged)
+      case "theta"  => Theta.thetaForecast(flagged, p("alpha", 0.3))
+      // the smoothing recursions return the canonical 4-column shape —
+      // re-attach the holdout flag so conformal CIs and summaries see it
+      case "ses"    => attachTest(Smoothing.ses(flagged, p("alpha", 0.3)), flagged)
+      case "hwes"   => attachTest(Smoothing.holtWinters(flagged, p("alpha", 0.3),
+        p("beta", 0.1), p("gamma", 0.2), p("m", 12.0).toInt), flagged)
+      case "arima"  =>
+        val fit = Arima.fitArma(flagged, p("p", 1.0).toInt, p("q", 1.0).toInt)
+        Arima.forecast(fit)
+      case "combo"  =>
+        require(comboModels.nonEmpty && results.isDefined,
+          "combo needs setComboModels(...) over already-banked models")
+        ResultsStore.synthesize(results.get, comboModels, cilevel)
+      case "knn" =>
+        val feats = featureCols
+        predictWithModel(flagged, KnnRegressor.fit(flagged, feats, p("k", 5.0).toInt))
+      case algo =>
+        val model = MllibTsEstimator(algo, featureCols, params, normalizer).fit(flagged)
+        predictWithModel(flagged, model)
+    }
+  }
+
+  private def attachTest(scored: DataFrame, flagged: DataFrame): DataFrame =
+    if (scored.columns.contains("is_test")) scored
+    else scored.join(flagged.select(col(SeriesId), col(Ds), col("is_test")),
+      Seq(SeriesId, Ds), "left")
+
+  /** Every non-meta column is a feature (the reference's Xvars). */
+  private def featureCols: Seq[String] = {
+    val meta = Set(SeriesId, Ds, Y, IsFuture, "is_test")
+    frame.columns.filterNot(meta.contains).toSeq
+  }
+
+  private def predictWithModel(flagged: DataFrame,
+                               model: org.apache.spark.ml.Transformer): DataFrame = {
+    val hasAr = FeatureOps.arCols(flagged).nonEmpty
+    val hasTest = testLength > 0
+    if (!hasAr) {
+      model.transform(flagged).drop("_fraw", "_f")
+    } else {
+      // test slice with the peeking cadence; horizon with the full recursion
+      // (ledger seeded from ALL observed actuals, like the reference's
+      // refit-on-full-history forecast step)
+      val k = math.min(math.max(dynamicTesting, 1), math.max(testLength, 1))
+      val testScored =
+        if (hasTest) Recursive.dynamicTestForecast(flagged, model, k).filter(col("is_test"))
+        else flagged.sparkSession.emptyDataFrame
+      val full = Recursive.dynamicForecast(flagged, model)
+      if (!hasTest) full
+      else full.filter(!col("is_test"))
+        .unionByName(testScored.select(full.columns.map(col).toSeq: _*))
+    }
+  }
+
+  // ---- exports --------------------------------------------------------
+  private def banked: DataFrame = results.getOrElse(
+    throw new IllegalStateException("no model banked yet — call manualForecast first"))
+
+  def modelNames: Seq[String] =
+    results.map(_.select("model").distinct().collect().map(_.getString(0)).toSeq.sorted)
+      .getOrElse(Nil)
+
+  /** `export('model_summaries')`. */
+  def exportModelSummaries(metricNames: Seq[String] = Seq("rmse", "mae", "smape", "r2")): DataFrame =
+    ResultsStore.modelSummaries(banked, metricNames)
+
+  /** `export('lvl_fcsts')` — horizon pivot, one column per model. */
+  def exportForecasts(): DataFrame = ResultsStore.exportForecasts(banked, modelNames)
+
+  /** `export('lvl_test_set_predictions')`. */
+  def exportTestSetPredictions(): DataFrame =
+    ResultsStore.exportTestSetPredictions(banked, modelNames)
+
+  /** `export_fitted_vals(model)`. */
+  def exportFittedVals(model: String): DataFrame =
+    ResultsStore.exportFittedVals(banked, model)
+
+  /** `order_fcsts`. */
+  def orderModels(metric: String = "test_rmse"): DataFrame =
+    ResultsStore.orderModels(ResultsStore.modelSummaries(banked), metric)
+
+  /** `pop(*models)`. */
+  def pop(models: String*): Forecaster =
+    copy(results = results.map(ResultsStore.pop(_, models: _*)))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The reference-shaped workflow end to end through the [[Forecaster]]
+  * facade: spine → holdout → regressors → estimator → forecast → exports. */
+class ForecasterFacadeSpec extends SparkSpec {
+
+  private def ys = (0 until 60).map(t =>
+    100.0 + 2 * t + 10 * math.sin(2 * math.Pi * t / 12.0) + ((t * 13) % 7))
+
+  test("manualForecast banks mlr + hwes + combo; exports read coherently") {
+    val f = Forecaster(obsSeries(ys))
+      .generateFutureDates(6)
+      .setTestLength(12)
+      .setCilevel(0.9) // conformal needs testLength >= 1/(1-cilevel) = 10
+      .addArTerms(2).addTimeTrend()
+      .setEstimator("mlr")
+      .manualForecast(callMe = "mlr_ar2")
+      .setEstimator("hwes", Map("alpha" -> 0.3, "beta" -> 0.1, "gamma" -> 0.2, "m" -> 12.0))
+      .manualForecast(callMe = "hw")
+      .setComboModels("mlr_ar2", "hw")
+      .setEstimator("combo")
+      .manualForecast(callMe = "avg")
+
+    assert(f.modelNames == Seq("avg", "hw", "mlr_ar2"))
+    val fc = f.exportForecasts()
+    assert(fc.count() == 6)
+    assert(fc.filter(col("mlr_ar2").isNull || col("hw").isNull || col("avg").isNull).count() == 0)
+    // combo really is the average of the two banked horizons
+    val bad = fc.filter(abs((col("mlr_ar2") + col("hw")) / 2 - col("avg")) > 1e-9)
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+
+    val sm = f.exportModelSummaries()
+    assert(sm.count() == 3 && sm.filter(col("test_rmse").isNull).count() == 0)
+    // conformal CIs exist on the horizon (testLength 12 >= minTestLength(0.9))
+    assert(f.results.get.filter(col("is_future") && col("model") === "mlr_ar2" &&
+      (col("lower").isNull || col("upper").isNull)).count() == 0)
+    // ranking runs and puts SOME model first
+    assert(f.orderModels().first().getString(0).nonEmpty)
+    // test-set predictions pivot covers the holdout
+    assert(f.exportTestSetPredictions().count() == 12)
+    assert(f.pop("hw").modelNames == Seq("avg", "mlr_ar2"))
+  }
+
+  test("peeking cadence + naive family through the facade") {
+    val f = Forecaster(obsSeries(ys))
+      .generateFutureDates(4)
+      .setTestLength(8)
+      .setDynamicTesting(2)
+      .addArTerms(1)
+      .setEstimator("mlr")
+      .manualForecast(callMe = "mlr_peek2")
+      .dropRegressors("ar_1")
+      .setEstimator("snaive", Map("m" -> 12.0))
+      .manualForecast(callMe = "snaive")
+    val sm = f.exportModelSummaries(Seq("rmse"))
+    assert(sm.count() == 2)
+    val fut = f.results.get.filter(col("is_future") && col("yhat").isNull).count()
+    assert(fut == 0, "both horizons complete")
+  }
+}
