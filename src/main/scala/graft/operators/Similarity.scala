@@ -135,6 +135,65 @@ object Similarity {
     })(Encoders.row(outSchema)).toDF()
   }
 
+  /** IVF (inverted-file) coarse quantizer: MLlib KMeans fits `nCells`
+    * centroids, every vector lands in its nearest centroid's posting list
+    * (`cell`). Data-ADAPTIVE cells complement the data-oblivious hyperplane
+    * LSH tier: tight clusters get their own cells, so probing few cells
+    * bounds the exact-search region. Returns (vid, v, nrm, cell); the
+    * centroid matrix rides in the returned model for probe computation. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+               seed: Long = 42L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val p = prepared(df, idCol, vecCol)
+      .withColumn("_fv", array_to_vector(col("v")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("_fv").setPredictionCol("cell")
+      .fit(p)
+    (model.transform(p).drop("_fv"), model)
+  }
+
+  /** IVF ANN top-k: every vector probes its `nProbe` nearest centroids and
+    * re-ranks exactly within those posting lists. Shuffle keyed by cell id
+    * (the bucket-join scale shape); the centroid matrix is driver-bounded
+    * (nCells × dims doubles) and the per-row probe ranking is the same
+    * typed-kernel escape hatch as [[bandedSignatures]]. `nProbe = nCells`
+    * degenerates to the exact brute force (ExactPropertySpec pins it). */
+  def ivfKnn(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val (indexed0, model) = ivfIndex(df, idCol, vecCol, nCells, seed)
+    val indexed = indexed0.localCheckpoint(true)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probes = math.min(nProbe, centroids.length)
+    val querySchema = StructType(
+      indexed.schema.fields.head.copy(name = "vid") +: Seq(StructField("probe_cell", IntegerType)))
+    val probed = indexed.select(col("vid"), col("v")).flatMap({ r =>
+      val arr = r.getSeq[Double](1).toArray
+      val d2 = centroids.map { c =>
+        var s = 0.0; var i = 0
+        val n = math.min(arr.length, c.length)
+        while (i < n) { val d = arr(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+      d2.zipWithIndex.sortBy(_._1).take(probes).map { case (_, cell) => Row(r.get(0), cell) }
+    })(Encoders.row(querySchema)).toDF()
+    val cands = probed.as("q")
+      .join(indexed.select(col("vid").as("nid"), col("v").as("_nv"),
+        col("nrm").as("_nn"), col("cell")).as("c"),
+        col("q.probe_cell") === col("c.cell") && col("q.vid") =!= col("nid"))
+    val scored = cands
+      .join(indexed.select(col("vid"), col("v").as("_qv"), col("nrm").as("_qn")), Seq("vid"))
+      .select(col("vid").as("query_id"), col("nid").as("neighbor_id"),
+        (dot(col("_qv"), col("_nv")) / (col("_qn") * col("_nn"))).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, each pair once.
     *
     * Candidate generation is an EQUI-join on (band, band_val) over banded

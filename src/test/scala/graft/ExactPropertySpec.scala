@@ -64,6 +64,30 @@ class ExactPropertySpec extends SparkSpec {
     assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
   }
 
+  test("IVF kNN with full probing equals brute-force cosine kNN; partial probing keeps cluster recall") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 8
+    // 4 well-separated clusters of 10 vectors each
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat * 10))
+    val vecs = (0 until 40).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.cosineKnn(df, "vec_id", "embedding", 3))
+    val full = rows(Similarity.ivfKnn(df, "vec_id", "embedding", 3, nCells = 4, nProbe = 4))
+    assert(full == brute, "probing every cell must equal brute force")
+    val one = rows(Similarity.ivfKnn(df, "vec_id", "embedding", 3, nCells = 4, nProbe = 1))
+    // same-cluster neighbors live in the probed cell → high recall with 1 probe
+    val recall = (one intersect brute).size.toDouble / brute.size
+    assert(recall > 0.9, s"1-probe recall $recall")
+  }
+
   test("banded cosineNearDupPairs equals the brute-force all-pairs definition") {
     import graft.operators.Similarity
     import spark.implicits._
