@@ -167,6 +167,26 @@ final case class Forecaster(
     }
   }
 
+  /** `tune`: grid-search the CURRENT estimator's hyperparameters by k-fold
+    * rolling-origin CV (each candidate re-runs the full scoring path on the
+    * fold's frame) and keep the winner's params. */
+  def tune(grid: Seq[Map[String, Double]], k: Int = 3, h: Int = 12,
+           metric: String = "rmse", parallelism: Int = 1): Forecaster = {
+    import graft.eval.Evaluation
+    val fitWith: Map[String, Double] => Evaluation.ModelFn = ps => { flagged =>
+      copy(frame = flagged, params = ps, testLength = h).scoreCurrent()
+    }
+    val best = Evaluation.gridSearch(frame.filter(!col(IsFuture)), grid, fitWith,
+      k, h, metric, parallelism).head._1
+    copy(params = best)
+  }
+
+  /** `auto_forecast` = tune then forecast with the winning params. */
+  def autoForecast(grid: Seq[Map[String, Double]], callMe: String = "",
+                   k: Int = 3, h: Int = 12, metric: String = "rmse",
+                   parallelism: Int = 1): Forecaster =
+    tune(grid, k, h, metric, parallelism).manualForecast(callMe)
+
   // ---- exports --------------------------------------------------------
   private def banked: DataFrame = results.getOrElse(
     throw new IllegalStateException("no model banked yet — call manualForecast first"))

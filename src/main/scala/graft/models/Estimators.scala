@@ -68,7 +68,11 @@ final case class MllibTsEstimator(
         .setNumTrees(p("n_estimators", 100).toInt)
         .setMaxDepth(p("max_depth", 5).toInt)
         .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
-      case "gbt" => new GBTRegressor().setSeed(seed)
+      // xgboost/catboost (cfg.py:26-48) are gradient-boosted decision trees;
+      // MLlib's GBTRegressor is the Spark-native GBDT — registered as a
+      // DOCUMENTED family substitution (same model class, different library),
+      // unlike svr/mlp below where no MLlib family exists at all.
+      case "gbt" | "xgboost" | "catboost" => new GBTRegressor().setSeed(seed)
         .setMaxIter(p("n_estimators", 50).toInt)
         .setMaxDepth(p("max_depth", 3).toInt)
         .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
@@ -98,8 +102,8 @@ final case class MllibTsEstimator(
 object MllibTsEstimator {
   /** Registry parity with cfg.py:26-48 for the MLlib-expressible estimators
     * (knn lives in [[KnnRegressor]] — join-based, not an MLlib pipeline). */
-  val supportedAlgos: Seq[String] =
-    Seq("mlr", "lasso", "ridge", "elasticnet", "sgd", "rf", "gbt", "prophet_like")
+  val supportedAlgos: Seq[String] = Seq("mlr", "lasso", "ridge", "elasticnet",
+    "sgd", "rf", "gbt", "xgboost", "catboost", "prophet_like")
 
   /** `transfer_predict` support
     * (/root/reference/src/scalecast/_Forecaster_parent.py:1869-1942): persist

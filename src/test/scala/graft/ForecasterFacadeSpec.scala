@@ -43,6 +43,18 @@ class ForecasterFacadeSpec extends SparkSpec {
     assert(f.pop("hw").modelNames == Seq("avg", "mlr_ar2"))
   }
 
+  test("tune picks the better hyperparameter by rolling CV; autoForecast banks it") {
+    val f = Forecaster(obsSeries(ys))
+      .generateFutureDates(4).setTestLength(8)
+      .addArTerms(1).addTimeTrend()
+      .setEstimator("ridge")
+      .autoForecast(Seq(Map("alpha" -> 0.001), Map("alpha" -> 10000.0)),
+        callMe = "ridge_tuned", k = 2, h = 8)
+    assert(f.params("alpha") == 0.001, s"huge shrinkage must lose: ${f.params}")
+    assert(f.modelNames == Seq("ridge_tuned"))
+    assert(f.results.get.filter(col("is_future") && col("yhat").isNull).count() == 0)
+  }
+
   test("peeking cadence + naive family through the facade") {
     val f = Forecaster(obsSeries(ys))
       .generateFutureDates(4)
