@@ -17,6 +17,20 @@ object TextOps {
   /** Whitespace tokens. Single-space split for cross-engine determinism. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** GPT-2-style pre-tokenization pattern (the public BPE pre-split regex):
+    * contraction suffixes, space-glued letter runs, digit runs, punctuation
+    * runs, residual whitespace. */
+  val BpeishPattern: String =
+    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** BPE-ish token count: the number of pre-tokenization pieces under
+    * [[BpeishPattern]] — a deterministic, engine-side stand-in for a real
+    * BPE tokenizer's length (every BPE token boundary is inside one piece,
+    * so this lower-bounds the true count while needing no vocab file). One
+    * codegen'd regexp pass per row. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
   /** 64-bit-ish (60-bit) content fingerprint: first 15 hex chars of md5. */
   def fingerprint64(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")

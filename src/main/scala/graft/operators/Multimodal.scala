@@ -61,4 +61,46 @@ object Multimodal {
         }
       }
   }
+
+  /** One sampled video frame: position + a per-frame checksum standing in
+    * for the decoded frame tensor. */
+  final case class SampledFrame(doc_id: Long, frame_idx: Long, ts_ms: Long,
+                                frame_checksum: String)
+
+  /** Frame sampling over video payloads: decode metadata → frame count at
+    * `fps` → emit every `everyK`-th frame. The per-frame decode is the stub
+    * (checksum derived from payload md5 + index); the SHAPE is the real one —
+    * iterator flatMap per partition (one demuxer init per partition, one
+    * output row per sampled frame), output fan-out bounded by
+    * duration·fps/everyK. */
+  def sampleFrames(df: DataFrame, everyK: Int, fps: Double = 25.0,
+                   idCol: String = "doc_id"): Dataset[SampledFrame] = {
+    require(everyK >= 1, "sample cadence must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (_, hex, _, _, durMs) = FakeDecoder.decode(bytes)
+          val nFrames = math.max(1L, (durMs * fps / 1000.0).toLong)
+          (0L until nFrames by everyK.toLong).map { i =>
+            SampledFrame(id, i, (i * 1000.0 / fps).toLong,
+              FakeDecoder.md5Hex((hex + ":" + i).getBytes("UTF-8")))
+          }
+        }
+      }
+  }
+
+  /** Resize plan: target dimensions bounded by `maxDim` with aspect ratio
+    * preserved — pure Column math over the decoded metadata (the pixel
+    * resample itself belongs in the decode kernel; this is the part the
+    * engine owns: computing per-row targets that the codec executes). */
+  def withResizeTargets(features: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim.toDouble) / greatest(col("width"), col("height")))
+    features
+      .withColumn("target_width", floor(col("width") * scale).cast("long"))
+      .withColumn("target_height", floor(col("height") * scale).cast("long"))
+  }
 }

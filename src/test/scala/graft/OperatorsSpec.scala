@@ -102,6 +102,29 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("bpeish token count matches a hand-split; frame sampling is bounded and deterministic") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    // "I'll pay $12, ok?" → [I]['ll][ pay][ $][12][,][ ok][?] = 8 pieces
+    val df = Seq((1L, "I'll pay $12, ok?")).toDF("doc_id", "text")
+    assert(df.select(TextOps.bpeishTokenCount(col("text"))).first().getLong(0) == 8L)
+
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withBinaryPayload(docs, "text"), everyK = 25).collect()
+    val meta = Multimodal.extractFeatures(
+      Multimodal.withBinaryPayload(docs, "text")).collect().map(m => m.doc_id -> m).toMap
+    frames.groupBy(_.doc_id).foreach { case (id, fs) =>
+      val expect = math.max(1L, (meta(id).duration_ms * 25.0 / 1000.0).toLong + 24) / 25
+      assert(fs.length.toLong == expect, s"doc $id frames ${fs.length} vs $expect")
+      assert(fs.map(_.frame_checksum).distinct.length == fs.length, "frames distinct")
+    }
+    val resized = Multimodal.withResizeTargets(
+      Multimodal.extractFeatures(Multimodal.withBinaryPayload(docs, "text")).toDF(), 256)
+    assert(resized.filter(col("target_width") > 256 || col("target_height") > 256).count() == 0)
+  }
+
   test("text stats: tokens, distinct ratio, stopwords") {
     import spark.implicits._
     val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
