@@ -88,7 +88,10 @@ object SparkEntry {
     "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d)),
     "mv_dynamic"         -> ((s, d) => qMvDynamic(s, d)),
     "ts_seg_dynamic"     -> ((s, d) => qSegDynamic(s, d)),
-    "ts_validation_grid" -> ((s, d) => qValidationGrid(s, d))
+    "ts_validation_grid" -> ((s, d) => qValidationGrid(s, d)),
+    "ts_adf"             -> ((s, d) => qAdf(s, d)),
+    "ts_normality"       -> ((s, d) => qNormality(s, d)),
+    "ts_pacf"            -> ((s, d) => qPacf(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -192,6 +195,31 @@ object SparkEntry {
       .filter(col(IsFuture))
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"),
         round(col("lower"), 6).as("lower"), round(col("upper"), 6).as("upper"))
+  }
+
+  /** ADF(p=1) t-statistic on the z-scored series; oracle replays the OLS on
+    * [1, y_(t−1), Δy_(t−1)] with the 3×3 cofactor inverse for the standard
+    * error. */
+  private def qAdf(s: SparkSession, d: String): DataFrame =
+    graft.functions.Diagnostics.adfT(zOrdersMonthly(s, d), 1)
+      .select(col(SeriesId), round(col("adf_t"), 6).as("adf_t"))
+
+  /** D'Agostino-Pearson K² + χ²(2) p-value; oracle recomputes the population
+    * skew/kurtosis from raw central-moment averages (NOT DuckDB's sample-
+    * corrected builtins) and chains the z-score algebra through CTEs. */
+  private def qNormality(s: SparkSession, d: String): DataFrame =
+    graft.functions.Diagnostics.normalityTest(zOrdersMonthly(s, d))
+      .select(col(SeriesId), round(col("k2"), 6).as("k2"),
+        round(col("pvalue"), 6).as("pvalue"))
+
+  /** PACF lags 1..3 via Durbin-Levinson over the distributed ACF; the oracle
+    * unrolls the k ≤ 3 recursion in closed form from r1..r3. */
+  private def qPacf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Diagnostics.pacf(ordersMonthly(s, d), 3)
+      .toDF(SeriesId, "lag", "pacf")
+      .select(col(SeriesId), col("lag").cast("long").as("lag"),
+        round(col("pacf"), 6).as("pacf"))
   }
 
   private def qAcf(s: SparkSession, d: String): DataFrame =
@@ -1192,6 +1220,88 @@ object SparkEntry {
          |  FROM te GROUP BY 1)
          |SELECT series_id, ROUND(mae_num / denom, 6) AS mase,
          |  ROUND(msis_num / denom, 6) AS msis FROM agg, den""".stripMargin,
+
+    // ADF(p=1): OLS of Δy on [1, y_(t−1), Δy_(t−1)] via Cholesky; the γ
+    // standard error needs (X'X)⁻¹[1][1] — computed from the 3×3 cofactor.
+    "ts_adf" ->
+      s"""$ZS,
+         |r0 AS (SELECT series_id, ds, y,
+         |       y - lag(y) OVER (ORDER BY ds) AS dy,
+         |       lag(y) OVER (ORDER BY ds) AS ylag FROM series),
+         |r1 AS (SELECT *, lag(dy) OVER (ORDER BY ds) AS dy1 FROM r0),
+         |rws AS (SELECT * FROM r1
+         |        WHERE dy IS NOT NULL AND ylag IS NOT NULL AND dy1 IS NOT NULL),
+         |${OracleGen.momentsCte("ad", Seq("ylag", "dy1"), "rws", yExpr = "dy")},
+         |${OracleGen.solveCtes("ad", 2)},
+         |ex AS (SELECT sum(dy * dy) AS syy, CAST(count(*) AS DOUBLE) AS n,
+         |       max(series_id) AS series_id FROM rws),
+         |fin AS (SELECT series_id,
+         |  sa_0_0 * (sa_1_1 * sa_2_2 - sa_2_1 * sa_2_1)
+         |  - sa_1_0 * (sa_1_0 * sa_2_2 - sa_2_1 * sa_2_0)
+         |  + sa_2_0 * (sa_1_0 * sa_2_1 - sa_1_1 * sa_2_0) AS det,
+         |  (sa_0_0 * sa_2_2 - sa_2_0 * sa_2_0) AS c11,
+         |  syy - (beta_0 * sb_0 + beta_1 * sb_1 + beta_2 * sb_2) AS rss,
+         |  n, beta_1
+         |  FROM ad_fit, ex)
+         |SELECT series_id,
+         |  ROUND(beta_1 / sqrt(rss / (n - 3) * (c11 / det)), 6) AS adf_t
+         |FROM fin""".stripMargin,
+
+    // D'Agostino-Pearson K²: population g1/g2 from raw central-moment
+    // averages (matches Spark's skewness/kurtosis, NOT DuckDB's
+    // sample-corrected builtins), z-score algebra chained through CTEs.
+    "ts_normality" ->
+      s"""$ZS,
+         |mu AS (SELECT avg(y) AS mu, CAST(count(*) AS DOUBLE) AS n FROM series),
+         |mom AS (SELECT s.series_id, m.n,
+         |        avg(pow(y - mu, 2)) AS m2, avg(pow(y - mu, 3)) AS m3,
+         |        avg(pow(y - mu, 4)) AS m4
+         |        FROM series s, mu m GROUP BY 1, 2),
+         |g AS (SELECT series_id, n, m3 / pow(m2, 1.5) AS g1,
+         |      m4 / (m2 * m2) - 3 AS g2 FROM mom),
+         |s1 AS (SELECT *, g1 * sqrt((n+1)*(n+3) / (6*(n-2))) AS yy,
+         |       3.0*(n*n + 27*n - 70)*(n+1)*(n+3)
+         |         / ((n-2)*(n+5)*(n+7)*(n+9)) AS beta2 FROM g),
+         |s2 AS (SELECT *, -1 + sqrt(2*(beta2 - 1)) AS w2 FROM s1),
+         |s3 AS (SELECT *, 1 / sqrt(0.5 * ln(w2)) AS delta,
+         |       sqrt(2 / (w2 - 1)) AS alpha FROM s2),
+         |s4 AS (SELECT *, yy / alpha AS ya FROM s3),
+         |s5 AS (SELECT *, delta * ln(ya + sqrt(ya*ya + 1)) AS zs FROM s4),
+         |k1 AS (SELECT *, g2 + 3 AS b2, 3.0*(n-1)/(n+1) AS eb2,
+         |       24.0*n*(n-2)*(n-3) / ((n+1)*(n+1)*(n+3)*(n+5)) AS varb2 FROM s5),
+         |k2_ AS (SELECT *, (b2 - eb2)/sqrt(varb2) AS x,
+         |        6.0*(n*n - 5*n + 2)/((n+7)*(n+9))
+         |          * sqrt(6.0*(n+3)*(n+5)/(n*(n-2)*(n-3))) AS sqrtb1 FROM k1),
+         |k3 AS (SELECT *, 6.0 + 8.0/sqrtb1
+         |          * (2.0/sqrtb1 + sqrt(1 + 4.0/(sqrtb1*sqrtb1))) AS a FROM k2_),
+         |k4 AS (SELECT *, (1 - 2.0/a) / (1 + x*sqrt(2.0/(a - 4))) AS t FROM k3),
+         |k5 AS (SELECT *, ((1 - 2.0/(9*a)) - cbrt(t)) / sqrt(2.0/(9*a)) AS zk FROM k4)
+         |SELECT series_id, ROUND(zs*zs + zk*zk, 6) AS k2,
+         |  ROUND(exp(-(zs*zs + zk*zk)/2), 6) AS pvalue FROM k5""".stripMargin,
+
+    // PACF lags 1..3: Durbin-Levinson unrolled in closed form over the
+    // unrounded ACF values (φ11 = r1; φ22, φ33 the textbook recursions).
+    "ts_pacf" ->
+      s"""$S, s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS rn FROM series),
+         |mu AS (SELECT avg(y) AS mu, count(*) AS n FROM s2),
+         |c AS (SELECT series_id, rn, y - mu AS c FROM s2, mu),
+         |d AS (SELECT sum(c * c) AS d FROM c),
+         |ac AS (SELECT g.k AS lag, sum(a.c * b.c) / (SELECT d FROM d) AS r
+         |  FROM generate_series(1, 3) g(k)
+         |  JOIN c a ON a.rn > g.k
+         |  JOIN c b ON b.rn = a.rn - g.k AND b.series_id = a.series_id
+         |  GROUP BY 1),
+         |rr AS (SELECT
+         |  max(CASE WHEN lag = 1 THEN r END) AS r1,
+         |  max(CASE WHEN lag = 2 THEN r END) AS r2,
+         |  max(CASE WHEN lag = 3 THEN r END) AS r3 FROM ac),
+         |p2 AS (SELECT *, (r2 - r1*r1) / (1 - r1*r1) AS phi22 FROM rr),
+         |p3 AS (SELECT *, r1 * (1 - phi22) AS phi21 FROM p2),
+         |p4 AS (SELECT *, (r3 - phi21*r2 - phi22*r1)
+         |                 / (1 - phi21*r1 - phi22*r2) AS phi33 FROM p3)
+         |SELECT 'orders' AS series_id, CAST(1 AS BIGINT) AS lag, ROUND(r1, 6) AS pacf FROM p4
+         |UNION ALL SELECT 'orders', 2, ROUND(phi22, 6) FROM p4
+         |UNION ALL SELECT 'orders', 3, ROUND(phi33, 6) FROM p4""".stripMargin,
 
     "ts_acf" ->
       s"""$S, s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS rn FROM series),
