@@ -91,7 +91,9 @@ object SparkEntry {
     "ts_validation_grid" -> ((s, d) => qValidationGrid(s, d)),
     "ts_adf"             -> ((s, d) => qAdf(s, d)),
     "ts_normality"       -> ((s, d) => qNormality(s, d)),
-    "ts_pacf"            -> ((s, d) => qPacf(s, d))
+    "ts_pacf"            -> ((s, d) => qPacf(s, d)),
+    "ts_combo"           -> ((s, d) => qCombo(s, d)),
+    "mv_corr_lags"       -> ((s, d) => qMvCorrLags(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -698,6 +700,36 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
   }
 
+  /** `combo` (models.py:1604-1633): simple average and the metric-weighted
+    * variant (worst→best reversal) over naive + snaive fitted values. */
+  private def qCombo(s: SparkSession, d: String): DataFrame = {
+    val z = zOrdersMonthly(s, d)
+    val fitted = Baselines.naiveFitted(Baselines.naiveFitted(z, 1, "f1"), 12, "f2")
+      .filter(col("f1").isNotNull && col("f2").isNotNull)
+    // deterministic metric weights: per-model in-sample rmse, worst→best
+    val r = fitted.agg(
+      sqrt(avg(pow(col(Y) - col("f1"), 2))).as("r1"),
+      sqrt(avg(pow(col(Y) - col("f2"), 2))).as("r2")).first()
+    val (r1, r2) = (r.getDouble(0), r.getDouble(1))
+    // order worst→best by rmse, weights ∝ score/Σ then REVERSED (the
+    // reference's lower-is-better trick hands the best model the big share)
+    val (cols, scores) = if (r1 >= r2) (Seq("f1", "f2"), Seq(r1, r2))
+                         else (Seq("f2", "f1"), Seq(r2, r1))
+    val out = Baselines.comboMetricWeighted(
+      Baselines.comboAvg(fitted, Seq("f1", "f2"), "combo_avg"),
+      cols, scores, lowerIsBetter = true, "combo_w")
+    out.select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+      round(col("combo_avg"), 6).as("combo_avg"), round(col("combo_w"), 6).as("combo_w"))
+  }
+
+  /** `corr_lags` (MVForecaster.py:1012-1074): Pearson corr of AUTOMOBILE with
+    * the k-lagged BUILDING series, lags 0..3 from ONE window pass. */
+  private def qMvCorrLags(s: SparkSession, d: String): DataFrame =
+    graft.functions.Diagnostics.corrLags(segmentMonthly(s, d),
+        "AUTOMOBILE", "BUILDING", 3)
+      .select(col("sid_a"), col("sid_b"), col("lag").cast("long").as("lag"),
+        round(col("corr"), 6).as("corr"))
+
   private def qMvCorr(s: SparkSession, d: String): DataFrame = {
     val seg = segmentMonthly(s, d)
     val a = seg.select(col(SeriesId).as("sid_a"), col(Ds), col(Y).as("ya"))
@@ -1220,6 +1252,36 @@ object SparkEntry {
          |  FROM te GROUP BY 1)
          |SELECT series_id, ROUND(mae_num / denom, 6) AS mase,
          |  ROUND(msis_num / denom, 6) AS msis FROM agg, den""".stripMargin,
+
+    // combo: simple average + metric-weighted (worst→best reversal collapses
+    // to f1·(r2/t) + f2·(r1/t) — the worse model always takes the other's
+    // rmse share).
+    "ts_combo" ->
+      s"""$ZS,
+         |l AS (SELECT series_id, ds, y, lag(y, 1) OVER (ORDER BY ds) AS f1,
+         |      lag(y, 12) OVER (ORDER BY ds) AS f2 FROM series),
+         |f AS (SELECT * FROM l WHERE f1 IS NOT NULL AND f2 IS NOT NULL),
+         |w AS (SELECT sqrt(avg(pow(y - f1, 2))) AS r1,
+         |      sqrt(avg(pow(y - f2, 2))) AS r2 FROM f)
+         |SELECT series_id, ds, ROUND(y, 6) AS y,
+         |  ROUND((f1 + f2) / 2, 6) AS combo_avg,
+         |  ROUND(f1 * (r2 / (r1 + r2)) + f2 * (r1 / (r1 + r2)), 6) AS combo_w
+         |FROM f, w""".stripMargin,
+
+    // corr_lags: Pearson corr of A with the row-lagged B series, lags 0..3.
+    "mv_corr_lags" ->
+      s"""$SEG,
+         |a AS (SELECT ds, y AS ya FROM series WHERE series_id = 'AUTOMOBILE'),
+         |bb AS (SELECT ds, y, row_number() OVER (ORDER BY ds) AS rn
+         |       FROM series WHERE series_id = 'BUILDING'),
+         |bl AS (SELECT cur.ds, g.k AS lag, prev.y AS yb
+         |       FROM generate_series(0, 3) g(k)
+         |       JOIN bb cur ON TRUE
+         |       JOIN bb prev ON prev.rn = cur.rn - g.k),
+         |j AS (SELECT a.ya, bl.yb, bl.lag FROM a JOIN bl ON bl.ds = a.ds)
+         |SELECT 'AUTOMOBILE' AS sid_a, 'BUILDING' AS sid_b,
+         |  CAST(lag AS BIGINT) AS lag, ROUND(corr(ya, yb), 6) AS corr
+         |FROM j GROUP BY 3""".stripMargin,
 
     // ADF(p=1): OLS of Δy on [1, y_(t−1), Δy_(t−1)] via Cholesky; the γ
     // standard error needs (X'X)⁻¹[1][1] — computed from the 3×3 cofactor.
