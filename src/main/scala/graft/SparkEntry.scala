@@ -93,7 +93,10 @@ object SparkEntry {
     "ts_normality"       -> ((s, d) => qNormality(s, d)),
     "ts_pacf"            -> ((s, d) => qPacf(s, d)),
     "ts_combo"           -> ((s, d) => qCombo(s, d)),
-    "mv_corr_lags"       -> ((s, d) => qMvCorrLags(s, d))
+    "mv_corr_lags"       -> ((s, d) => qMvCorrLags(s, d)),
+    "ts_train_only"      -> ((s, d) => qTrainOnly(s, d)),
+    "ts_ingest_xvars"    -> ((s, d) => qIngestXvars(s, d)),
+    "ts_export_fitted"   -> ((s, d) => qExportFitted(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -700,6 +703,42 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
   }
 
+  /** `train_only` leakage discipline (SeriesTransformer.py:400-404): scaler
+    * params fit ONLY on rows up to the trainEnd bound, transform applied to
+    * every row — the oracle fits μ/σ on the same slice. */
+  private def qTrainOnly(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    Transforms.scaleT(base, Some("1999-12-01")).transform(base)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_scaled"))
+  }
+
+  /** `ingest_Xvars_df` with categorical dummies + 0-padding
+    * (_Forecaster_parent.py:1471-1543): a regressor frame truncated 6 rows
+    * early, so the pad path fills the uncovered dates with zeros. */
+  private def qIngestXvars(s: SparkSession, d: String): DataFrame = {
+    val base = ordersMonthly(s, d)
+    val xv = base.filter(!col(IsFuture))
+      .select(col(Ds), month(col(Ds)).cast("double").as("mnum"),
+        when(month(col(Ds)) % 2 === 0, "even").otherwise("odd").as("season"))
+      .withColumn("_rb", row_number().over(Window.orderBy(col(Ds).desc)))
+      .filter(col("_rb") > 6).drop("_rb")
+    graft.core.SeriesFrame.ingestXvars(base, xv, pad = true)
+      .select(col(SeriesId), col(Ds), col(Y), col("mnum"),
+        col("season_even"), col("season_odd"))
+  }
+
+  /** `export_fitted_vals` (Forecaster.py:2321-2339): actuals / fitted /
+    * residuals for a banked model over the train slice. */
+  private def qExportFitted(s: SparkSession, d: String): DataFrame = {
+    val base = withTestFlag(zOrdersMonthly(s, d), 12)
+    val results = graft.results.ResultsStore.bank(Baselines.naiveFitted(base, 12), "snaive")
+    graft.results.ResultsStore.exportFittedVals(results, "snaive")
+      .filter(col("fitted_vals").isNotNull)
+      .select(col(SeriesId), col(Ds), round(col("actuals"), 6).as("actuals"),
+        round(col("fitted_vals"), 6).as("fitted_vals"),
+        round(col("residuals"), 6).as("residuals"))
+  }
+
   /** `combo` (models.py:1604-1633): simple average and the metric-weighted
     * variant (worst→best reversal) over naive + snaive fitted values. */
   private def qCombo(s: SparkSession, d: String): DataFrame = {
@@ -1252,6 +1291,38 @@ object SparkEntry {
          |  FROM te GROUP BY 1)
          |SELECT series_id, ROUND(mae_num / denom, 6) AS mase,
          |  ROUND(msis_num / denom, 6) AS msis FROM agg, den""".stripMargin,
+
+    // train_only scaler: μ/σ from the bounded slice, applied everywhere.
+    "ts_train_only" ->
+      s"""$S,
+         |zp AS (SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM series
+         |       WHERE ds <= DATE '1999-12-01')
+         |SELECT series_id, ds, ROUND((y - mu) / sd, 6) AS y_scaled
+         |FROM series, zp""".stripMargin,
+
+    // ingest_Xvars_df: dummies from the sorted category levels + 0-padding
+    // for the 6 trailing dates the regressor frame does not cover.
+    "ts_ingest_xvars" ->
+      s"""$S,
+         |xv AS (SELECT ds, CAST(month(ds) AS DOUBLE) AS mnum,
+         |       CASE WHEN month(ds) % 2 = 0 THEN 'even' ELSE 'odd' END AS season,
+         |       row_number() OVER (ORDER BY ds DESC) AS rb FROM series),
+         |xt AS (SELECT * FROM xv WHERE rb > 6)
+         |SELECT s.series_id, s.ds, s.y,
+         |  coalesce(xt.mnum, 0.0) AS mnum,
+         |  coalesce(CASE WHEN xt.season = 'even' THEN 1.0 ELSE 0.0 END, 0.0) AS season_even,
+         |  coalesce(CASE WHEN xt.season = 'odd' THEN 1.0 ELSE 0.0 END, 0.0) AS season_odd
+         |FROM series s LEFT JOIN xt ON xt.ds = s.ds""".stripMargin,
+
+    // export_fitted_vals: snaive fitted values over the train slice.
+    "ts_export_fitted" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS t,
+         |       lag(y, 12) OVER (ORDER BY ds) AS fv FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2)
+         |SELECT series_id, ds, ROUND(y, 6) AS actuals, ROUND(fv, 6) AS fitted_vals,
+         |  ROUND(y - fv, 6) AS residuals
+         |FROM s2, nn WHERE t <= n - 12 AND fv IS NOT NULL""".stripMargin,
 
     // combo: simple average + metric-weighted (worst→best reversal collapses
     // to f1·(r2/t) + f2·(r1/t) — the worse model always takes the other's
