@@ -88,6 +88,22 @@ class ManySeriesSpec extends SparkSpec {
     assert(viaShuffle == viaBroadcast && viaShuffle.size == nSeries * 3)
   }
 
+  test("backtestMetrics and prophet_like stay complete per series over the shared frame") {
+    val base = manySeries()
+    val perIter = graft.eval.Evaluation.backtest(base, 2, 6, 6,
+      f => graft.models.Baselines.naiveFitted(f, 1), Seq("rmse", "mae"))
+    val pivoted = graft.eval.Evaluation.backtestMetrics(perIter, Seq("rmse", "mae"), 2)
+    assert(pivoted.count() == nSeries * 2L) // one row per (series, metric)
+    assert(pivoted.filter(col("iter_0").isNull || col("iter_1").isNull ||
+      col("average").isNull).count() == 0)
+
+    val fc = graft.models.ProphetLike.forecast(
+      graft.core.SeriesFrame.withMonthlyHorizon(base, 3))
+    val fut = fc.filter(col("is_future"))
+    assert(fut.count() == nSeries * 3L)
+    assert(fut.filter(col("yhat").isNull).count() == 0)
+  }
+
   test("inferFreq and withTestFlag stay per-series on a shared frame") {
     val df = manySeries()
     assert(SeriesFrame.inferFreq(df) == "MS")
