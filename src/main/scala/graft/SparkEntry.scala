@@ -219,13 +219,10 @@ object SparkEntry {
 
   /** PACF lags 1..3 via Durbin-Levinson over the distributed ACF; the oracle
     * unrolls the k ≤ 3 recursion in closed form from r1..r3. */
-  private def qPacf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def qPacf(s: SparkSession, d: String): DataFrame =
     graft.functions.Diagnostics.pacf(ordersMonthly(s, d), 3)
-      .toDF(SeriesId, "lag", "pacf")
       .select(col(SeriesId), col("lag").cast("long").as("lag"),
         round(col("pacf"), 6).as("pacf"))
-  }
 
   private def qAcf(s: SparkSession, d: String): DataFrame =
     graft.functions.Diagnostics.acf(ordersMonthly(s, d), 12)
@@ -441,13 +438,13 @@ object SparkEntry {
       .groupBy(SeriesId)
       .agg(expr(s"percentile(abs(y - yhat), 0.95)").as("width"))
     val test = flagged.filter(col("is_test"))
-      .join(broadcast(width), Seq(SeriesId))
+      .join(graft.core.Joins.maybeBroadcast(width), Seq(SeriesId))
       .withColumn("uf", col("yhat") + col("width"))
       .withColumn("lf", col("yhat") - col("width"))
     test.groupBy(SeriesId)
       .agg(Metrics.maseNumerator(col(Y), col("yhat")).as("mae_num"),
         Metrics.msisNumerator(col(Y), col("uf"), col("lf"), alpha).as("msis_num"))
-      .join(broadcast(denom), Seq(SeriesId))
+      .join(graft.core.Joins.maybeBroadcast(denom), Seq(SeriesId))
       .select(col(SeriesId), round(col("mae_num") / col("denom"), 6).as("mase"),
         round(col("msis_num") / col("denom"), 6).as("msis"))
   }

@@ -39,18 +39,21 @@ object Diagnostics {
       .select(col(SeriesId), col("lag"), (col("_num") / col("_d")).as("acf"))
   }
 
-  /** PACF via Durbin-Levinson over the ACF values — per-series driver math
-    * on maxLag numbers, after one distributed ACF pass. */
-  def pacf(df: DataFrame, maxLag: Int): Seq[(String, Int, Double)] = {
-    val r = acf(df, maxLag).collect()
-      .groupBy(_.getString(0))
-      .map { case (sid, rows) =>
-        sid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-      }
-    r.toSeq.flatMap { case (sid, rho) =>
-      val p = durbinLevinson(rho)
-      p.zipWithIndex.map { case (v, i) => (sid, i + 1, v) }
-    }
+  /** PACF via Durbin-Levinson over the ACF values. One distributed ACF pass,
+    * then the ≤ maxLag² recursion runs per series INSIDE `mapGroups` — no
+    * per-series rows reach the driver, so the (series_id, lag, pacf) frame
+    * scales to any series count like the rest of the diagnostics tier. */
+  def pacf(df: DataFrame, maxLag: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    acf(df, maxLag)
+      .select(col(SeriesId).cast("string"), col("lag").cast("int"),
+        col("acf").cast("double"))
+      .as[(String, Int, Double)]
+      .groupByKey(_._1).flatMapGroups { (sid, it) =>
+        val rho = it.toIndexedSeq.sortBy(_._2).map(_._3).toArray
+        durbinLevinson(rho).zipWithIndex.map { case (v, i) => (sid, i + 1, v) }
+      }.toDF(SeriesId, "lag", "pacf")
   }
 
   private[functions] def durbinLevinson(rho: Array[Double]): Array[Double] = {

@@ -1,5 +1,6 @@
 package graft.models
 
+import graft.core.Joins.maybeBroadcast
 import graft.core.SeriesFrame._
 import graft.operators.Transforms
 import org.apache.spark.sql.DataFrame
@@ -22,7 +23,7 @@ object Theta {
     val detrend = Transforms.detrendLinearT(frame)
     // z2 = 2y − trend, kept alongside the original y
     val withT = frame.withColumn("_t", row_number().over(w))
-      .join(broadcast(detrend.params), Seq(SeriesId), "left")
+      .join(maybeBroadcast(detrend.params), Seq(SeriesId), "left")
       .withColumn("_trend", col("intercept") + col("slope") * col("_t"))
       .withColumn("_y_orig", col(Y))
       .withColumn(Y, lit(2) * col(Y) - col("_trend"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Joins.maybeBroadcast
 import graft.core.SeriesFrame._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -85,7 +86,7 @@ object Imputer {
                           noiseScale: Double = 1.0, valueCol: String = Y): DataFrame = {
     val stats = df.filter(!wasMissing).groupBy(SeriesId)
       .agg(stddev_samp(col(valueCol)).as("_sd"))
-    df.join(broadcast(stats), Seq(SeriesId), "left")
+    df.join(maybeBroadcast(stats), Seq(SeriesId), "left")
       .withColumn(valueCol,
         when(wasMissing, col(valueCol) + randn(seed) * col("_sd") * noiseScale)
           .otherwise(col(valueCol)))

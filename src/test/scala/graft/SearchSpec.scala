@@ -158,10 +158,11 @@ class SearchSpec extends SparkSpec {
     val df = obsSeries(ys)
     val a = Diagnostics.acf(df, 3).orderBy("lag").collect().map(_.getDouble(2))
     assert(a(0) > 0.5, s"lag-1 acf ${a(0)}")
-    val p = Diagnostics.pacf(df, 3)
+    val p = Diagnostics.pacf(df, 3).collect()
+      .map(r => (r.getInt(1), r.getDouble(2))).toMap
     assert(p.size === 3)
     // durbin-levinson sanity: pacf(1) == acf(1)
-    assert(math.abs(p.find(_._2 == 1).get._3 - a(0)) < 1e-9)
+    assert(math.abs(p(1) - a(0)) < 1e-9)
   }
 
   test("ADF t-stat: stationary noise is clearly more negative than a random walk") {
