@@ -96,7 +96,9 @@ object SparkEntry {
     "mv_corr_lags"       -> ((s, d) => qMvCorrLags(s, d)),
     "ts_train_only"      -> ((s, d) => qTrainOnly(s, d)),
     "ts_ingest_xvars"    -> ((s, d) => qIngestXvars(s, d)),
-    "ts_export_fitted"   -> ((s, d) => qExportFitted(s, d))
+    "ts_export_fitted"   -> ((s, d) => qExportFitted(s, d)),
+    "doc_token_counts"   -> ((s, d) => qDocTokenCounts(s, d)),
+    "emb_knn_ivf"        -> ((s, d) => qEmbKnnIvf(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -517,6 +519,27 @@ object SparkEntry {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** Token counting (the charter's "whitespace + BPE-ish" pair): whitespace
+    * split size + GPT-2-style pre-tokenization piece count, both one
+    * codegen'd pass; the oracle replays the SAME RE2-compatible pattern in
+    * DuckDB (no lookahead anywhere, so Java regex and RE2 agree). */
+  private def qDocTokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+
+  /** IVF ANN at FULL probe (nProbe = nCells): searches every posting list,
+    * so the result is exactly the brute-force top-k (ExactPropertySpec pins
+    * the equivalence and partial-probe recall) — which makes the all-pairs
+    * SQL definition a valid hash oracle for the whole IVF machinery: KMeans
+    * coarse quantizer, cell assignment, per-cell exact re-rank, dedup. */
+  private def qEmbKnnIvf(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        3, nCells = 8, nProbe = 8)
+      .filter(col("query_id") < 50)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
 
   private def qEmbKnn(s: SparkSession, d: String): DataFrame =
     Similarity.cosineKnn(Tables.embeddings(s, d), "vec_id", "embedding", 5,
@@ -1066,6 +1089,32 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "doc_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(length(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+        |    AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    // full-probe IVF == brute force (ExactPropertySpec), so the all-pairs
+    // definition is the oracle; query side bounded like emb_knn
+    "emb_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |ed AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ed GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.v * b.v) AS d
+        |  FROM ed a JOIN ed b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50 GROUP BY 1, 2),
+        |sims AS (SELECT qa, qb, d / (na.n * nb.n) AS sim
+        |  FROM dots JOIN nrm na ON na.vec_id = qa JOIN nrm nb ON nb.vec_id = qb),
+        |ranked AS (SELECT qa AS query_id, qb AS neighbor_id, ROUND(sim, 6) AS sim,
+        |    row_number() OVER (PARTITION BY qa ORDER BY ROUND(sim, 6) DESC, qb) AS rank
+        |  FROM sims)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "emb_knn_lsh" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS v,

@@ -54,12 +54,107 @@ object MvForecast {
     }.toMap
   }
 
-  /** MV dynamic forecast: h steps; at each step every series' step-i row has
-    * its cross-lags filled from the shared ledger (actuals ∪ all series'
-    * predictions so far), then each target's own model scores its row.
-    * Set-based over series within a step; h × |series| small jobs. */
+  /** Above this many coupled series the scorer path's single-task state
+    * (nSeries × (maxLag + h) ledger entries) stops being obviously tiny and
+    * the step-wise ledger path takes over. MV cross-lag models are inherently
+    * small-N — every model's feature width already grows with nSeries
+    * (models.py:213-337), so real uses sit far below this. */
+  val CoupledSetMax = 64
+
+  private def parseXlag(c: String): Option[(String, Int)] =
+    if (!c.startsWith("xlag_")) None
+    else {
+      val rest = c.stripPrefix("xlag_")
+      val cut = rest.lastIndexOf('_')
+      if (cut <= 0) None
+      else {
+        val kStr = rest.substring(cut + 1)
+        if (kStr.nonEmpty && kStr.forall(_.isDigit)) Some((rest.substring(0, cut), kStr.toInt))
+        else None
+      }
+    }
+
+  /** MV dynamic forecast: each step's predictions for every series feed the
+    * next step's cross-lag matrix (models.py:368-407).
+    *
+    * When every per-target model is row-scorable ([[RowScorer.unwrap]]) and
+    * the coupled set is small, the whole recursion runs as ONE executor task:
+    * cross-series coupling makes the set the irreducible unit of sequential
+    * work (exactly the reference's loop), and its state is bounded at
+    * nSeries × (maxLag + h) ledger entries. Otherwise: h steps, each filling
+    * every series' step-i cross-lags from the shared ledger (actuals ∪ all
+    * predictions so far) and scoring set-based — h × |series| small jobs. */
   def dynamicForecast(frame: DataFrame, models: Map[String, Transformer],
                       seriesIds: Seq[String], maxLag: Int): DataFrame = {
+    val scorers = seriesIds.flatMap(sid => RowScorer.unwrap(models(sid)).map(sid -> _)).toMap
+    if (scorers.size == seriesIds.size && seriesIds.size <= CoupledSetMax)
+      dynamicForecastScorer(frame, models, seriesIds, maxLag, scorers)
+    else dynamicForecastLedger(frame, models, seriesIds, maxLag)
+  }
+
+  /** Coupled-set scorer path: one task walks all series' horizons together. */
+  private[graft] def dynamicForecastScorer(frame: DataFrame, models: Map[String, Transformer],
+                                           seriesIds: Seq[String], maxLag: Int,
+                                           scorers: Map[String, RowScorer]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
+    val obs = withT.filter(!col(IsFuture))
+    val fitted = seriesIds.map(sid => models(sid).transform(obs.filter(col(SeriesId) === sid)))
+      .reduce(_ unionByName _)
+    val fut = withT.filter(col(IsFuture))
+    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
+    val unionFeats: Seq[String] = seriesIds.flatMap(scorers(_).featureCols).distinct
+    // per-target feature plan: union-array position, or (source series, lag)
+    val plans: Map[String, Array[Either[Int, (String, Int)]]] = seriesIds.map { sid =>
+      sid -> scorers(sid).featureCols.map { c =>
+        parseXlag(c) match {
+          case Some(sk) => Right(sk): Either[Int, (String, Int)]
+          case None     => Left(unionFeats.indexOf(c)): Either[Int, (String, Int)]
+        }
+      }.toArray
+    }.toMap
+    val lastT = obs.groupBy(SeriesId).agg(max("_t").as("_maxT"))
+    val seed = obs.join(lastT, Seq(SeriesId))
+      .filter(col("_t") > col("_maxT") - maxLag)
+      .select(col(SeriesId), col("_t"), lit(0).as("_step"), col(Y).as("_v"),
+        lit(null).cast("array<double>").as("_feats"))
+    val futIn = fut.withColumn("_step", row_number().over(w))
+      .select(col(SeriesId), col("_t"), col("_step"),
+        lit(null).cast("double").as("_v"),
+        array(unionFeats.map(c => col(c).cast("double")): _*).as("_feats"))
+    val sidOrder = seriesIds.zipWithIndex.toMap
+    val outSchema = StructType(Seq(StructField(SeriesId, withT.schema(SeriesId).dataType),
+      StructField("_t", IntegerType), StructField("yhat", DoubleType)))
+    val scores = seed.unionByName(futIn)
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .flatMapGroups { (_: Int, it: Iterator[Row]) =>
+        val rows = it.toArray
+        val ledger = scala.collection.mutable.HashMap.empty[(String, Int), Double]
+        rows.foreach(r => if (r.getInt(2) == 0 && !r.isNullAt(3))
+          ledger((r.getString(0), r.getInt(1))) = r.getDouble(3))
+        rows.filter(_.getInt(2) > 0)
+          .sortBy(r => (r.getInt(2), sidOrder.getOrElse(r.getString(0), Int.MaxValue)))
+          .iterator.map { r =>
+            val sid = r.getString(0)
+            val t = r.getInt(1)
+            val uf = r.getSeq[Any](4)
+            val feats = plans(sid).map {
+              case Left(i)         => val v = uf(i); if (v == null) Double.NaN else v.asInstanceOf[Double]
+              case Right((src, k)) => ledger.getOrElse((src, t - k), Double.NaN)
+            }
+            val yhat = scorers(sid).score(feats)
+            ledger((sid, t)) = yhat
+            Row(sid, t, yhat)
+          }
+      }(Encoders.row(outSchema))
+    val futScored = fut.join(scores, Seq(SeriesId, "_t"), "left")
+    fitted.select(outCols: _*).unionByName(futScored.select(outCols: _*))
+  }
+
+  /** Step-wise ledger path — the generic fallback for any `Transformer`. */
+  private[graft] def dynamicForecastLedger(frame: DataFrame, models: Map[String, Transformer],
+                                           seriesIds: Seq[String], maxLag: Int): DataFrame = {
     val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
     val obs = withT.filter(!col(IsFuture))
     val fittedParts = seriesIds.map(sid => models(sid).transform(obs.filter(col(SeriesId) === sid)))

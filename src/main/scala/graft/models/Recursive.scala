@@ -10,15 +10,51 @@ import org.apache.spark.sql.functions._
   * are filled from the model's own predictions for steps < i
   * (/root/reference/src/scalecast/models.py:109-149).
   *
-  * Spark-first shape: instead of a per-series driver loop, each horizon step
-  * is ONE whole-frame operation — fill the AR columns of every series' step-i
-  * row by joining against the accumulated (series, t, value) ledger, then
-  * `model.transform` all of them at once. h steps → h small jobs total,
-  * independent of the number of series: the per-step work parallelizes across
-  * a million series on a cluster. (The reference's step loop is per series;
-  * this is the same recursion batched series-wise.)
+  * Two physical strategies, chosen by what the fitted model supports:
+  *
+  *  - **Scorer path** (default for every registry pipeline): when the model
+  *    is row-scorable ([[RowScorer.unwrap]]), the whole recursion runs as ONE
+  *    `mapGroups` pass — each series' horizon walks sequentially inside an
+  *    executor task with state bounded at (maxLag + h) ledger entries, so a
+  *    million series parallelize across the cluster with a single shuffle
+  *    keyed by series_id and zero per-step job barriers.
+  *  - **Ledger path** (generic fallback, needs only `Transformer.transform`):
+  *    each horizon step is ONE whole-frame operation — fill the AR columns of
+  *    every series' step-i row by joining against the accumulated
+  *    (series, t, value) ledger, then `model.transform` all of them at once.
+  *    h steps → h small jobs total, independent of the number of series.
+  *
+  * (The reference's step loop is per series, models.py:109-149; the scorer
+  * path is that exact walk batched series-wise, the ledger path is the same
+  * recursion batched step-wise.)
   */
 object Recursive {
+
+  import org.apache.spark.sql.{Encoders, Row}
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+
+  private def arLagsOf(frame: DataFrame): Seq[Int] =
+    FeatureOps.arCols(frame).map(c => c.stripPrefix(FeatureOps.ArPrefix).toInt)
+
+  /** (feature-array index → AR lag) for the scorer's feature order. */
+  private def arIndex(sc: RowScorer): Seq[(Int, Int)] =
+    sc.featureCols.zipWithIndex.collect {
+      case (c, i) if c.startsWith(FeatureOps.ArPrefix) &&
+        c.stripPrefix(FeatureOps.ArPrefix).forall(_.isDigit) =>
+        (i, c.stripPrefix(FeatureOps.ArPrefix).toInt)
+    }
+
+  private def featsOf(r: Row, at: Int, n: Int): Array[Double] = {
+    val s = r.getSeq[Any](at)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = s(i)
+      out(i) = if (v == null) Double.NaN else v.asInstanceOf[Double]
+      i += 1
+    }
+    out
+  }
 
   /** Fitted values + dynamic horizon forecast.
     *
@@ -28,8 +64,62 @@ object Recursive {
     * @return frame rows with `yhat`: vectorized for observed rows (AR cells
     *         hold actuals), recursive for horizon rows
     */
-  def dynamicForecast(frame: DataFrame, model: Transformer): DataFrame = {
-    val arLags = FeatureOps.arCols(frame).map(c => c.stripPrefix(FeatureOps.ArPrefix).toInt)
+  def dynamicForecast(frame: DataFrame, model: Transformer): DataFrame =
+    RowScorer.unwrap(model) match {
+      case Some(sc) => dynamicForecastScorer(frame, model, sc)
+      case None     => dynamicForecastLedger(frame, model)
+    }
+
+  /** Scorer path: one shuffle keyed by series_id; per series the horizon
+    * walks sequentially with a (maxLag + h)-entry ledger — the reference's
+    * own per-series walk (models.py:129-149), executed on the executors. */
+  private[graft] def dynamicForecastScorer(frame: DataFrame, model: Transformer,
+                                           sc: RowScorer): DataFrame = {
+    val arLags = arLagsOf(frame)
+    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
+    val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
+    if (arLags.isEmpty) // no recursion: everything scores vectorized
+      return model.transform(withT).select(outCols: _*)
+    val obs = withT.filter(!col(IsFuture))
+    val fitted = model.transform(obs)
+    val fut = withT.filter(col(IsFuture))
+    val maxLag = arLags.max
+    // seed: only the trailing maxLag actuals per series can be referenced
+    val lastT = obs.groupBy(SeriesId).agg(max("_t").as("_maxT"))
+    val seed = obs.join(lastT, Seq(SeriesId))
+      .filter(col("_t") > col("_maxT") - maxLag)
+      .select(col(SeriesId), col("_t"), lit(false).as("_hz"),
+        col(Y).as("_v"), lit(null).cast("array<double>").as("_feats"))
+    val futIn = fut.select(col(SeriesId), col("_t"), lit(true).as("_hz"),
+      lit(null).cast("double").as("_v"),
+      array(sc.featureCols.map(c => col(c).cast("double")): _*).as("_feats"))
+    val arIdx = arIndex(sc)
+    val nFeat = sc.featureCols.size
+    val outSchema = StructType(Seq(StructField(SeriesId, withT.schema(SeriesId).dataType),
+      StructField("_t", IntegerType), StructField("yhat", DoubleType)))
+    val scores = seed.unionByName(futIn)
+      .groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (sid: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        val ledger = scala.collection.mutable.HashMap.empty[Int, Double]
+        rows.foreach(r => if (!r.getBoolean(2) && !r.isNullAt(3))
+          ledger(r.getInt(1)) = r.getDouble(3))
+        rows.filter(_.getBoolean(2)).sortBy(_.getInt(1)).iterator.map { r =>
+          val t = r.getInt(1)
+          val feats = featsOf(r, 4, nFeat)
+          arIdx.foreach { case (i, l) => feats(i) = ledger.getOrElse(t - l, Double.NaN) }
+          val yhat = sc.score(feats)
+          ledger(t) = yhat
+          Row(sid, t, yhat)
+        }
+      }(Encoders.row(outSchema))
+    val futScored = fut.join(scores, Seq(SeriesId, "_t"), "left")
+    fitted.select(outCols: _*).unionByName(futScored.select(outCols: _*))
+  }
+
+  /** Ledger path — the generic fallback for any `Transformer`. */
+  private[graft] def dynamicForecastLedger(frame: DataFrame, model: Transformer): DataFrame = {
+    val arLags = arLagsOf(frame)
     // localCheckpoint after each step truncates lineage — without it the
     // h-step loop compounds the plan h-fold (heap blow-up at plan compile).
     val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
@@ -99,7 +189,75 @@ object Recursive {
     */
   def dynamicTestForecast(frame: DataFrame, model: Transformer, k: Int): DataFrame = {
     require(k >= 1, s"peek cadence must be >= 1, got $k")
-    val arLags = FeatureOps.arCols(frame).map(c => c.stripPrefix(FeatureOps.ArPrefix).toInt)
+    RowScorer.unwrap(model) match {
+      case Some(sc) => dynamicTestForecastScorer(frame, model, k, sc)
+      case None     => dynamicTestForecastLedger(frame, model, k)
+    }
+  }
+
+  /** Scorer path for the peeking test walk: per series, ONE sequential pass
+    * over the test slice in an executor task — literally models.py's
+    * `series.append(pred)` / peek-reseed loop, state bounded at
+    * (maxLag + testLength) entries. */
+  private[graft] def dynamicTestForecastScorer(frame: DataFrame, model: Transformer,
+                                               k: Int, sc: RowScorer): DataFrame = {
+    val arLags = arLagsOf(frame)
+    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
+    val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
+    val isTestRow = col("is_test") && !col(IsFuture)
+    if (arLags.isEmpty)
+      return model.transform(withT).select(outCols: _*)
+    val fittedRest = model.transform(withT.filter(!isTestRow))
+    val test = withT.filter(isTestRow)
+      .withColumn("_s", row_number().over(w))
+    val maxLag = arLags.max
+    // pre-test actuals: only the maxLag rows before each series' test slice
+    // can be referenced (test rows lag into history at most maxLag deep)
+    val firstTest = test.groupBy(SeriesId).agg(min("_t").as("_t0"))
+    val seed = withT.filter(!isTestRow && !col(IsFuture))
+      .join(firstTest, Seq(SeriesId))
+      .filter(col("_t") >= col("_t0") - maxLag && col("_t") < col("_t0"))
+      .select(col(SeriesId), col("_t"), lit(0).as("_s"),
+        col(Y).as("_v"), lit(null).cast("array<double>").as("_feats"))
+    val testIn = test.select(col(SeriesId), col("_t"), col("_s"),
+      col(Y).as("_v"),
+      array(sc.featureCols.map(c => col(c).cast("double")): _*).as("_feats"))
+    val arIdx = arIndex(sc)
+    val nFeat = sc.featureCols.size
+    val outSchema = StructType(Seq(StructField(SeriesId, withT.schema(SeriesId).dataType),
+      StructField("_t", IntegerType), StructField("yhat", DoubleType)))
+    val scores = seed.unionByName(testIn)
+      .groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (sid: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        // actuals ledger: pre-test history + peek positions (s % k == 0);
+        // actuals win over predictions at peeks (coalesce order of the
+        // ledger path: _am before _pm)
+        val actuals = scala.collection.mutable.HashMap.empty[Int, Double]
+        val preds = scala.collection.mutable.HashMap.empty[Int, Double]
+        rows.foreach { r =>
+          val s = r.getInt(2)
+          if ((s == 0 || s % k == 0) && !r.isNullAt(3)) actuals(r.getInt(1)) = r.getDouble(3)
+        }
+        rows.filter(_.getInt(2) > 0).sortBy(_.getInt(2)).iterator.map { r =>
+          val t = r.getInt(1)
+          val feats = featsOf(r, 4, nFeat)
+          arIdx.foreach { case (i, l) =>
+            feats(i) = actuals.getOrElse(t - l, preds.getOrElse(t - l, Double.NaN))
+          }
+          val yhat = sc.score(feats)
+          preds(t) = yhat
+          Row(sid, t, yhat)
+        }
+      }(Encoders.row(outSchema))
+    val testScored = test.join(scores, Seq(SeriesId, "_t"), "left")
+    fittedRest.select(outCols: _*).unionByName(testScored.select(outCols: _*))
+  }
+
+  /** Ledger/wavefront path — the generic fallback for any `Transformer`. */
+  private[graft] def dynamicTestForecastLedger(frame: DataFrame, model: Transformer,
+                                               k: Int): DataFrame = {
+    val arLags = arLagsOf(frame)
     val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
     val isTestRow = col("is_test") && !col(IsFuture)
     val test0 = withT.filter(isTestRow)

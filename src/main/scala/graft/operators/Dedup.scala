@@ -60,7 +60,13 @@ object Dedup {
           .filter(col("_df") <= maxDocFreq).select("shingle")
         shAll.join(rare, Seq("shingle"))
       }
-    val sh = capped.cache()
+    // the inverted-index self-join is row-exploding (candidate pairs ≫
+    // shingle rows), which AQE's byte-sized coalescing mis-plans to a few
+    // tasks — pin the join key partitioning at full width so pair generation
+    // and the pair-count partial agg spread (same fix as
+    // [[graft.operators.Similarity.cosineNearDupPairs]])
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = capped.repartition(nPart, col("shingle")).cache()
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))

@@ -25,6 +25,23 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
 
+  /** Compiled dot product — identical left-to-right summation as [[dot]],
+    * but a single JVM tight loop per row instead of per-element interpreted
+    * Catalyst lambdas. On multi-million-candidate re-rank stages the
+    * higher-order form costs ~50× more; this is the charter's sanctioned
+    * fallback order (native expression > Scala UDF > interpreted HOF) with
+    * the UDF tier chosen because a codegen Expression cannot be registered
+    * without controlling the session. */
+  private val dotFastUdf = udf((a: Array[Double], b: Array[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  def dotFast(a: Column, b: Column): Column = dotFastUdf(a, b)
+
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, z) => acc + z))
 
@@ -210,19 +227,98 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bands: Int = 16,
                          bitsPerBand: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
     val p = prepared(df, idCol, vecCol).localCheckpoint(true)
-    val sigs = bandedSignatures(p.select(col("vid").as("id"), col("v")), "id", "v",
-      bands, bitsPerBand).localCheckpoint(true)
-    val cand = sigs.as("a").join(sigs.as("b"),
+    val dims = p.select(size(col("v"))).first().getInt(0)
+    val coefs = Array.tabulate(bands * bitsPerBand, dims)(planeCoefV)
+    val idType = p.schema("vid").dataType
+    // one typed pass computes the FULL per-vector signature array (tight
+    // primitive loop over the plan-time coefficient matrix)
+    val sigSchema = StructType(Seq(StructField("vid", idType),
+      StructField("sigs", ArrayType(LongType, containsNull = false))))
+    val sigs = p.select(col("vid"), col("v")).map({ r =>
+      val arr = r.getSeq[Double](1).toArray
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var bucket = 0L
+        var bit = 0
+        while (bit < bitsPerBand) {
+          val c = coefs(b * bitsPerBand + bit)
+          var s = 0.0
+          var d = 0
+          val n = math.min(arr.length, c.length)
+          while (d < n) { s += arr(d) * c(d); d += 1 }
+          if (s > 0) bucket |= (1L << bit)
+          bit += 1
+        }
+        out(b) = bucket
+        b += 1
+      }
+      Row(r.get(0), out)
+    })(Encoders.row(sigSchema)).toDF()
+    // slim (vid, band, band_val) rows drive the candidate equi-join. The
+    // join is row-EXPLODING (output pairs ≫ input signatures on a dense
+    // corpus), which is AQE's blind spot: sizing by the tiny INPUT shuffle
+    // it coalesces to one partition and serializes the explosion. Pinning an
+    // explicit repartition on the exact join key AFTER materialization gives
+    // both self-join sides a compatible, non-coalescable HashPartitioning —
+    // the pair generation and the distinct's partial agg then run at full
+    // width. (The unused `sim` suppression below keeps everything in
+    // whole-stage codegen: slim pairs through the join, vectors only after
+    // dedup.)
+    val nPart = sigs.sparkSession.sessionState.conf.numShufflePartitions
+    val exploded = sigs.select(col("vid"),
+        posexplode(col("sigs")).as(Seq("band", "band_val")))
+      .localCheckpoint(true)
+      .repartition(nPart, col("band"), col("band_val"))
+    val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
       .distinct()
-    cand
-      .join(p.select(col("vid").as("id_a"), col("v").as("_va"), col("nrm").as("_na")), Seq("id_a"))
-      .join(p.select(col("vid").as("id_b"), col("v").as("_vb"), col("nrm").as("_nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
-      .filter(col("sim") >= threshold)
+      // spread the exact re-check: the distinct's output exchange is sized by
+      // AQE for shuffle bytes, but each slim pair fans out into a 2·dims dot
+      // product next — round-robin back to full width first
+      .repartition(nPart)
+    // exact cosine re-check. Two tiers, same cutoff philosophy as
+    // [[graft.core.Joins.maybeBroadcast]]:
+    //  - corpus fits the broadcast budget → ship the vectors ONCE as a
+    //    broadcast map and re-rank the slim candidate pairs in a
+    //    zero-per-row-allocation kernel (a candidate row never materializes
+    //    its two vectors: on a dense corpus that join-output blow-up — pairs
+    //    × 2·dims doubles — costs more than everything else combined);
+    //  - bigger corpus → vectors ride back on plain equi-joins and AQE picks
+    //    the strategy from runtime sizes, the compiled dot scoring each row.
+    val bcastBudget = {
+      val thr = p.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (thr > 0) thr * 8 else 80L << 20
+    }
+    val corpusBytes = p.count() * (dims + 2) * 8L
+    if (corpusBytes <= bcastBudget) {
+      val vecMap = p.select(col("vid"), col("v"), col("nrm")).collect()
+        .map(r => r.get(0) -> ((r.getSeq[Double](1).toArray, r.getDouble(2)))).toMap
+      val bc = p.sparkSession.sparkContext.broadcast(vecMap)
+      val outSchema = StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
+        StructField("sim", org.apache.spark.sql.types.DoubleType)))
+      cand.flatMap({ r =>
+        val (va, na) = bc.value(r.get(0))
+        val (vb, nb) = bc.value(r.get(1))
+        var s = 0.0
+        var i = 0
+        val n = math.min(va.length, vb.length)
+        while (i < n) { s += va(i) * vb(i); i += 1 }
+        val sim = s / (na * nb)
+        if (sim >= threshold) Iterator.single(Row(r.get(0), r.get(1), sim)) else Iterator.empty
+      })(Encoders.row(outSchema)).toDF()
+    } else {
+      val va = p.select(col("vid").as("id_a"), col("v").as("_va"), col("nrm").as("_na"))
+      val vb = p.select(col("vid").as("id_b"), col("v").as("_vb"), col("nrm").as("_nb"))
+      cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dotFast(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
+        .filter(col("sim") >= threshold)
+    }
   }
 }
