@@ -98,7 +98,8 @@ object SparkEntry {
     "ts_ingest_xvars"    -> ((s, d) => qIngestXvars(s, d)),
     "ts_export_fitted"   -> ((s, d) => qExportFitted(s, d)),
     "doc_token_counts"   -> ((s, d) => qDocTokenCounts(s, d)),
-    "emb_knn_ivf"        -> ((s, d) => qEmbKnnIvf(s, d))
+    "emb_knn_ivf"        -> ((s, d) => qEmbKnnIvf(s, d)),
+    "ts_stat_transform"  -> ((s, d) => qStatTransform(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -225,6 +226,24 @@ object SparkEntry {
     graft.functions.Diagnostics.pacf(ordersMonthly(s, d), 3)
       .select(col(SeriesId), col("lag").cast("long").as("lag"),
         round(col("pacf"), 6).as("pacf"))
+
+  /** `find_statistical_transformation` (util.py:431-572): the ADF-driven
+    * stationarity recipe (log when min y > 0, then diff(1), both only when
+    * the unit root is NOT rejected at τ > −2.86) plus the ACF(12)-driven
+    * seasonal diff. The emitted frame is the TRANSFORMED series, so the hash
+    * checks the decisions AND the transform math end to end; the oracle
+    * replays ADF, both CASE-gated transforms, the lag-12 ACF significance
+    * test, and the conditional seasonal diff through one CTE chain. */
+  private def qStatTransform(s: SparkSession, d: String): DataFrame = {
+    // cumulative revenue: a monotone trending level series, so the ADF gate
+    // actually fires (raw monthly revenue is level-stationary and would
+    // exercise only the no-transform branch)
+    val cum = ordersMonthly(s, d).withColumn(Y,
+      sum(Y).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val (_, out) = graft.eval.AutoSelect.findStatisticalTransformation(
+      cum, goals = Seq("stationary", "seasonally_adj"), m = 12)
+    out.select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"))
+  }
 
   private def qAcf(s: SparkSession, d: String): DataFrame =
     graft.functions.Diagnostics.acf(ordersMonthly(s, d), 12)
@@ -716,9 +735,13 @@ object SparkEntry {
     val sids = Seq("AUTOMOBILE", "BUILDING")
     val seg = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
     val z = Transforms.scaleT(seg).transform(seg)
+    // one materialization of the (tiny) lagged frame: the OLS moments pass,
+    // the recursion seed, and the fitted pass all read it instead of
+    // re-running the fact scan + aggregation per action
     val withLags = MvForecast.addCrossSeriesLags(withMonthlyHorizon(z, 6), sids, 1)
-    val models = MvForecast.fitPerSeries(withLags, sids, 1)
-    MvForecast.dynamicForecast(withLags, models, sids, 1)
+      .localCheckpoint(true)
+    val fits = MvForecast.fitPerSeriesOls(withLags, sids, 1)
+    MvForecast.dynamicForecastOls(withLags, fits, sids, 1)
       .filter(col(IsFuture))
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
   }
@@ -1089,6 +1112,49 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // find_statistical_transformation replay: ADF(p=1) on the raw series →
+    // CASE-gated log + diff(1) → lag-12 ACF significance on the result →
+    // CASE-gated seasonal diff(12); output is the transformed series
+    "ts_stat_transform" ->
+      s"""$S,
+         |cum AS (SELECT series_id, ds, sum(y) OVER (ORDER BY ds) AS y FROM series),
+         |r0 AS (SELECT series_id, ds, y,
+         |       y - lag(y) OVER (ORDER BY ds) AS dy,
+         |       lag(y) OVER (ORDER BY ds) AS ylag FROM cum),
+         |r1 AS (SELECT *, lag(dy) OVER (ORDER BY ds) AS dy1 FROM r0),
+         |rws AS (SELECT * FROM r1
+         |        WHERE dy IS NOT NULL AND ylag IS NOT NULL AND dy1 IS NOT NULL),
+         |${OracleGen.momentsCte("ad", Seq("ylag", "dy1"), "rws", yExpr = "dy")},
+         |${OracleGen.solveCtes("ad", 2)},
+         |ex AS (SELECT sum(dy * dy) AS syy, CAST(count(*) AS DOUBLE) AS n FROM rws),
+         |adf AS (SELECT beta_1 / sqrt(
+         |    (syy - (beta_0 * sb_0 + beta_1 * sb_1 + beta_2 * sb_2)) / (n - 3) *
+         |    ((sa_0_0 * sa_2_2 - sa_2_0 * sa_2_0) /
+         |     (sa_0_0 * (sa_1_1 * sa_2_2 - sa_2_1 * sa_2_1)
+         |      - sa_1_0 * (sa_1_0 * sa_2_2 - sa_2_1 * sa_2_0)
+         |      + sa_2_0 * (sa_1_0 * sa_2_1 - sa_1_1 * sa_2_0)))) AS t
+         |  FROM ad_fit, ex),
+         |dec AS (SELECT (SELECT t FROM adf) > -2.86 AS nonstat,
+         |               (SELECT min(y) FROM cum) > 0 AS pos),
+         |s1 AS (SELECT series_id, ds,
+         |    CASE WHEN (SELECT nonstat FROM dec) AND (SELECT pos FROM dec)
+         |         THEN ln(y) ELSE y END AS y FROM cum),
+         |s2 AS (SELECT series_id, ds,
+         |    CASE WHEN (SELECT nonstat FROM dec)
+         |         THEN y - lag(y) OVER (ORDER BY ds) ELSE y END AS y FROM s1),
+         |s3 AS (SELECT * FROM s2 WHERE y IS NOT NULL),
+         |mu AS (SELECT avg(y) AS mu, CAST(count(*) AS DOUBLE) AS n FROM s3),
+         |cc AS (SELECT series_id, ds, y - (SELECT mu FROM mu) AS c,
+         |       row_number() OVER (ORDER BY ds) AS rn FROM s3),
+         |acf12 AS (SELECT sum(a.c * b.c) / (SELECT sum(c * c) FROM cc) AS r
+         |  FROM cc a JOIN cc b ON b.rn = a.rn - 12),
+         |d2 AS (SELECT coalesce((SELECT r FROM acf12), 0.0)
+         |              > 1.96 / sqrt((SELECT n FROM mu)) AS seas),
+         |s4 AS (SELECT series_id, ds,
+         |    CASE WHEN (SELECT seas FROM d2)
+         |         THEN y - lag(y, 12) OVER (ORDER BY ds) ELSE y END AS y FROM s3)
+         |SELECT series_id, ds, ROUND(y, 6) AS y FROM s4 WHERE y IS NOT NULL""".stripMargin,
 
     "doc_token_counts" ->
       """SELECT doc_id,

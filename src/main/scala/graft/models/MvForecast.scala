@@ -92,22 +92,21 @@ object MvForecast {
     else dynamicForecastLedger(frame, models, seriesIds, maxLag)
   }
 
-  /** Coupled-set scorer path: one task walks all series' horizons together. */
-  private[graft] def dynamicForecastScorer(frame: DataFrame, models: Map[String, Transformer],
-                                           seriesIds: Seq[String], maxLag: Int,
-                                           scorers: Map[String, RowScorer]): DataFrame = {
+  /** The shared coupled-set walk: one executor task advances all series'
+    * horizons together, scoring each (series, step) row with `score` and
+    * feeding every prediction back into the shared cross-series ledger.
+    * Returns the (series_id, _t, yhat) horizon scores. */
+  private def coupledScores(withT: DataFrame, seriesIds: Seq[String], maxLag: Int,
+                            featColsOf: Map[String, Seq[String]],
+                            score: (String, Array[Double]) => Double): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
-    val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
     val obs = withT.filter(!col(IsFuture))
-    val fitted = seriesIds.map(sid => models(sid).transform(obs.filter(col(SeriesId) === sid)))
-      .reduce(_ unionByName _)
     val fut = withT.filter(col(IsFuture))
-    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
-    val unionFeats: Seq[String] = seriesIds.flatMap(scorers(_).featureCols).distinct
+    val unionFeats: Seq[String] = seriesIds.flatMap(featColsOf).distinct
     // per-target feature plan: union-array position, or (source series, lag)
     val plans: Map[String, Array[Either[Int, (String, Int)]]] = seriesIds.map { sid =>
-      sid -> scorers(sid).featureCols.map { c =>
+      sid -> featColsOf(sid).map { c =>
         parseXlag(c) match {
           case Some(sk) => Right(sk): Either[Int, (String, Int)]
           case None     => Left(unionFeats.indexOf(c)): Either[Int, (String, Int)]
@@ -126,7 +125,7 @@ object MvForecast {
     val sidOrder = seriesIds.zipWithIndex.toMap
     val outSchema = StructType(Seq(StructField(SeriesId, withT.schema(SeriesId).dataType),
       StructField("_t", IntegerType), StructField("yhat", DoubleType)))
-    val scores = seed.unionByName(futIn)
+    seed.unionByName(futIn)
       .groupByKey(_ => 0)(Encoders.scalaInt)
       .flatMapGroups { (_: Int, it: Iterator[Row]) =>
         val rows = it.toArray
@@ -143,11 +142,80 @@ object MvForecast {
               case Left(i)         => val v = uf(i); if (v == null) Double.NaN else v.asInstanceOf[Double]
               case Right((src, k)) => ledger.getOrElse((src, t - k), Double.NaN)
             }
-            val yhat = scorers(sid).score(feats)
+            val yhat = score(sid, feats)
             ledger((sid, t)) = yhat
             Row(sid, t, yhat)
           }
-      }(Encoders.row(outSchema))
+      }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Coupled-set scorer path: one task walks all series' horizons together. */
+  private[graft] def dynamicForecastScorer(frame: DataFrame, models: Map[String, Transformer],
+                                           seriesIds: Seq[String], maxLag: Int,
+                                           scorers: Map[String, RowScorer]): DataFrame = {
+    val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
+    val obs = withT.filter(!col(IsFuture))
+    val fitted = seriesIds.map(sid => models(sid).transform(obs.filter(col(SeriesId) === sid)))
+      .reduce(_ unionByName _)
+    val fut = withT.filter(col(IsFuture))
+    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
+    val scores = coupledScores(withT, seriesIds, maxLag,
+      seriesIds.map(sid => sid -> scorers(sid).featureCols).toMap,
+      (sid, feats) => scorers(sid).score(feats))
+    val futScored = fut.join(scores, Seq(SeriesId, "_t"), "left")
+    fitted.select(outCols: _*).unionByName(futScored.select(outCols: _*))
+  }
+
+  /** One grouped moments aggregation fits EVERY per-target equation at once
+    * — the equations share the cross-lag design matrix (only y differs per
+    * target), so nSeries MLlib fits collapse into one job + nSeries tiny
+    * driver solves. Same normal-equation math as the MLlib normal solver and
+    * the per-equation Cholesky the oracle replays. */
+  def fitPerSeriesOls(frame: DataFrame, seriesIds: Seq[String], maxLag: Int): Map[String, Ols.Fit] = {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val feats = for (sid <- seriesIds; k <- 1 to maxLag) yield xlagCol(sid, k)
+    val hasTest = frame.columns.contains("is_test")
+    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
+    val train0 = if (hasTest) obs.filter(!col("is_test")) else obs
+    val train = feats.foldLeft(train0)((f, c) => f.filter(col(c).isNotNull))
+    val xs: Seq[org.apache.spark.sql.Column] = lit(1.0) +: feats.map(c => col(c).cast("double"))
+    val k = xs.size
+    val aggs = (for (i <- 0 until k; j <- 0 to i) yield sum(xs(i) * xs(j)).as(s"a_${i}_$j")) ++
+      (0 until k).map(i => sum(xs(i) * col(Y).cast("double")).as(s"b_$i"))
+    val rows = train.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*).collect()
+    rows.filter(r => seriesIds.contains(r.getString(0))).map { r =>
+      val a = DenseMatrix.zeros[Double](k, k)
+      val b = DenseVector.zeros[Double](k)
+      var idx = 1
+      for (i <- 0 until k; j <- 0 to i) { a(i, j) = r.getDouble(idx); a(j, i) = a(i, j); idx += 1 }
+      for (i <- 0 until k) { b(i) = r.getDouble(idx); idx += 1 }
+      val beta = a \ b
+      r.getString(0) -> Ols.Fit(beta(0), (1 until k).map(beta(_)).toArray, feats)
+    }.toMap
+  }
+
+  /** MV dynamic forecast over closed-form fits: the fitted pass is ONE
+    * cased expression over the whole frame (no per-series transforms) and
+    * the recursion is the coupled-set walk. */
+  def dynamicForecastOls(frame: DataFrame, fits: Map[String, Ols.Fit],
+                         seriesIds: Seq[String], maxLag: Int): DataFrame = {
+    val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
+    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
+    val fittedExpr = seriesIds.foldLeft(lit(null).cast("double")) { (acc, sid) =>
+      when(col(SeriesId) === sid, fits(sid).predictExpr).otherwise(acc)
+    }
+    val fitted = withT.filter(!col(IsFuture)).withColumn("yhat", fittedExpr)
+    val fut = withT.filter(col(IsFuture))
+    val scores = coupledScores(withT, seriesIds, maxLag,
+      seriesIds.map(sid => sid -> fits(sid).feats).toMap,
+      (sid, feats) => {
+        val f = fits(sid)
+        var s = f.intercept
+        var i = 0
+        val n = math.min(feats.length, f.beta.length)
+        while (i < n) { s += f.beta(i) * feats(i); i += 1 }
+        s
+      })
     val futScored = fut.join(scores, Seq(SeriesId, "_t"), "left")
     fitted.select(outCols: _*).unionByName(futScored.select(outCols: _*))
   }

@@ -41,13 +41,14 @@ object ProphetLike {
     (withF, feats)
   }
 
-  /** Fit on observed (non-test) rows, score everywhere incl. the horizon. */
+  /** Fit on observed (non-test) rows, score everywhere incl. the horizon.
+    * The fit is [[Ols]]'s one-aggregation closed form (identical normal-
+    * equation math to the registry's `prophet_like` MLlib entry, minus the
+    * per-fit scheduler overhead), and prediction is a pure expression. */
   def forecast(frame: DataFrame, m: Double = 12.0, fourierOrder: Int = 2,
                extra: Seq[String] = Nil): DataFrame = {
     val (df, feats) = features(frame, m, fourierOrder, extra)
-    val model = MllibTsEstimator("prophet_like", feats).fit(df)
-    model.transform(df)
-      .withColumn("yhat", when(isnan(col("yhat")), lit(null)).otherwise(col("yhat")))
-      .drop("_fraw", "_f")
+    val fit = Ols.fit(df, feats)
+    df.withColumn("yhat", fit.predictExpr)
   }
 }
