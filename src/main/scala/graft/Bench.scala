@@ -10,8 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/session warmup so the first measured query doesn't absorb startup
+    // JVM/session warmup so the first measured query doesn't absorb startup:
+    // exercise the operators every query touches (parquet scan, shuffle agg,
+    // broadcast join, window) so codegen/classloading costs land here, not
+    // in whichever query the map happens to order first
     spark.range(1000).selectExpr("sum(id)").collect()
+    try {
+      val warm = spark.read.parquet(s"$sfDir/region.parquet")
+      warm.join(org.apache.spark.sql.functions.broadcast(warm
+          .select(org.apache.spark.sql.functions.col("r_regionkey").as("k"))),
+          org.apache.spark.sql.functions.col("r_regionkey") ===
+            org.apache.spark.sql.functions.col("k"))
+        .groupBy("r_name").count()
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+            .orderBy("count")))
+        .collect()
+    } catch { case _: Throwable => () }
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
       else SparkEntry.queries

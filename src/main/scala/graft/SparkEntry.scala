@@ -99,7 +99,8 @@ object SparkEntry {
     "ts_export_fitted"   -> ((s, d) => qExportFitted(s, d)),
     "doc_token_counts"   -> ((s, d) => qDocTokenCounts(s, d)),
     "emb_knn_ivf"        -> ((s, d) => qEmbKnnIvf(s, d)),
-    "ts_stat_transform"  -> ((s, d) => qStatTransform(s, d))
+    "ts_stat_transform"  -> ((s, d) => qStatTransform(s, d)),
+    "ts_best_length"     -> ((s, d) => qBestLength(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -243,6 +244,23 @@ object SparkEntry {
     val (_, out) = graft.eval.AutoSelect.findStatisticalTransformation(
       cum, goals = Seq("stationary", "seasonally_adj"), m = 12)
     out.select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"))
+  }
+
+  /** `determine_best_series_length` (Forecaster.py:1178-1256): keep only
+    * the last L observations per candidate L, score an AR(1) mlr on the
+    * 12-ob holdout, keep the argmin (first candidate wins ties, matching
+    * the reference's scan order). The oracle replays each candidate's
+    * Cholesky OLS over its kept slice and argmins the holdout RMSE. */
+  private def qBestLength(s: SparkSession, d: String): DataFrame = {
+    val mlrAr1: graft.eval.Evaluation.ModelFn = fl => {
+      val withAr = FeatureOps.addArTerms(fl, 1)
+      graft.models.MllibTsEstimator("mlr", Seq("ar_1")).fit(withAr).transform(withAr)
+    }
+    val (len, rmse) = graft.eval.AutoSelect.bestSeriesLength(
+      zOrdersMonthly(s, d), Seq(36, 60, 84), 12, mlrAr1)
+    import s.implicits._
+    Seq((len.toLong, rmse)).toDF("best_length", "rmse")
+      .select(col("best_length"), round(col("rmse"), 6).as("rmse"))
   }
 
   private def qAcf(s: SparkSession, d: String): DataFrame =
@@ -1112,6 +1130,30 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // determine_best_series_length replay: per candidate L, AR(1) Cholesky
+    // OLS on the kept slice's train rows, holdout RMSE, argmin (list order
+    // breaks ties like the reference's scan)
+    "ts_best_length" -> {
+      val cands = Seq(36, 60, 84)
+      val defs = cands.zipWithIndex.map { case (l, i) =>
+        s"${OracleGen.momentsCte(s"bl$i", Seq("x1"), s"lagd WHERE rb > 12 AND rb <= $l - 1")},\n" +
+          OracleGen.solveCtes(s"bl$i", 1)
+      }.mkString(",\n")
+      val rows = cands.zipWithIndex.map { case (l, i) =>
+        s"SELECT CAST($l AS BIGINT) AS best_length, $i AS idx, " +
+          s"(SELECT sqrt(avg(pow(beta_0 + beta_1 * x1 - y, 2))) " +
+          s"FROM lagd, bl${i}_fit WHERE rb <= 12) AS rmse"
+      }.mkString("\nUNION ALL\n")
+      s"""$ZS,
+         |lagd AS (SELECT series_id, ds, y,
+         |         lag(y) OVER (ORDER BY ds) AS x1,
+         |         row_number() OVER (ORDER BY ds DESC) AS rb FROM series),
+         |$defs,
+         |scored AS ($rows)
+         |SELECT best_length, ROUND(rmse, 6) AS rmse FROM scored
+         |ORDER BY rmse, idx LIMIT 1""".stripMargin
+    },
 
     // find_statistical_transformation replay: ADF(p=1) on the raw series →
     // CASE-gated log + diff(1) → lag-12 ACF significance on the result →

@@ -111,6 +111,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_", slice(col("sig"), b * r + 1, lit(r)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      // pin full-width partitioning on the join key: the band self-join is
+      // row-exploding, AQE's byte-based coalescing under-parallelizes it
+      .repartition(sig.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("band_hash"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc") < col("b.doc"))
@@ -158,6 +162,9 @@ object Dedup {
     val banded = sh.select(col("doc"), col("simhash"),
         posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+      // same exploding-join parallelism pin as minhashCandidates
+      .repartition(sh.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("band_val"))
       .cache()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")

@@ -59,7 +59,7 @@ object Similarity {
     val q = p.filter(queryFilter) // predicate over the renamed `vid` column
     val pairs = q.as("a").join(p.as("b"), col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
     val ranked = pairs.withColumn("rank",
       row_number().over(Window.partitionBy("query_id")
         .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
@@ -94,7 +94,7 @@ object Similarity {
     val pairs = p.as("a").join(p.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
     pairs.withColumn("rank",
         row_number().over(Window.partitionBy("query_id")
           .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
@@ -202,7 +202,7 @@ object Similarity {
     val scored = cands
       .join(indexed.select(col("vid"), col("v").as("_qv"), col("nrm").as("_qn")), Seq("vid"))
       .select(col("vid").as("query_id"), col("nid").as("neighbor_id"),
-        (dot(col("_qv"), col("_nv")) / (col("_qn") * col("_nn"))).as("sim"))
+        (dotFast(col("_qv"), col("_nv")) / (col("_qn") * col("_nn"))).as("sim"))
       .dropDuplicates("query_id", "neighbor_id")
     scored.withColumn("rank",
         row_number().over(Window.partitionBy("query_id")
