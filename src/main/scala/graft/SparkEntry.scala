@@ -309,7 +309,7 @@ object SparkEntry {
     val grid = for (a <- Seq(0.2, 0.5, 0.8); b <- Seq(0.1); g <- Seq(0.1, 0.3, 0.5))
       yield (a, b, g)
     val ((a, b, g), sse) = graft.models.Smoothing.holtWintersGridSearch(
-      zOrdersMonthly(s, d), 12, grid, parallelism = 4)
+      zOrdersMonthly(s, d).localCheckpoint(true), 12, grid, parallelism = 4)
     import s.implicits._
     Seq((a, b, g, sse)).toDF("alpha", "beta", "gamma", "sse")
       .select(col("alpha"), col("beta"), col("gamma"), round(col("sse"), 6).as("sse"))
@@ -416,7 +416,7 @@ object SparkEntry {
   }
 
   private def qCvRolling(s: SparkSession, d: String): DataFrame =
-    graft.eval.Evaluation.rollingOriginCV(zOrdersMonthly(s, d), 3, 8,
+    graft.eval.Evaluation.rollingOriginCV(zOrdersMonthly(s, d).localCheckpoint(true), 3, 8,
         f => Baselines.trendSeasonal(f), Seq("rmse", "mae"), parallelism = 3)
       .select(col("fold").cast("long").as("fold"), col(SeriesId),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
@@ -427,7 +427,9 @@ object SparkEntry {
     * one Cholesky OLS chain per (cell, fold) — 8 fits total. */
   private def qValidationGrid(s: SparkSession, d: String): DataFrame = {
     import graft.eval.Evaluation
-    val z = zOrdersMonthly(s, d)
+    // fan-out queries materialize the tiny base series once; every grid
+    // cell / fold action then reads the checkpoint, not the fact scan
+    val z = zOrdersMonthly(s, d).localCheckpoint(true)
     val grid = Evaluation.expandGrid(Map("ar" -> Seq(1.0, 2.0), "trend" -> Seq(0.0, 1.0)))
     val fitWith: Map[String, Double] => Evaluation.ModelFn = params => { flagged =>
       val p = params("ar").toInt
@@ -446,7 +448,7 @@ object SparkEntry {
   }
 
   private def qBacktest(s: SparkSession, d: String): DataFrame =
-    graft.eval.Evaluation.backtest(zOrdersMonthly(s, d), 3, 12, 6,
+    graft.eval.Evaluation.backtest(zOrdersMonthly(s, d).localCheckpoint(true), 3, 12, 6,
         f => Baselines.naiveFitted(f, 12), Seq("rmse", "mae"), parallelism = 3)
       .select(col("iter").cast("long").as("iter"), col(SeriesId),
         round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
@@ -454,7 +456,7 @@ object SparkEntry {
   /** `backtest_metrics` pivot: same backtest as ts_backtest, reshaped to
     * (series, metric) × iter_0..2 + Average (util.py:112-230). */
   private def qBacktestMetrics(s: SparkSession, d: String): DataFrame = {
-    val perIter = graft.eval.Evaluation.backtest(zOrdersMonthly(s, d), 3, 12, 6,
+    val perIter = graft.eval.Evaluation.backtest(zOrdersMonthly(s, d).localCheckpoint(true), 3, 12, 6,
       f => Baselines.naiveFitted(f, 12), Seq("rmse", "mae"), parallelism = 3)
     graft.eval.Evaluation.backtestMetrics(perIter, Seq("rmse", "mae"), 3)
       .select(col(SeriesId), col("metric"),
@@ -573,8 +575,7 @@ object SparkEntry {
     * coarse quantizer, cell assignment, per-cell exact re-rank, dedup. */
   private def qEmbKnnIvf(s: SparkSession, d: String): DataFrame =
     graft.operators.Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        3, nCells = 8, nProbe = 8)
-      .filter(col("query_id") < 50)
+        3, nCells = 8, nProbe = 8, queryFilter = col("vid") < 50)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
 

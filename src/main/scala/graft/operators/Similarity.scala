@@ -163,8 +163,13 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val p = prepared(df, idCol, vecCol)
       .withColumn("_fv", array_to_vector(col("v")))
+    // a coarse quantizer needs rough centroids, not convergence: random
+    // init (k-means|| costs ~2k extra passes) + capped Lloyd iterations.
+    // Correctness of full-probe search is partition-independent;
+    // partial-probe recall is pinned by ExactPropertySpec.
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("_fv").setPredictionCol("cell")
+      .setK(nCells).setSeed(seed).setMaxIter(8).setInitMode("random")
+      .setFeaturesCol("_fv").setPredictionCol("cell")
       .fit(p)
     (model.transform(p).drop("_fv"), model)
   }
@@ -176,7 +181,8 @@ object Similarity {
     * typed-kernel escape hatch as [[bandedSignatures]]. `nProbe = nCells`
     * degenerates to the exact brute force (ExactPropertySpec pins it). */
   def ivfKnn(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+             nCells: Int, nProbe: Int, seed: Long = 42L,
+             queryFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val (indexed0, model) = ivfIndex(df, idCol, vecCol, nCells, seed)
@@ -185,7 +191,10 @@ object Similarity {
     val probes = math.min(nProbe, centroids.length)
     val querySchema = StructType(
       indexed.schema.fields.head.copy(name = "vid") +: Seq(StructField("probe_cell", IntegerType)))
-    val probed = indexed.select(col("vid"), col("v")).flatMap({ r =>
+    // query-side pruning before the posting-list join: results for the kept
+    // queries are identical, the candidate set just never materializes for
+    // the pruned ones (the predicate is over the renamed `vid` column)
+    val probed = indexed.select(col("vid"), col("v")).filter(queryFilter).flatMap({ r =>
       val arr = r.getSeq[Double](1).toArray
       val d2 = centroids.map { c =>
         var s = 0.0; var i = 0
