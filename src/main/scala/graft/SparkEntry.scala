@@ -100,7 +100,8 @@ object SparkEntry {
     "doc_token_counts"   -> ((s, d) => qDocTokenCounts(s, d)),
     "emb_knn_ivf"        -> ((s, d) => qEmbKnnIvf(s, d)),
     "ts_stat_transform"  -> ((s, d) => qStatTransform(s, d)),
-    "ts_best_length"     -> ((s, d) => qBestLength(s, d))
+    "ts_best_length"     -> ((s, d) => qBestLength(s, d)),
+    "ts_auto_arima"      -> ((s, d) => qAutoArma(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -261,6 +262,19 @@ object SparkEntry {
     import s.implicits._
     Seq((len.toLong, rmse)).toDF("best_length", "rmse")
       .select(col("best_length"), round(col("rmse"), 6).as("rmse"))
+  }
+
+  /** `auto_arima` (auxmodels.py:6-45): (p, q)-order search minimizing AIC
+    * over Hannan–Rissanen ARMA fits. The oracle replays every grid cell's
+    * TWO-stage estimation (long-AR(L) residual regression, then the
+    * y-lag + innovation-lag OLS) through unrolled Cholesky chains and
+    * argmins n·ln(sse/n) + 2(p+q+1) with the grid's tie order. */
+  private def qAutoArma(s: SparkSession, d: String): DataFrame = {
+    val ((p, q), aic) = graft.eval.AutoSelect.autoArma(
+      zOrdersMonthly(s, d).localCheckpoint(true), maxP = 2, maxQ = 1, parallelism = 4)
+    import s.implicits._
+    Seq((p.toLong, q.toLong, aic)).toDF("p", "q", "aic")
+      .select(col("p"), col("q"), round(col("aic"), 6).as("aic"))
   }
 
   private def qAcf(s: SparkSession, d: String): DataFrame =
@@ -1131,6 +1145,56 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // auto_arima replay: per (p, q) cell, the two Hannan-Rissanen OLS stages
+    // (long-AR(L) residuals, then y-lags + innovation-lags) via unrolled
+    // Cholesky, AIC = n·ln(sse/n) + 2(p+q+1), argmin in grid order
+    "ts_auto_arima" -> {
+      // grid order matches AutoSelect.autoArma(maxP=2, maxQ=1)
+      val cells = Seq((0, 1), (1, 0), (1, 1), (2, 0), (2, 1))
+      val maxL = cells.map { case (p, q) => p + q + 4 }.max
+      val defs = cells.zipWithIndex.map { case ((p, q), i) =>
+        val l = p + q + 4
+        val s1xs = (1 to l).map(j => s"l$j")
+        val s1 = s"${OracleGen.momentsCte(s"c${i}s1", s1xs, s"lagd WHERE t > $l")},\n" +
+          OracleGen.solveCtes(s"c${i}s1", l)
+        val pred1 = ("beta_0" +: s1xs.zipWithIndex.map { case (x, j) => s"beta_${j + 1}*$x" })
+          .mkString(" + ")
+        // innovations + their lags (e rows are contiguous t > L, so window
+        // lags over them are exactly e_{t-j})
+        val eCte = s"e$i AS (SELECT t, y, " +
+          (1 to p).map(j => s"l$j, ").mkString +
+          s"y - ($pred1) AS e FROM lagd, c${i}s1_fit WHERE t > $l)"
+        val elCte = s"el$i AS (SELECT t, y, " +
+          (1 to p).map(j => s"l$j, ").mkString +
+          (1 to q).map(j => s"lag(e, $j) OVER (ORDER BY t) AS el$j").mkString(", ") +
+          (if (q == 0) "e" else "") + s" FROM e$i)"
+        val s2xs = (1 to p).map(j => s"l$j") ++ (1 to q).map(j => s"el$j")
+        // q = 0: stage 2 sees only y-lags, which exist on the FULL observed
+        // frame (t > p) — innovations constrain rows only when q >= 1
+        val lo2 = if (q == 0) p else l + q
+        val from2 = if (q == 0) "lagd" else s"el$i"
+        val s2 = s"${OracleGen.momentsCte(s"c${i}s2", s2xs, s"$from2 WHERE t > $lo2")},\n" +
+          OracleGen.solveCtes(s"c${i}s2", s2xs.size)
+        val pred2 = ("beta_0" +: s2xs.zipWithIndex.map { case (x, j) => s"beta_${j + 1}*$x" })
+          .mkString(" + ")
+        val ss = s"ss$i AS (SELECT sum(pow(y - ($pred2), 2)) AS sse, " +
+          s"CAST(count(*) AS DOUBLE) AS n FROM $from2, c${i}s2_fit WHERE t > $lo2)"
+        (Seq(s1) ++ (if (q > 0) Seq(eCte, elCte) else Nil) ++ Seq(s2, ss)).mkString(",\n")
+      }.mkString(",\n")
+      val rows = cells.zipWithIndex.map { case ((p, q), i) =>
+        s"SELECT CAST($p AS BIGINT) AS p, CAST($q AS BIGINT) AS q, $i AS idx, " +
+          s"n * ln(sse / n) + 2.0 * ${p + q + 1} AS aic FROM ss$i"
+      }.mkString("\nUNION ALL\n")
+      s"""$ZS,
+         |lagd AS (SELECT series_id, ds, y,
+         |         CAST(row_number() OVER (ORDER BY ds) AS INT) AS t,
+         |         ${(1 to maxL).map(j => s"lag(y, $j) OVER (ORDER BY ds) AS l$j").mkString(", ")}
+         |         FROM series),
+         |$defs,
+         |scored AS ($rows)
+         |SELECT p, q, ROUND(aic, 6) AS aic FROM scored ORDER BY aic, idx LIMIT 1""".stripMargin
+    },
 
     // determine_best_series_length replay: per candidate L, AR(1) Cholesky
     // OLS on the kept slice's train rows, holdout RMSE, argmin (list order
