@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Automated plan-shape gate over EVERY declared query — the ".explain and
+  * iterate" discipline as a regression test. Rules:
+  *
+  *  - no `CartesianProductExec` anywhere;
+  *  - a `BroadcastNestedLoopJoinExec` is tolerated ONLY when its build side
+  *    is an aggregate subtree (a per-series parameter / statistic frame:
+  *    bounded at one-or-m rows per series; on the single-series fixtures
+  *    the constant `series_id` key folds away, which is why these appear as
+  *    nested-loop instead of broadcast-hash — ManySeriesSpec pins the
+  *    multi-series plans). A nested loop over RAW relations fails the gate —
+  *    that is the accidental all-pairs shape that kills a 100 TB run.
+  *
+  * `emb_knn` is the one documented exception: brute-force exact kNN IS the
+  * all-pairs definition (the correctness baseline tier; the scale tiers are
+  * emb_knn_lsh / emb_knn_ivf).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val allowed: Map[String, String] = Map(
+    "emb_knn" -> "brute-force exact kNN IS the all-pairs definition (baseline tier)")
+
+  private def offences(p: SparkPlan): Seq[String] = p.collect {
+    case _: CartesianProductExec => Seq("CartesianProduct")
+    case j: BroadcastNestedLoopJoinExec =>
+      val build = j.buildSide match {
+        case BuildLeft  => j.left
+        case BuildRight => j.right
+      }
+      val paramFrame = build.collectFirst { case a: BaseAggregateExec => a }.isDefined
+      if (paramFrame) Nil else Seq("BroadcastNestedLoopJoin over a non-aggregate build side")
+  }.flatten
+
+  test("no declared query plans an all-pairs join over raw relations") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val bad = offences(fn(spark, sfDir).queryExecution.sparkPlan)
+        if (bad.nonEmpty && !allowed.contains(name)) Some(s"$name: ${bad.mkString(", ")}")
+        else None
+      } catch {
+        case e: Throwable => Some(s"$name (failed to plan: ${e.getMessage.take(80)})")
+      }
+    }
+    assert(offenders.isEmpty, s"unexpected all-pairs plans: $offenders")
+  }
+
+  test("the series build prunes the fact scan to the referenced columns") {
+    val plan = SparkEntry.queries("ts_build_monthly")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("o_orderdate") && plan.contains("o_totalprice"))
+    assert(!plan.contains("o_comment") && !plan.contains("o_clerk"),
+      "series build must not read unreferenced orders columns")
+  }
+}
