@@ -101,7 +101,11 @@ object SparkEntry {
     "emb_knn_ivf"        -> ((s, d) => qEmbKnnIvf(s, d)),
     "ts_stat_transform"  -> ((s, d) => qStatTransform(s, d)),
     "ts_best_length"     -> ((s, d) => qBestLength(s, d)),
-    "ts_auto_arima"      -> ((s, d) => qAutoArma(s, d))
+    "ts_auto_arima"      -> ((s, d) => qAutoArma(s, d)),
+    "ts_transfer"        -> ((s, d) => qTransfer(s, d)),
+    "ts_signals"         -> ((s, d) => qSignals(s, d)),
+    "ts_reduce_xvars"    -> ((s, d) => qReduceXvars(s, d)),
+    "ts_sarma"           -> ((s, d) => qSarma(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -280,6 +284,71 @@ object SparkEntry {
   private def qAcf(s: SparkSession, d: String): DataFrame =
     graft.functions.Diagnostics.acf(ordersMonthly(s, d), 12)
       .select(col(SeriesId), col("lag").cast("long").as("lag"), round(col("acf"), 6).as("acf"))
+
+  /** `transfer_predict` + `transfer_cis` (_Forecaster_parent.py:1869-1942,
+    * 295-361): an AR(1) mlr trained on the orders series scores the BUILDING
+    * segment series verbatim; conformal widths from the source's 12-ob test
+    * slice transfer onto the target's predictions. */
+  private def qTransfer(s: SparkSession, d: String): DataFrame = {
+    val src = FeatureOps.addArTerms(withTestFlag(ordersMonthly(s, d), 12), 1)
+    val model = graft.models.MllibTsEstimator("mlr", Seq("ar_1")).fit(src)
+    val widths = Conformal.widthsOf(model.transform(src))
+    val tgt = FeatureOps.addArTerms(
+      segmentMonthly(s, d).filter(col(SeriesId) === "BUILDING"), 1)
+    val scored = model.transform(tgt).filter(col("ar_1").isNotNull)
+    // raw-revenue scale (~1e8): round at 2dp so 1-ulp cross-engine noise in
+    // the OLS betas can't show (same discipline as ts_conformal's ROUND 0)
+    Conformal.transferIntervals(scored,
+        widths.select(lit("BUILDING").as(SeriesId), col("ci_width")))
+      .select(col(SeriesId), col(Ds), round(col(Y), 2).as("y"),
+        round(col("yhat"), 2).as("yhat"),
+        round(col("lower"), 2).as("lower"), round(col("upper"), 2).as("upper"))
+  }
+
+  /** `add_signals` + stacking (Forecaster.py:367-407, auxmodels.py:47-126
+    * shape with an exact-OLS meta learner): naive and seasonal-naive signals
+    * are banked, joined back as `signal_*` features, and an mlr meta model
+    * fits on them. */
+  private def qSignals(s: SparkSession, d: String): DataFrame = {
+    val frame = zOrdersMonthly(s, d)
+    val base: Map[String, DataFrame => DataFrame] = Map(
+      "naive"  -> (f => f.withColumn("yhat", lag(col(Y), 1).over(w))),
+      "snaive" -> (f => f.withColumn("yhat", lag(col(Y), 12).over(w))))
+    graft.models.Stacking.stack(frame, base, metaAlgo = "mlr")
+      .filter(col("signal_naive").isNotNull && col("signal_snaive").isNotNull)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("signal_naive"), 6).as("signal_naive"),
+        round(col("signal_snaive"), 6).as("signal_snaive"),
+        round(col("yhat"), 6).as("yhat"))
+  }
+
+  /** `reduce_Xvars` (Forecaster.py:451-631): backward elimination over
+    * {t, monthsin, monthcos} dropping the smallest |standardized coefficient|
+    * each step; keeps the best validation RMSE seen. The oracle replays the
+    * whole elimination TREE (every reachable feature subset's fit) and walks
+    * the realized path with the same first-min tie order. */
+  private def qReduceXvars(s: SparkSession, d: String): DataFrame = {
+    val f0 = FeatureOps.addTimeTrend(zOrdersMonthly(s, d))
+    val f1 = FeatureOps.addFourier(
+      FeatureOps.addCalendar(f0, Seq("month")), col("month"), 12.0, "month")
+    val (kept, rmse) = graft.eval.AutoSelect.reduceXvars(
+      f1, Seq("t", "monthsin", "monthcos"), 12)
+    import s.implicits._
+    Seq((kept.mkString(","), rmse)).toDF("features_kept", "rmse")
+      .select(col("features_kept"), round(col("rmse"), 6).as("rmse"))
+  }
+
+  /** Seasonal ARMA (1,1)×(1,0)₁₂ via the additive Hannan–Rissanen
+    * approximation (models.py:1150-1273 seasonal_order; Arima.fitSarma):
+    * y lags {1, 12} + innovation lag {1}, long-AR(16) stage 1. */
+  private def qSarma(s: SparkSession, d: String): DataFrame = {
+    val base = withMonthlyHorizon(zOrdersMonthly(s, d), 12)
+    val fit = graft.models.Arima.fitSarma(base, 1, 1, 1, 0, 12)
+    graft.models.Arima.forecast(fit)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(when(isnan(col("yhat")), lit(null)).otherwise(col("yhat")), 6).as("yhat"),
+        col(IsFuture))
+  }
 
   // -------------------------------------------- model & evaluation queries
 
@@ -1262,6 +1331,88 @@ object SparkEntry {
          |    CASE WHEN (SELECT seas FROM d2)
          |         THEN y - lag(y, 12) OVER (ORDER BY ds) ELSE y END AS y FROM s3)
          |SELECT series_id, ds, ROUND(y, 6) AS y FROM s4 WHERE y IS NOT NULL""".stripMargin,
+
+    // transfer_predict: AR(1) OLS fitted on orders train rows scores the
+    // BUILDING segment; transfer_cis: the source's 95% test-residual
+    // percentile becomes the target's CI width.
+    "ts_transfer" ->
+      s"""$S,
+         |s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS t,
+         |       lag(y) OVER (ORDER BY ds) AS yl FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |fit AS (SELECT regr_slope(y, yl) AS b, regr_intercept(y, yl) AS a
+         |        FROM s2, nn WHERE t <= n - 12 AND yl IS NOT NULL),
+         |wid AS (SELECT quantile_cont(abs(y - (a + b * yl)), 0.95) AS w
+         |        FROM s2, nn, fit WHERE t > n - 12),
+         |tgt AS (SELECT c_mktsegment AS series_id,
+         |        CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+         |        ROUND(SUM(o_totalprice), 2) AS y
+         |        FROM orders JOIN customer ON o_custkey = c_custkey
+         |        WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2),
+         |t2 AS (SELECT series_id, ds, y, lag(y) OVER (ORDER BY ds) AS yl FROM tgt)
+         |SELECT series_id, ds, ROUND(y, 2) AS y, ROUND(a + b * yl, 2) AS yhat,
+         |       ROUND(a + b * yl - w, 2) AS lower, ROUND(a + b * yl + w, 2) AS upper
+         |FROM t2, fit, wid WHERE yl IS NOT NULL""".stripMargin,
+
+    // add_signals + mlr stacking: naive/seasonal-naive signals, exact-OLS
+    // meta fit over signal-complete rows.
+    "ts_signals" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, lag(y, 1) OVER (ORDER BY ds) AS sn,
+         |       lag(y, 12) OVER (ORDER BY ds) AS ss FROM series),
+         |tr AS (SELECT * FROM s2 WHERE sn IS NOT NULL AND ss IS NOT NULL),
+         |${OracleGen.momentsCte("mt", Seq("sn", "ss"), "tr")},
+         |${OracleGen.solveCtes("mt", 2)}
+         |SELECT series_id, ds, ROUND(y, 6) AS y, ROUND(sn, 6) AS signal_naive,
+         |  ROUND(ss, 6) AS signal_snaive,
+         |  ROUND(beta_0 + beta_1*sn + beta_2*ss, 6) AS yhat
+         |FROM tr, mt_fit""".stripMargin,
+
+    "ts_reduce_xvars" -> reduceXvarsOracleSql,
+
+    // Seasonal ARMA (1,1)x(1,0)_12, additive Hannan-Rissanen: long-AR(16)
+    // stage 1 for innovations, stage 2 on y-lags {1,12} + elag {1}; the
+    // 12-step horizon recursion carries only the previous prediction (lag-12
+    // cells stay observed inside h=12, future innovations are 0).
+    "ts_sarma" -> {
+      val s1pred = "beta_0" + (1 to 16).map(i => s" + beta_$i*x$i").mkString
+      s"""$ZSR,
+         |lagd AS (SELECT series_id, ds, y,
+         |  ${(1 to 16).map(i => s"lag(y, $i) OVER (ORDER BY ds) AS x$i").mkString(", ")}
+         |  FROM series),
+         |${OracleGen.momentsCte("s1", (1 to 16).map(i => s"x$i"), "lagd WHERE x16 IS NOT NULL")},
+         |${OracleGen.solveCtes("s1", 16)},
+         |er AS (SELECT lagd.*, CASE WHEN x16 IS NOT NULL THEN y - ($s1pred)
+         |       END AS e FROM lagd, s1_fit),
+         |e2 AS (SELECT series_id, ds, y, x1 AS ar1, x12 AS ar12,
+         |       lag(e, 1) OVER (ORDER BY ds) AS elag,
+         |       row_number() OVER (ORDER BY ds) AS t FROM er),
+         |${OracleGen.momentsCte("s2f", Seq("ar1", "ar12", "elag"), "e2 WHERE elag IS NOT NULL")},
+         |${OracleGen.solveCtes("s2f", 3)},
+         |f2 AS (SELECT beta_0 AS c, beta_1 AS phi1, beta_2 AS phi12, beta_3 AS th1
+         |       FROM s2f_fit),
+         |obs AS (SELECT series_id, ds, ROUND(y, 6) AS y,
+         |        ROUND(CASE WHEN ar1 IS NOT NULL AND ar12 IS NOT NULL AND elag IS NOT NULL
+         |              THEN c + phi1*ar1 + phi12*ar12 + th1*elag END, 6) AS yhat,
+         |        FALSE AS is_future FROM e2, f2),
+         |nn AS (SELECT count(*) AS n, max(ds) AS ld FROM series),
+         |tl AS (SELECT n - t AS back, y FROM e2, nn WHERE t > n - 12),
+         |le AS (SELECT e FROM er ORDER BY ds DESC LIMIT 1),
+         |st AS (SELECT y AS yh FROM e2, nn WHERE t = n),
+         |fc AS (
+         |  SELECT 0 AS i, yh FROM st
+         |  UNION ALL
+         |  SELECT fc.i + 1,
+         |         c + phi1*fc.yh + phi12*tl.y
+         |           + CASE WHEN fc.i = 0 THEN th1*le.e ELSE 0 END
+         |  FROM fc JOIN tl ON tl.back = 11 - fc.i CROSS JOIN f2 CROSS JOIN le
+         |  WHERE fc.i < 12),
+         |fut AS (SELECT 'orders' AS series_id,
+         |        CAST(ld + to_months(i::INT) AS DATE) AS ds, CAST(NULL AS DOUBLE) AS y,
+         |        ROUND(fc.yh, 6) AS yhat, TRUE AS is_future
+         |        FROM fc, nn WHERE fc.i >= 1)
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
+    },
 
     "doc_token_counts" ->
       """SELECT doc_id,
@@ -2306,6 +2457,71 @@ object SparkEntry {
       |sh AS (SELECT doc_id,
       |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       |       FROM bits GROUP BY 1)""".stripMargin
+
+  /** Oracle for ts_reduce_xvars: replays EVERY reachable feature subset of
+    * the backward elimination over (t, monthsin, monthcos) — one unrolled
+    * Cholesky fit per subset, RMSE on the 12-ob holdout, importance =
+    * |β|·sd(feature over train) (the standardized-coefficient definition) —
+    * then walks the realized drop path with Scala minBy's first-min tie
+    * order and the strict-improvement best tracking of
+    * AutoSelect.reduceXvars. */
+  private def reduceXvarsOracleSql: String = {
+    // (feature name in output, SQL column in s2)
+    val all = Seq("t" -> "t", "monthsin" -> "ms", "monthcos" -> "mc")
+    val subsets: Seq[(String, Seq[(String, String)])] = Seq(
+      "a"   -> all,                 // {t, ms, mc}
+      "b1"  -> all.filterNot(_._2 == "t"),   // dropped t
+      "b2"  -> all.filterNot(_._2 == "ms"),  // dropped monthsin
+      "b3"  -> all.filterNot(_._2 == "mc"),  // dropped monthcos
+      "c1"  -> all.filter(_._2 == "t"),
+      "c2"  -> all.filter(_._2 == "ms"),
+      "c3"  -> all.filter(_._2 == "mc"))
+    val chains = subsets.map { case (tag, fs) =>
+      val cols = fs.map(_._2)
+      val pred = "beta_0" + cols.zipWithIndex
+        .map { case (c, i) => s" + beta_${i + 1}*$c" }.mkString
+      val imps = fs.zipWithIndex.map { case ((_, c), i) =>
+        s"any_value(abs(beta_${i + 1}) * sd_$c) AS imp_${tag}_$c" }
+      s"""${OracleGen.momentsCte(tag, cols, "tr")},
+         |${OracleGen.solveCtes(tag, cols.size)},
+         |${tag}_r AS (SELECT sqrt(avg(pow(y - ($pred), 2))) AS rmse_$tag,
+         |  ${imps.mkString(", ")} FROM te, ${tag}_fit, sds)""".stripMargin
+    }.mkString(",\n")
+    val joinAll = subsets.map(s => s"${s._1}_r").mkString(", ")
+    s"""$ZS,
+       |s2 AS (SELECT series_id, ds, y,
+       |  CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t,
+       |  sin(pi() * month(ds) / 6.0) AS ms, cos(pi() * month(ds) / 6.0) AS mc
+       |  FROM series),
+       |nn AS (SELECT count(*) AS n FROM s2),
+       |tr AS (SELECT s2.* FROM s2, nn WHERE t <= n - 12),
+       |te AS (SELECT s2.* FROM s2, nn WHERE t > n - 12),
+       |sds AS (SELECT stddev_samp(t) AS sd_t, stddev_samp(ms) AS sd_ms,
+       |        stddev_samp(mc) AS sd_mc FROM tr),
+       |$chains,
+       |sel AS (SELECT
+       |  CASE WHEN imp_a_t <= imp_a_ms AND imp_a_t <= imp_a_mc THEN 1
+       |       WHEN imp_a_ms <= imp_a_mc THEN 2 ELSE 3 END AS d1,
+       |  CASE d1 WHEN 1 THEN rmse_b1 WHEN 2 THEN rmse_b2 ELSE rmse_b3 END AS s1,
+       |  CASE d1 WHEN 1 THEN 'monthsin,monthcos' WHEN 2 THEN 't,monthcos'
+       |       ELSE 't,monthsin' END AS set1,
+       |  CASE d1 WHEN 1 THEN (CASE WHEN imp_b1_ms <= imp_b1_mc THEN rmse_c3 ELSE rmse_c2 END)
+       |          WHEN 2 THEN (CASE WHEN imp_b2_t <= imp_b2_mc THEN rmse_c3 ELSE rmse_c1 END)
+       |          ELSE (CASE WHEN imp_b3_t <= imp_b3_ms THEN rmse_c2 ELSE rmse_c1 END)
+       |  END AS s2v,
+       |  CASE d1 WHEN 1 THEN (CASE WHEN imp_b1_ms <= imp_b1_mc THEN 'monthcos' ELSE 'monthsin' END)
+       |          WHEN 2 THEN (CASE WHEN imp_b2_t <= imp_b2_mc THEN 'monthcos' ELSE 't' END)
+       |          ELSE (CASE WHEN imp_b3_t <= imp_b3_ms THEN 'monthsin' ELSE 't' END)
+       |  END AS set2,
+       |  rmse_a AS s0 FROM $joinAll),
+       |sel2 AS (SELECT *,
+       |  CASE WHEN s1 < s0 THEN s1 ELSE s0 END AS b2s,
+       |  CASE WHEN s1 < s0 THEN set1 ELSE 't,monthsin,monthcos' END AS b2set
+       |  FROM sel)
+       |SELECT CASE WHEN s2v < b2s THEN set2 ELSE b2set END AS features_kept,
+       |       ROUND(CASE WHEN s2v < b2s THEN s2v ELSE b2s END, 6) AS rmse
+       |FROM sel2""".stripMargin
+  }
 
   /** Shared trend+seasonal-OLS scoring SQL: train = all but last 12 observed,
     * horizon = 12 future months; `tail` appends the final SELECT. */
