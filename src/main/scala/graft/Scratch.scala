@@ -19,30 +19,31 @@ object Scratch {
       println(f"TIMER $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    import graft.core.SeriesFrame._
-    import graft.models.MvForecast
-    import graft.operators.Transforms
     // warmup
     spark.range(1000).selectExpr("sum(id)").collect()
-    val sids = Seq("AUTOMOBILE", "BUILDING")
-    val seg = time("segmentMonthly count") {
-      val x = segmentMonthly(spark, dir).filter(col(SeriesId).isin(sids: _*))
-      x.count(); x
+    if (args.headOption.contains("stages")) {
+      import graft.functions.TextOps
+      import graft.operators.Similarity
+      val docs = graft.core.Tables.documents(spark, dir)
+      val vecs = time("trigramVectors") {
+        val v = TextOps.trigramVectors(docs, "doc_id", "text"); v.count(); v
+      }
+      val vecsC = vecs.localCheckpoint(true)
+      time("nearDup given vecs") {
+        Similarity.cosineNearDupPairs(vecsC, "vid", "vec", 0.98,
+          bands = 16, bitsPerBand = 10).count()
+      }
+      time("nearDup given vecs (2nd)") {
+        Similarity.cosineNearDupPairs(vecsC, "vid", "vec", 0.98,
+          bands = 16, bitsPerBand = 10).count()
+      }
+    } else {
+      val names = if (args.nonEmpty) args.toSeq else Seq("doc_neardup_cosine")
+      names.foreach { n =>
+        time(s"$n (cold)") { println(s"  rows=" + SparkEntry.queries(n)(spark, dir).count()) }
+        time(s"$n (warm)") { SparkEntry.queries(n)(spark, dir).count() }
+      }
     }
-    val z = time("scaleT") { val x = Transforms.scaleT(seg).transform(seg); x.count(); x }
-    val withLags = time("xlags") {
-      val x = MvForecast.addCrossSeriesLags(withMonthlyHorizon(z, 6), sids, 1)
-      x.count(); x
-    }
-    val fits = time("fitPerSeriesOls") { MvForecast.fitPerSeriesOls(withLags, sids, 1) }
-    val out = time("dynamicForecastOls+count") {
-      MvForecast.dynamicForecastOls(withLags, fits, sids, 1)
-        .filter(col(IsFuture)).count()
-    }
-    println("rows " + out)
-    // run the whole query end to end as the bench sees it
-    time("qMvDynamic full (2nd)") { SparkEntry.queries("mv_dynamic")(spark, dir).count() }
-    time("ts_prophet_like full (2nd)") { SparkEntry.queries("ts_prophet_like")(spark, dir).count() }
     spark.stop()
   }
 }

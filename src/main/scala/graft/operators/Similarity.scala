@@ -267,61 +267,93 @@ object Similarity {
       }
       Row(r.get(0), out)
     })(Encoders.row(sigSchema)).toDF()
-    // slim (vid, band, band_val) rows drive the candidate equi-join. The
-    // join is row-EXPLODING (output pairs ≫ input signatures on a dense
-    // corpus), which is AQE's blind spot: sizing by the tiny INPUT shuffle
-    // it coalesces to one partition and serializes the explosion. Pinning an
-    // explicit repartition on the exact join key AFTER materialization gives
-    // both self-join sides a compatible, non-coalescable HashPartitioning —
-    // the pair generation and the distinct's partial agg then run at full
-    // width. (The unused `sim` suppression below keeps everything in
-    // whole-stage codegen: slim pairs through the join, vectors only after
-    // dedup.)
-    val nPart = sigs.sparkSession.sessionState.conf.numShufflePartitions
-    val exploded = sigs.select(col("vid"),
-        posexplode(col("sigs")).as(Seq("band", "band_val")))
-      .localCheckpoint(true)
-      .repartition(nPart, col("band"), col("band_val"))
-    val cand = exploded.as("a").join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
-      .distinct()
-      // spread the exact re-check: the distinct's output exchange is sized by
-      // AQE for shuffle bytes, but each slim pair fans out into a 2·dims dot
-      // product next — round-robin back to full width first
-      .repartition(nPart)
-    // exact cosine re-check. Two tiers, same cutoff philosophy as
-    // [[graft.core.Joins.maybeBroadcast]]:
+    // Exact cosine re-check, two tiers (same cutoff philosophy as
+    // [[graft.core.Joins.maybeBroadcast]]):
     //  - corpus fits the broadcast budget → ship the vectors ONCE as a
-    //    broadcast map and re-rank the slim candidate pairs in a
-    //    zero-per-row-allocation kernel (a candidate row never materializes
-    //    its two vectors: on a dense corpus that join-output blow-up — pairs
-    //    × 2·dims doubles — costs more than everything else combined);
-    //  - bigger corpus → vectors ride back on plain equi-joins and AQE picks
-    //    the strategy from runtime sizes, the compiled dot scoring each row.
+    //    broadcast map and score pairs INSIDE each band bucket, so a
+    //    sub-threshold candidate dies in the task that generated it. The
+    //    alternative (candidate equi-join → distinct → re-check) shuffles
+    //    EVERY band match: on a dense corpus that is tens of millions of
+    //    slim rows through two exchanges before the first dot product —
+    //    AQE's blind spot, because the join's OUTPUT ≫ its input bytes.
+    //    Here the only shuffled pairs are genuine near-dups (duplicated at
+    //    most once per matching band and bit-identical across bands — same
+    //    doubles, same summation order — so `distinct` collapses them).
+    //  - bigger corpus → slim candidate equi-join on a pinned full-width
+    //    partitioning; vectors ride back on equi-joins, the compiled dot
+    //    scores each row, AQE picks strategies from runtime sizes.
+    val nPart = sigs.sparkSession.sessionState.conf.numShufflePartitions
     val bcastBudget = {
       val thr = p.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
       if (thr > 0) thr * 8 else 80L << 20
     }
     val corpusBytes = p.count() * (dims + 2) * 8L
+    val outSchema = StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
+      StructField("sim", org.apache.spark.sql.types.DoubleType)))
     if (corpusBytes <= bcastBudget) {
+      import org.apache.spark.sql.types.{IntegerType, StringType}
       val vecMap = p.select(col("vid"), col("v"), col("nrm")).collect()
         .map(r => r.get(0) -> ((r.getSeq[Double](1).toArray, r.getDouble(2)))).toMap
       val bc = p.sparkSession.sparkContext.broadcast(vecMap)
-      val outSchema = StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
-        StructField("sim", org.apache.spark.sql.types.DoubleType)))
-      cand.flatMap({ r =>
-        val (va, na) = bc.value(r.get(0))
-        val (vb, nb) = bc.value(r.get(1))
-        var s = 0.0
-        var i = 0
-        val n = math.min(va.length, vb.length)
-        while (i < n) { s += va(i) * vb(i); i += 1 }
-        val sim = s / (na * nb)
-        if (sim >= threshold) Iterator.single(Row(r.get(0), r.get(1), sim)) else Iterator.empty
-      })(Encoders.row(outSchema)).toDF()
+      val ord: Ordering[Any] = idType match {
+        case LongType    => Ordering.by(_.asInstanceOf[Long])
+        case IntegerType => Ordering.by(_.asInstanceOf[Int])
+        case StringType  => Ordering.by(_.asInstanceOf[String])
+        case _           => Ordering.by((x: Any) => x.toString)
+      }
+      // one dense bucket must not serialize into one task: split its pair
+      // triangle into fixed-size row ranges and spread them round-robin
+      val chunk = 256
+      val unitSchema = StructType(Seq(
+        StructField("vids", ArrayType(idType, containsNull = false)),
+        StructField("lo", IntegerType), StructField("hi", IntegerType)))
+      val units = sigs
+        .select(col("vid"), posexplode(col("sigs")).as(Seq("band", "band_val")))
+        .groupBy("band", "band_val").agg(collect_list(col("vid")).as("vids"))
+        .filter(size(col("vids")) > 1)
+        .flatMap({ r =>
+          val vids = r.getSeq[Any](r.fieldIndex("vids")).sorted(ord)
+          (0 until vids.length by chunk).iterator
+            .map(lo => Row(vids, lo, math.min(lo + chunk, vids.length)))
+        })(Encoders.row(unitSchema))
+      units.repartition(nPart).flatMap({ r =>
+        val vids = r.getSeq[Any](0).toArray
+        val lo = r.getInt(1)
+        val hi = r.getInt(2)
+        val m = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = lo
+        while (i < hi) {
+          val (va, na) = m(vids(i))
+          var j = i + 1
+          while (j < vids.length) {
+            val (vb, nb) = m(vids(j))
+            var s = 0.0
+            var d = 0
+            val n = math.min(va.length, vb.length)
+            while (d < n) { s += va(d) * vb(d); d += 1 }
+            val sim = s / (na * nb)
+            if (sim >= threshold) out += Row(vids(i), vids(j), sim)
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      })(Encoders.row(outSchema)).toDF().distinct()
     } else {
+      val exploded = sigs.select(col("vid"),
+          posexplode(col("sigs")).as(Seq("band", "band_val")))
+        .localCheckpoint(true)
+        .repartition(nPart, col("band"), col("band_val"))
+      val cand = exploded.as("a").join(exploded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+            col("a.vid") < col("b.vid"))
+        .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+        .distinct()
+        // spread the exact re-check: the distinct's output exchange is sized
+        // by AQE for shuffle bytes, but each slim pair fans out into a
+        // 2·dims dot product next — round-robin back to full width first
+        .repartition(nPart)
       val va = p.select(col("vid").as("id_a"), col("v").as("_va"), col("nrm").as("_na"))
       val vb = p.select(col("vid").as("id_b"), col("v").as("_vb"), col("nrm").as("_nb"))
       cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
