@@ -105,7 +105,10 @@ object SparkEntry {
     "ts_transfer"        -> ((s, d) => qTransfer(s, d)),
     "ts_signals"         -> ((s, d) => qSignals(s, d)),
     "ts_reduce_xvars"    -> ((s, d) => qReduceXvars(s, d)),
-    "ts_sarma"           -> ((s, d) => qSarma(s, d))
+    "ts_sarma"           -> ((s, d) => qSarma(s, d)),
+    "ts_periodogram"     -> ((s, d) => qPeriodogram(s, d)),
+    "ts_seasonal_length" -> ((s, d) => qSeasonalLength(s, d)),
+    "ts_feature_imp"     -> ((s, d) => qFeatureImportance(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -348,6 +351,48 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(when(isnan(col("yhat")), lit(null)).otherwise(col("yhat")), 6).as("yhat"),
         col(IsFuture))
+  }
+
+  /** Periodogram via direct DFT (`plot_periodogram`'s statistic,
+    * Forecaster.py:1368-1392 / scipy.signal.periodogram): per-series
+    * `mapGroups` DFT on the z-scored series; the oracle recomputes every
+    * frequency bin's cos/sin projections as plain aggregates. */
+  private def qPeriodogram(s: SparkSession, d: String): DataFrame =
+    graft.eval.AutoSelect.periodogram(zOrdersMonthly(s, d))
+      .select(col(SeriesId), col("freq").cast("long").as("freq"),
+        round(col("power"), 6).as("power"))
+
+  /** `find_seasonal_length` (util.py:58-83 generalized): the candidate
+    * period with the highest ACF; emits every candidate's ACF with the
+    * winner flagged (decision + statistic both hash-checked). */
+  private def qSeasonalLength(s: SparkSession, d: String): DataFrame = {
+    val cands = Seq(3, 4, 6, 12)
+    val frame = ordersMonthly(s, d)
+    val best = graft.eval.AutoSelect.findSeasonalLength(frame, cands)
+    graft.functions.Diagnostics.acf(frame, cands.max)
+      .filter(col("lag").isin(cands: _*))
+      .select(col(SeriesId), col("lag").cast("long").as("lag"),
+        round(col("acf"), 6).as("acf"), (col("lag") === best).as("is_best"))
+  }
+
+  /** `save_feature_importance` (Forecaster.py:1531-1673): per-feature
+    * |standardized coefficient| ranking of an mlr fit (the documented SHAP
+    * substitution). The oracle replays the unstandardized Cholesky fit and
+    * re-derives each importance as |β_j|·sd_j over the train slice —
+    * exactly what standardizing the design does to the coefficients. */
+  private def qFeatureImportance(s: SparkSession, d: String): DataFrame = {
+    val f0 = FeatureOps.addTimeTrend(zOrdersMonthly(s, d))
+    val f1 = FeatureOps.addFourier(
+      FeatureOps.addCalendar(f0, Seq("month")), col("month"), 12.0, "month")
+    val f2 = FeatureOps.addArTerms(f1, 1)
+    val feats = Seq("t", "monthsin", "monthcos", "ar_1")
+    val flagged = withTestFlag(f2, 12)
+    val model = graft.models.MllibTsEstimator("mlr", feats, normalizer = "scale").fit(flagged)
+    val imps = graft.eval.AutoSelect.featureImportance(model, feats)
+    import s.implicits._
+    imps.zipWithIndex.map { case ((f, v), i) => (f, v, (i + 1).toLong) }
+      .toDF("feature", "importance", "rank")
+      .select(col("feature"), round(col("importance"), 6).as("importance"), col("rank"))
   }
 
   // -------------------------------------------- model & evaluation queries
@@ -1369,6 +1414,63 @@ object SparkEntry {
          |FROM tr, mt_fit""".stripMargin,
 
     "ts_reduce_xvars" -> reduceXvarsOracleSql,
+
+    // Direct-DFT periodogram on the z-scored series: one (freq k) bin per
+    // k in 1..n/2, power = (re^2 + im^2)/n over mean-centered values.
+    "ts_periodogram" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS rn FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |ks AS (SELECT unnest(range(1, CAST(n // 2 AS BIGINT) + 1)) AS k FROM nn),
+         |mu AS (SELECT avg(y) AS mu FROM s2),
+         |c AS (SELECT series_id, rn - 1 AS tt, y - mu AS c FROM s2, mu)
+         |SELECT c.series_id, ks.k AS freq,
+         |  ROUND((pow(sum(c.c * cos(2*pi()*ks.k*c.tt/nn.n)), 2)
+         |       + pow(sum(c.c * sin(2*pi()*ks.k*c.tt/nn.n)), 2)) / any_value(nn.n), 6) AS power
+         |FROM c CROSS JOIN ks CROSS JOIN nn
+         |GROUP BY 1, 2""".stripMargin,
+
+    // find_seasonal_length: ACF at each candidate period, winner flagged by
+    // strict argmax on the unrounded statistic.
+    "ts_seasonal_length" ->
+      s"""$S, s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS rn FROM series),
+         |mu AS (SELECT avg(y) AS mu, count(*) AS n FROM s2),
+         |c AS (SELECT series_id, rn, y - mu AS c FROM s2, mu),
+         |d AS (SELECT sum(c * c) AS d FROM c),
+         |acfs AS (SELECT a.series_id, g.k AS lag,
+         |    sum(a.c * b.c) / (SELECT d FROM d) AS acf
+         |  FROM (VALUES (3), (4), (6), (12)) g(k)
+         |  JOIN c a ON a.rn > g.k
+         |  JOIN c b ON b.rn = a.rn - g.k AND b.series_id = a.series_id
+         |  GROUP BY 1, 2)
+         |SELECT series_id, CAST(lag AS BIGINT) AS lag, ROUND(acf, 6) AS acf,
+         |       acf = max(acf) OVER () AS is_best
+         |FROM acfs""".stripMargin,
+
+    // save_feature_importance: |standardized coefficient| = |beta_j| * sd_j
+    // of the unstandardized OLS fit; rank by importance desc with the
+    // feature-order tiebreak of a stable sort.
+    "ts_feature_imp" -> {
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y,
+         |  CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t,
+         |  sin(pi() * month(ds) / 6.0) AS ms, cos(pi() * month(ds) / 6.0) AS mc,
+         |  lag(y, 1) OVER (ORDER BY ds) AS ar1 FROM series),
+         |nn AS (SELECT count(*) AS n FROM s2),
+         |tr AS (SELECT s2.* FROM s2, nn WHERE t <= n - 12 AND ar1 IS NOT NULL),
+         |sds AS (SELECT stddev_samp(t) AS sd_t, stddev_samp(ms) AS sd_ms,
+         |        stddev_samp(mc) AS sd_mc, stddev_samp(ar1) AS sd_ar1 FROM tr),
+         |${OracleGen.momentsCte("fi", Seq("t", "ms", "mc", "ar1"), "tr")},
+         |${OracleGen.solveCtes("fi", 4)},
+         |vals AS (SELECT f.feature, f.idx,
+         |    CASE f.idx WHEN 1 THEN abs(beta_1) * sd_t WHEN 2 THEN abs(beta_2) * sd_ms
+         |         WHEN 3 THEN abs(beta_3) * sd_mc ELSE abs(beta_4) * sd_ar1 END AS importance
+         |  FROM (VALUES ('t', 1), ('monthsin', 2), ('monthcos', 3), ('ar_1', 4)) f(feature, idx),
+         |       fi_fit, sds)
+         |SELECT feature, ROUND(importance, 6) AS importance,
+         |       row_number() OVER (ORDER BY importance DESC, idx) AS rank
+         |FROM vals""".stripMargin
+    },
 
     // Seasonal ARMA (1,1)x(1,0)_12, additive Hannan-Rissanen: long-AR(16)
     // stage 1 for innovations, stage 2 on y-lags {1,12} + elag {1}; the
