@@ -108,7 +108,9 @@ object SparkEntry {
     "ts_sarma"           -> ((s, d) => qSarma(s, d)),
     "ts_periodogram"     -> ((s, d) => qPeriodogram(s, d)),
     "ts_seasonal_length" -> ((s, d) => qSeasonalLength(s, d)),
-    "ts_feature_imp"     -> ((s, d) => qFeatureImportance(s, d))
+    "ts_feature_imp"     -> ((s, d) => qFeatureImportance(s, d)),
+    "mv_var_order"       -> ((s, d) => qMvVarOrder(s, d)),
+    "ts_auto_xvar"       -> ((s, d) => qAutoXvar(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -393,6 +395,38 @@ object SparkEntry {
     imps.zipWithIndex.map { case ((f, v), i) => (f, v, (i + 1).toLong) }
       .toDF("feature", "importance", "rank")
       .select(col("feature"), round(col("importance"), 6).as("importance"), col("rank"))
+  }
+
+  /** `find_optimal_lag_order` for the VAR family (util.py:298-341,
+    * statsmodels VAR.select_order): candidate order p minimizing the summed
+    * per-equation AIC of the cross-series lag OLS fits. Every candidate's
+    * score is emitted; the winner carries the reference's first-min tie
+    * order. The oracle replays each (p, equation) fit through an unrolled
+    * Cholesky over the shared date-spine lag design. */
+  private def qMvVarOrder(s: SparkSession, d: String): DataFrame = {
+    val sids = Seq("BUILDING", "MACHINERY")
+    val frame = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
+    val scores = graft.eval.AutoSelect.varOrderScores(frame, sids, 3)
+    val best = scores.minBy(t => if (t._2.isNaN) Double.MaxValue else t._2)._1
+    import s.implicits._
+    scores.map { case (p, aic) => (p.toLong, aic, p == best) }
+      .toDF("p", "aic", "is_best")
+      .select(col("p"), round(col("aic"), 6).as("aic"), col("is_best"))
+  }
+
+  /** `auto_Xvar_select` (Forecaster.py:658-1163): staged greedy search —
+    * best trend representation, then best seasonal representation, then
+    * best AR order, each stage scored by holdout RMSE of an exact OLS fit
+    * with the earlier winners held fixed. The oracle replays ALL 12
+    * reachable (trend × seasonal × ar) fits and walks the three decisions
+    * with Scala minBy's first-min tie order. */
+  private def qAutoXvar(s: SparkSession, d: String): DataFrame = {
+    val sel = graft.eval.AutoSelect.autoXvarSelect(zOrdersMonthly(s, d), maxAr = 2, h = 12)
+    import s.implicits._
+    Seq((sel.trend.mkString(","), sel.seasonal.mkString(","), sel.arOrder.toLong, sel.rmse))
+      .toDF("trend", "seasonal", "ar_order", "rmse")
+      .select(col("trend"), col("seasonal"), col("ar_order"),
+        round(col("rmse"), 6).as("rmse"))
   }
 
   // -------------------------------------------- model & evaluation queries
@@ -1414,6 +1448,10 @@ object SparkEntry {
          |FROM tr, mt_fit""".stripMargin,
 
     "ts_reduce_xvars" -> reduceXvarsOracleSql,
+
+    "mv_var_order" -> mvVarOrderOracleSql,
+
+    "ts_auto_xvar" -> autoXvarOracleSql,
 
     // Direct-DFT periodogram on the z-scored series: one (freq k) bin per
     // k in 1..n/2, power = (re^2 + im^2)/n over mean-centered values.
@@ -2559,6 +2597,94 @@ object SparkEntry {
       |sh AS (SELECT doc_id,
       |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       |       FROM bits GROUP BY 1)""".stripMargin
+
+  /** Oracle for mv_var_order: one Cholesky chain per (order p, equation) —
+    * the cross-series lag design is built on the shared date spine exactly
+    * like MvForecast.addCrossSeriesLags, each equation's AIC is
+    * n·ln(sse/n) + 2(k+1) over its feature-complete rows, and candidate
+    * orders rank by summed AIC with first-min tie order. */
+  private def mvVarOrderOracleSql: String = {
+    val ps = 1 to 3
+    val eqs = Seq("b" -> "yb", "m" -> "ym")
+    val lagCols = ps.flatMap(k => Seq(
+      s"lag(yb, $k) OVER (ORDER BY ds) AS b$k",
+      s"lag(ym, $k) OVER (ORDER BY ds) AS m$k"))
+    val chains = (for (p <- ps; (eq, yx) <- eqs) yield {
+      val tag = s"v$p$eq"
+      val xs = (1 to p).map(i => s"b$i") ++ (1 to p).map(i => s"m$i")
+      val cond = (s"$yx IS NOT NULL" +: xs.map(x => s"$x IS NOT NULL")).mkString(" AND ")
+      val pred = "beta_0" + xs.zipWithIndex.map { case (x, i) => s" + beta_${i + 1}*$x" }.mkString
+      s"""${OracleGen.momentsCte(tag, xs, s"wide WHERE $cond", yx)},
+         |${OracleGen.solveCtes(tag, xs.size)},
+         |${tag}_a AS (SELECT count(*) * ln(sum(pow($yx - ($pred), 2)) / count(*))
+         |  + 2.0 * ${xs.size + 1} AS aic FROM wide, ${tag}_fit WHERE $cond)""".stripMargin
+    }).mkString(",\n")
+    val aicsUnion = ps.map(p =>
+      s"SELECT $p AS p, (SELECT aic FROM v${p}b_a) + (SELECT aic FROM v${p}m_a) AS aic")
+      .mkString("\n  UNION ALL ")
+    s"""$SEG,
+       |s2 AS (SELECT * FROM series WHERE series_id IN ('BUILDING', 'MACHINERY')),
+       |spine AS (SELECT DISTINCT ds FROM s2),
+       |pv AS (SELECT spine.ds, b.y AS yb, m.y AS ym
+       |  FROM spine
+       |  LEFT JOIN (SELECT ds, y FROM s2 WHERE series_id = 'BUILDING') b ON b.ds = spine.ds
+       |  LEFT JOIN (SELECT ds, y FROM s2 WHERE series_id = 'MACHINERY') m ON m.ds = spine.ds),
+       |wide AS (SELECT pv.*, ${lagCols.mkString(", ")} FROM pv),
+       |$chains,
+       |aics AS (${aicsUnion})
+       |SELECT CAST(p AS BIGINT) AS p, ROUND(aic, 6) AS aic,
+       |       row_number() OVER (ORDER BY aic, p) = 1 AS is_best
+       |FROM aics""".stripMargin
+  }
+
+  /** Oracle for ts_auto_xvar: replays all 12 reachable
+    * (trend ∈ {t; t,t2}) × (seasonal ∈ {∅; monthsin,monthcos}) ×
+    * (ar ∈ {0,1,2}) OLS fits — the empty trend candidate scores NaN in the
+    * engine (scoreFeatures on no features) so it can never win and is
+    * omitted statically — then walks the three greedy decisions with
+    * Scala minBy's first-min tie order. */
+  private def autoXvarOracleSql: String = {
+    val tSets = Seq("a" -> Seq("t"), "b" -> Seq("t", "t2"))
+    val chains = (for ((tKey, tXs) <- tSets; sKey <- 0 to 1; aKey <- 0 to 2) yield {
+      val tag = s"x$tKey$sKey$aKey"
+      val xs = tXs ++ (if (sKey == 1) Seq("ms", "mc") else Nil) ++ (1 to aKey).map(i => s"a$i")
+      val arCond = (1 to aKey).map(i => s" AND a$i IS NOT NULL").mkString
+      val pred = "beta_0" + xs.zipWithIndex.map { case (x, i) => s" + beta_${i + 1}*$x" }.mkString
+      s"""${OracleGen.momentsCte(tag, xs, s"tr WHERE TRUE$arCond")},
+         |${OracleGen.solveCtes(tag, xs.size)},
+         |${tag}_r AS (SELECT sqrt(avg(pow(y - ($pred), 2))) AS r_$tag FROM te, ${tag}_fit)""".stripMargin
+    }).mkString(",\n")
+    val rAll = (for ((tKey, _) <- tSets; sKey <- 0 to 1; aKey <- 0 to 2)
+      yield s"x$tKey$sKey${aKey}_r").mkString(", ")
+    s"""$ZS,
+       |s2 AS (SELECT series_id, ds, y,
+       |  CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t,
+       |  sin(pi() * month(ds) / 6.0) AS ms, cos(pi() * month(ds) / 6.0) AS mc,
+       |  lag(y, 1) OVER (ORDER BY ds) AS a1, lag(y, 2) OVER (ORDER BY ds) AS a2
+       |  FROM series),
+       |s3 AS (SELECT *, t * t AS t2 FROM s2),
+       |nn AS (SELECT count(*) AS n FROM s3),
+       |tr AS (SELECT s3.* FROM s3, nn WHERE t <= n - 12),
+       |te AS (SELECT s3.* FROM s3, nn WHERE t > n - 12),
+       |$chains,
+       |sel AS (SELECT
+       |  CASE WHEN r_xa00 <= r_xb00 THEN 0 ELSE 1 END AS dt,
+       |  CASE WHEN dt = 0 THEN (CASE WHEN r_xa00 <= r_xa10 THEN 0 ELSE 1 END)
+       |       ELSE (CASE WHEN r_xb00 <= r_xb10 THEN 0 ELSE 1 END) END AS dsn,
+       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa00 WHEN dt = 0 THEN r_xa10
+       |       WHEN dsn = 0 THEN r_xb00 ELSE r_xb10 END AS r0,
+       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa01 WHEN dt = 0 THEN r_xa11
+       |       WHEN dsn = 0 THEN r_xb01 ELSE r_xb11 END AS r1,
+       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa02 WHEN dt = 0 THEN r_xa12
+       |       WHEN dsn = 0 THEN r_xb02 ELSE r_xb12 END AS r2,
+       |  CASE WHEN r0 <= r1 AND r0 <= r2 THEN 0 WHEN r1 <= r2 THEN 1 ELSE 2 END AS da
+       |  FROM $rAll)
+       |SELECT CASE dt WHEN 0 THEN 't' ELSE 't,t2' END AS trend,
+       |  CASE dsn WHEN 0 THEN '' ELSE 'monthsin,monthcos' END AS seasonal,
+       |  CAST(da AS BIGINT) AS ar_order,
+       |  ROUND(CASE da WHEN 0 THEN r0 WHEN 1 THEN r1 ELSE r2 END, 6) AS rmse
+       |FROM sel""".stripMargin
+  }
 
   /** Oracle for ts_reduce_xvars: replays EVERY reachable feature subset of
     * the backward elimination over (t, monthsin, monthcos) — one unrolled

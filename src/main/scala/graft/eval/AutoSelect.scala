@@ -217,9 +217,14 @@ object AutoSelect {
     * (/root/reference/src/scalecast/util.py:298-341, statsmodels
     * VAR.select_order): choose lag order p minimizing the summed
     * per-equation AIC of the cross-series OLS fits. */
-  def autoVarOrder(frame: DataFrame, seriesIds: Seq[String], maxP: Int = 4): (Int, Double) = {
+  def autoVarOrder(frame: DataFrame, seriesIds: Seq[String], maxP: Int = 4): (Int, Double) =
+    varOrderScores(frame, seriesIds, maxP).minBy(s => nanSafe(s._2))
+
+  /** Every candidate order's summed per-equation AIC (the full score table
+    * behind [[autoVarOrder]]'s argmin). */
+  def varOrderScores(frame: DataFrame, seriesIds: Seq[String], maxP: Int): Seq[(Int, Double)] = {
     import graft.models.MvForecast
-    val scored = (1 to maxP).map { p =>
+    (1 to maxP).map { p =>
       val withLags = MvForecast.addCrossSeriesLags(frame.filter(!col(IsFuture)), seriesIds, p)
       val feats = for (sid <- seriesIds; k <- 1 to p) yield MvForecast.xlagCol(sid, k)
       val aics = seriesIds.map { sid =>
@@ -232,7 +237,6 @@ object AutoSelect {
       }
       (p, aics.sum)
     }
-    scored.minBy(s => nanSafe(s._2))
   }
 
   /** Periodogram via direct DFT (the reference calls
