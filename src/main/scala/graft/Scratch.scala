@@ -37,6 +37,22 @@ object Scratch {
         Similarity.cosineNearDupPairs(vecsC, "vid", "vec", 0.98,
           bands = 16, bitsPerBand = 10).count()
       }
+    } else if (args.headOption.contains("pipe")) {
+      import graft.operators.Dedup
+      import graft.functions.TextOps
+      val docs = graft.core.Tables.documents(spark, dir)
+      time("docs count") { docs.count() }
+      val shAll = Dedup.shingles(docs, "doc_id", "text", 3)
+      time("shingles") { shAll.count() }
+      time("shingles again") { shAll.count() }
+      val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= 100).select("shingle")
+      val capped = shAll.join(rare, Seq("shingle"))
+      time("capped") { capped.count() }
+      time("jaccard end-to-end") {
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100).count()
+      }
+      time("stats") { TextOps.withTextStats(docs).count() }
     } else {
       val names = if (args.nonEmpty) args.toSeq else Seq("doc_neardup_cosine")
       names.foreach { n =>

@@ -53,20 +53,21 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val shAll = shingles(df, idCol, textCol, n)
-    val capped =
-      if (maxDocFreq == Int.MaxValue) shAll
-      else {
-        val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDocFreq).select("shingle")
-        shAll.join(rare, Seq("shingle"))
-      }
-    // the inverted-index self-join is row-exploding (candidate pairs ≫
-    // shingle rows), which AQE's byte-sized coalescing mis-plans to a few
-    // tasks — pin the join key partitioning at full width so pair generation
-    // and the pair-count partial agg spread (same fix as
-    // [[graft.operators.Similarity.cosineNearDupPairs]])
+    // Doc-frequency cap via a count window over the shingle partition: ONE
+    // shuffle keyed by shingle replaces the old groupBy + semi-join shape
+    // (which re-ran the shingle explode twice and shuffled it three times).
+    // The window's HashPartitioning(shingle) is exactly the full-width pin
+    // the row-exploding self-join below needs — AQE's byte-sized coalescing
+    // would otherwise mis-plan pair generation onto a few tasks (same fix
+    // as [[graft.operators.Similarity.cosineNearDupPairs]]) — and the
+    // self-join reuses it with no further exchange.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sh = capped.repartition(nPart, col("shingle")).cache()
+    val capped =
+      if (maxDocFreq == Int.MaxValue) shAll.repartition(nPart, col("shingle"))
+      else shAll
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("_df") <= maxDocFreq).drop("_df")
+    val sh = capped.cache()
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
