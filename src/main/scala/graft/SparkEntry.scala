@@ -264,10 +264,11 @@ object SparkEntry {
   private def qBestLength(s: SparkSession, d: String): DataFrame = {
     val mlrAr1: graft.eval.Evaluation.ModelFn = fl => {
       val withAr = FeatureOps.addArTerms(fl, 1)
-      graft.models.MllibTsEstimator("mlr", Seq("ar_1")).fit(withAr).transform(withAr)
+      val fit = graft.models.Ols.fit(withAr, Seq("ar_1"))
+      withAr.withColumn("yhat", fit.predictExpr)
     }
     val (len, rmse) = graft.eval.AutoSelect.bestSeriesLength(
-      zOrdersMonthly(s, d), Seq(36, 60, 84), 12, mlrAr1)
+      zOrdersMonthly(s, d).localCheckpoint(true), Seq(36, 60, 84), 12, mlrAr1)
     import s.implicits._
     Seq((len.toLong, rmse)).toDF("best_length", "rmse")
       .select(col("best_length"), round(col("rmse"), 6).as("rmse"))
@@ -337,7 +338,7 @@ object SparkEntry {
     val f1 = FeatureOps.addFourier(
       FeatureOps.addCalendar(f0, Seq("month")), col("month"), 12.0, "month")
     val (kept, rmse) = graft.eval.AutoSelect.reduceXvars(
-      f1, Seq("t", "monthsin", "monthcos"), 12)
+      f1.localCheckpoint(true), Seq("t", "monthsin", "monthcos"), 12)
     import s.implicits._
     Seq((kept.mkString(","), rmse)).toDF("features_kept", "rmse")
       .select(col("features_kept"), round(col("rmse"), 6).as("rmse"))

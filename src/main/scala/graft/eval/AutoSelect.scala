@@ -25,12 +25,17 @@ import org.apache.spark.sql.functions._
 object AutoSelect {
 
   /** Validation RMSE of an OLS fit on the given feature columns: holds out
-    * the last h observed rows, vectorized (non-dynamic) prediction. */
+    * the last h observed rows, vectorized (non-dynamic) prediction. Goes
+    * through the closed-form [[graft.models.Ols]] tier — one moments
+    * aggregation + a k×k driver solve + a pure-expression prediction —
+    * identical math to the MLlib normal solver the estimator registry uses
+    * (and to the Cholesky chains the DuckDB oracles replay), at one job per
+    * candidate instead of ~10. */
   def scoreFeatures(frame: DataFrame, features: Seq[String], h: Int): Double = {
     if (features.isEmpty) return Double.NaN
     val flagged = withTestFlag(frame, h)
-    val model = MllibTsEstimator("mlr", features).fit(flagged)
-    val scored = model.transform(flagged)
+    val fit = graft.models.Ols.fit(flagged, features)
+    val scored = flagged.withColumn("yhat", fit.predictExpr)
     Evaluation.metricsOverTest(scored, Seq("rmse"))
       .agg(avg("rmse")).first().getDouble(0)
   }
@@ -177,11 +182,12 @@ object AutoSelect {
     var cur = features
     var best = (features, scoreFeatures(frame, features, h))
     while (cur.size > minFeatures) {
+      // standardized coefficient = |β_raw_j|·sd_j (what a scale-normalized
+      // MLlib fit's coefficients are); one closed-form moments job per step
       val flagged = withTestFlag(frame, h)
-      val est = MllibTsEstimator("mlr", cur, normalizer = "scale")
-      val model = est.fit(flagged)
-      val lr = model.stages.last.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
-      val weakest = cur.zip(lr.coefficients.toArray.map(math.abs)).minBy(_._2)._1
+      val (fit, sds) = graft.models.Ols.fitWithStd(flagged, cur)
+      val weakest = cur.zip(fit.beta.zip(sds).map { case (b, sd) => math.abs(b) * sd })
+        .minBy(_._2)._1
       cur = cur.filterNot(_ == weakest)
       val s = scoreFeatures(frame, cur, h)
       if (!s.isNaN && s < best._2) best = (cur, s)
