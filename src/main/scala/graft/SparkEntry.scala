@@ -110,7 +110,8 @@ object SparkEntry {
     "ts_seasonal_length" -> ((s, d) => qSeasonalLength(s, d)),
     "ts_feature_imp"     -> ((s, d) => qFeatureImportance(s, d)),
     "mv_var_order"       -> ((s, d) => qMvVarOrder(s, d)),
-    "ts_auto_xvar"       -> ((s, d) => qAutoXvar(s, d))
+    "ts_auto_xvar"       -> ((s, d) => qAutoXvar(s, d)),
+    "ts_opt_transform"   -> ((s, d) => qOptTransform(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -396,6 +397,23 @@ object SparkEntry {
     imps.zipWithIndex.map { case ((f, v), i) => (f, v, (i + 1).toLong) }
       .toDF("feature", "importance", "rank")
       .select(col("feature"), round(col("importance"), 6).as("importance"), col("rank"))
+  }
+
+  /** `find_optimal_transformation` (util.py:575-896): greedy forward
+    * selection over a try-order of candidate transformations (here the
+    * detrend → diff(1) → scale subset via the reference's `try_order`
+    * argument), each kept only when the AR(4)-OLS holdout RMSE strictly
+    * improves. The emitted frame is the final transformed series plus the
+    * accepted chain, so the hash checks every accept/reject decision AND
+    * the transform math; the oracle carries the evolving state through
+    * CASE-gated CTEs (the decisions are scalar subqueries) and replays all
+    * four AR(4) Cholesky scores. */
+  private def qOptTransform(s: SparkSession, d: String): DataFrame = {
+    val r = graft.eval.AutoSelect.findOptimalTransformation(
+      zOrdersMonthly(s, d), m = 12, h = 12,
+      candidateNames = Seq("detrend", "diff1", "scale"))
+    r.frame.select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+      lit(r.accepted.mkString(",")).as("accepted"))
   }
 
   /** `find_optimal_lag_order` for the VAR family (util.py:298-341,
@@ -1427,7 +1445,7 @@ object SparkEntry {
          |       row_number() OVER (ORDER BY ds) AS rn FROM s3),
          |acf12 AS (SELECT sum(a.c * b.c) / (SELECT sum(c * c) FROM cc) AS r
          |  FROM cc a JOIN cc b ON b.rn = a.rn - 12),
-         |d2 AS (SELECT coalesce((SELECT r FROM acf12), 0.0)
+         |d2 AS MATERIALIZED (SELECT coalesce((SELECT r FROM acf12), 0.0)
          |              > 1.96 / sqrt((SELECT n FROM mu)) AS seas),
          |s4 AS (SELECT series_id, ds,
          |    CASE WHEN (SELECT seas FROM d2)
@@ -1475,6 +1493,8 @@ object SparkEntry {
     "mv_var_order" -> mvVarOrderOracleSql,
 
     "ts_auto_xvar" -> autoXvarOracleSql,
+
+    "ts_opt_transform" -> optTransformOracleSql,
 
     // Direct-DFT periodogram on the z-scored series: one (freq k) bin per
     // k in 1..n/2, power = (re^2 + im^2)/n over mean-centered values.
@@ -1901,7 +1921,7 @@ object SparkEntry {
          |${OracleGen.solveCtes("ad", 2)},
          |ex AS (SELECT sum(dy * dy) AS syy, CAST(count(*) AS DOUBLE) AS n,
          |       max(series_id) AS series_id FROM rws),
-         |fin AS (SELECT series_id,
+         |fin AS MATERIALIZED (SELECT series_id,
          |  sa_0_0 * (sa_1_1 * sa_2_2 - sa_2_1 * sa_2_1)
          |  - sa_1_0 * (sa_1_0 * sa_2_2 - sa_2_1 * sa_2_0)
          |  + sa_2_0 * (sa_1_0 * sa_2_1 - sa_1_1 * sa_2_0) AS det,
@@ -2144,7 +2164,7 @@ object SparkEntry {
          |obs AS (SELECT s2.series_id, s2.ds, ROUND(s2.y, 6) AS y,
          |        ROUND(hw.yhat, 6) AS yhat, FALSE AS is_future
          |        FROM s2 JOIN hw ON hw.t = s2.t),
-         |fin AS (SELECT hw.* FROM hw, agg WHERE hw.t = agg.n),
+         |fin AS MATERIALIZED (SELECT hw.* FROM hw, agg WHERE hw.t = agg.n),
          |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
          |        CAST(NULL AS DOUBLE) AS y,
          |        ROUND(fin.level + i * fin.trend + fin.seas[i], 6) AS yhat, TRUE AS is_future
@@ -2179,7 +2199,7 @@ object SparkEntry {
          |    hw.seas[2:] || [hw.g * (s2.y - newlevel) + (1 - hw.g) * hw.seas[1]],
          |    hw.sse + pow(hw.level + hw.trend + hw.seas[1] - s2.y, 2)
          |  FROM hw JOIN s2 ON s2.t = hw.t + 1),
-         |fin AS (SELECT a, b, g, sse FROM hw, agg WHERE hw.t = agg.n)
+         |fin AS MATERIALIZED (SELECT a, b, g, sse FROM hw, agg WHERE hw.t = agg.n)
          |SELECT a AS alpha, b AS beta, g AS gamma, ROUND(sse, 6) AS sse
          |FROM fin ORDER BY sse, a, b, g LIMIT 1""".stripMargin,
 
@@ -2708,6 +2728,64 @@ object SparkEntry {
        |  ROUND(CASE da WHEN 0 THEN r0 WHEN 1 THEN r1 ELSE r2 END, 6) AS rmse
        |FROM sel""".stripMargin
   }
+
+  /** Emits the CTE chain scoring one state CTE (`src`, columns ds/y) with
+    * the AR(4)-OLS holdout RMSE of [[AutoSelect.scoreFeatures]]: train =
+    * all-but-last-12 rows with complete lags, predict the last 12 with
+    * actual lags. Final CTE `<tag>_sc` has one row, column `r`. */
+  private def ar4ScoreCtes(tag: String, src: String): String = {
+    val lags = (1 to 4).map(i => s"a$i")
+    val pred = "beta_0" + lags.zipWithIndex.map { case (x, i) => s" + beta_${i + 1}*$x" }.mkString
+    s"""${tag}_b AS MATERIALIZED (SELECT ds, y,
+       |  CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t,
+       |  ${(1 to 4).map(i => s"lag(y, $i) OVER (ORDER BY ds) AS a$i").mkString(", ")}
+       |  FROM $src),
+       |${tag}_n AS (SELECT count(*) AS n FROM ${tag}_b),
+       |${tag}_tr AS (SELECT b.* FROM ${tag}_b b, ${tag}_n
+       |  WHERE t <= n - 12 AND ${lags.map(l => s"$l IS NOT NULL").mkString(" AND ")}),
+       |${tag}_te AS (SELECT b.* FROM ${tag}_b b, ${tag}_n WHERE t > n - 12),
+       |${OracleGen.momentsCte(tag, lags, s"${tag}_tr")},
+       |${OracleGen.solveCtes(tag, 4)},
+       |${tag}_sc AS MATERIALIZED (SELECT sqrt(avg(pow(y - ($pred), 2))) AS r FROM ${tag}_te, ${tag}_fit)""".stripMargin
+  }
+
+  /** Oracle for ts_opt_transform: the greedy try-order walk as CASE-gated
+    * state CTEs — each accept decision is a scalar subquery comparing the
+    * candidate's AR(4) score to the running best, and each state is the
+    * union of the accepted/rejected branches under that flag. */
+  private def optTransformOracleSql: String =
+    s"""$ZS,
+       |st0 AS MATERIALIZED (SELECT ds, y FROM series),
+       |${ar4ScoreCtes("s0", "st0")},
+       |st0t AS MATERIALIZED (SELECT ds, y, CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM st0),
+       |dtp AS MATERIALIZED (SELECT regr_slope(y, t) AS b, regr_intercept(y, t) AS a FROM st0t),
+       |c1 AS MATERIALIZED (SELECT ds, y - (a + b * t) AS y FROM st0t, dtp),
+       |${ar4ScoreCtes("s1", "c1")},
+       |d1 AS MATERIALIZED (SELECT (SELECT r FROM s1_sc) < (SELECT r FROM s0_sc) AS acc),
+       |st1 AS MATERIALIZED (SELECT ds, y FROM c1 WHERE (SELECT acc FROM d1)
+       |        UNION ALL SELECT ds, y FROM st0 WHERE NOT (SELECT acc FROM d1)),
+       |cur1 AS MATERIALIZED (SELECT CASE WHEN (SELECT acc FROM d1) THEN (SELECT r FROM s1_sc)
+       |                ELSE (SELECT r FROM s0_sc) END AS r),
+       |c2 AS MATERIALIZED (SELECT ds, y - lag(y) OVER (ORDER BY ds) AS y FROM st1),
+       |c2f AS MATERIALIZED (SELECT ds, y FROM c2 WHERE y IS NOT NULL),
+       |${ar4ScoreCtes("s2", "c2f")},
+       |d2 AS MATERIALIZED (SELECT (SELECT r FROM s2_sc) < (SELECT r FROM cur1) AS acc),
+       |st2 AS MATERIALIZED (SELECT ds, y FROM c2f WHERE (SELECT acc FROM d2)
+       |        UNION ALL SELECT ds, y FROM st1 WHERE NOT (SELECT acc FROM d2)),
+       |cur2 AS MATERIALIZED (SELECT CASE WHEN (SELECT acc FROM d2) THEN (SELECT r FROM s2_sc)
+       |                ELSE (SELECT r FROM cur1) END AS r),
+       |scp AS MATERIALIZED (SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM st2),
+       |c3 AS MATERIALIZED (SELECT ds, (y - mu) / sd AS y FROM st2, scp),
+       |${ar4ScoreCtes("s3", "c3")},
+       |d3 AS MATERIALIZED (SELECT (SELECT r FROM s3_sc) < (SELECT r FROM cur2) AS acc),
+       |fin AS MATERIALIZED (SELECT ds, y FROM c3 WHERE (SELECT acc FROM d3)
+       |        UNION ALL SELECT ds, y FROM st2 WHERE NOT (SELECT acc FROM d3))
+       |SELECT 'orders' AS series_id, ds, ROUND(y, 6) AS y,
+       |  concat_ws(',',
+       |    CASE WHEN (SELECT acc FROM d1) THEN 'detrend' END,
+       |    CASE WHEN (SELECT acc FROM d2) THEN 'diff1' END,
+       |    CASE WHEN (SELECT acc FROM d3) THEN 'scale' END) AS accepted
+       |FROM fin""".stripMargin
 
   /** Oracle for ts_reduce_xvars: replays EVERY reachable feature subset of
     * the backward elimination over (t, monthsin, monthcos) — one unrolled

@@ -291,17 +291,25 @@ object AutoSelect {
     scored.minBy(s => nanSafe(s._2))
   }
 
+  /** Result of [[findOptimalTransformation]]: the accepted stack, the
+    * transformed frame, the final score, and the accepted candidate names
+    * in try-order. */
+  final case class OptimalTransform(stack: TransformStack, frame: DataFrame,
+                                    score: Double, accepted: Seq[String])
+
   /** Candidate transformations in the reference's try-order
     * (util.py:575-896): detrend, deseason, log, diff(1), diff(m), scale.
-    * Each is kept only if the AR(4)-OLS validation RMSE improves. Returns the
-    * accepted stack and the transformed frame. */
-  def findOptimalTransformation(frame: DataFrame, m: Int = 12, h: Int = 12)
-      : (TransformStack, DataFrame, Double) = {
+    * Each is kept only if the AR(4)-OLS validation RMSE improves. Pass
+    * `candidateNames` to restrict the try-order to a subset (the reference's
+    * `try_order` argument, util.py:652). */
+  def findOptimalTransformation(frame: DataFrame, m: Int = 12, h: Int = 12,
+                                candidateNames: Seq[String] = Seq.empty)
+      : OptimalTransform = {
     def score(df: DataFrame): Double = {
       val withAr = FeatureOps.addArTerms(df.filter(!col(IsFuture)), 4)
       scoreFeatures(withAr, (1 to 4).map(i => s"ar_$i"), h)
     }
-    val candidates: Seq[(String, DataFrame => FittedTransform)] = Seq(
+    val all: Seq[(String, DataFrame => FittedTransform)] = Seq(
       "detrend"  -> ((df: DataFrame) => Transforms.detrendLinearT(df)),
       "deseason" -> ((df: DataFrame) => Transforms.deseasonT(df, m)),
       "boxcox"   -> ((df: DataFrame) => Transforms.boxcoxMleT(df)),
@@ -309,10 +317,12 @@ object AutoSelect {
       s"diff$m"  -> ((df: DataFrame) => Transforms.diffT(df, m)),
       "scale"    -> ((df: DataFrame) => Transforms.scaleT(df))
     )
+    val candidates =
+      if (candidateNames.isEmpty) all else all.filter(c => candidateNames.contains(c._1))
     var cur = frame
     var curScore = score(frame)
-    var accepted = List.empty[FittedTransform]
-    candidates.foreach { case (_, mk) =>
+    var accepted = List.empty[(String, FittedTransform)]
+    candidates.foreach { case (name, mk) =>
       // a candidate that errors or yields non-finite values (e.g. boxcox on
       // a negative-valued series) is simply rejected, like the reference's
       // error policy in its try-order loop
@@ -325,10 +335,11 @@ object AutoSelect {
         if (!s.isNaN && s < curScore) {
           cur = candidate
           curScore = s
-          accepted = t :: accepted
+          accepted = (name, t) :: accepted
         }
       }
     }
-    (TransformStack(accepted.reverse), cur, curScore)
+    val acc = accepted.reverse
+    OptimalTransform(TransformStack(acc.map(_._2)), cur, curScore, acc.map(_._1))
   }
 }

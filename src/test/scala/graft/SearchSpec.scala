@@ -125,9 +125,10 @@ class SearchSpec extends SparkSpec {
   }
 
   test("findOptimalTransformation only keeps improving transforms") {
-    val (stack, _, score) = AutoSelect.findOptimalTransformation(obsSeries(ys), m = 12, h = 6)
-    assert(!score.isNaN)
-    assert(stack.stack.size <= 5)
+    val r = AutoSelect.findOptimalTransformation(obsSeries(ys), m = 12, h = 6)
+    assert(!r.score.isNaN)
+    assert(r.stack.stack.size <= 5)
+    assert(r.accepted.size === r.stack.stack.size)
   }
 
   test("theta forecast blends trend extrapolation and SES") {
