@@ -1,0 +1,82 @@
+package graft.eval
+
+/** Default hyperparameter grids per estimator — the engine's equivalent of
+  * `GridGenerator.get_grids` (/root/reference/src/scalecast/
+  * GridGenerator.py:3-32, grids/{example,mv,theta,vecm}.py): named,
+  * code-shipped default grids a user copies and edits before `tune`.
+  *
+  * Numeric parameter axes feed [[Evaluation.expandGrid]] directly; the
+  * `normalizer` axis matches the estimator registry
+  * ({none,scale,minmax,robust}, cfg.py:67-73). Reference axes that name
+  * library-specific knobs without an MLlib equivalent (sklearn solver
+  * strings, darts ModelMode enums, statsmodels `deterministic` codes) keep
+  * the supported subset — each divergence is noted inline. `lags` axes from
+  * grids/mv.py are feature-construction choices here (addArTerms order),
+  * not estimator params, so they live with the caller.
+  */
+object Grids {
+
+  /** One estimator's default search space. */
+  final case class Grid(params: Map[String, Seq[Double]],
+                        normalizers: Seq[String] = Seq("none")) {
+    /** Cartesian rows in [[Evaluation.expandGrid]]'s deterministic order,
+      * crossed with the normalizer axis. */
+    def expand: Seq[(Map[String, Double], String)] =
+      for (m <- Evaluation.expandGrid(params); n <- normalizers) yield (m, n)
+    def size: Int = expand.size
+  }
+
+  /** grids/example.py + theta.py + vecm.py re-expressed over the registry's
+    * accepted params. */
+  val defaults: Map[String, Grid] = Map(
+    // example.py mlr: normalizer axis only
+    "mlr" -> Grid(Map.empty, Seq("scale", "minmax", "none")),
+    // example.py lasso: alpha 0.01..1.00
+    "lasso" -> Grid(Map("alpha" -> (1 to 100).map(_ / 100.0))),
+    // example.py ridge: alpha 0.01..1.00
+    "ridge" -> Grid(Map("alpha" -> (1 to 100).map(_ / 100.0))),
+    // example.py elasticnet: alpha 0.1..2.0 x l1_ratio x normalizer
+    "elasticnet" -> Grid(Map(
+      "alpha" -> (1 to 20).map(_ / 10.0),
+      "l1_ratio" -> Seq(0, 0.25, 0.5, 0.75, 1.0)), Seq("scale", "minmax")),
+    // example.py sgd (penalty axes; sklearn's learning-rate schedule strings
+    // have no MLlib analogue — the solver substitution is documented on the
+    // estimator)
+    "sgd" -> Grid(Map(
+      "alpha" -> Seq(0.00001, 0.0001, 0.001),
+      "l1_ratio" -> Seq(0, 0.15, 0.5, 1.0)), Seq("scale", "minmax")),
+    // example.py rf: depth x trees (max_features/max_samples are sklearn
+    // resampling knobs MLlib's forest exposes differently — omitted)
+    "rf" -> Grid(Map(
+      "max_depth" -> Seq(2, 5), "n_estimators" -> Seq(100, 500))),
+    // example.py gbt: depth axis ('max_features' omitted as above)
+    "gbt" -> Grid(Map("max_depth" -> Seq(2, 3, 4, 5))),
+    // example.py knn: n_neighbors 2..100 (capped at 20 — the reference's
+    // 2..100 over a ≤100-ob series mostly aliases to the same neighbor sets)
+    "knn" -> Grid(Map("k" -> (2 to 20).map(_.toDouble))),
+    // example.py hwes tunes {trend,seasonal,use_boxcox} structure flags;
+    // our optimized HWES searches the smoothing weights themselves
+    // (Smoothing.holtWintersGridSearch), so the default grid is the (α,β,γ)
+    // lattice
+    "hwes" -> Grid(Map(
+      "alpha" -> Seq(0.1, 0.3, 0.5, 0.7, 0.9),
+      "beta" -> Seq(0.0, 0.1, 0.3),
+      "gamma" -> Seq(0.0, 0.1, 0.3))),
+    // theta.py: theta axis (darts ModelMode/SeasonalityMode enums have no
+    // analogue in the SES-blend theta implementation)
+    "theta" -> Grid(Map("theta" -> Seq(0.5, 1.0, 1.5, 2.0, 2.5, 3.0))),
+    // arima.py order tuples flattened to the Hannan-Rissanen (p, q) axes;
+    // d composes via diffT upstream
+    "arima" -> Grid(Map("p" -> Seq(0, 1, 2), "q" -> Seq(0, 1, 2))),
+    // vecm.py: lag axis (statsmodels 'deterministic'/'seasons' codes are
+    // Johansen-spec options; our VECM fixes the constant-in-cointegration
+    // case)
+    "vecm" -> Grid(Map("k_ar_diff" -> Seq(1, 2, 3, 4, 5, 6, 7)))
+  )
+
+  /** `GridGenerator.get_grids` + `ingest_grid` lookup: the default grid for
+    * an estimator, or a clear error naming the available ones. */
+  def gridFor(estimator: String): Grid =
+    defaults.getOrElse(estimator, throw new IllegalArgumentException(
+      s"no default grid for '$estimator'; available: ${defaults.keys.toSeq.sorted.mkString(", ")}"))
+}

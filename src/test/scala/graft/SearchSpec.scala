@@ -124,6 +124,22 @@ class SearchSpec extends SparkSpec {
     assert(Seq(24, 36, 48).contains(len) && !rmse.isNaN)
   }
 
+  test("default grids expand deterministically and feed the registry") {
+    import graft.eval.Grids
+    val en = Grids.gridFor("elasticnet")
+    assert(en.size === 20 * 5 * 2)
+    assert(Grids.gridFor("mlr").expand.map(_._2) === Seq("scale", "minmax", "none"))
+    assert(Grids.gridFor("theta").params("theta").head === 0.5)
+    val err = intercept[IllegalArgumentException](Grids.gridFor("tbats"))
+    assert(err.getMessage.contains("available"))
+    // rows plug straight into the estimator registry
+    val (params, norm) = Grids.gridFor("ridge").expand.head
+    val est = graft.models.MllibTsEstimator("ridge", Seq("ar_1"), params, norm)
+    assert(est.params("alpha") === 0.01 && norm === "none")
+    // limit_grid_size composes
+    assert(AutoSelect.limitGridSize(en.expand, 10).size === 10)
+  }
+
   test("findOptimalTransformation only keeps improving transforms") {
     val r = AutoSelect.findOptimalTransformation(obsSeries(ys), m = 12, h = 6)
     assert(!r.score.isNaN)
