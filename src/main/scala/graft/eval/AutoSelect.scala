@@ -33,11 +33,16 @@ object AutoSelect {
     * candidate instead of ~10. */
   def scoreFeatures(frame: DataFrame, features: Seq[String], h: Int): Double = {
     if (features.isEmpty) return Double.NaN
-    val flagged = withTestFlag(frame, h)
-    val fit = graft.models.Ols.fit(flagged, features)
-    val scored = flagged.withColumn("yhat", fit.predictExpr)
-    Evaluation.metricsOverTest(scored, Seq("rmse"))
-      .agg(avg("rmse")).first().getDouble(0)
+    // a candidate whose normal equations are singular (exactly collinear
+    // features) scores NaN and is skipped — the reference's failed-combo
+    // policy (_Forecaster_parent.py:1826-1837)
+    scala.util.Try {
+      val flagged = withTestFlag(frame, h)
+      val fit = graft.models.Ols.fit(flagged, features)
+      val scored = flagged.withColumn("yhat", fit.predictExpr)
+      Evaluation.metricsOverTest(scored, Seq("rmse"))
+        .agg(avg("rmse")).first().getDouble(0)
+    }.getOrElse(Double.NaN)
   }
 
   final case class XvarSelection(trend: Seq[String], seasonal: Seq[String],
@@ -241,12 +246,17 @@ object AutoSelect {
       val feats = for (sid <- seriesIds; k <- 1 to p) yield MvForecast.xlagCol(sid, k)
       val complete = feats.map(c => col(c).isNotNull).reduce(_ && _)
       val aics = seriesIds.map { sid =>
-        val eq = withLags.filter(col(SeriesId) === sid)
-        val fit = graft.models.Ols.fit(eq, feats)
-        val r = eq.filter(complete)
-          .agg(sum(pow(col(Y) - fit.predictExpr, 2)), count(lit(1))).first()
-        val sse = r.getDouble(0); val n = r.getLong(1).toDouble
-        n * math.log(sse / n) + 2.0 * (feats.size + 1)
+        // singular design at this order (e.g. exactly collinear cross-lags)
+        // → NaN → the candidate order is skipped, like the reference's
+        // failed-combo policy
+        scala.util.Try {
+          val eq = withLags.filter(col(SeriesId) === sid)
+          val fit = graft.models.Ols.fit(eq, feats)
+          val r = eq.filter(complete)
+            .agg(sum(pow(col(Y) - fit.predictExpr, 2)), count(lit(1))).first()
+          val sse = r.getDouble(0); val n = r.getLong(1).toDouble
+          n * math.log(sse / n) + 2.0 * (feats.size + 1)
+        }.getOrElse(Double.NaN)
       }
       (p, aics.sum)
     }
