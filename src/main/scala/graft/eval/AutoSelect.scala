@@ -114,13 +114,10 @@ object AutoSelect {
     try {
       val grid = for (p <- 0 to maxP; q <- 0 to maxQ if p + q > 0) yield (p, q)
       val scored = Evaluation.fanOut(grid, parallelism) { case (p, q) =>
-        val fit = graft.models.Arima.fitArma(obs, p, q)
-        val scoredDf = fit.model.transform(fit.prepared)
-          .filter(!isnan(col("yhat")) && col("yhat").isNotNull && !col(IsFuture))
-        val r = scoredDf.agg(
-          sum(pow(col(Y) - col("yhat"), 2)).as("sse"), count(lit(1)).as("n")).first()
-        val sse = r.getDouble(0); val n = r.getLong(1).toDouble
-        ((p, q), n * math.log(sse / n) + 2.0 * (p + q + 1))
+        // closed-form two-stage scoring (no MLlib model per cell); singular
+        // cells score NaN and are skipped like the reference's failed combos
+        ((p, q), scala.util.Try(graft.models.Arima.armaAic(obs, p, q))
+          .getOrElse(Double.NaN))
       }
       scored.minBy(s => nanSafe(s._2))
     } finally obs.unpersist()

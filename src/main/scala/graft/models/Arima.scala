@@ -41,9 +41,34 @@ object Arima {
       ((1 to p) ++ (1 to bigP).map(_ * m)).distinct.sorted,
       ((1 to q) ++ (1 to bigQ).map(_ * m)).distinct.sorted, longAr)
 
+  /** AIC = n·ln(sse/n) + 2(p+q+1) of the Hannan–Rissanen fit WITHOUT
+    * materializing the MLlib stage-2 model — the closed-form scoring path
+    * [[graft.eval.AutoSelect.autoArma]]'s grid fans out over: two moments
+    * aggregations (stage-1 long AR via [[Ols]] inside [[prepareArma]],
+    * stage 2 here) + one sse aggregation, all identical normal-equation
+    * math to the full fit and to the oracle's Cholesky replay. */
+  def armaAic(frame: DataFrame, p: Int, q: Int, longAr: Int = 0): Double = {
+    val (prepared, feats) = prepareArma(frame, 1 to p, 1 to q, longAr)
+    val fit = Ols.fit(prepared, feats)
+    val complete = feats.map(c => col(c).isNotNull).reduce(_ && _)
+    val r = prepared.filter(!col(IsFuture) && complete)
+      .agg(sum(pow(col(Y) - fit.predictExpr, 2)), count(lit(1))).first()
+    val sse = r.getDouble(0); val n = r.getLong(1).toDouble
+    n * math.log(sse / n) + 2.0 * (p + q + 1)
+  }
+
   /** Hannan–Rissanen with explicit lag sets. */
   def fitArmaLags(frame: DataFrame, arLags: Seq[Int], maLags: Seq[Int],
                   longAr: Int = 0): ArmaFit = {
+    val (prepared, feats) = prepareArma(frame, arLags, maLags, longAr)
+    val stage2 = MllibTsEstimator("mlr", feats).fit(prepared)
+    ArmaFit(stage2, arLags.size, maLags.size, prepared)
+  }
+
+  /** Stage 1 + feature construction shared by [[fitArmaLags]] and
+    * [[armaAic]]: returns the prepared frame and stage-2 feature names. */
+  private def prepareArma(frame: DataFrame, arLags: Seq[Int], maLags: Seq[Int],
+                          longAr: Int = 0): (DataFrame, Seq[String]) = {
     // default long-AR order: p+q+4 in the plain case (ts_arma's oracle
     // replays exactly AR(6) for (1,1)), stretched to cover seasonal lags
     val maxNeeded = (arLags ++ maLags ++ Seq(0)).max
@@ -73,8 +98,7 @@ object Arima {
           .otherwise(lag(col("_e"), j).over(w))))
     val prepared = FeatureOps.addArLags(withELags, arLags)
     val feats = arLags.map(i => s"ar_$i") ++ maLags.map(j => s"elag_$j")
-    val stage2 = MllibTsEstimator("mlr", feats).fit(prepared)
-    ArmaFit(stage2, arLags.size, maLags.size, prepared)
+    (prepared, feats)
   }
 
   /** Fitted values + recursive dynamic horizon forecast. */
