@@ -837,13 +837,15 @@ object SparkEntry {
         round(Metrics.mse(a, f), 6).as("mse"),
         round(Metrics.mae(a, f), 6).as("mae"),
         round(Metrics.smape(a, f), 6).as("smape"),
+        round(Metrics.mape(a, f), 6).as("mape"),
         round(Metrics.r2(a, f), 6).as("r2"),
         round(Metrics.bias(a, f), 6).as("bias"),
         round(Metrics.abias(a, f), 6).as("abias")
       ).withColumn("model", lit(model))
     metricsFor(col("f_naive"), "naive")
       .unionByName(metricsFor(col("f_snaive"), "snaive"))
-      .select("model", SeriesId, "n", "rmse", "mse", "mae", "smape", "r2", "bias", "abias")
+      .select("model", SeriesId, "n", "rmse", "mse", "mae", "smape", "mape",
+        "r2", "bias", "abias")
   }
 
   private def qScalers(s: SparkSession, d: String): DataFrame = {
@@ -1138,6 +1140,8 @@ object SparkEntry {
          |    ROUND(avg(pow(f_naive - y, 2)), 6) AS mse,
          |    ROUND(avg(abs(f_naive - y)), 6) AS mae,
          |    ROUND(avg(2 * abs(f_naive - y) / (abs(y) + abs(f_naive))), 6) AS smape,
+         |    ROUND(CASE WHEN max(CASE WHEN y = 0 THEN 1 ELSE 0 END) = 1 THEN NULL
+         |          ELSE avg(CASE WHEN y != 0 THEN abs((f_naive - y) / y) END) END, 6) AS mape,
          |    ROUND(1 - sum(pow(f_naive - y, 2)) / (sum(pow(y, 2)) - pow(sum(y), 2) / count(*)), 6) AS r2,
          |    ROUND(sum(f_naive - y), 6) AS bias,
          |    ROUND(abs(sum(f_naive - y)), 6) AS abias
@@ -1148,11 +1152,13 @@ object SparkEntry {
          |    ROUND(avg(pow(f_snaive - y, 2)), 6),
          |    ROUND(avg(abs(f_snaive - y)), 6),
          |    ROUND(avg(2 * abs(f_snaive - y) / (abs(y) + abs(f_snaive))), 6),
+         |    ROUND(CASE WHEN max(CASE WHEN y = 0 THEN 1 ELSE 0 END) = 1 THEN NULL
+         |          ELSE avg(CASE WHEN y != 0 THEN abs((f_snaive - y) / y) END) END, 6),
          |    ROUND(1 - sum(pow(f_snaive - y, 2)) / (sum(pow(y, 2)) - pow(sum(y), 2) / count(*)), 6),
          |    ROUND(sum(f_snaive - y), 6),
          |    ROUND(abs(sum(f_snaive - y)), 6)
          |  FROM f WHERE f_snaive IS NOT NULL GROUP BY series_id)
-         |SELECT model, series_id, n, rmse, mse, mae, smape, r2, bias, abias FROM m""".stripMargin,
+         |SELECT model, series_id, n, rmse, mse, mae, smape, mape, r2, bias, abias FROM m""".stripMargin,
 
     "ts_scalers" ->
       s"""$S, p AS (
