@@ -74,9 +74,18 @@ object Grids {
     "vecm" -> Grid(Map("k_ar_diff" -> Seq(1, 2, 3, 4, 5, 6, 7)))
   )
 
-  /** `GridGenerator.get_grids` + `ingest_grid` lookup: the default grid for
-    * an estimator, or a clear error naming the available ones. */
+  /** User-registered grids (`set_grids_file` / a user's own Grids.py,
+    * GridGenerator.py:3-32): overlay the defaults, including shadowing a
+    * default grid for a builtin estimator. */
+  private val custom = scala.collection.concurrent.TrieMap.empty[String, Grid]
+  def register(name: String, grid: Grid): Unit = custom.put(name, grid)
+
+  /** `GridGenerator.get_grids` + `ingest_grid` lookup: the registered or
+    * default grid for an estimator, or a clear error naming the available
+    * ones. */
   def gridFor(estimator: String): Grid =
-    defaults.getOrElse(estimator, throw new IllegalArgumentException(
-      s"no default grid for '$estimator'; available: ${defaults.keys.toSeq.sorted.mkString(", ")}"))
+    custom.get(estimator).orElse(defaults.get(estimator))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no default grid for '$estimator'; available: " +
+          (defaults.keys ++ custom.keys).toSeq.distinct.sorted.mkString(", ")))
 }

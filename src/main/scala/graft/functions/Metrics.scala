@@ -59,9 +59,7 @@ object Metrics {
     * by the caller (window op), this is just the final aggregate. */
   def scaleDenominator(diffAbs: Column): Column = avg(diffAbs)
 
-  /** Registry parity with cfg.py:56-65 (note: the reference maps 'bias' and
-    * 'abias' at cfg.py:62-63 onto smape by bug; we register them correctly). */
-  val registry: Map[String, (Column, Column) => Column] = Map(
+  private val builtin: Map[String, (Column, Column) => Column] = Map(
     "bias"  -> bias _,
     "abias" -> abias _,
     "mape"  -> mape _,
@@ -72,10 +70,33 @@ object Metrics {
     "smape" -> smape _
   )
 
-  /** Which direction is better, per metric (classes.py:48-77 ordering). */
-  val lowerIsBetter: Map[String, Boolean] = Map(
+  private val builtinLower: Map[String, Boolean] = Map(
     "bias" -> true, "abias" -> true, "mape" -> true, "r2" -> false,
     "mse" -> true, "rmse" -> true, "mae" -> true, "smape" -> true,
     "mase" -> true, "msis" -> true
   )
+
+  /** User-registered metrics (`set_metrics` / MetricStore,
+    * /root/reference/src/scalecast/_Forecaster_parent.py:1133-1164,
+    * classes.py:25-46): an aggregate over (actual, forecast) columns plus
+    * its ranking direction. Registered names join [[registry]] everywhere
+    * metrics are evaluated (model summaries, CV scoring, ordering). */
+  private val custom =
+    scala.collection.concurrent.TrieMap.empty[String, ((Column, Column) => Column, Boolean)]
+
+  def register(name: String, fn: (Column, Column) => Column,
+               lowerBetter: Boolean = true): Unit = {
+    require(!builtin.contains(name), s"metric '$name' is builtin")
+    custom.put(name, (fn, lowerBetter))
+  }
+
+  /** Registry parity with cfg.py:56-65 (note: the reference maps 'bias' and
+    * 'abias' at cfg.py:62-63 onto smape by bug; we register them correctly),
+    * plus any user-registered metrics. */
+  def registry: Map[String, (Column, Column) => Column] =
+    builtin ++ custom.view.mapValues(_._1).toMap
+
+  /** Which direction is better, per metric (classes.py:48-77 ordering). */
+  def lowerIsBetter: Map[String, Boolean] =
+    builtinLower ++ custom.view.mapValues(_._2).toMap
 }

@@ -38,9 +38,20 @@ final case class MllibTsEstimator(
                               .setInputCol("_fraw").setOutputCol("_f")), "_f")
       case "robust" => (Some(new RobustScaler().setWithCentering(true).setWithScaling(true)
                               .setInputCol("_fraw").setOutputCol("_f")), "_f")
-      case other    => throw new IllegalArgumentException(s"unknown normalizer $other")
+      case other    => MllibTsEstimator.customNormalizer(other) match {
+        case Some(mk) => (Some(mk("_fraw", "_f")), "_f")
+        case None     => throw new IllegalArgumentException(s"unknown normalizer $other")
+      }
     }
-    val reg = algo match {
+    val reg = MllibTsEstimator.customEstimator(algo) match {
+      case Some(mk) => mk(MllibTsEstimator.Spec(featCol, Y, "yhat", params, seed))
+      case None     => builtinReg(featCol)
+    }
+    new Pipeline().setStages((assembler +: scalerStage.toSeq :+ reg).toArray)
+  }
+
+  private def builtinReg(featCol: String): PipelineStage = {
+    algo match {
       // prophet_like shares the exact-OLS solver: the prophet substitution is
       // a feature recipe (trend + Fourier + holiday dummies, see
       // [[ProphetLike]]) over a linear fit, named so registry users see it.
@@ -86,7 +97,6 @@ final case class MllibTsEstimator(
           "mlr/ridge (linear), gbt/rf (nonlinear), knn (KnnRegressor)")
       case other => throw new IllegalArgumentException(s"unknown algo $other")
     }
-    new Pipeline().setStages((assembler +: scalerStage.toSeq :+ reg).toArray)
   }
 
   /** Train on observed, non-test, feature-complete rows. */
@@ -104,6 +114,44 @@ object MllibTsEstimator {
     * (knn lives in [[KnnRegressor]] — join-based, not an MLlib pipeline). */
   val supportedAlgos: Seq[String] = Seq("mlr", "lasso", "ridge", "elasticnet",
     "sgd", "rf", "gbt", "xgboost", "catboost", "prophet_like")
+
+  /** What a user-registered estimator builder receives: the (possibly
+    * scaled) assembled feature column, label/prediction columns, the
+    * hyperparameter map, and the seed. */
+  final case class Spec(featuresCol: String, labelCol: String,
+                        predictionCol: String, params: Map[String, Double],
+                        seed: Long)
+
+  /** `add_sklearn_estimator`
+    * (/root/reference/src/scalecast/_Forecaster_parent.py:786-814): register
+    * a new estimator under a name; any MLlib regressor (or custom
+    * Estimator stage) that honors the Spec's columns slots into the same
+    * assembler/normalizer pipeline, the recursion scorer, tune/CV, and the
+    * results store. Builtins cannot be shadowed. */
+  private val customEst =
+    scala.collection.concurrent.TrieMap.empty[String, Spec => PipelineStage]
+
+  /** `add_normalizer` (_Forecaster_parent.py:1944-1955): register a scaler
+    * stage builder (inputCol, outputCol) under a name. */
+  private val customNorm =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String) => PipelineStage]
+
+  def registerEstimator(name: String)(builder: Spec => PipelineStage): Unit = {
+    require(!supportedAlgos.contains(name) && name != "svr" && name != "mlp",
+      s"estimator '$name' is builtin")
+    customEst.put(name, builder)
+  }
+
+  def registerNormalizer(name: String)(builder: (String, String) => PipelineStage): Unit = {
+    require(!Seq("none", "minmax", "scale", "robust").contains(name),
+      s"normalizer '$name' is builtin")
+    customNorm.put(name, builder)
+  }
+
+  private[models] def customEstimator(name: String): Option[Spec => PipelineStage] =
+    customEst.get(name)
+  private[models] def customNormalizer(name: String): Option[(String, String) => PipelineStage] =
+    customNorm.get(name)
 
   /** `transfer_predict` support
     * (/root/reference/src/scalecast/_Forecaster_parent.py:1869-1942): persist
