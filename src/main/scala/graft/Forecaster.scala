@@ -82,6 +82,26 @@ final case class Forecaster(
   def ingestXvars(xvars: DataFrame, dateCol: String = "ds", pad: Boolean = true): Forecaster =
     copy(frame = graft.core.SeriesFrame.ingestXvars(frame, xvars, dateCol, pad))
   def dropRegressors(cols: String*): Forecaster = copy(frame = frame.drop(cols: _*))
+  /** `add_other_regressor`: 0/1 dummy over a date interval. */
+  def addOtherRegressor(start: String, end: String, called: String): Forecaster =
+    copy(frame = FeatureOps.addIntervalDummy(frame, start, end, called))
+  /** `add_covid19_regressor` (_Forecaster_parent.py:509-533): the named
+    * interval dummy with the reference's default start/end dates. */
+  def addCovid19Regressor(called: String = "COVID19",
+                          start: String = "2020-03-15",
+                          end: String = "2021-05-13"): Forecaster =
+    addOtherRegressor(start, end, called)
+  /** `add_combo_regressors`: elementwise product term. */
+  def addComboRegressors(cols: String*): Forecaster =
+    copy(frame = FeatureOps.addComboTerms(frame, cols))
+
+  // ---- history ops ----------------------------------------------------
+  /** `chop_from_front`: drop the last n observed rows per series. */
+  def chopFromFront(n: Int): Forecaster =
+    copy(frame = graft.core.SeriesFrame.chopFromFront(frame, n))
+  /** `keep_smaller_history` (≡ `chop_from_back` keeping the newest n). */
+  def keepSmallerHistory(n: Int): Forecaster =
+    copy(frame = graft.core.SeriesFrame.keepSmallerHistory(frame, n))
 
   // ---- estimator selection -------------------------------------------
   def setEstimator(name: String, params: Map[String, Double] = Map.empty,
@@ -180,6 +200,12 @@ final case class Forecaster(
       k, h, metric, parallelism).head._1
     copy(params = best)
   }
+
+  /** `ingest_grid` with no argument (GridGenerator default): the registered
+    * or shipped default grid for the CURRENT estimator, expanded in
+    * deterministic order — `f.tune(f.defaultGrid)`. */
+  def defaultGrid: Seq[Map[String, Double]] =
+    graft.eval.Evaluation.expandGrid(graft.eval.Grids.gridFor(estimator).params)
 
   /** `auto_forecast` = tune then forecast with the winning params. */
   def autoForecast(grid: Seq[Map[String, Double]], callMe: String = "",

@@ -9,6 +9,21 @@ class ForecasterFacadeSpec extends SparkSpec {
   private def ys = (0 until 60).map(t =>
     100.0 + 2 * t + 10 * math.sin(2 * math.Pi * t / 12.0) + ((t * 13) % 7))
 
+  test("interval dummies, history ops, and the default grid flow through the facade") {
+    val f = Forecaster(obsSeries(ys)) // fixture starts 2020-01 → covid window overlaps
+      .addCovid19Regressor()
+      .addOtherRegressor("2020-08-01", "2020-10-01", "promo")
+      .addTimeTrend().addComboRegressors("t", "promo")
+    assert(f.frame.columns.contains("COVID19") && f.frame.columns.contains("t_promo"))
+    // the covid window overlaps this 60-month span → dummy actually fires
+    assert(f.frame.filter(col("COVID19") === 1.0).count() > 0)
+    val chopped = f.chopFromFront(6).keepSmallerHistory(24)
+    assert(chopped.frame.count() == 24)
+    // ingest_grid default: the shipped grid for the current estimator
+    val g = f.setEstimator("gbt").defaultGrid
+    assert(g.nonEmpty && g.head.contains("max_depth"))
+  }
+
   test("manualForecast banks mlr + hwes + combo; exports read coherently") {
     val f = Forecaster(obsSeries(ys))
       .generateFutureDates(6)
