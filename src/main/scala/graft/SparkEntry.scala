@@ -111,7 +111,8 @@ object SparkEntry {
     "ts_feature_imp"     -> ((s, d) => qFeatureImportance(s, d)),
     "mv_var_order"       -> ((s, d) => qMvVarOrder(s, d)),
     "ts_auto_xvar"       -> ((s, d) => qAutoXvar(s, d)),
-    "ts_opt_transform"   -> ((s, d) => qOptTransform(s, d))
+    "ts_opt_transform"   -> ((s, d) => qOptTransform(s, d)),
+    "ts_decompose"       -> ((s, d) => qDecompose(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -398,6 +399,17 @@ object SparkEntry {
       .toDF("feature", "importance", "rank")
       .select(col("feature"), round(col("importance"), 6).as("importance"), col("rank"))
   }
+
+  /** `seasonal_decompose` (Forecaster.py:1404-1430): the classical additive
+    * trend / seasonal / resid component table on the z-scored monthly
+    * series; the oracle recomputes the centered even-period MA, the
+    * normalized per-phase means, and the residual in plain window SQL. */
+  private def qDecompose(s: SparkSession, d: String): DataFrame =
+    Transforms.seasonalDecompose(zOrdersMonthly(s, d), 12)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("resid"), 6).as("resid"))
 
   /** `find_optimal_transformation` (util.py:575-896): greedy forward
     * selection over a try-order of candidate transformations (here the
@@ -1501,6 +1513,23 @@ object SparkEntry {
     "ts_auto_xvar" -> autoXvarOracleSql,
 
     "ts_opt_transform" -> optTransformOracleSql,
+
+    // Classical additive decomposition, m = 12: centered even-period MA
+    // (average of the two 12-windows), per-phase means normalized to zero
+    // mean, residual where the trend window is complete.
+    "ts_decompose" ->
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y, row_number() OVER (ORDER BY ds) AS rn FROM series),
+         |tr AS (SELECT *, CASE WHEN count(y) OVER (ORDER BY ds ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) = 13
+         |    THEN (sum(y) OVER (ORDER BY ds ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+         |        + sum(y) OVER (ORDER BY ds ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)) / 24.0
+         |  END AS trend, (rn - 1) % 12 AS phase FROM s2),
+         |pm AS (SELECT phase, avg(y - trend) AS ps FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+         |pn AS (SELECT phase, ps - (SELECT avg(ps) FROM pm) AS seasonal FROM pm)
+         |SELECT tr.series_id, tr.ds, ROUND(tr.y, 6) AS y, ROUND(tr.trend, 6) AS trend,
+         |       ROUND(pn.seasonal, 6) AS seasonal,
+         |       ROUND(tr.y - tr.trend - pn.seasonal, 6) AS resid
+         |FROM tr LEFT JOIN pn ON pn.phase = tr.phase""".stripMargin,
 
     // Direct-DFT periodogram on the z-scored series: one (freq k) bin per
     // k in 1..n/2, power = (re^2 + im^2)/n over mean-centered values.

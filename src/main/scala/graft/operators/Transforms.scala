@@ -390,6 +390,32 @@ object Transforms {
       when(l === 2.0, lit(1.0) - exp(-z))
         .otherwise(lit(1.0) - pow(-z * (lit(2.0) - l) + 1, lit(1.0) / (lit(2.0) - l))))
 
+  /** `seasonal_decompose` (/root/reference/src/scalecast/Forecaster.py:
+    * 1404-1430, statsmodels classical additive decomposition): emits the
+    * observed rows with `trend` (centered MA(m), null where the window is
+    * incomplete), `seasonal` (normalized per-phase mean of y − trend), and
+    * `resid` (y − trend − seasonal). Same math [[deseasonT]] fits its
+    * seasonal parameters with; this is the component-table view. */
+  def seasonalDecompose(df: DataFrame, m: Int): DataFrame = {
+    val half = m / 2
+    val trendExpr =
+      if (m % 2 == 0)
+        (sum(Y).over(wRows(-half, half - 1)) + sum(Y).over(wRows(-half + 1, half))) / (2.0 * m)
+      else avg(Y).over(wRows(-half, half))
+    val obs = df.filter(!col(IsFuture))
+      .withColumn("trend",
+        when(count(Y).over(wRows(-half, half)) === (2 * half + 1), trendExpr))
+      .withColumn("_phase", pmod(row_number().over(w) - 1, lit(m)))
+    val phaseMeans = obs.filter(col("trend").isNotNull)
+      .groupBy(SeriesId, "_phase").agg(avg(col(Y) - col("trend")).as("_ps"))
+    val seasonal = phaseMeans.withColumn("_ps",
+      col("_ps") - avg("_ps").over(Window.partitionBy(SeriesId)))
+    obs.join(maybeBroadcast(seasonal), Seq(SeriesId, "_phase"), "left")
+      .withColumn("seasonal", col("_ps"))
+      .withColumn("resid", col(Y) - col("trend") - col("seasonal"))
+      .drop("_phase", "_ps")
+  }
+
   /** DeseasonTransform(m, additive): classical moving-average decomposition
     * (statsmodels seasonal_decompose, SeriesTransformer.py:700-829).
     * Seasonal component = per-phase mean of (y − centered MA(m)); phases
