@@ -71,6 +71,20 @@ class ManySeriesSpec extends SparkSpec {
     assert(adf.filter(col("adf_t").isNull || isnan(col("adf_t"))).count() == 0)
   }
 
+  test("seasonalDecompose keeps components per-series on a shared frame") {
+    val out = graft.operators.Transforms.seasonalDecompose(manySeries(), 12)
+    assert(out.count() == nSeries.toLong * nObs)
+    // interior rows (complete MA window) decompose everywhere
+    val interior = out.filter(col("trend").isNotNull)
+    assert(interior.count() == nSeries.toLong * (nObs - 12))
+    assert(interior.filter(col("seasonal").isNull || col("resid").isNull).count() == 0)
+    // seasonal means are normalized per series (sum ≈ 0 over one period)
+    val sums = out.filter(col("ds") < lit("2021-01-01"))
+      .groupBy("series_id").agg(sum("seasonal").as("s"))
+      .filter(abs(col("s")) > 1e-6)
+    assert(sums.count() == 0, "per-series seasonal components must be centered")
+  }
+
   test("param joins give identical results with the broadcast gate on and off") {
     val base = manySeries()
     def run(): Set[(String, String, Double)] = {
