@@ -45,10 +45,6 @@ object Scratch {
       val shAll = Dedup.shingles(docs, "doc_id", "text", 3)
       time("shingles") { shAll.count() }
       time("shingles again") { shAll.count() }
-      val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= 100).select("shingle")
-      val capped = shAll.join(rare, Seq("shingle"))
-      time("capped") { capped.count() }
       time("jaccard end-to-end") {
         Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100).count()
       }
