@@ -201,13 +201,20 @@ object AutoSelect {
     * importance ranking — MLlib's native `featureImportances` for tree
     * ensembles, |standardized coefficient| for linear models (the documented
     * SHAP substitution). Descending. */
-  def featureImportance(model: org.apache.spark.ml.PipelineModel,
+  def featureImportance(model: org.apache.spark.ml.Transformer,
                         features: Seq[String]): Seq[(String, Double)] = {
     import org.apache.spark.ml.regression._
-    val scores = model.stages.last match {
-      case lr: LinearRegressionModel  => lr.coefficients.toArray.map(math.abs)
-      case rf: RandomForestRegressionModel => rf.featureImportances.toArray
-      case gb: GBTRegressionModel     => gb.featureImportances.toArray
+    val scores = model match {
+      // raw |β| — pair with normalizer="scale" (→ MLlib path, standardized
+      // coefficients) when features are on different scales
+      case om: graft.models.OlsModel => om.fitted.beta.map(math.abs)
+      case pm: org.apache.spark.ml.PipelineModel => pm.stages.last match {
+        case lr: LinearRegressionModel  => lr.coefficients.toArray.map(math.abs)
+        case rf: RandomForestRegressionModel => rf.featureImportances.toArray
+        case gb: GBTRegressionModel     => gb.featureImportances.toArray
+        case other => throw new IllegalArgumentException(
+          s"no importance for ${other.getClass.getSimpleName}")
+      }
       case other => throw new IllegalArgumentException(
         s"no importance for ${other.getClass.getSimpleName}")
     }

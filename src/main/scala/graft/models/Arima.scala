@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Arima {
 
-  final case class ArmaFit(model: org.apache.spark.ml.PipelineModel,
+  final case class ArmaFit(model: org.apache.spark.ml.Transformer,
                            p: Int, q: Int, prepared: DataFrame)
 
   /** Fit ARMA(p, q) on the observed slice; `prepared` carries the y-lag and

@@ -1,7 +1,7 @@
 package graft.models
 
 import graft.core.SeriesFrame._
-import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage, Transformer}
 import org.apache.spark.ml.feature.{MinMaxScaler, RobustScaler, StandardScaler, VectorAssembler}
 import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
@@ -99,8 +99,23 @@ final case class MllibTsEstimator(
     }
   }
 
-  /** Train on observed, non-test, feature-complete rows. */
-  def fit(frame: DataFrame): PipelineModel = {
+  /** Train on observed, non-test, feature-complete rows.
+    *
+    * The unregularized linear family with no scaler (`mlr`/`prophet_like`,
+    * `normalizer = "none"`) routes to the closed-form [[OlsModel]] — same
+    * normal-equation math as MLlib's "normal" solver (OlsSpec pins the
+    * coefficients to 1e-8), at ONE moments job instead of ~10 scheduler
+    * round-trips of WeightedLeastSquares instrumentation. Everything else
+    * (regularized, scaled, trees, custom registrations) fits the MLlib
+    * pipeline. */
+  def fit(frame: DataFrame): Transformer =
+    if ((algo == "mlr" || algo == "prophet_like") && normalizer == "none")
+      OlsModel(Ols.fit(frame, features))
+    else fitMllib(frame)
+
+  /** The MLlib pipeline fit, unconditionally — for callers that need the
+    * pipeline object itself (stage introspection, parity tests). */
+  def fitMllib(frame: DataFrame): PipelineModel = {
     val hasTest = frame.columns.contains("is_test")
     val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
     val train0 = if (hasTest) obs.filter(!col("is_test")) else obs
@@ -155,9 +170,19 @@ object MllibTsEstimator {
 
   /** `transfer_predict` support
     * (/root/reference/src/scalecast/_Forecaster_parent.py:1869-1942): persist
-    * a fitted pipeline and re-apply it to a different frame later / elsewhere
-    * — MLlib's native model persistence. */
-  def save(model: PipelineModel, path: String): Unit =
-    model.write.overwrite().save(path)
-  def load(path: String): PipelineModel = PipelineModel.load(path)
+    * a fitted model and re-apply it to a different frame later / elsewhere —
+    * MLlib's native persistence for pipelines, `DefaultParamsWritable` for
+    * [[OlsModel]] (its coefficients ARE its params). Both write through the
+    * Hadoop FS layer, so the same path works on local disk or HDFS/S3. */
+  def save(model: org.apache.spark.ml.Transformer, path: String): Unit = model match {
+    case w: org.apache.spark.ml.util.MLWritable => w.write.overwrite().save(path)
+    case other => throw new IllegalArgumentException(
+      s"model ${other.getClass.getName} is not MLWritable")
+  }
+  def load(path: String): org.apache.spark.ml.Transformer =
+    // the two persisted shapes are distinguished by the metadata's class
+    // field; PipelineModel.load rejects an OlsModel directory loudly and
+    // vice versa, so try-order is safe
+    scala.util.Try(PipelineModel.load(path): org.apache.spark.ml.Transformer)
+      .getOrElse(OlsModel.load(path))
 }

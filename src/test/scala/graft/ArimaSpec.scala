@@ -2,7 +2,6 @@ package graft
 
 import graft.core.SeriesFrame
 import graft.models.Arima
-import org.apache.spark.ml.regression.LinearRegressionModel
 import org.apache.spark.sql.functions._
 
 class ArimaSpec extends SparkSpec {
@@ -29,8 +28,7 @@ class ArimaSpec extends SparkSpec {
   test("Hannan-Rissanen recovers ARMA(1,1)-ish coefficients") {
     val base = SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6)
     val fit = Arima.fitArma(base, p = 1, q = 1)
-    val lr = fit.model.stages.last.asInstanceOf[LinearRegressionModel]
-    val phi = lr.coefficients(0)
+    val phi = fit.model.asInstanceOf[graft.models.OlsModel].fitted.beta(0)
     assert(math.abs(phi - 0.7) < 0.15, s"phi=$phi") // AR coefficient near truth
   }
 
@@ -55,9 +53,8 @@ class ArimaSpec extends SparkSpec {
     }
     val base = SeriesFrame.withMonthlyHorizon(obsSeries(sys), 12)
     val fit = Arima.fitSarma(base, p = 1, q = 1, bigP = 1, bigQ = 0, m = m)
-    val lr = fit.model.stages.last.asInstanceOf[LinearRegressionModel]
     // features = ar_1, ar_12, elag_1 — the seasonal coefficient carries it
-    val phiSeason = lr.coefficients(1)
+    val phiSeason = fit.model.asInstanceOf[graft.models.OlsModel].fitted.beta(1)
     assert(math.abs(phiSeason - 0.8) < 0.2, s"phi_12=$phiSeason")
     val fc = col1(Arima.forecast(fit).filter(col("is_future")), "yhat")
     assert(fc.length === 12 && fc.forall(v => !v.isNaN))

@@ -128,9 +128,8 @@ class ExactPropertySpec extends SparkSpec {
       .filter(col("is_test")).orderBy("ds")
       .collect().map(_.getAs[Double]("yhat")).toSeq
     // driver replay of the reference loop on the fitted coefficients
-    val lr = model.stages.last
-      .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
-    val b = lr.coefficients.toArray; val a = lr.intercept
+    val f = model.asInstanceOf[graft.models.OlsModel].fitted
+    val b = f.beta; val a = f.intercept
     val nTrain = ys.length - testLen
     val ledger = scala.collection.mutable.ArrayBuffer(ys.take(nTrain): _*)
     val expected = (1 to testLen).map { s =>

@@ -24,7 +24,7 @@ class OlsSpec extends SparkSpec {
     val feats = Seq("t", "ar_1", "ar_2")
     val flagged = fixture
     val fit = Ols.fit(flagged, feats)
-    val model = MllibTsEstimator("mlr", feats).fit(flagged)
+    val model = MllibTsEstimator("mlr", feats).fitMllib(flagged)
     val lr = model.stages.last
       .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
     assert(math.abs(fit.intercept - lr.intercept) < 1e-8,
@@ -57,5 +57,30 @@ class OlsSpec extends SparkSpec {
   test("singular design throws (callers NaN-skip it)") {
     val flagged = fixture.withColumn("t_dup", col("t") * 2.0)
     intercept[Throwable](Ols.fit(flagged, Seq("t", "t_dup")))
+  }
+
+  test("registry fit routes mlr/none to OlsModel with MLlib-identical transform") {
+    val feats = Seq("t", "ar_1", "ar_2")
+    val flagged = fixture
+    val est = MllibTsEstimator("mlr", feats)
+    val routed = est.fit(flagged)
+    assert(routed.isInstanceOf[graft.models.OlsModel],
+      s"expected OlsModel, got ${routed.getClass.getSimpleName}")
+    val mllib = est.fitMllib(flagged)
+    val gap = mllib.transform(
+        routed.transform(flagged).withColumnRenamed("yhat", "yhat_cf"))
+      .filter(feats.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(max(abs(col("yhat") - col("yhat_cf"))))
+      .first().getDouble(0)
+    assert(gap < 1e-7, s"max prediction gap $gap")
+    // null-feature rows score NaN (VectorAssembler keep parity), not null
+    val headRow = routed.transform(flagged)
+      .filter(col("ar_2").isNull).select("yhat").first()
+    assert(!headRow.isNullAt(0) && headRow.getDouble(0).isNaN)
+    // scaled/regularized variants keep the MLlib pipeline path
+    assert(MllibTsEstimator("mlr", feats, normalizer = "scale").fit(flagged)
+      .isInstanceOf[org.apache.spark.ml.PipelineModel])
+    assert(MllibTsEstimator("ridge", feats).fit(flagged)
+      .isInstanceOf[org.apache.spark.ml.PipelineModel])
   }
 }
