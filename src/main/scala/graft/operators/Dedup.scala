@@ -59,15 +59,22 @@ object Dedup {
     // The window's HashPartitioning(shingle) is exactly the full-width pin
     // the row-exploding self-join below needs — AQE's byte-sized coalescing
     // would otherwise mis-plan pair generation onto a few tasks (same fix
-    // as [[graft.operators.Similarity.cosineNearDupPairs]]) — and the
-    // self-join reuses it with no further exchange.
+    // as [[graft.operators.Similarity.cosineNearDupPairs]]).
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val capped =
       if (maxDocFreq == Int.MaxValue) shAll.repartition(nPart, col("shingle"))
       else shAll
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
-    val sh = capped.cache()
+    // localCheckpoint(true), not cache(): materializes the capped shingle set
+    // as RDD blocks whose HashPartitioning(shingle) survives into the plan —
+    // so BOTH sides of the self-join read the same materialized RDD with no
+    // further exchange AND no AQE re-coalescing (a materialized RDD has no
+    // exchange to coalesce — the full-width pin is structural, not a config
+    // assumption). Unlike cache(), the blocks are released by the
+    // ContextCleaner as soon as the frame is unreferenced — no storage
+    // accrual across repeated dedup calls in one session.
+    val sh = capped.localCheckpoint(true)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -79,6 +86,23 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= minJ)
+  }
+
+  /** Pin threshold for the row-exploding band self-joins, in banded rows per
+    * shuffle partition. Above it, AQE's byte-based post-shuffle coalescing
+    * would funnel a join whose OUTPUT vastly exceeds its input onto a few
+    * tasks — the explicit full-width repartition prevents that. Below it the
+    * input is so small that a dedicated exchange costs more than it saves
+    * (the round-4 doc_minhash_lsh regression: an unconditional pin nearly
+    * doubled a 5k-doc query). At cluster scale (1e9 docs × bands) the gate
+    * always engages. */
+  val PinRowsPerPartition = 4096L
+
+  /** Full-width repartition on the candidate-join key, gated on estimated
+    * banded-row volume (see [[PinRowsPerPartition]]). */
+  private def pinIfExploding(df: DataFrame, rows: Long, key: Seq[Column]): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (rows >= PinRowsPerPartition * nPart) df.repartition(nPart, key: _*) else df
   }
 
   /** MinHash prime modulus (2^31 − 1) and deterministic hash-family params:
@@ -107,15 +131,15 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, k).cache()
-    val banded = sig.select(col("doc"), col("sig"),
+    // materialized (not cache()): both join sides read the same RDD blocks,
+    // and the ContextCleaner releases them when the frame goes out of scope
+    val sig = minhashSignatures(df, idCol, textCol, n, k).localCheckpoint(true)
+    val banded0 = sig.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_", slice(col("sig"), b * r + 1, lit(r)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      // pin full-width partitioning on the join key: the band self-join is
-      // row-exploding, AQE's byte-based coalescing under-parallelizes it
-      .repartition(sig.sparkSession.sessionState.conf.numShufflePartitions,
-        col("band"), col("band_hash"))
+    val banded = pinIfExploding(banded0, sig.count() * bands,
+      Seq(col("band"), col("band_hash")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc") < col("b.doc"))
@@ -159,14 +183,19 @@ object Dedup {
       val hi = (b + 1) * 32 / bands
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
     }
-    val sh = simhash(df, idCol, textCol)
-    val banded = sh.select(col("doc"), col("simhash"),
+    // materialize the per-doc simhash table (small: one row per doc); the
+    // banding below is a narrow projection over it, so both self-join sides
+    // re-derive it without re-running the token aggregation, and the blocks
+    // free themselves when the frame is unreferenced (vs the old permanent
+    // cache())
+    val sh = simhash(df, idCol, textCol).localCheckpoint(true)
+    val banded0 = sh.select(col("doc"), col("simhash"),
         posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
-      // same exploding-join parallelism pin as minhashCandidates
-      .repartition(sh.sparkSession.sessionState.conf.numShufflePartitions,
-        col("band"), col("band_val"))
-      .cache()
+    // same exploding-join parallelism pin (and small-input gate) as
+    // minhashCandidates
+    val banded = pinIfExploding(banded0, sh.count() * bands,
+      Seq(col("band"), col("band_val")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
           && col("a.doc") < col("b.doc"))
