@@ -27,17 +27,21 @@ private[graft] object OracleGen {
     * WHERE filter): `sa_i_j = Σ x_i·x_j` (lower triangle, x_0 ≡ 1) and
     * `sb_i = Σ x_i·y`. */
   def momentsCte(tag: String, xs: Seq[String], fromClause: String,
-                 yExpr: String = "y"): String = {
+                 yExpr: String = "y", keys: Seq[String] = Nil): String = {
     val c = "1.0" +: xs
     val sa = for (i <- c.indices; j <- 0 to i)
       yield s"sum((${c(i)})*(${c(j)})) AS sa_${i}_${j}"
     val sb = c.indices.map(i => s"sum((${c(i)})*($yExpr)) AS sb_$i")
-    s"${tag}_m AS (SELECT ${(sa ++ sb).mkString(", ")} FROM $fromClause)"
+    val grp = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+    s"${tag}_m AS (SELECT ${(keys ++ sa ++ sb).mkString(", ")} FROM $fromClause$grp)"
   }
 
   /** CTE chain solving A·β = b from `<tag>_m` via Cholesky (A = L·L',
     * forward solve L·z = b, backward solve L'·β = z). One CTE per
-    * elimination column / solve step; final CTE is `<tag>_fit`. */
+    * elimination column / solve step; final CTE is `<tag>_fit`. Every step
+    * is a row-wise `SELECT *, ...`, so when `momentsCte` grouped by keys
+    * (one moments row per key), the chain solves every key's system in the
+    * same pass and `<tag>_fit` carries one fit per key. */
   def solveCtes(tag: String, k: Int): String = {
     def a(i: Int, j: Int) = if (i >= j) s"sa_${i}_${j}" else s"sa_${j}_${i}"
     val ctes = scala.collection.mutable.ArrayBuffer.empty[String]

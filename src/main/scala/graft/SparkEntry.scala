@@ -112,7 +112,9 @@ object SparkEntry {
     "mv_var_order"       -> ((s, d) => qMvVarOrder(s, d)),
     "ts_auto_xvar"       -> ((s, d) => qAutoXvar(s, d)),
     "ts_opt_transform"   -> ((s, d) => qOptTransform(s, d)),
-    "ts_decompose"       -> ((s, d) => qDecompose(s, d))
+    "ts_decompose"       -> ((s, d) => qDecompose(s, d)),
+    "ts_seasonal_length_by_series" -> ((s, d) => qSeasonalLengthBySeries(s, d)),
+    "ts_stat_recipes_by_series"    -> ((s, d) => qStatRecipesBySeries(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -312,6 +314,23 @@ object SparkEntry {
         round(col("yhat"), 2).as("yhat"),
         round(col("lower"), 2).as("lower"), round(col("upper"), 2).as("upper"))
   }
+
+  /** Grouped `find_seasonal_length` (util.py:58-83 applied per series): ONE
+    * distributed ACF pass over all 5 segment series + a per-series argmax —
+    * the 10⁶-series shape of the search meta-op tier. */
+  private def qSeasonalLengthBySeries(s: SparkSession, d: String): DataFrame =
+    graft.eval.AutoSelect.findSeasonalLengthBySeries(segmentMonthlyM(s, d), Seq(3, 4, 6, 12))
+      .select(col(SeriesId), col("m").cast("long").as("m"), round(col("acf"), 6).as("acf"))
+
+  /** Grouped `find_statistical_transformation` decision table
+    * (util.py:431-572 per series): per-series ADF on the internally z-scored
+    * segments prescribes diff(1) (+ log when the raw series is positive).
+    * Oracle replays every segment's 3×3 ADF regression in one grouped
+    * Cholesky chain. */
+  private def qStatRecipesBySeries(s: SparkSession, d: String): DataFrame =
+    graft.eval.AutoSelect.statTransformRecipesBySeries(segmentMonthlyM(s, d))
+      .select(col(SeriesId), round(col("adf_t"), 6).as("adf_t"),
+        col("needs_diff"), col("use_log"))
 
   /** `add_signals` + stacking (Forecaster.py:367-407, auxmodels.py:47-126
     * shape with an exact-OLS meta learner): naive and seasonal-naive signals
@@ -1098,6 +1117,20 @@ object SparkEntry {
       |  GROUP BY 1, 2
       |)""".stripMargin
 
+  /** [[SEG]] with per-series z-scoring (the grouped twin of [[ZS]]) plus the
+    * raw per-series minimum (`mn`) for log-gate decisions. */
+  private val ZSEG =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS series_id,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+      |         ROUND(SUM(o_totalprice), 2) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |zp AS (SELECT series_id, avg(y) AS mu, stddev_samp(y) AS sd, min(y) AS miny
+      |       FROM base GROUP BY 1),
+      |series AS (SELECT base.series_id, ds, (y - mu) / sd AS y
+      |           FROM base JOIN zp USING (series_id))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_build_monthly" ->
       s"$S SELECT series_id, ds, y, FALSE AS is_future FROM series",
@@ -1562,6 +1595,57 @@ object SparkEntry {
          |SELECT series_id, CAST(lag AS BIGINT) AS lag, ROUND(acf, 6) AS acf,
          |       acf = max(acf) OVER () AS is_best
          |FROM acfs""".stripMargin,
+
+    // grouped find_seasonal_length: one ACF pass over all 5 segment series,
+    // per-series argmax (tie-break: smaller period), statistic hash-checked.
+    "ts_seasonal_length_by_series" ->
+      s"""$SEG, s2 AS (SELECT series_id, ds, y,
+         |    row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn FROM series),
+         |mu AS (SELECT series_id, avg(y) AS mu FROM s2 GROUP BY 1),
+         |c AS (SELECT s2.series_id, rn, y - mu AS c FROM s2 JOIN mu USING (series_id)),
+         |d AS (SELECT series_id, sum(c * c) AS d FROM c GROUP BY 1),
+         |acfs AS (SELECT a.series_id, g.k AS lag,
+         |    sum(a.c * b.c) / any_value(d.d) AS acf
+         |  FROM (VALUES (3), (4), (6), (12)) g(k)
+         |  JOIN c a ON a.rn > g.k
+         |  JOIN c b ON b.rn = a.rn - g.k AND b.series_id = a.series_id
+         |  JOIN d ON d.series_id = a.series_id
+         |  GROUP BY 1, 2),
+         |best AS (SELECT series_id, lag, acf, row_number()
+         |    OVER (PARTITION BY series_id ORDER BY acf DESC, lag ASC) AS rk FROM acfs)
+         |SELECT series_id, CAST(lag AS BIGINT) AS m, ROUND(acf, 6) AS acf
+         |FROM best WHERE rk = 1""".stripMargin,
+
+    // grouped find_statistical_transformation decision table: every
+    // segment's ADF(p=1) regression solved in ONE grouped Cholesky chain
+    // (momentsCte keys = series_id; the solve CTEs are row-wise, so one
+    // moments row per series flows through as one fit per series).
+    "ts_stat_recipes_by_series" ->
+      s"""$ZSEG,
+         |r0 AS (SELECT series_id, ds, y,
+         |       y - lag(y) OVER w AS dy, lag(y) OVER w AS ylag FROM series
+         |       WINDOW w AS (PARTITION BY series_id ORDER BY ds)),
+         |r1 AS (SELECT *, lag(dy) OVER (PARTITION BY series_id ORDER BY ds) AS dy1 FROM r0),
+         |rws AS (SELECT * FROM r1
+         |        WHERE dy IS NOT NULL AND ylag IS NOT NULL AND dy1 IS NOT NULL),
+         |${OracleGen.momentsCte("ad", Seq("ylag", "dy1"), "rws", yExpr = "dy",
+                                 keys = Seq("series_id"))},
+         |${OracleGen.solveCtes("ad", 2)},
+         |ex AS (SELECT series_id, sum(dy * dy) AS syy,
+         |       CAST(count(*) AS DOUBLE) AS n FROM rws GROUP BY 1),
+         |fin AS MATERIALIZED (SELECT f.series_id,
+         |  sa_0_0 * (sa_1_1 * sa_2_2 - sa_2_1 * sa_2_1)
+         |  - sa_1_0 * (sa_1_0 * sa_2_2 - sa_2_1 * sa_2_0)
+         |  + sa_2_0 * (sa_1_0 * sa_2_1 - sa_1_1 * sa_2_0) AS det,
+         |  (sa_0_0 * sa_2_2 - sa_2_0 * sa_2_0) AS c11,
+         |  syy - (beta_0 * sb_0 + beta_1 * sb_1 + beta_2 * sb_2) AS rss,
+         |  n, beta_1
+         |  FROM ad_fit f JOIN ex USING (series_id)),
+         |tt AS (SELECT series_id,
+         |  beta_1 / sqrt(rss / (n - 3) * (c11 / det)) AS t FROM fin)
+         |SELECT tt.series_id, ROUND(t, 6) AS adf_t, t > -2.86 AS needs_diff,
+         |       (t > -2.86 AND miny > 0) AS use_log
+         |FROM tt JOIN zp USING (series_id)""".stripMargin,
 
     // save_feature_importance: |standardized coefficient| = |beta_j| * sd_j
     // of the unstandardized OLS fit; rank by importance desc with the

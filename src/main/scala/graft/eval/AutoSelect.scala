@@ -168,11 +168,81 @@ object AutoSelect {
   }
 
   /** `find_seasonal_length` (/root/reference/src/scalecast/util.py:58-83
-    * generalized): the candidate period with the highest ACF. */
+    * generalized): the candidate period with the highest ACF. The
+    * reference's semantics are one-series-per-Forecaster; on a multi-series
+    * frame use [[findSeasonalLengthBySeries]] — this scalar form requires a
+    * single series (it previously kept an arbitrary series' ACF per lag). */
   def findSeasonalLength(frame: DataFrame, candidates: Seq[Int] = Seq(4, 6, 12, 24)): Int = {
-    val a = graft.functions.Diagnostics.acf(frame, candidates.max)
-      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
-    candidates.maxBy(c => a.getOrElse(c, Double.MinValue))
+    val rows = findSeasonalLengthBySeries(frame, candidates).collect()
+    require(rows.length <= 1,
+      s"findSeasonalLength is single-series (got ${rows.length}); " +
+        "use findSeasonalLengthBySeries for grouped decisions")
+    rows.headOption.map(_.getAs[Int]("m")).getOrElse(candidates.head)
+  }
+
+  /** Grouped `find_seasonal_length`: ONE distributed ACF pass + a per-series
+    * argmax — the 10⁶-series shape (the reference's per-Forecaster decision,
+    * util.py:58-83, applied to every series of the frame at once; no
+    * observation row or per-series statistic reaches the driver). Returns
+    * (series_id, m, acf). Tie-break: the smaller candidate period wins —
+    * identical to the scalar form's first-max over ascending candidates. */
+  def findSeasonalLengthBySeries(frame: DataFrame,
+                                 candidates: Seq[Int] = Seq(4, 6, 12, 24)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSer = Window.partitionBy(SeriesId).orderBy(col("acf").desc, col("lag").asc)
+    graft.functions.Diagnostics.acf(frame, candidates.max)
+      .filter(col("lag").isin(candidates: _*))
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(wSer))
+      .filter(col("_rk") === 1)
+      .select(col(SeriesId), col("lag").as("m"), col("acf"))
+  }
+
+  /** Grouped `find_statistical_transformation` decision table (the
+    * per-series version of [[findStatisticalTransformation]]'s "stationary"
+    * goal, util.py:431-572 applied per series): per-series ADF t-stat →
+    * prescribe diff(1) where the unit root is NOT rejected, plus log first
+    * when the series is strictly positive. All moments are per-series
+    * aggregates; the k×k solve maps over stats rows on the executors
+    * ([[graft.functions.Diagnostics.adfT]]), so this scales to any series
+    * count. Returns (series_id, adf_t, needs_diff, use_log). */
+  def statTransformRecipesBySeries(frame: DataFrame, useLog: Boolean = true,
+                                   criticalT: Double = -2.86): DataFrame = {
+    val obs = frame.filter(!col(IsFuture))
+    // z-score per series before the ADF regression: the t-stat is invariant
+    // under affine y-scaling, so this is pure numerical conditioning (sums
+    // of squared revenue-scale values would eat 16 of the double's 17
+    // digits before the rss cancellation). The log gate uses the RAW
+    // minimum — log applies to the original series.
+    val stats = obs.groupBy(SeriesId)
+      .agg(avg(Y).as("_mu"), stddev_samp(Y).as("_sd"), min(Y).as("_min"))
+    val z = obs.join(graft.core.Joins.maybeBroadcast(stats), Seq(SeriesId))
+      .withColumn(Y, (col(Y) - col("_mu")) / col("_sd"))
+      .drop("_mu", "_sd", "_min")
+    graft.functions.Diagnostics.adfT(z, 1)
+      .join(graft.core.Joins.maybeBroadcast(stats.select(col(SeriesId), col("_min"))),
+        Seq(SeriesId))
+      .select(col(SeriesId), col("adf_t"),
+        (col("adf_t") > criticalT).as("needs_diff"),
+        (col("adf_t") > criticalT && lit(useLog) && col("_min") > 0).as("use_log"))
+  }
+
+  /** Apply [[statTransformRecipesBySeries]] per series in ONE pass: log where
+    * the recipe says log, then diff(1) where it says diff — series the recipe
+    * leaves alone pass through unchanged. The conditional transform is a
+    * join + `when` over the recipe columns (no per-series driver loop, no
+    * per-series plan). First differenced row per series drops (null y), like
+    * [[graft.operators.Transforms.diffT]]. */
+  def applyStatRecipes(frame: DataFrame, recipes: DataFrame): DataFrame = {
+    val joined = frame.join(graft.core.Joins.maybeBroadcast(
+      recipes.select(col(SeriesId), col("needs_diff"), col("use_log"))), Seq(SeriesId))
+    val logged = joined.withColumn("_yl",
+      when(col("use_log"), log(col(Y))).otherwise(col(Y)))
+    logged
+      .withColumn(Y,
+        when(col("needs_diff"), col("_yl") - lag(col("_yl"), 1).over(w))
+          .otherwise(col("_yl")))
+      .filter(col(Y).isNotNull || col(IsFuture))
+      .drop("_yl", "needs_diff", "use_log")
   }
 
   /** `reduce_Xvars` (/root/reference/src/scalecast/Forecaster.py:451-631):

@@ -139,6 +139,12 @@ object Diagnostics {
     }
     val beta = b
     val rss = syy - beta.zip(xty).map(p => p._1 * p._2).sum
+    // a numerically perfect fit (e.g. a deterministic series the lags span
+    // exactly) cancels rss to ~0 or slightly NEGATIVE in the moments form;
+    // sqrt would yield NaN, which Spark orders GREATER than every number and
+    // would silently read as "not stationary". se -> 0+ means |t| -> inf
+    // with beta's sign — return that explicitly.
+    if (rss <= 0) return if (beta(1) < 0) Double.NegativeInfinity else Double.PositiveInfinity
     val sigma2 = rss / (n - k)
     val se = math.sqrt(sigma2 * inv(1)(1))
     beta(1) / se

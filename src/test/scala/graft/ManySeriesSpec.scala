@@ -71,6 +71,66 @@ class ManySeriesSpec extends SparkSpec {
     assert(adf.filter(col("adf_t").isNull || isnan(col("adf_t"))).count() == 0)
   }
 
+  test("findSeasonalLengthBySeries decides per series over 10^4 series") {
+    // even series: strong period-6 cycle; odd: strong period-12 cycle — the
+    // grouped argmax must split the decisions, and no per-series row may be
+    // lost or cross-bled (the old scalar op kept an arbitrary series per lag)
+    import spark.implicits._
+    val n = 10000; val obs = 48
+    val big = spark.range(n.toLong * obs).select(
+      format_string("s%05d", (col("id") / obs).cast("int")).as("series_id"),
+      expr(s"date_add(date '2020-01-01', cast(id % $obs as int) * 7)")
+        .cast("date").as("ds"),
+      when(((col("id") / obs).cast("long") % 2) === 0,
+          sin((col("id") % obs).cast("double") * (2 * math.Pi / 6)) * 10.0)
+        .otherwise(sin((col("id") % obs).cast("double") * (2 * math.Pi / 12)) * 10.0)
+        .as("y"),
+      lit(false).as("is_future"))
+    val out = graft.eval.AutoSelect.findSeasonalLengthBySeries(big, Seq(4, 6, 12))
+    assert(out.count() == n.toLong)
+    val byM = out.groupBy("m").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byM.getOrElse(6, 0L) == n / 2, s"period-6 half: $byM")
+    assert(byM.getOrElse(12, 0L) == n / 2, s"period-12 half: $byM")
+    // the scalar form refuses the ambiguity a multi-series frame poses
+    intercept[IllegalArgumentException](
+      graft.eval.AutoSelect.findSeasonalLength(big, Seq(4, 6, 12)))
+  }
+
+  test("statTransformRecipesBySeries prescribes per series; applyStatRecipes executes in one pass") {
+    import spark.implicits._
+    // trending series (unit root not rejected → diff; positive → log) mixed
+    // with stationary noise series (no transform)
+    val n = 200; val obs = 40
+    val big = spark.range(n.toLong * obs).select(
+      format_string("s%04d", (col("id") / obs).cast("int")).as("series_id"),
+      expr(s"date_add(date '2020-01-01', cast(id % $obs as int) * 7)")
+        .cast("date").as("ds"),
+      when(((col("id") / obs).cast("long") % 2) === 0,
+          (col("id") % obs).cast("double") * 5.0 + 100.0 + sin(col("id").cast("double")))
+        // two incommensurate frequencies: mean-reverting but NOT spanned by
+        // the 2-lag ADF design (a single sinusoid would fit perfectly and
+        // degenerate rss to 0)
+        .otherwise(sin(col("id").cast("double") * 2.39) * 3.0 +
+          sin(col("id").cast("double") * 0.9) * 2.0 + 10.0).as("y"),
+      lit(false).as("is_future"))
+    val recipes = graft.eval.AutoSelect.statTransformRecipesBySeries(big)
+    assert(recipes.count() == n.toLong)
+    val trending = recipes.filter(col("series_id") === "s0000").first()
+    assert(trending.getAs[Boolean]("needs_diff") && trending.getAs[Boolean]("use_log"))
+    val stationary = recipes.filter(col("series_id") === "s0001").first()
+    assert(!stationary.getAs[Boolean]("needs_diff"))
+    val applied = graft.eval.AutoSelect.applyStatRecipes(big, recipes)
+    // untouched series keep all rows and values; transformed series drop one
+    // (the diff head) and carry log-diff values
+    val s1 = applied.filter(col("series_id") === "s0001")
+    assert(s1.count() == obs.toLong)
+    val s0 = applied.filter(col("series_id") === "s0000").orderBy("ds")
+      .select("y").collect().map(_.getDouble(0))
+    assert(s0.length == obs - 1)
+    val expHead = math.log(105.0 + math.sin(1.0)) - math.log(100.0 + math.sin(0.0))
+    assert(math.abs(s0.head - expHead) < 1e-9, s"got ${s0.head} want $expHead")
+  }
+
   test("seasonalDecompose keeps components per-series on a shared frame") {
     val out = graft.operators.Transforms.seasonalDecompose(manySeries(), 12)
     assert(out.count() == nSeries.toLong * nObs)
