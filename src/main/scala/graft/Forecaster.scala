@@ -45,7 +45,23 @@ final case class Forecaster(
     comboModels: Seq[String] = Nil,
     dynamicTesting: Int = Int.MaxValue,
     testLength: Int = 0,
-    cilevel: Double = 0.95) {
+    cilevel: Double = 0.95,
+    specs: Seq[graft.functions.FeatureSpec] = Nil) {
+
+  import graft.functions.FeatureSpec
+
+  /** Every feature-building `add*`/`dropRegressors` call records its
+    * [[graft.functions.FeatureSpec]] here, so the chain is replayable —
+    * `infer_apply_Xvar_selection` by construction (util.py:343-388): build
+    * features on series A, then `b.applySpecs(a.specs)` reproduces the
+    * exact feature columns on series B. Data-ingest steps (`addSeries`,
+    * `ingestXvars`) are not feature recipes and are not recorded. */
+  private def record(sp: FeatureSpec): Forecaster =
+    copy(frame = sp(frame), specs = specs :+ sp)
+
+  /** Replay a recorded feature chain (typically another Forecaster's
+    * `specs`, or specs loaded from a [[graft.results.PipelineStore]]). */
+  def applySpecs(ss: Seq[FeatureSpec]): Forecaster = ss.foldLeft(this)(_.record(_))
 
   private def p(name: String, default: Double): Double = params.getOrElse(name, default)
 
@@ -64,27 +80,27 @@ final case class Forecaster(
   /** `dynamic_testing = k` peeking cadence for test-slice evaluation. */
   def setDynamicTesting(k: Int): Forecaster = copy(dynamicTesting = k)
 
-  // ---- regressors -----------------------------------------------------
-  def addArTerms(n: Int): Forecaster = copy(frame = FeatureOps.addArTerms(frame, n))
+  // ---- regressors (each records its replayable spec) ------------------
+  def addArTerms(n: Int): Forecaster = record(FeatureSpec.ArTerms(n))
   def addSeasonalArTerms(n: Int, m: Int): Forecaster =
-    copy(frame = FeatureOps.addSeasonalArTerms(frame, n, m))
+    record(FeatureSpec.SeasonalArTerms(n, m))
   def addTimeTrend(called: String = "t"): Forecaster =
-    copy(frame = FeatureOps.addTimeTrend(frame, called))
+    record(FeatureSpec.TimeTrend(called))
   def addSeasonalRegressors(parts: String*): Forecaster =
-    copy(frame = FeatureOps.addCalendar(frame, parts))
+    record(FeatureSpec.Calendar(parts))
   def addFourier(raw: String, cycleLen: Double, name: String): Forecaster =
-    copy(frame = FeatureOps.addFourier(frame, col(raw), cycleLen, name))
+    record(FeatureSpec.Fourier(raw, cycleLen, name))
   def addCycle(cycleLen: Double, called: String): Forecaster =
-    copy(frame = FeatureOps.addCycle(frame, cycleLen, called))
+    record(FeatureSpec.Cycle(cycleLen, called))
   def addSeries(values: Seq[Double], called: String,
                 firstDate: Option[String] = None, pad: Boolean = true): Forecaster =
     copy(frame = graft.core.SeriesFrame.addSeries(frame, values, called, firstDate, pad))
   def ingestXvars(xvars: DataFrame, dateCol: String = "ds", pad: Boolean = true): Forecaster =
     copy(frame = graft.core.SeriesFrame.ingestXvars(frame, xvars, dateCol, pad))
-  def dropRegressors(cols: String*): Forecaster = copy(frame = frame.drop(cols: _*))
+  def dropRegressors(cols: String*): Forecaster = record(FeatureSpec.DropCols(cols))
   /** `add_other_regressor`: 0/1 dummy over a date interval. */
   def addOtherRegressor(start: String, end: String, called: String): Forecaster =
-    copy(frame = FeatureOps.addIntervalDummy(frame, start, end, called))
+    record(FeatureSpec.IntervalDummy(start, end, called))
   /** `add_covid19_regressor` (_Forecaster_parent.py:509-533): the named
     * interval dummy with the reference's default start/end dates. */
   def addCovid19Regressor(called: String = "COVID19",
@@ -93,7 +109,14 @@ final case class Forecaster(
     addOtherRegressor(start, end, called)
   /** `add_combo_regressors`: elementwise product term. */
   def addComboRegressors(cols: String*): Forecaster =
-    copy(frame = FeatureOps.addComboTerms(frame, cols))
+    record(FeatureSpec.ComboTerms(cols))
+  /** `add_poly_terms` / `add_exp_terms` / `add_logged_terms`. */
+  def addPolyTerms(pwr: Int, cols: String*): Forecaster =
+    record(FeatureSpec.PolyTerms(cols, pwr))
+  def addExpTerms(pwr: Double, cols: String*): Forecaster =
+    record(FeatureSpec.ExpTerms(cols, pwr))
+  def addLoggedTerms(cols: String*): Forecaster =
+    record(FeatureSpec.LoggedTerms(cols))
 
   // ---- history ops ----------------------------------------------------
   /** `chop_from_front`: drop the last n observed rows per series. */
@@ -212,6 +235,52 @@ final case class Forecaster(
                    k: Int = 3, h: Int = 12, metric: String = "rmse",
                    parallelism: Int = 1): Forecaster =
     tune(grid, k, h, metric, parallelism).manualForecast(callMe)
+
+  /** `cross_validate(k)` (_Forecaster_parent.py:1693-1867), chainable on the
+    * facade: rolling-origin CV of the CURRENT estimator/params. Returns the
+    * per-(series, fold) metric frame. */
+  def crossValidate(k: Int = 3, h: Int = 12,
+                    metricNames: Seq[String] = Seq("rmse", "mae"),
+                    parallelism: Int = 1): DataFrame = {
+    val modelFn: graft.eval.Evaluation.ModelFn =
+      flagged => copy(frame = flagged, testLength = h).scoreCurrent()
+    graft.eval.Evaluation.rollingOriginCV(frame.filter(!col(IsFuture)), k, h,
+      modelFn, metricNames, parallelism)
+  }
+
+  /** `backtest` (Pipeline.py:229-359) on the CURRENT estimator: per-iteration
+    * holdout metric rows; pivot with `Evaluation.backtestMetrics`. */
+  def backtest(nIter: Int = 3, h: Int = 12, jumpBack: Int = 6,
+               metricNames: Seq[String] = Seq("rmse", "mae"),
+               parallelism: Int = 1): DataFrame = {
+    val modelFn: graft.eval.Evaluation.ModelFn =
+      flagged => copy(frame = flagged, testLength = h).scoreCurrent()
+    graft.eval.Evaluation.backtest(frame.filter(!col(IsFuture)), nIter, h,
+      jumpBack, modelFn, metricNames, parallelism)
+  }
+
+  /** `auto_Xvar_select` (Forecaster.py:658-1163), chainable: staged search
+    * for trend/seasonal/AR structure, then apply the winning features (the
+    * full candidate chain is recorded in `specs`; losing candidates are
+    * dropped with a recorded DropCols, so a replay reproduces exactly the
+    * selected columns). */
+  def autoXvarSelect(maxAr: Int = 12, h: Int = 12): Forecaster = {
+    val sel = graft.eval.AutoSelect.autoXvarSelect(frame, maxAr, h)
+    val withAll = applySpecs(sel.specs)
+    val candidates = Set("t", "t2", "monthsin", "monthcos", "month") ++
+      FeatureOps.arCols(withAll.frame)
+    val losers = withAll.frame.columns.toSeq
+      .filter(c => candidates.contains(c) && !sel.features.contains(c))
+    if (losers.isEmpty) withAll else withAll.dropRegressors(losers: _*)
+  }
+
+  /** `reduce_Xvars` (Forecaster.py:451-631), chainable: backward-eliminate
+    * the current feature set and drop the eliminated columns (recorded). */
+  def reduceXvars(h: Int = 12, minFeatures: Int = 1): Forecaster = {
+    val (kept, _) = graft.eval.AutoSelect.reduceXvars(frame, featureCols, h, minFeatures)
+    val losers = featureCols.filterNot(kept.contains)
+    if (losers.isEmpty) this else dropRegressors(losers: _*)
+  }
 
   // ---- exports --------------------------------------------------------
   private def banked: DataFrame = results.getOrElse(

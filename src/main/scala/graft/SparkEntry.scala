@@ -114,7 +114,8 @@ object SparkEntry {
     "ts_opt_transform"   -> ((s, d) => qOptTransform(s, d)),
     "ts_decompose"       -> ((s, d) => qDecompose(s, d)),
     "ts_seasonal_length_by_series" -> ((s, d) => qSeasonalLengthBySeries(s, d)),
-    "ts_stat_recipes_by_series"    -> ((s, d) => qStatRecipesBySeries(s, d))
+    "ts_stat_recipes_by_series"    -> ((s, d) => qStatRecipesBySeries(s, d)),
+    "ts_xvar_replay"     -> ((s, d) => qXvarReplay(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -479,6 +480,23 @@ object SparkEntry {
         round(col("rmse"), 6).as("rmse"))
   }
 
+  /** `infer_apply_Xvar_selection` (util.py:343-388) end-to-end: search on
+    * the orders series, REPLAY the recorded [[graft.functions.FeatureSpec]]
+    * chain onto the BUILDING segment via the facade, and re-score the
+    * winning feature subset there. Oracle reruns the 12-fit search on
+    * orders AND the 12 candidate fits on BUILDING, picking the replayed
+    * score by the search's decision CASE. */
+  private def qXvarReplay(s: SparkSession, d: String): DataFrame = {
+    val sel = graft.eval.AutoSelect.autoXvarSelect(zOrdersMonthly(s, d), maxAr = 2, h = 12)
+    val replayed = Forecaster(zSegBuilding(s, d)).applySpecs(sel.specs)
+    val segRmse = graft.eval.AutoSelect.scoreFeatures(replayed.frame, sel.features, 12)
+    import s.implicits._
+    Seq((sel.trend.mkString(","), sel.seasonal.mkString(","), sel.arOrder.toLong, segRmse))
+      .toDF("trend", "seasonal", "ar_order", "seg_rmse")
+      .select(col("trend"), col("seasonal"), col("ar_order"),
+        round(col("seg_rmse"), 6).as("seg_rmse"))
+  }
+
   // -------------------------------------------- model & evaluation queries
 
   /** Session-scoped memo of the tiny built series frames (≤ a few hundred
@@ -507,6 +525,13 @@ object SparkEntry {
   private def zOrdersMonthly(s: SparkSession, d: String): DataFrame =
     memo(s, d, "zorders") {
       val base = ordersMonthlyM(s, d)
+      Transforms.scaleT(base).transform(base)
+    }
+
+  /** Z-scored BUILDING segment series (the spec-replay target). */
+  private def zSegBuilding(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "zbuilding") {
+      val base = segmentMonthlyM(s, d).filter(col(SeriesId) === "BUILDING")
       Transforms.scaleT(base).transform(base)
     }
 
@@ -1544,6 +1569,7 @@ object SparkEntry {
     "mv_var_order" -> mvVarOrderOracleSql,
 
     "ts_auto_xvar" -> autoXvarOracleSql,
+    "ts_xvar_replay" -> xvarReplayOracleSql,
 
     "ts_opt_transform" -> optTransformOracleSql,
 
@@ -2799,53 +2825,101 @@ object SparkEntry {
        |FROM aics""".stripMargin
   }
 
+  private val xvarTrendSets = Seq("a" -> Seq("t"), "b" -> Seq("t", "t2"))
+
+  /** The 12 reachable auto_Xvar candidates' OLS fit + holdout-rmse CTEs,
+    * tagged `<pfx><a|b><s><ar>`, over prep CTEs `<prep>tr`/`<prep>te`
+    * (feature columns t/t2/ms/mc/a1/a2). Shared by the search oracle and
+    * the spec-replay oracle (which runs a second set on the target series). */
+  private def xvarChainsSql(pfx: String, prep: String): String =
+    (for ((tKey, tXs) <- xvarTrendSets; sKey <- 0 to 1; aKey <- 0 to 2) yield {
+      val tag = s"$pfx$tKey$sKey$aKey"
+      val xs = tXs ++ (if (sKey == 1) Seq("ms", "mc") else Nil) ++ (1 to aKey).map(i => s"a$i")
+      val arCond = (1 to aKey).map(i => s" AND a$i IS NOT NULL").mkString
+      val pred = "beta_0" + xs.zipWithIndex.map { case (x, i) => s" + beta_${i + 1}*$x" }.mkString
+      s"""${OracleGen.momentsCte(tag, xs, s"${prep}tr WHERE TRUE$arCond")},
+         |${OracleGen.solveCtes(tag, xs.size)},
+         |${tag}_r AS (SELECT sqrt(avg(pow(y - ($pred), 2))) AS r_$tag FROM ${prep}te, ${tag}_fit)""".stripMargin
+    }).mkString(",\n")
+
+  /** Candidate-feature prep CTEs (`<prep>2/3/n/tr/te`) over a single-series
+    * CTE `src` (columns series_id/ds/y): trend, Fourier pair, AR lags, and
+    * the last-12 holdout split. */
+  private def xvarPrepSql(prep: String, src: String): String =
+    s"""${prep}2 AS (SELECT series_id, ds, y,
+       |  CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t,
+       |  sin(pi() * month(ds) / 6.0) AS ms, cos(pi() * month(ds) / 6.0) AS mc,
+       |  lag(y, 1) OVER (ORDER BY ds) AS a1, lag(y, 2) OVER (ORDER BY ds) AS a2
+       |  FROM $src),
+       |${prep}3 AS (SELECT *, t * t AS t2 FROM ${prep}2),
+       |${prep}n AS (SELECT count(*) AS n FROM ${prep}3),
+       |${prep}tr AS (SELECT p.* FROM ${prep}3 p, ${prep}n WHERE t <= n - 12),
+       |${prep}te AS (SELECT p.* FROM ${prep}3 p, ${prep}n WHERE t > n - 12)""".stripMargin
+
+  /** The three greedy decisions (trend → seasonal → AR order) over the
+    * `r_<pfx>*` columns, Scala minBy's first-min tie order. */
+  private def xvarSelSql(pfx: String): String = {
+    val rAll = (for ((tKey, _) <- xvarTrendSets; sKey <- 0 to 1; aKey <- 0 to 2)
+      yield s"$pfx$tKey$sKey${aKey}_r").mkString(", ")
+    s"""sel AS (SELECT
+       |  CASE WHEN r_${pfx}a00 <= r_${pfx}b00 THEN 0 ELSE 1 END AS dt,
+       |  CASE WHEN dt = 0 THEN (CASE WHEN r_${pfx}a00 <= r_${pfx}a10 THEN 0 ELSE 1 END)
+       |       ELSE (CASE WHEN r_${pfx}b00 <= r_${pfx}b10 THEN 0 ELSE 1 END) END AS dsn,
+       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_${pfx}a00 WHEN dt = 0 THEN r_${pfx}a10
+       |       WHEN dsn = 0 THEN r_${pfx}b00 ELSE r_${pfx}b10 END AS r0,
+       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_${pfx}a01 WHEN dt = 0 THEN r_${pfx}a11
+       |       WHEN dsn = 0 THEN r_${pfx}b01 ELSE r_${pfx}b11 END AS r1,
+       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_${pfx}a02 WHEN dt = 0 THEN r_${pfx}a12
+       |       WHEN dsn = 0 THEN r_${pfx}b02 ELSE r_${pfx}b12 END AS r2,
+       |  CASE WHEN r0 <= r1 AND r0 <= r2 THEN 0 WHEN r1 <= r2 THEN 1 ELSE 2 END AS da
+       |  FROM $rAll)""".stripMargin
+  }
+
   /** Oracle for ts_auto_xvar: replays all 12 reachable
     * (trend ∈ {t; t,t2}) × (seasonal ∈ {∅; monthsin,monthcos}) ×
     * (ar ∈ {0,1,2}) OLS fits — the empty trend candidate scores NaN in the
     * engine (scoreFeatures on no features) so it can never win and is
     * omitted statically — then walks the three greedy decisions with
     * Scala minBy's first-min tie order. */
-  private def autoXvarOracleSql: String = {
-    val tSets = Seq("a" -> Seq("t"), "b" -> Seq("t", "t2"))
-    val chains = (for ((tKey, tXs) <- tSets; sKey <- 0 to 1; aKey <- 0 to 2) yield {
-      val tag = s"x$tKey$sKey$aKey"
-      val xs = tXs ++ (if (sKey == 1) Seq("ms", "mc") else Nil) ++ (1 to aKey).map(i => s"a$i")
-      val arCond = (1 to aKey).map(i => s" AND a$i IS NOT NULL").mkString
-      val pred = "beta_0" + xs.zipWithIndex.map { case (x, i) => s" + beta_${i + 1}*$x" }.mkString
-      s"""${OracleGen.momentsCte(tag, xs, s"tr WHERE TRUE$arCond")},
-         |${OracleGen.solveCtes(tag, xs.size)},
-         |${tag}_r AS (SELECT sqrt(avg(pow(y - ($pred), 2))) AS r_$tag FROM te, ${tag}_fit)""".stripMargin
-    }).mkString(",\n")
-    val rAll = (for ((tKey, _) <- tSets; sKey <- 0 to 1; aKey <- 0 to 2)
-      yield s"x$tKey$sKey${aKey}_r").mkString(", ")
+  private def autoXvarOracleSql: String =
     s"""$ZS,
-       |s2 AS (SELECT series_id, ds, y,
-       |  CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t,
-       |  sin(pi() * month(ds) / 6.0) AS ms, cos(pi() * month(ds) / 6.0) AS mc,
-       |  lag(y, 1) OVER (ORDER BY ds) AS a1, lag(y, 2) OVER (ORDER BY ds) AS a2
-       |  FROM series),
-       |s3 AS (SELECT *, t * t AS t2 FROM s2),
-       |nn AS (SELECT count(*) AS n FROM s3),
-       |tr AS (SELECT s3.* FROM s3, nn WHERE t <= n - 12),
-       |te AS (SELECT s3.* FROM s3, nn WHERE t > n - 12),
-       |$chains,
-       |sel AS (SELECT
-       |  CASE WHEN r_xa00 <= r_xb00 THEN 0 ELSE 1 END AS dt,
-       |  CASE WHEN dt = 0 THEN (CASE WHEN r_xa00 <= r_xa10 THEN 0 ELSE 1 END)
-       |       ELSE (CASE WHEN r_xb00 <= r_xb10 THEN 0 ELSE 1 END) END AS dsn,
-       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa00 WHEN dt = 0 THEN r_xa10
-       |       WHEN dsn = 0 THEN r_xb00 ELSE r_xb10 END AS r0,
-       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa01 WHEN dt = 0 THEN r_xa11
-       |       WHEN dsn = 0 THEN r_xb01 ELSE r_xb11 END AS r1,
-       |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa02 WHEN dt = 0 THEN r_xa12
-       |       WHEN dsn = 0 THEN r_xb02 ELSE r_xb12 END AS r2,
-       |  CASE WHEN r0 <= r1 AND r0 <= r2 THEN 0 WHEN r1 <= r2 THEN 1 ELSE 2 END AS da
-       |  FROM $rAll)
+       |${xvarPrepSql("s", "series")},
+       |${xvarChainsSql("x", "s")},
+       |${xvarSelSql("x")}
        |SELECT CASE dt WHEN 0 THEN 't' ELSE 't,t2' END AS trend,
        |  CASE dsn WHEN 0 THEN '' ELSE 'monthsin,monthcos' END AS seasonal,
        |  CAST(da AS BIGINT) AS ar_order,
        |  ROUND(CASE da WHEN 0 THEN r0 WHEN 1 THEN r1 ELSE r2 END, 6) AS rmse
        |FROM sel""".stripMargin
+
+  /** Oracle for ts_xvar_replay: the SAME search decisions as ts_auto_xvar
+    * (on z-scored orders), then the winning spec refit-and-scored on the
+    * z-scored BUILDING segment — all 12 candidate fits run on the target
+    * too, and the decision CASE picks the replayed one. */
+  private def xvarReplayOracleSql: String = {
+    val segCase = (for ((tKey, _) <- xvarTrendSets; sKey <- 0 to 1; aKey <- 0 to 2) yield {
+      val dt = if (tKey == "a") 0 else 1
+      s"WHEN dt = $dt AND dsn = $sKey AND da = $aKey THEN r_g$tKey$sKey$aKey"
+    }).mkString(" ")
+    s"""$ZS,
+       |bb AS (SELECT 'BUILDING' AS series_id,
+       |       CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+       |       ROUND(SUM(o_totalprice), 2) AS y
+       |       FROM orders JOIN customer ON o_custkey = c_custkey
+       |       WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2),
+       |bz AS (SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM bb),
+       |gseries AS (SELECT series_id, ds, (y - mu) / sd AS y FROM bb, bz),
+       |${xvarPrepSql("s", "series")},
+       |${xvarPrepSql("g", "gseries")},
+       |${xvarChainsSql("x", "s")},
+       |${xvarChainsSql("g", "g")},
+       |${xvarSelSql("x")}
+       |SELECT CASE dt WHEN 0 THEN 't' ELSE 't,t2' END AS trend,
+       |  CASE dsn WHEN 0 THEN '' ELSE 'monthsin,monthcos' END AS seasonal,
+       |  CAST(da AS BIGINT) AS ar_order,
+       |  ROUND(CASE $segCase END, 6) AS seg_rmse
+       |FROM sel, ${(for ((tKey, _) <- xvarTrendSets; sKey <- 0 to 1; aKey <- 0 to 2)
+        yield s"g$tKey$sKey${aKey}_r").mkString(", ")}""".stripMargin
   }
 
   /** Emits the CTE chain scoring one state CTE (`src`, columns ds/y) with

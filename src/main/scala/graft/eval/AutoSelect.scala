@@ -48,19 +48,25 @@ object AutoSelect {
   final case class XvarSelection(trend: Seq[String], seasonal: Seq[String],
                                  arOrder: Int, rmse: Double) {
     def features: Seq[String] = trend ++ seasonal ++ (1 to arOrder).map(i => s"ar_$i")
+
+    /** The replayable feature chain behind this selection — the same
+      * candidate columns [[autoXvarSelect]] searched over, as explicit
+      * [[graft.functions.FeatureSpec]] steps (`features` names the winning
+      * subset). `Forecaster.applySpecs(sel.specs)` reproduces them on any
+      * frame. */
+    def specs: Seq[graft.functions.FeatureSpec] = {
+      import graft.functions.FeatureSpec._
+      Seq(TimeTrend("t"), Squared("t", "t2"), Calendar(Seq("month")),
+        Fourier("month", 12.0, "month"), ArTerms(math.max(arOrder, 1)))
+    }
   }
 
   /** `infer_apply_Xvar_selection` (/root/reference/src/scalecast/util.py:
-    * 343-388), fixed by design: the selection is an explicit spec, so
-    * replaying it onto another frame is just re-running the feature builders
-    * it names — no name-string parsing. */
-  def applySelection(frame: DataFrame, sel: XvarSelection): DataFrame = {
-    val withTrend = FeatureOps.addTimeTrend(frame)
-      .withColumn("t2", col("t") * col("t"))
-    val withSeas = FeatureOps.addFourier(
-      FeatureOps.addCalendar(withTrend, Seq("month")), col("month"), 12.0, "month")
-    FeatureOps.addArTerms(withSeas, math.max(sel.arOrder, 1))
-  }
+    * 343-388), fixed by design: the selection is an explicit spec chain, so
+    * replaying it onto another frame is just re-running the recorded
+    * builders — no name-string parsing. */
+  def applySelection(frame: DataFrame, sel: XvarSelection): DataFrame =
+    sel.specs.foldLeft(frame)((f, sp) => sp(f))
 
   /** Staged search: trend rep → seasonal rep → AR order (greedy like the
     * reference; each stage keeps its winner fixed). */

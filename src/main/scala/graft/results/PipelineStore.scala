@@ -28,8 +28,16 @@ object PipelineStore {
 
   def save(path: String, stack: TransformStack, spark: SparkSession,
            estimator: Option[MllibTsEstimator] = None,
-           results: Option[DataFrame] = None): Unit = {
+           results: Option[DataFrame] = None,
+           featureSpecs: Seq[graft.functions.FeatureSpec] = Nil): Unit = {
     import spark.implicits._
+    if (featureSpecs.nonEmpty) {
+      featureSpecs.zipWithIndex.map { case (sp, i) =>
+        val (kind, args) = sp.encoded
+        (i, kind, args)
+      }.toDF("idx", "kind", "args")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/specs")
+    }
     val rows = stack.stack.zipWithIndex.map { case (t, i) =>
       t match {
         case e: ExprTransform => (i, "expr", e.name, 0, "")
@@ -99,5 +107,15 @@ object PipelineStore {
   def loadResults(spark: SparkSession, path: String): Option[DataFrame] = {
     val dir = new java.io.File(s"$path/results")
     if (dir.exists()) Some(spark.read.parquet(s"$path/results")) else None
+  }
+
+  /** The recorded feature chain (`infer_apply_Xvar_selection` replay list) —
+    * feed to `Forecaster.applySpecs`. */
+  def loadFeatureSpecs(spark: SparkSession, path: String): Seq[graft.functions.FeatureSpec] = {
+    val dir = new java.io.File(s"$path/specs")
+    if (!dir.exists()) Nil
+    else spark.read.parquet(s"$path/specs").orderBy("idx").collect().toSeq
+      .map(r => graft.functions.FeatureSpec.decode(
+        r.getAs[String]("kind"), r.getSeq[String](r.fieldIndex("args"))))
   }
 }

@@ -70,6 +70,52 @@ class ForecasterFacadeSpec extends SparkSpec {
     assert(f.results.get.filter(col("is_future") && col("yhat").isNull).count() == 0)
   }
 
+  test("crossValidate and backtest are chainable on the facade (reference's f.cross_validate(k=3))") {
+    val f = Forecaster(obsSeries(ys)).addArTerms(1).setEstimator("mlr")
+    val cv = f.crossValidate(k = 3, h = 6)
+    assert(cv.count() == 3, "one row per (series, fold)")
+    assert(cv.filter(col("rmse").isNull || col("mae").isNull).count() == 0)
+    val bt = f.backtest(nIter = 2, h = 6, jumpBack = 6)
+    assert(bt.count() == 2)
+    val pivoted = graft.eval.Evaluation.backtestMetrics(bt, Seq("rmse", "mae"), 2)
+    assert(pivoted.count() == 2 && pivoted.columns.contains("average"))
+    // the reference sequence: cross_validate THEN auto_forecast still banks
+    val banked = f.generateFutureDates(4).setTestLength(8)
+      .autoForecast(Seq(Map.empty[String, Double]), callMe = "mlr_cv", k = 2, h = 8)
+    assert(banked.modelNames == Seq("mlr_cv"))
+  }
+
+  test("autoXvarSelect + reduceXvars chain and record a replayable spec list") {
+    val f = Forecaster(obsSeries(ys)).autoXvarSelect(maxAr = 3, h = 12)
+    // scaffolding (raw month) and losing candidates are gone; winners remain
+    assert(!f.frame.columns.contains("month"))
+    assert(f.frame.columns.contains("t"), "trend must survive on a trending series")
+    assert(f.specs.nonEmpty)
+    // replaying the recorded chain on a fresh Forecaster reproduces columns
+    val replayed = Forecaster(obsSeries(ys, sid = "b")).applySpecs(f.specs)
+    assert(replayed.frame.columns.sorted.toSeq == f.frame.columns.sorted.toSeq)
+    val reduced = f.reduceXvars(h = 12)
+    assert(reduced.frame.columns.length <= f.frame.columns.length)
+  }
+
+  test("specs replay on another series gives identical feature columns; PipelineStore round-trips them") {
+    val a = Forecaster(obsSeries(ys))
+      .addArTerms(2).addTimeTrend()
+      .addSeasonalRegressors("month").addFourier("month", 12.0, "month")
+      .dropRegressors("month")
+      .addPolyTerms(2, "t")
+    val b = Forecaster(obsSeries(ys.map(_ * 2.0), sid = "b")).applySpecs(a.specs)
+    assert(b.frame.columns.toSeq == a.frame.columns.toSeq)
+    // persisted spec list round-trips through PipelineStore and re-applies
+    val path = java.nio.file.Files.createTempDirectory("graft-specs").toString
+    graft.results.PipelineStore.save(path, graft.operators.TransformStack(Nil), spark,
+      featureSpecs = a.specs)
+    val loaded = graft.results.PipelineStore.loadFeatureSpecs(spark, path)
+    assert(loaded == a.specs)
+    val c = Forecaster(obsSeries(ys, sid = "c")).applySpecs(loaded)
+    assert(c.frame.columns.toSeq == a.frame.columns.toSeq)
+  }
+
   test("peeking cadence + naive family through the facade") {
     val f = Forecaster(obsSeries(ys))
       .generateFutureDates(4)
