@@ -225,10 +225,38 @@ final case class Forecaster(
   }
 
   /** `ingest_grid` with no argument (GridGenerator default): the registered
-    * or shipped default grid for the CURRENT estimator, expanded in
-    * deterministic order — `f.tune(f.defaultGrid)`. */
+    * or shipped default grid for the CURRENT estimator, NUMERIC AXES ONLY,
+    * expanded in deterministic order — `f.tune(f.defaultGrid)`. Grids whose
+    * default space includes a normalizer axis (mlr, elasticnet, sgd) tune it
+    * via [[defaultGridFull]]/[[tuneFull]]. */
   def defaultGrid: Seq[Map[String, Double]] =
-    graft.eval.Evaluation.expandGrid(graft.eval.Grids.gridFor(estimator).params)
+    graft.eval.Grids.gridFor(estimator).expand.map(_._1).distinct
+
+  /** The full (params, normalizer) rows of the current estimator's default
+    * grid — what the reference's grid actually spans (its `normalizer` is
+    * just another grid key). */
+  def defaultGridFull: Seq[(Map[String, Double], String)] =
+    graft.eval.Grids.gridFor(estimator).expand
+
+  /** [[tune]] over (params, normalizer) rows — the grid axis the plain
+    * `tune` can't carry. Failing cells score NaN and rank last (the
+    * reference's failed-combo policy). */
+  def tuneFull(grid: Seq[(Map[String, Double], String)], k: Int = 3, h: Int = 12,
+               metric: String = "rmse", parallelism: Int = 1): Forecaster = {
+    import graft.eval.Evaluation
+    val scored = Evaluation.fanOut(grid, parallelism) { case (ps, nm) =>
+      val mean = scala.util.Try {
+        Evaluation.rollingOriginCV(frame.filter(!col(IsFuture)), k, h,
+          flagged => copy(frame = flagged, params = ps, normalizer = nm,
+            testLength = h).scoreCurrent(), Seq(metric))
+          .agg(avg(col(metric))).first().getDouble(0)
+      }.getOrElse(Double.NaN)
+      ((ps, nm), mean)
+    }
+    val lower = graft.functions.Metrics.lowerIsBetter(metric)
+    val best = scored.sortBy(s => if (lower) s._2 else -s._2).head._1
+    copy(params = best._1, normalizer = best._2)
+  }
 
   /** `auto_forecast` = tune then forecast with the winning params. */
   def autoForecast(grid: Seq[Map[String, Double]], callMe: String = "",

@@ -48,6 +48,7 @@ object SparkEntry {
     "mv_vecm"            -> ((s, d) => qMvVecm(s, d)),
     "events_sessionize"  -> ((s, d) => qSessionize(s, d)),
     "events_hourly"      -> ((s, d) => qEventsHourly(s, d)),
+    "events_hourly_stream" -> ((s, d) => qEventsHourlyStream(s, d)),
     "doc_text_stats"     -> ((s, d) => qTextStats(s, d)),
     "doc_langid"         -> ((s, d) => qLangId(s, d)),
     "doc_dedup_exact"    -> ((s, d) => qDedupExact(s, d)),
@@ -511,6 +512,23 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     seriesMemo.getOrElseUpdate((s, d, key), build.localCheckpoint(true))
+
+  /** Release the session memo for a long-lived driver: dropping the map
+    * entries unreferences the checkpointed frames, and the ContextCleaner
+    * reclaims their blocks at the next GC. (The bench/verify harnesses never
+    * need this — their sessions end; a library user embedding SparkEntry
+    * queries in a resident service does.) */
+  def clearMemos(): Unit = seriesMemo.clear()
+
+  /** Build the session-scoped series memos up front and return nothing —
+    * bench hygiene: the one-time localCheckpoint builds become their own
+    * measured line item (`memo_build` in the bench JSON) instead of landing
+    * on whichever query the map happens to order first, which made
+    * per-query times order-sensitive across rounds. */
+  def prewarmMemos(s: SparkSession, d: String): Unit = {
+    ordersMonthlyM(s, d); segmentMonthlyM(s, d)
+    zOrdersMonthly(s, d); zSegBuilding(s, d)
+  }
 
   /** Memoized [[SeriesFrame.ordersMonthly]] for model queries. */
   private def ordersMonthlyM(s: SparkSession, d: String): DataFrame =
@@ -1040,11 +1058,13 @@ object SparkEntry {
     * early, so the pad path fills the uncovered dates with zeros. */
   private def qIngestXvars(s: SparkSession, d: String): DataFrame = {
     val base = ordersMonthlyM(s, d)
+    // drop the 6 newest dates via one scalar cutoff (monthly spine), not a
+    // global unpartitioned window — the only such window the suite had
+    val maxDs = base.filter(!col(IsFuture)).agg(max(col(Ds))).first().getDate(0)
     val xv = base.filter(!col(IsFuture))
       .select(col(Ds), month(col(Ds)).cast("double").as("mnum"),
         when(month(col(Ds)) % 2 === 0, "even").otherwise("odd").as("season"))
-      .withColumn("_rb", row_number().over(Window.orderBy(col(Ds).desc)))
-      .filter(col("_rb") > 6).drop("_rb")
+      .filter(col(Ds) <= add_months(lit(maxDs), -6))
     graft.core.SeriesFrame.ingestXvars(base, xv, pad = true)
       .select(col(SeriesId), col(Ds), col(Y), col("mnum"),
         col("season_even"), col("season_odd"))
@@ -1121,6 +1141,40 @@ object SparkEntry {
       .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
         round(avg(col("value")), 6).as("avg_value"))
+
+  /** [[graft.streaming.EventStreams.hourlyAggregates]] run AS A STREAM
+    * (`readStream` → watermarked window agg → `Trigger.AvailableNow`) over
+    * the same events parquet, declared against the SAME oracle as
+    * events_hourly — the batch/stream parity contract, oracle-checked.
+    * The memory sink + Complete mode is the harness shape (results are a
+    * few hundred aggregate rows); a production deployment appends finalized
+    * windows to a real sink and lets the 2-hour watermark evict state. */
+  private def qEventsHourlyStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.events(s, d).schema // also sets nanosAsLong
+    // the file stream source only accepts a DIRECTORY; expose the single
+    // events.parquet through a symlink dir (no data copy; testdata stays
+    // untouched). Production streams read a landing directory anyway.
+    val linkDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val stream = s.readStream.schema(schema).parquet(linkDir.toString)
+      .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+    val agg = graft.streaming.EventStreams.hourlyAggregates(stream)
+    val sink = "events_hourly_stream_sink"
+    s.catalog.dropTempView(sink) // re-runnable in one session (bench cold+warm)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(unix_millis(col("hour_start")).as("hour_ms"), col("event_type"),
+        col("n"), round(col("sum_value"), 4).as("sum_value"),
+        round(col("avg_value"), 6).as("avg_value"))
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1315,6 +1369,12 @@ object SparkEntry {
         |FROM sess GROUP BY 1, 2""".stripMargin,
 
     "events_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the streaming twin must produce EXACTLY the batch aggregation
+    "events_hourly_stream" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,

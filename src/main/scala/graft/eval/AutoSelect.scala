@@ -75,6 +75,9 @@ object AutoSelect {
     val base1 = base0.withColumn("t2", col("t") * col("t"))
     val base2 = FeatureOps.addFourier(
       FeatureOps.addCalendar(base1, Seq("month")), col("month"), 12.0, "month")
+    // eager checkpoint scoped to this search: the frame goes unreferenced at
+    // return and the ContextCleaner reclaims its blocks at the next GC (no
+    // explicit unpersist API exists for localCheckpoint through the Dataset)
     val withAr = FeatureOps.addArTerms(base2, maxAr).localCheckpoint(true)
 
     val trendCands = Seq(Seq.empty[String], Seq("t"), Seq("t", "t2"))
@@ -324,7 +327,9 @@ object AutoSelect {
     (1 to maxP).map { p =>
       val withLags = withLagsAll
       val feats = for (sid <- seriesIds; k <- 1 to p) yield MvForecast.xlagCol(sid, k)
-      val complete = feats.map(c => col(c).isNotNull).reduce(_ && _)
+      // y must be non-null too: on a spine with missing dates the sse sum
+      // skips null-y rows, so counting them would inflate the AIC's n
+      val complete = (col(Y).isNotNull +: feats.map(c => col(c).isNotNull)).reduce(_ && _)
       val aics = seriesIds.map { sid =>
         // singular design at this order (e.g. exactly collinear cross-lags)
         // → NaN → the candidate order is skipped, like the reference's

@@ -157,10 +157,16 @@ object Evaluation {
                          k: Int, h: Int, metricName: String = "rmse",
                          parallelism: Int = 1): Seq[GridCell] =
     fanOut(grid, parallelism) { params =>
-      val cv = rollingOriginCV(frame, k, h, fitWith(params), Seq(metricName))
-      val byFold = cv.groupBy("fold").agg(avg(col(metricName)).as("_m"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2).toSeq
-      GridCell(params, byFold, byFold.sum / byFold.size)
+      // a failing cell (singular design, invalid combination) scores NaN and
+      // ranks last instead of aborting the whole tune — the reference's
+      // per-combo exception policy (_Forecaster_parent.py:1826-1837 records
+      // np.nan for failed combos)
+      scala.util.Try {
+        val cv = rollingOriginCV(frame, k, h, fitWith(params), Seq(metricName))
+        val byFold = cv.groupBy("fold").agg(avg(col(metricName)).as("_m"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2).toSeq
+        GridCell(params, byFold, byFold.sum / byFold.size)
+      }.getOrElse(GridCell(params, Nil, Double.NaN))
     }
 
   /** Grid search: rank by mean metric, best first. */

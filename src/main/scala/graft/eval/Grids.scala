@@ -16,13 +16,15 @@ package graft.eval
   */
 object Grids {
 
-  /** One estimator's default search space. */
+  /** One estimator's default search space. `keep` filters structurally
+    * invalid cells out of the cartesian expansion (e.g. ARMA(0,0)). */
   final case class Grid(params: Map[String, Seq[Double]],
-                        normalizers: Seq[String] = Seq("none")) {
+                        normalizers: Seq[String] = Seq("none"),
+                        keep: Map[String, Double] => Boolean = _ => true) {
     /** Cartesian rows in [[Evaluation.expandGrid]]'s deterministic order,
       * crossed with the normalizer axis. */
     def expand: Seq[(Map[String, Double], String)] =
-      for (m <- Evaluation.expandGrid(params); n <- normalizers) yield (m, n)
+      for (m <- Evaluation.expandGrid(params) if keep(m); n <- normalizers) yield (m, n)
     def size: Int = expand.size
   }
 
@@ -66,8 +68,10 @@ object Grids {
     // analogue in the SES-blend theta implementation)
     "theta" -> Grid(Map("theta" -> Seq(0.5, 1.0, 1.5, 2.0, 2.5, 3.0))),
     // arima.py order tuples flattened to the Hannan-Rissanen (p, q) axes;
-    // d composes via diffT upstream
-    "arima" -> Grid(Map("p" -> Seq(0, 1, 2), "q" -> Seq(0, 1, 2))),
+    // d composes via diffT upstream. (0,0) is excluded like autoArma's
+    // p+q>0 gate — a no-lag ARMA is the mean model, not an ARMA cell
+    "arima" -> Grid(Map("p" -> Seq(0, 1, 2), "q" -> Seq(0, 1, 2)),
+      keep = m => m("p") + m("q") > 0),
     // vecm.py: lag axis (statsmodels 'deterministic'/'seasons' codes are
     // Johansen-spec options; our VECM fixes the constant-in-cointegration
     // case)

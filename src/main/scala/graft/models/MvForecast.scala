@@ -173,6 +173,18 @@ object MvForecast {
     * the per-equation Cholesky the oracle replays. */
   def fitPerSeriesOls(frame: DataFrame, seriesIds: Seq[String], maxLag: Int): Map[String, Ols.Fit] = {
     import breeze.linalg.{DenseMatrix, DenseVector}
+    // loud boundary, not a silent mis-scale: the shared design has
+    // k = nSeries·maxLag + 1 columns, so the per-series moments row is k²
+    // doubles and the coupled recursion is one sequential task — both stop
+    // being cheap past the coupled-set bound. Bigger sets need a feature
+    // screen (per-equation lag-correlation pruning) before a full cross-lag
+    // VAR is meaningful; see the reference's own guidance that MV models
+    // are small-N (models.py:213-337).
+    require(seriesIds.size <= CoupledSetMax,
+      s"coupled cross-lag OLS supports at most $CoupledSetMax series " +
+        s"(got ${seriesIds.size}): the design width nSeries*maxLag+1 makes " +
+        "the moments row quadratic in the series count. Prune the coupled " +
+        "set (e.g. corrLags screening) or model independent subsets.")
     val feats = for (sid <- seriesIds; k <- 1 to maxLag) yield xlagCol(sid, k)
     val hasTest = frame.columns.contains("is_test")
     val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)

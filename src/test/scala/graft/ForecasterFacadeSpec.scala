@@ -116,6 +116,22 @@ class ForecasterFacadeSpec extends SparkSpec {
     assert(c.frame.columns.toSeq == a.frame.columns.toSeq)
   }
 
+  test("arima defaultGrid excludes (0,0) and a failing cell can't abort the tune") {
+    val f = Forecaster(obsSeries(ys)).setEstimator("arima")
+    val g = f.defaultGrid
+    assert(!g.exists(m => m("p") == 0.0 && m("q") == 0.0), "ARMA(0,0) must be excluded")
+    // a deliberately broken extra cell (negative order) scores NaN and loses
+    val tuned = f.tune(g.take(2) :+ Map("p" -> -5.0, "q" -> -5.0), k = 2, h = 6)
+    assert(tuned.params("p") >= 0.0)
+  }
+
+  test("tuneFull carries the normalizer axis of the mlr default grid") {
+    val f = Forecaster(obsSeries(ys)).addArTerms(1).setEstimator("mlr")
+    assert(f.defaultGridFull.map(_._2).distinct.sorted == Seq("minmax", "none", "scale"))
+    val tuned = f.tuneFull(f.defaultGridFull, k = 2, h = 6)
+    assert(Seq("scale", "minmax", "none").contains(tuned.normalizer))
+  }
+
   test("peeking cadence + naive family through the facade") {
     val f = Forecaster(obsSeries(ys))
       .generateFutureDates(4)

@@ -12,6 +12,13 @@ class MvSpec extends SparkSpec {
 
   def mvFrame = obsSeries(y1, "a").unionByName(obsSeries(y2, "b"))
 
+  test("coupled cross-lag OLS refuses an oversized series set loudly") {
+    val ids = (0 to MvForecast.CoupledSetMax).map(i => s"s$i")
+    val e = intercept[IllegalArgumentException](
+      MvForecast.fitPerSeriesOls(mvFrame, ids, 1))
+    assert(e.getMessage.contains("coupled cross-lag"), e.getMessage)
+  }
+
   test("addCrossSeriesLags builds xlag columns for every series") {
     val out = MvForecast.addCrossSeriesLags(mvFrame, Seq("a", "b"), 2)
     Seq("xlag_a_1", "xlag_a_2", "xlag_b_1", "xlag_b_2").foreach(c =>
