@@ -35,14 +35,17 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
       else SparkEntry.queries
-    val results = selected.map { case (name, fn) =>
+    // run in sorted name order: per-query times stay comparable round to
+    // round regardless of how the query map hashes (adding a query used to
+    // reshuffle which one absorbed shared-path JIT)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","memo_build":$memoBuild,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

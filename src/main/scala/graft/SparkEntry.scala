@@ -473,7 +473,7 @@ object SparkEntry {
     * reachable (trend × seasonal × ar) fits and walks the three decisions
     * with Scala minBy's first-min tie order. */
   private def qAutoXvar(s: SparkSession, d: String): DataFrame = {
-    val sel = graft.eval.AutoSelect.autoXvarSelect(zOrdersMonthly(s, d), maxAr = 2, h = 12)
+    val sel = autoXvarSelM(s, d)
     import s.implicits._
     Seq((sel.trend.mkString(","), sel.seasonal.mkString(","), sel.arOrder.toLong, sel.rmse))
       .toDF("trend", "seasonal", "ar_order", "rmse")
@@ -488,7 +488,7 @@ object SparkEntry {
     * orders AND the 12 candidate fits on BUILDING, picking the replayed
     * score by the search's decision CASE. */
   private def qXvarReplay(s: SparkSession, d: String): DataFrame = {
-    val sel = graft.eval.AutoSelect.autoXvarSelect(zOrdersMonthly(s, d), maxAr = 2, h = 12)
+    val sel = autoXvarSelM(s, d)
     val replayed = Forecaster(zSegBuilding(s, d)).applySpecs(sel.specs)
     val segRmse = graft.eval.AutoSelect.scoreFeatures(replayed.frame, sel.features, 12)
     import s.implicits._
@@ -513,12 +513,20 @@ object SparkEntry {
   private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     seriesMemo.getOrElseUpdate((s, d, key), build.localCheckpoint(true))
 
-  /** Release the session memo for a long-lived driver: dropping the map
+  /** Release the session memos for a long-lived driver: dropping the map
     * entries unreferences the checkpointed frames, and the ContextCleaner
     * reclaims their blocks at the next GC. (The bench/verify harnesses never
     * need this — their sessions end; a library user embedding SparkEntry
     * queries in a resident service does.) */
-  def clearMemos(): Unit = seriesMemo.clear()
+  def clearMemos(): Unit = { seriesMemo.clear(); xvarSelMemo.clear() }
+
+  /** ts_auto_xvar and ts_xvar_replay share the SAME search on the same
+    * frame; memoize the selection like the series frames. */
+  private val xvarSelMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.eval.AutoSelect.XvarSelection]
+  private def autoXvarSelM(s: SparkSession, d: String): graft.eval.AutoSelect.XvarSelection =
+    xvarSelMemo.getOrElseUpdate((s, d),
+      graft.eval.AutoSelect.autoXvarSelect(zOrdersMonthly(s, d), maxAr = 2, h = 12))
 
   /** Build the session-scoped series memos up front and return nothing —
     * bench hygiene: the one-time localCheckpoint builds become their own

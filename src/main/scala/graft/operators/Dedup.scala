@@ -66,15 +66,17 @@ object Dedup {
       else shAll
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
-    // localCheckpoint(true), not cache(): materializes the capped shingle set
+    // lazy localCheckpoint, not cache(): materializes the capped shingle set
     // as RDD blocks whose HashPartitioning(shingle) survives into the plan —
     // so BOTH sides of the self-join read the same materialized RDD with no
     // further exchange AND no AQE re-coalescing (a materialized RDD has no
     // exchange to coalesce — the full-width pin is structural, not a config
     // assumption). Unlike cache(), the blocks are released by the
     // ContextCleaner as soon as the frame is unreferenced — no storage
-    // accrual across repeated dedup calls in one session.
-    val sh = capped.localCheckpoint(true)
+    // accrual across repeated dedup calls in one session. Lazy (not eager)
+    // so the materialization pipelines into the first action instead of
+    // paying a separate up-front job.
+    val sh = capped.localCheckpoint(false)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -133,7 +135,8 @@ object Dedup {
     val r = k / bands
     // materialized (not cache()): both join sides read the same RDD blocks,
     // and the ContextCleaner releases them when the frame goes out of scope
-    val sig = minhashSignatures(df, idCol, textCol, n, k).localCheckpoint(true)
+    // (the sig.count() below is the materializing action)
+    val sig = minhashSignatures(df, idCol, textCol, n, k).localCheckpoint(false)
     val banded0 = sig.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_", slice(col("sig"), b * r + 1, lit(r)))))))
@@ -188,7 +191,7 @@ object Dedup {
     // re-derive it without re-running the token aggregation, and the blocks
     // free themselves when the frame is unreferenced (vs the old permanent
     // cache())
-    val sh = simhash(df, idCol, textCol).localCheckpoint(true)
+    val sh = simhash(df, idCol, textCol).localCheckpoint(false)
     val banded0 = sh.select(col("doc"), col("simhash"),
         posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")

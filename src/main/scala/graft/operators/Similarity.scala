@@ -55,10 +55,11 @@ object Similarity {
     * so ranking is reproducible across engines. */
   def cosineKnn(df: DataFrame, idCol: String, vecCol: String, k: Int,
                 queryFilter: Column = lit(true)): DataFrame = {
-    // localCheckpoint, not cache(): both join sides read the materialized
-    // blocks, which the ContextCleaner releases once the frame is
-    // unreferenced — repeated ANN calls in one session accrue no storage
-    val p = prepared(df, idCol, vecCol).localCheckpoint(true)
+    // lazy localCheckpoint, not cache(): both join sides read the same
+    // materialized blocks (written on first use, pipelined into that job),
+    // and the ContextCleaner releases them once the frame is unreferenced —
+    // repeated ANN calls in one session accrue no storage
+    val p = prepared(df, idCol, vecCol).localCheckpoint(false)
     val q = p.filter(queryFilter) // predicate over the renamed `vid` column
     val pairs = q.as("a").join(p.as("b"), col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
@@ -93,7 +94,7 @@ object Similarity {
     * (fewer bits → bigger buckets → higher recall & cost). */
   def cosineKnnLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    bits: Int): DataFrame = {
-    val p = lshBuckets(df, idCol, vecCol, bits).localCheckpoint(true) // see cosineKnn
+    val p = lshBuckets(df, idCol, vecCol, bits).localCheckpoint(false) // see cosineKnn
     val pairs = p.as("a").join(p.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
