@@ -165,6 +165,10 @@ final case class Forecaster(
       case "arima"  =>
         val fit = Arima.fitArma(flagged, p("p", 1.0).toInt, p("q", 1.0).toInt)
         Arima.forecast(fit)
+      case "tbats_like" =>
+        // multiple seasonal periods via m, m2, m3 params (0 = unused)
+        val periods = Seq(p("m", 12.0), p("m2", 0.0), p("m3", 0.0)).filter(_ > 0)
+        TbatsLike.forecast(flagged, periods, p("fourier_order", 2.0).toInt)
       case "combo"  =>
         require(comboModels.nonEmpty && results.isDefined,
           "combo needs setComboModels(...) over already-banked models")

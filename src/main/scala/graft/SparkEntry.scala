@@ -4,7 +4,7 @@ import graft.core.{SeriesFrame, Tables}
 import graft.core.SeriesFrame._
 import graft.functions.{FeatureOps, Metrics, TextOps}
 import graft.models.Baselines
-import graft.operators.{Conformal, Dedup, Multimodal, Similarity, Transforms}
+import graft.operators.{Conformal, Decontaminate, Dedup, Multimodal, Quality, Sampling, Similarity, Transforms}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -116,7 +116,11 @@ object SparkEntry {
     "ts_decompose"       -> ((s, d) => qDecompose(s, d)),
     "ts_seasonal_length_by_series" -> ((s, d) => qSeasonalLengthBySeries(s, d)),
     "ts_stat_recipes_by_series"    -> ((s, d) => qStatRecipesBySeries(s, d)),
-    "ts_xvar_replay"     -> ((s, d) => qXvarReplay(s, d))
+    "ts_xvar_replay"     -> ((s, d) => qXvarReplay(s, d)),
+    "ts_tbats_like"      -> ((s, d) => qTbatsLike(s, d)),
+    "doc_gopher_repetition" -> ((s, d) => qGopherRepetition(s, d)),
+    "doc_decontaminate"  -> ((s, d) => qDecontaminate(s, d)),
+    "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -576,6 +580,18 @@ object SparkEntry {
     * linear growth + order-2 Fourier seasonality at m=12, vectorized over
     * observed + horizon. Oracle replays the 5-feature OLS via Cholesky with
     * the SAME angular-coefficient double literals. */
+  /** tbats_like named estimator (the documented tbats substitution): per-
+    * series Box-Cox MLE λ, then exact OLS of trend + order-2 Fourier at m=12
+    * on the transformed scale, reverted through λ. Oracle replays the λ
+    * grid argmax, the 5-feature Cholesky OLS, and the inverse transform.
+    * Runs on the RAW revenue series (Box-Cox wants positive y); yhat rounds
+    * to integers so the pow(·, 1/λ) amplification of cross-engine OLS noise
+    * (~1e-4 absolute at 1e8 scale) can't show. */
+  private def qTbatsLike(s: SparkSession, d: String): DataFrame =
+    graft.models.TbatsLike.forecast(withMonthlyHorizon(ordersMonthlyM(s, d), 12))
+      .select(col(SeriesId), col(Ds), col(Y).as("y"),
+        round(col("yhat"), 0).as("yhat"), col(IsFuture))
+
   private def qProphetLike(s: SparkSession, d: String): DataFrame =
     graft.models.ProphetLike.forecast(withMonthlyHorizon(zOrdersMonthly(s, d), 12))
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
@@ -1144,6 +1160,40 @@ object SparkEntry {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Gopher/C4 repetition gates (Rae et al. 2021 §A1.1): top-2-gram char
+    * fraction, duplicate-3-gram char fraction, mean word length, and the
+    * composite keep flag — all statistics AND the decision hash-checked. */
+  private def qGopherRepetition(s: SparkSession, d: String): DataFrame =
+    Quality.gopherKeep(Quality.repetitionStats(Tables.documents(s, d), "doc_id", "text"))
+      .select(col("doc").as("doc_id"),
+        round(col("top2gram_frac"), 6).as("top2gram_frac"),
+        round(col("dup3gram_frac"), 6).as("dup3gram_frac"),
+        round(col("mean_word_len"), 6).as("mean_word_len"), col("keep"))
+
+  /** Benchmark decontamination (GPT-3 §C n-gram overlap): the corpus checked
+    * against a carved-out benchmark slice (doc_id % 20 == 0); flagged pairs
+    * with their overlap fraction. */
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.contaminatedPairs(docs, docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", 3, 0.5)
+      .select(col("doc").as("doc_id"), col("bench_id"),
+        round(col("overlap_frac"), 6).as("overlap_frac"))
+  }
+
+  /** Deterministic stratified hash sampling (training-mix quotas): 50% of
+    * long documents, 25% of short ones, membership a pure content-hash
+    * predicate — reproducible across engines and partitionings, which is
+    * exactly what the oracle verifies. */
+  private def qSampleHash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("stratum",
+      when(size(graft.functions.TextOps.tokens(col("text"))) >= 60, "long")
+        .otherwise("short"))
+    Sampling.stratifiedHashSample(docs, "doc_id", "stratum",
+        Map("long" -> 0.5, "short" -> 0.25))
+      .select(col("doc_id"), col("stratum"))
+  }
+
   private def qEventsHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d) // ts is epoch-ns LONG; truncate to the hour in ms (integer div)
       .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"), col("event_type"))
@@ -1386,6 +1436,66 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Gopher repetition gates: 2-gram/3-gram char fractions via lead()
+    // windows, multiplicity preserved (no DISTINCT), keep = composite gate
+    "doc_gopher_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |              length(text) AS nc FROM documents),
+        |base AS (SELECT doc_id, CAST(nc AS DOUBLE) AS nc,
+        |         CAST(len(ts) AS DOUBLE) AS nt,
+        |         CAST(nc - len(ts) + 1 AS DOUBLE) AS wc FROM toks),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |        generate_subscripts(ts, 1) AS pos FROM toks),
+        |g2 AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS gram FROM tok
+        |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |       QUALIFY lead(w, 1) OVER win IS NOT NULL),
+        |g2c AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS gc
+        |        FROM g2 GROUP BY doc_id, gram),
+        |t2 AS (SELECT doc_id, max(c * gc) AS topchars FROM g2c GROUP BY doc_id),
+        |g3 AS (SELECT doc_id,
+        |       w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram
+        |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |       QUALIFY lead(w, 2) OVER win IS NOT NULL),
+        |g3c AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS gc
+        |        FROM g3 GROUP BY doc_id, gram),
+        |d3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS dupchars
+        |       FROM g3c GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  ROUND(coalesce(t2.topchars, 0) / b.nc, 6) AS top2gram_frac,
+        |  ROUND(coalesce(d3.dupchars, 0) / b.nc, 6) AS dup3gram_frac,
+        |  ROUND(b.wc / b.nt, 6) AS mean_word_len,
+        |  (b.wc / b.nt >= 3.0 AND b.wc / b.nt <= 10.0
+        |   AND coalesce(t2.topchars, 0) / b.nc <= 0.20
+        |   AND coalesce(d3.dupchars, 0) / b.nc <= 0.30) AS keep
+        |FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""".stripMargin,
+
+    // decontamination: distinct-3-gram overlap of every doc against the
+    // doc_id % 20 = 0 benchmark slice, inverted-index join only
+    "doc_decontaminate" ->
+      s"""$SHINGLES
+         |sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+         |bs AS (SELECT doc_id AS bench_id, shingle FROM ds WHERE doc_id % 20 = 0),
+         |ov AS (SELECT a.doc_id, b.bench_id, count(*) AS common
+         |       FROM ds a JOIN bs b USING (shingle)
+         |       WHERE a.doc_id <> b.bench_id GROUP BY 1, 2)
+         |SELECT ov.doc_id, bench_id,
+         |  ROUND(common / CAST(sz AS DOUBLE), 6) AS overlap_frac
+         |FROM ov JOIN sz ON ov.doc_id = sz.doc_id
+         |WHERE common / CAST(sz AS DOUBLE) >= 0.5""".stripMargin,
+
+    // stratified hash sampling: the md5-bucket predicate replayed exactly
+    // (fractions chosen so fraction * 2^32 is an exact integer — no
+    // double->int rounding divergence between engines)
+    "doc_sample_hash" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) >= 60 THEN 'long' ELSE 'short' END AS stratum
+        |  FROM documents),
+        |h AS (SELECT doc_id, stratum,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+        |  FROM t)
+        |SELECT doc_id, stratum FROM h
+        |WHERE b < CASE stratum WHEN 'long' THEN 2147483648 ELSE 1073741824 END""".stripMargin,
 
     "doc_text_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks FROM documents)
@@ -1914,6 +2024,43 @@ object SparkEntry {
     // prophet_like: trend + order-2 Fourier OLS; the sin/cos angular
     // coefficients are spliced as the SAME Scala double literals the Spark
     // side uses, so both engines evaluate sin(c*t) on identical bits.
+    // tbats_like: λ grid argmax (engine tie-break: earlier candidate = l ASC)
+    // → Box-Cox series → trend+Fourier OLS via unrolled Cholesky → revert
+    "ts_tbats_like" -> {
+      val w1 = graft.models.ProphetLike.omega(1, 12.0)
+      val w2 = graft.models.ProphetLike.omega(2, 12.0)
+      val xs = Seq("t", s"sin($w1 * t)", s"cos($w1 * t)", s"sin($w2 * t)", s"cos($w2 * t)")
+      val pred = s"beta_0 + beta_1*t + beta_2*sin($w1 * t) + beta_3*cos($w1 * t) " +
+        s"+ beta_4*sin($w2 * t) + beta_5*cos($w2 * t)"
+      val inv = s"CASE WHEN b.l = 0.0 THEN exp($pred) " +
+        s"ELSE pow(($pred) * b.l + 1, 1.0 / b.l) END"
+      s"""$S,
+         |cands AS (SELECT i / 10.0 AS l FROM generate_series(-20, 20) g(i)),
+         |bcp AS (SELECT c.l,
+         |  CASE WHEN c.l = 0.0 THEN ln(s.y) ELSE (pow(s.y, c.l) - 1) / c.l END AS p
+         |  FROM series s CROSS JOIN cands c),
+         |slog AS (SELECT sum(ln(y)) AS sl, CAST(count(*) AS DOUBLE) AS n FROM series),
+         |vv AS (SELECT l, sum(p*p)/count(*) - pow(sum(p)/count(*), 2) AS v
+         |       FROM bcp GROUP BY l),
+         |ll AS (SELECT l, CASE WHEN v <= 0 THEN -1e308
+         |       ELSE -(n/2.0) * ln(v) + (l - 1.0) * sl END AS ll FROM vv, slog),
+         |best AS (SELECT l FROM ll ORDER BY ll DESC, l ASC LIMIT 1),
+         |s2 AS (SELECT s.series_id, s.ds, s.y,
+         |  CASE WHEN b.l = 0.0 THEN ln(s.y) ELSE (pow(s.y, b.l) - 1) / b.l END AS yb,
+         |  CAST(row_number() OVER (ORDER BY s.ds) AS DOUBLE) AS t
+         |  FROM series s, best b),
+         |nn AS (SELECT count(*) AS n, max(ds) AS ld FROM s2),
+         |${OracleGen.momentsCte("tb", xs, "s2", yExpr = "yb")},
+         |${OracleGen.solveCtes("tb", 5)},
+         |obs AS (SELECT series_id, ds, y, ROUND($inv, 0) AS yhat,
+         |        FALSE AS is_future FROM s2, tb_fit, best b),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y, ROUND($inv, 0) AS yhat, TRUE AS is_future
+         |        FROM nn, tb_fit, best b, LATERAL (SELECT i, CAST(n + i AS DOUBLE) AS t
+         |                                          FROM generate_series(1, 12) g(i)))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
+    },
+
     "ts_prophet_like" -> {
       val w1 = graft.models.ProphetLike.omega(1, 12.0)
       val w2 = graft.models.ProphetLike.omega(2, 12.0)

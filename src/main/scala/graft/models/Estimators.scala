@@ -95,6 +95,18 @@ final case class MllibTsEstimator(
         s"estimator '$algo' is unsupported: no MLlib equivalent " +
           "(kernel SVR / MLP regressor); nearest supported families: " +
           "mlr/ridge (linear), gbt/rf (nonlinear), knn (KnnRegressor)")
+      // reference names with NAMED substitutions elsewhere in the engine —
+      // point at them instead of a bare unknown-algo error
+      case "prophet" => throw new UnsupportedOperationException(
+        "estimator 'prophet' is served by the named substitution " +
+          "'prophet_like' (trend + Fourier + holiday dummies, exact OLS)")
+      case "tbats" => throw new UnsupportedOperationException(
+        "estimator 'tbats' is served by the named substitution 'tbats_like' " +
+          "(Box-Cox MLE + trend + multi-period trigonometric seasonality; " +
+          "ARMA error correction omitted - compose with 'arima' if needed)")
+      case "rnn" | "lstm" => throw new UnsupportedOperationException(
+        s"estimator '$algo' is out of scope (no TF/Keras in a Spark-native " +
+          "engine); nearest supported nonlinear family: gbt/rf")
       case other => throw new IllegalArgumentException(s"unknown algo $other")
     }
   }

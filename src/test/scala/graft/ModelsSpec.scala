@@ -143,6 +143,37 @@ class ModelsSpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-6, s"prophet_like horizon: $g vs $e") }
   }
 
+  test("tbats_like: multi-period trig seasonality on the Box-Cox scale, exact recovery") {
+    // y = exp(linear trend + two incommensurate sinusoids): λ MLE → ~0 (log),
+    // and on the log scale the OLS recovers the curve exactly — horizon too
+    def f(t: Int): Double = math.exp(2.0 + 0.01 * (t + 1) +
+      0.3 * math.sin(2 * math.Pi * (t + 1) / 12.0) +
+      0.2 * math.sin(2 * math.Pi * (t + 1) / 5.0))
+    val ys = (0 until 60).map(f)
+    val out = graft.models.TbatsLike.forecast(
+      SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6), periods = Seq(12.0, 5.0))
+    val fut = col1(out.filter(col("is_future")), "yhat")
+    (60 until 66).zip(fut).foreach { case (t, g) =>
+      assert(math.abs(g - f(t)) / f(t) < 1e-3, s"horizon t=$t: $g vs ${f(t)}") }
+    // single-period fit must be visibly worse on the same series (the
+    // multi-seasonality is what tbats_like buys)
+    val one = graft.models.TbatsLike.forecast(
+      SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6), periods = Seq(12.0))
+    val err1 = col1(one.filter(col("is_future")), "yhat")
+      .zip((60 until 66).map(f)).map { case (g, e) => math.abs(g - e) / e }.max
+    assert(err1 > 1e-2, s"single-period fit should miss the 5-cycle: $err1")
+    // registry points tbats/prophet/rnn names at their substitutions/scopes
+    val e = intercept[UnsupportedOperationException] {
+      MllibTsEstimator("tbats", Seq("ar_1")).pipeline()
+    }
+    assert(e.getMessage.contains("tbats_like"))
+    // facade registration with m/m2 params
+    val banked = Forecaster(obsSeries(ys)).generateFutureDates(6)
+      .setEstimator("tbats_like", Map("m" -> 12.0, "m2" -> 5.0))
+      .manualForecast(callMe = "tb")
+    assert(banked.results.get.filter(col("is_future") && col("yhat").isNull).count() == 0)
+  }
+
   test("trendSeasonal fits train only and predicts horizon") {
     val ys = (0 until 36).map(t => 50.0 + 2 * t + (if (t % 12 == 0) 10 else 0))
     val base = SeriesFrame.withTestFlag(

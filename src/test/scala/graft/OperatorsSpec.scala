@@ -90,6 +90,64 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.length === 1 && pairs.head.getAs[Long]("hamming") === 0L)
   }
 
+  test("gopher repetition gates: spammy doc fails, normal doc passes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      // long enough that no single unique 2-gram holds >20% of the chars
+      // (the Gopher thresholds target web-document lengths)
+      (2L, "the quick brown fox jumps over seven lazy sleeping dogs today " +
+        "while distant mountains echo with morning light and rivers carve " +
+        "patient valleys through ancient stone toward a waiting sea")
+    ).toDF("doc_id", "text")
+    val stats = graft.operators.Quality.gopherKeep(
+      graft.operators.Quality.repetitionStats(df, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!stats(1L).getAs[Boolean]("keep"), "repeated 2-gram must fail the gate")
+    assert(stats(1L).getAs[Double]("top2gram_frac") > 0.5)
+    assert(stats(2L).getAs[Boolean]("keep"))
+    val kept = graft.operators.Quality.gopherFilter(df, "doc_id", "text")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("decontamination flags near-verbatim benchmark overlap and cleans it") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated text with different words entirely here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Decontaminate
+      .contaminatedPairs(train, bench, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Long]("doc") == 1L)
+    assert(math.abs(pairs.head.getAs[Double]("overlap_frac") - 1.0) < 1e-12)
+    val cleaned = graft.operators.Decontaminate.clean(train, bench, "doc_id", "text", 3, 0.5)
+    assert(cleaned.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("hash sampling is deterministic, partition-invariant, and quota-accurate") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val s1 = graft.operators.Sampling
+      .stratifiedHashSample(df, "id", "stratum", Map("a" -> 0.5, "b" -> 0.25))
+      .collect().map(_.getLong(0)).toSet
+    val s2 = graft.operators.Sampling
+      .stratifiedHashSample(df.repartition(7), "id", "stratum", Map("a" -> 0.5, "b" -> 0.25))
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "membership must not depend on partitioning")
+    val nA = s1.count(_ % 2 == 0); val nB = s1.size - nA
+    assert(math.abs(nA / 2000.0 - 0.5) < 0.05, s"stratum a kept $nA of 2000")
+    assert(math.abs(nB / 2000.0 - 0.25) < 0.05, s"stratum b kept $nB of 2000")
+    // salt decorrelates
+    val salted = graft.operators.Sampling.hashSample(df, "id", 0.5, salt = "x")
+      .collect().map(_.getLong(0)).toSet
+    val unsalted = graft.operators.Sampling.hashSample(df, "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(salted != unsalted)
+  }
+
   test("cosine kNN ranks an identical vector first") {
     import spark.implicits._
     val df = Seq(
