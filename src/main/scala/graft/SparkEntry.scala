@@ -120,7 +120,8 @@ object SparkEntry {
     "ts_tbats_like"      -> ((s, d) => qTbatsLike(s, d)),
     "doc_gopher_repetition" -> ((s, d) => qGopherRepetition(s, d)),
     "doc_decontaminate"  -> ((s, d) => qDecontaminate(s, d)),
-    "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d))
+    "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
+    "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -1194,6 +1195,18 @@ object SparkEntry {
       .select(col("doc_id"), col("stratum"))
   }
 
+  /** GPT-style concat-and-chunk sequence packing: whitespace token counts →
+    * 8 hash shards → per-shard running offsets → 256-token context-window
+    * spans. Every number is a deterministic integer, so the whole packing
+    * layout hash-checks. */
+  private def qPackChunks(s: SparkSession, d: String): DataFrame = {
+    val withCounts = Tables.documents(s, d)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+    graft.operators.Packing.concatChunks(withCounts, "doc_id", "n_tokens", 256, 8)
+      .select(col("doc_id"), col("shard"), col("offset_start"),
+        col("chunk_start"), col("chunk_end"))
+  }
+
   private def qEventsHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d) // ts is epoch-ns LONG; truncate to the hour in ms (integer div)
       .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"), col("event_type"))
@@ -1496,6 +1509,22 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, stratum FROM h
         |WHERE b < CASE stratum WHEN 'long' THEN 2147483648 ELSE 1073741824 END""".stripMargin,
+
+    // concat-and-chunk packing: md5 shard + per-shard running-offset window,
+    // integer chunk spans (DuckDB window SUM(BIGINT) yields HUGEINT — cast)
+    "doc_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, nt, h, CAST(h % 8 AS INT) AS shard FROM t),
+        |o AS (SELECT doc_id, shard, nt,
+        |  CAST(coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM s)
+        |SELECT doc_id, shard, off AS offset_start,
+        |  CAST(off // 256 AS BIGINT) AS chunk_start,
+        |  CAST((off + nt - 1) // 256 AS BIGINT) AS chunk_end
+        |FROM o""".stripMargin,
 
     "doc_text_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks FROM documents)

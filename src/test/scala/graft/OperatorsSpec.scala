@@ -148,6 +148,35 @@ class OperatorsSpec extends SparkSpec {
     assert(salted != unsalted)
   }
 
+  test("concat-and-chunk packing: per-shard offsets are gapless and partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, 10L + i % 37)).toDF("id", "nt")
+    val packed = graft.operators.Packing.concatChunks(df, "id", "nt", budget = 64, nShards = 4)
+    val rows = packed.select("shard", "offset_start", "nt", "chunk_start", "chunk_end")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // within each shard the offsets tile the concatenated stream exactly
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, "each shard starts at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 == a._2 + a._3, s"gap between $a and $b")
+        case _ => ()
+      }
+    }
+    // chunk span covers the doc's token interval at budget 64
+    rows.foreach { case (_, off, nt, cs, ce) =>
+      assert(cs == off / 64 && ce == (off + nt - 1) / 64)
+    }
+    // layout is a pure function of content — repartitioning can't move a doc
+    val again = graft.operators.Packing
+      .concatChunks(df.repartition(11), "id", "nt", 64, 4)
+      .select("id", "shard", "offset_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val first = packed.select("id", "shard", "offset_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(first == again)
+  }
+
   test("cosine kNN ranks an identical vector first") {
     import spark.implicits._
     val df = Seq(
