@@ -121,7 +121,8 @@ object SparkEntry {
     "doc_gopher_repetition" -> ((s, d) => qGopherRepetition(s, d)),
     "doc_decontaminate"  -> ((s, d) => qDecontaminate(s, d)),
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
-    "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d))
+    "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
+    "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -563,6 +564,13 @@ object SparkEntry {
   private def zSegBuilding(s: SparkSession, d: String): DataFrame =
     memo(s, d, "zbuilding") {
       val base = segmentMonthlyM(s, d).filter(col(SeriesId) === "BUILDING")
+      Transforms.scaleT(base).transform(base)
+    }
+
+  /** All five segments z-scored per series (blocked-VAR conditioning). */
+  private def zSegmentsMonthly(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "zsegments") {
+      val base = segmentMonthlyM(s, d)
       Transforms.scaleT(base).transform(base)
     }
 
@@ -1193,6 +1201,22 @@ object SparkEntry {
     Sampling.stratifiedHashSample(docs, "doc_id", "stratum",
         Map("long" -> 0.5, "short" -> 0.25))
       .select(col("doc_id"), col("stratum"))
+  }
+
+  /** Blocked cross-lag VAR (the scale path past MvForecast.CoupledSetMax):
+    * per-target source blocks from the lag-1 correlation screen (self +
+    * top-2 foreign sources), then every equation's bounded OLS fit from ONE
+    * grouped moments aggregation with executor-side solves. Output: every
+    * equation's β labeled by the screened source it multiplies — both the
+    * screen DECISION and the fit are hash-checked. */
+  private def qBlockedVar(s: SparkSession, d: String): DataFrame = {
+    val (fits, block) = graft.models.BlockedVar.fit(zSegmentsMonthly(s, d),
+      maxLag = 1, maxSources = 3)
+    fits.select(col("target"), posexplode(col("beta")).as(Seq("fi", "beta")))
+      .join(block.withColumnRenamed("src_rank", "fi"), Seq("target", "fi"), "left")
+      .select(col("target").as(SeriesId), col("fi").cast("long").as("fi"),
+        coalesce(col("src"), lit("intercept")).as("src"),
+        round(col("beta"), 6).as("beta"))
   }
 
   /** GPT-style concat-and-chunk sequence packing: whitespace token counts →
@@ -1879,6 +1903,46 @@ object SparkEntry {
          |SELECT tt.series_id, ROUND(t, 6) AS adf_t, t > -2.86 AS needs_diff,
          |       (t > -2.86 AND miny > 0) AS use_log
          |FROM tt JOIN zp USING (series_id)""".stripMargin,
+
+    // blocked cross-lag VAR: lag-1 corr screen (rank by |c| desc, src asc) →
+    // per-target design (self + top-2 sources + intercept, k=4) → moments
+    // pivoted per target → one grouped Cholesky chain solves every equation
+    "mv_blocked_var" ->
+      s"""$ZSEG,
+         |lg AS (SELECT series_id AS src, ds,
+         |       lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS xval FROM series),
+         |pr AS (SELECT t.series_id AS target, l.src, corr(t.y, l.xval) AS c
+         |       FROM series t JOIN lg l USING (ds)
+         |       WHERE t.series_id <> l.src AND l.xval IS NOT NULL GROUP BY 1, 2),
+         |rk AS (SELECT target, src,
+         |       row_number() OVER (PARTITION BY target ORDER BY abs(c) DESC, src ASC) AS r
+         |       FROM pr WHERE c IS NOT NULL),
+         |blk AS (SELECT series_id AS target, series_id AS src, 0 AS r
+         |        FROM (SELECT DISTINCT series_id FROM series)
+         |        UNION ALL SELECT target, src, r FROM rk WHERE r <= 2),
+         |dz AS (SELECT b.target, l.ds, b.r AS fi, l.xval AS x
+         |       FROM blk b JOIN lg l ON b.src = l.src WHERE l.xval IS NOT NULL
+         |       UNION ALL SELECT series_id, ds, 3, 1.0 FROM series),
+         |cm AS (SELECT target, ds FROM dz GROUP BY 1, 2 HAVING count(*) = 4),
+         |rws AS (SELECT d.target, d.ds, d.fi, d.x, s.y AS yt
+         |        FROM dz d JOIN cm USING (target, ds)
+         |        JOIN series s ON s.series_id = d.target AND s.ds = d.ds),
+         |bv_m AS (SELECT a.target,
+         |  ${(for (i <- 0 to 3; j <- 0 to i) yield
+              s"sum(CASE WHEN a.fi = $i AND b.fi = $j THEN a.x * b.x END) AS sa_${i}_$j")
+              .mkString(", ")},
+         |  ${(0 to 3).map(i =>
+              s"sum(CASE WHEN a.fi = $i AND b.fi = $i THEN a.x * a.yt END) AS sb_$i")
+              .mkString(", ")}
+         |  FROM rws a JOIN rws b ON a.target = b.target AND a.ds = b.ds
+         |  GROUP BY a.target),
+         |${OracleGen.solveCtes("bv", 3)}
+         |SELECT f.target AS series_id, CAST(g.fi AS BIGINT) AS fi,
+         |  coalesce(b2.src, 'intercept') AS src,
+         |  ROUND(CASE g.fi WHEN 0 THEN beta_0 WHEN 1 THEN beta_1
+         |        WHEN 2 THEN beta_2 ELSE beta_3 END, 6) AS beta
+         |FROM bv_fit f CROSS JOIN (VALUES (0), (1), (2), (3)) g(fi)
+         |LEFT JOIN blk b2 ON b2.target = f.target AND b2.r = g.fi""".stripMargin,
 
     // save_feature_importance: |standardized coefficient| = |beta_j| * sd_j
     // of the unstandardized OLS fit; rank by importance desc with the

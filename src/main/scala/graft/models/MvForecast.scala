@@ -183,8 +183,9 @@ object MvForecast {
     require(seriesIds.size <= CoupledSetMax,
       s"coupled cross-lag OLS supports at most $CoupledSetMax series " +
         s"(got ${seriesIds.size}): the design width nSeries*maxLag+1 makes " +
-        "the moments row quadratic in the series count. Prune the coupled " +
-        "set (e.g. corrLags screening) or model independent subsets.")
+        "the moments row quadratic in the series count. Use " +
+        "graft.models.BlockedVar (correlation-screened bounded per-equation " +
+        "designs, fully distributed) for larger coupled sets.")
     val feats = for (sid <- seriesIds; k <- 1 to maxLag) yield xlagCol(sid, k)
     val hasTest = frame.columns.contains("is_test")
     val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)

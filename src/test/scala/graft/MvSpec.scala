@@ -12,6 +12,48 @@ class MvSpec extends SparkSpec {
 
   def mvFrame = obsSeries(y1, "a").unionByName(obsSeries(y2, "b"))
 
+  test("BlockedVar screens the true driver and fits past the coupled-set bound") {
+    import spark.implicits._
+    def noise(t: Int): Double = {
+      var z = t.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      (math.abs(z % 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    // 80 series (past CoupledSetMax=64): one white-noise driver 'a' and 79
+    // followers tracking its lag — the screen must find 'a' for every
+    // follower, and the fitted cross-coefficient must recover 0.6
+    val nObs = 60
+    val a = (0 until nObs).map(t => 5.0 + 3.0 * noise(t))
+    val rows = (0 until nObs).flatMap { t =>
+      val ds = java.sql.Date.valueOf(java.time.LocalDate.of(2019, 1, 1).plusMonths(t))
+      ("a", ds, Some(a(t)), false) +: (1 to 79).map { i =>
+        val y = if (t == 0) 2.0 + i * 0.1
+                else 2.0 + i * 0.1 + 0.6 * a(t - 1) + 0.05 * noise(t * 100 + i)
+        (f"b$i%02d", ds, Some(y), false)
+      }
+    }
+    val frame = rows.toDF("series_id", "ds", "y", "is_future")
+    val (fits, block) = graft.models.BlockedVar.fit(frame, maxLag = 1, maxSources = 2)
+    val rank1 = block.filter(col("src_rank") === 1 && col("target") =!= "a")
+      .select("target", "src").collect()
+    assert(rank1.length == 79 && rank1.forall(_.getString(1) == "a"),
+      "every follower's screened source must be the driver")
+    // fi layout at maxLag=1, maxSources=2: 0=self lag, 1=screened source lag,
+    // 2=intercept — the driver coefficient must recover ~0.6
+    val betas = fits.filter(col("target") =!= "a").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("beta")))
+    assert(betas.length == 79)
+    betas.foreach { b =>
+      assert(math.abs(b(1) - 0.6) < 0.05, s"driver beta ${b(1)} should be ~0.6")
+      assert(math.abs(b(0)) < 0.2, s"self-lag beta ${b(0)} should be ~0")
+    }
+    val fitted = graft.models.BlockedVar.fittedValues(frame, 1, 2)
+      .filter(col("series_id") =!= "a")
+    val rmse = fitted.agg(sqrt(avg(pow(col("y") - col("yhat"), 2)))).first().getDouble(0)
+    assert(rmse < 0.1, s"follower fit rmse $rmse")
+  }
+
   test("coupled cross-lag OLS refuses an oversized series set loudly") {
     val ids = (0 to MvForecast.CoupledSetMax).map(i => s"s$i")
     val e = intercept[IllegalArgumentException](
