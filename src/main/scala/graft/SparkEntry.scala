@@ -122,7 +122,8 @@ object SparkEntry {
     "doc_decontaminate"  -> ((s, d) => qDecontaminate(s, d)),
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
-    "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d))
+    "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
+    "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -1219,6 +1220,21 @@ object SparkEntry {
         round(col("beta"), 6).as("beta"))
   }
 
+  /** Blocked-VAR recursive 6-step horizon over the 5 z-scored segments:
+    * every step fills each target's screened-source lags from the shared
+    * ledger (actuals ∪ predictions) — the coupled walk at blocked scale.
+    * Oracle collapses the blocked equations into a 5×5 update matrix W
+    * (w[t][s] = Σ β_rank over block rows routing source s into target t)
+    * and walks a recursive CTE. */
+  private def qBlockedDynamic(s: SparkSession, d: String): DataFrame = {
+    // lineUpDates enforces BlockedVar's date-aligned contract (segments can
+    // end on different months at small SF)
+    val base = withMonthlyHorizon(
+      SeriesFrame.lineUpDates(zSegmentsMonthly(s, d)), 6)
+    graft.models.BlockedVar.dynamicForecast(base, maxLag = 1, maxSources = 3)
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
+  }
+
   /** GPT-style concat-and-chunk sequence packing: whitespace token counts →
     * 8 hash shards → per-shard running offsets → 256-token context-window
     * spans. Every number is a deterministic integer, so the whole packing
@@ -1290,6 +1306,41 @@ object SparkEntry {
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  GROUP BY 1, 2
       |)""".stripMargin
+
+  /** The shared blocked-VAR CTE chain over a multi-series `series` CTE:
+    * lag table → lag-1 corr screen (rank by |c| desc, src asc; self is
+    * rank 0) → long design (k = 4) → per-target pivoted moments → grouped
+    * Cholesky solve (`bv_fit`: one β row per target). Spliced by
+    * mv_blocked_var (fit check) and mv_blocked_dynamic (recursion). */
+  private def blockedVarCtes(srcCte: String = "series"): String =
+    s"""lg AS (SELECT series_id AS src, ds,
+       |       lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS xval FROM $srcCte),
+       |pr AS (SELECT t.series_id AS target, l.src, corr(t.y, l.xval) AS c
+       |       FROM $srcCte t JOIN lg l USING (ds)
+       |       WHERE t.series_id <> l.src AND l.xval IS NOT NULL GROUP BY 1, 2),
+       |rk AS (SELECT target, src,
+       |       row_number() OVER (PARTITION BY target ORDER BY abs(c) DESC, src ASC) AS r
+       |       FROM pr WHERE c IS NOT NULL),
+       |blk AS (SELECT series_id AS target, series_id AS src, 0 AS r
+       |        FROM (SELECT DISTINCT series_id FROM $srcCte)
+       |        UNION ALL SELECT target, src, r FROM rk WHERE r <= 2),
+       |dz AS (SELECT b.target, l.ds, b.r AS fi, l.xval AS x
+       |       FROM blk b JOIN lg l ON b.src = l.src WHERE l.xval IS NOT NULL
+       |       UNION ALL SELECT series_id, ds, 3, 1.0 FROM $srcCte),
+       |cm AS (SELECT target, ds FROM dz GROUP BY 1, 2 HAVING count(*) = 4),
+       |rws AS (SELECT d.target, d.ds, d.fi, d.x, s.y AS yt
+       |        FROM dz d JOIN cm USING (target, ds)
+       |        JOIN $srcCte s ON s.series_id = d.target AND s.ds = d.ds),
+       |bv_m AS (SELECT a.target,
+       |  ${(for (i <- 0 to 3; j <- 0 to i) yield
+            s"sum(CASE WHEN a.fi = $i AND b.fi = $j THEN a.x * b.x END) AS sa_${i}_$j")
+            .mkString(", ")},
+       |  ${(0 to 3).map(i =>
+            s"sum(CASE WHEN a.fi = $i AND b.fi = $i THEN a.x * a.yt END) AS sb_$i")
+            .mkString(", ")}
+       |  FROM rws a JOIN rws b ON a.target = b.target AND a.ds = b.ds
+       |  GROUP BY a.target),
+       |${OracleGen.solveCtes("bv", 3)}""".stripMargin
 
   /** [[SEG]] with per-series z-scoring (the grouped twin of [[ZS]]) plus the
     * raw per-series minimum (`mn`) for log-gate decisions. */
@@ -1909,40 +1960,51 @@ object SparkEntry {
     // pivoted per target → one grouped Cholesky chain solves every equation
     "mv_blocked_var" ->
       s"""$ZSEG,
-         |lg AS (SELECT series_id AS src, ds,
-         |       lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS xval FROM series),
-         |pr AS (SELECT t.series_id AS target, l.src, corr(t.y, l.xval) AS c
-         |       FROM series t JOIN lg l USING (ds)
-         |       WHERE t.series_id <> l.src AND l.xval IS NOT NULL GROUP BY 1, 2),
-         |rk AS (SELECT target, src,
-         |       row_number() OVER (PARTITION BY target ORDER BY abs(c) DESC, src ASC) AS r
-         |       FROM pr WHERE c IS NOT NULL),
-         |blk AS (SELECT series_id AS target, series_id AS src, 0 AS r
-         |        FROM (SELECT DISTINCT series_id FROM series)
-         |        UNION ALL SELECT target, src, r FROM rk WHERE r <= 2),
-         |dz AS (SELECT b.target, l.ds, b.r AS fi, l.xval AS x
-         |       FROM blk b JOIN lg l ON b.src = l.src WHERE l.xval IS NOT NULL
-         |       UNION ALL SELECT series_id, ds, 3, 1.0 FROM series),
-         |cm AS (SELECT target, ds FROM dz GROUP BY 1, 2 HAVING count(*) = 4),
-         |rws AS (SELECT d.target, d.ds, d.fi, d.x, s.y AS yt
-         |        FROM dz d JOIN cm USING (target, ds)
-         |        JOIN series s ON s.series_id = d.target AND s.ds = d.ds),
-         |bv_m AS (SELECT a.target,
-         |  ${(for (i <- 0 to 3; j <- 0 to i) yield
-              s"sum(CASE WHEN a.fi = $i AND b.fi = $j THEN a.x * b.x END) AS sa_${i}_$j")
-              .mkString(", ")},
-         |  ${(0 to 3).map(i =>
-              s"sum(CASE WHEN a.fi = $i AND b.fi = $i THEN a.x * a.yt END) AS sb_$i")
-              .mkString(", ")}
-         |  FROM rws a JOIN rws b ON a.target = b.target AND a.ds = b.ds
-         |  GROUP BY a.target),
-         |${OracleGen.solveCtes("bv", 3)}
+         |${blockedVarCtes()}
          |SELECT f.target AS series_id, CAST(g.fi AS BIGINT) AS fi,
          |  coalesce(b2.src, 'intercept') AS src,
          |  ROUND(CASE g.fi WHEN 0 THEN beta_0 WHEN 1 THEN beta_1
          |        WHEN 2 THEN beta_2 ELSE beta_3 END, 6) AS beta
          |FROM bv_fit f CROSS JOIN (VALUES (0), (1), (2), (3)) g(fi)
          |LEFT JOIN blk b2 ON b2.target = f.target AND b2.r = g.fi""".stripMargin,
+
+    // blocked-VAR coupled recursion: the per-target blocked equations
+    // collapse to one 5x5 update matrix W + intercepts; a recursive CTE
+    // walks the 6 steps from the last observed state
+    "mv_blocked_dynamic" -> {
+      val sids = Segments
+      def sn(s: String) = s.take(2).toLowerCase
+      val wcols = (for (t <- sids; s <- sids) yield
+        s"sum(CASE WHEN b.target = '$t' AND b.src = '$s' THEN " +
+          s"(CASE b.r WHEN 0 THEN f.beta_0 WHEN 1 THEN f.beta_1 ELSE f.beta_2 END) " +
+          s"ELSE 0 END) AS w_${sn(t)}_${sn(s)}").mkString(", ")
+      val ccols = sids.map(t =>
+        s"max(CASE WHEN b.target = '$t' AND b.r = 0 THEN f.beta_3 END) AS c_${sn(t)}")
+        .mkString(", ")
+      val seed = sids.map(s =>
+        s"(SELECT y FROM series2, nn WHERE series_id = '$s' AND ds = ld) AS p_${sn(s)}")
+        .mkString(", ")
+      val step = sids.map(t =>
+        s"w.c_${sn(t)} + " +
+          sids.map(s => s"w.w_${sn(t)}_${sn(s)} * rec.p_${sn(s)}").mkString(" + "))
+        .mkString(", ")
+      val fin = sids.map(s =>
+        s"SELECT '$s' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds, " +
+          s"ROUND(p_${sn(s)}, 6) AS yhat FROM rec, nn WHERE i >= 1")
+        .mkString("\n UNION ALL ")
+      s"""${ZSEG.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bounds AS (SELECT max(mn) AS lo, min(mx) AS hi FROM
+         |  (SELECT series_id, min(ds) AS mn, max(ds) AS mx FROM series GROUP BY 1)),
+         |series2 AS (SELECT s.* FROM series s, bounds WHERE s.ds BETWEEN lo AND hi),
+         |${blockedVarCtes("series2")},
+         |wm AS (SELECT $wcols, $ccols FROM blk b JOIN bv_fit f ON f.target = b.target),
+         |nn AS (SELECT max(ds) AS ld FROM series2),
+         |rec AS (
+         |  SELECT 0 AS i, $seed FROM nn
+         |  UNION ALL
+         |  SELECT rec.i + 1, $step FROM rec, wm w WHERE rec.i < 6)
+         |$fin""".stripMargin
+    },
 
     // save_feature_importance: |standardized coefficient| = |beta_j| * sd_j
     // of the unstandardized OLS fit; rank by importance desc with the

@@ -124,6 +124,60 @@ object BlockedVar {
       .select(col("target").as(SeriesId), col(Ds), col(Y), col("yhat"))
   }
 
+  /** Recursive horizon forecast over the blocked equations — the coupled
+    * walk of [[MvForecast.dynamicForecast]] at blocked scale: each horizon
+    * step fills EVERY target's screened-source lags from the shared ledger
+    * (actuals ∪ all predictions so far) and scores them set-based — one
+    * small job per step, independent of the series count. Requires
+    * date-aligned series (each series' horizon spine at the same dates),
+    * the same contract as the coupled-set path. Returns horizon rows
+    * (series_id, ds, yhat). */
+  def dynamicForecast(frame: DataFrame, maxLag: Int, maxSources: Int): DataFrame = {
+    val (fits0, block0) = fit(frame, maxLag, maxSources)
+    val fits = fits0.localCheckpoint(false)
+    val block = block0
+    val k = maxSources * maxLag + 1
+    val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
+    val obs = withT.filter(!col(IsFuture))
+    val fut = withT.filter(col(IsFuture))
+      .withColumn("_step", row_number().over(w)).localCheckpoint(true)
+    val maxStep = {
+      val r = fut.agg(max("_step")).first()
+      if (r.isNullAt(0)) 0 else r.getInt(0)
+    }
+    // ledger seed: only the trailing maxLag + h actuals per series matter
+    val lastT = obs.groupBy(SeriesId).agg(max("_t").as("_maxT"))
+    var known = List(obs.join(lastT, Seq(SeriesId))
+      .filter(col("_t") > col("_maxT") - (maxLag + maxStep))
+      .select(col(SeriesId).as("src"), col("_t"), col(Y).as("_v"))
+      .localCheckpoint(true))
+    var preds = List.empty[DataFrame]
+    val lagIdx = (1 to maxLag).toArray
+    for (i <- 1 to maxStep) {
+      val ledger = known.reduce(_ unionByName _)
+      val rows = fut.filter(col("_step") === i)
+        .select(col(SeriesId).as("target"), col(Ds), col("_t"))
+      val feats = rows.join(block, Seq("target"))
+        .withColumn("lag", explode(lit(lagIdx)))
+        .join(ledger.withColumnRenamed("_t", "_tv"),
+          Seq("src")) // then align _tv = _t - lag
+        .filter(col("_tv") === col("_t") - col("lag"))
+        .select(col("target"), col(Ds), col("_t"),
+          (col("src_rank") * maxLag + col("lag") - 1).as("fi"), col("_v").as("x"))
+        .unionByName(rows.select(col("target"), col(Ds), col("_t"),
+          lit(k - 1).as("fi"), lit(1.0).as("x")))
+      val scored = feats.join(fits, Seq("target"))
+        .groupBy(col("target"), col(Ds), col("_t"))
+        .agg(sum(col("x") * element_at(col("beta"), col("fi") + 1)).as("yhat"))
+        .localCheckpoint(true)
+      known ::= scored.select(col("target").as("src"), col("_t"), col("yhat").as("_v"))
+      preds ::= scored
+    }
+    preds.reduceOption(_ unionByName _)
+      .map(_.select(col("target").as(SeriesId), col(Ds), col("yhat")))
+      .getOrElse(frame.sparkSession.emptyDataFrame)
+  }
+
   /** Long design rows (target, ds, fi, x): the block's source lags at
     * featIdx = src_rank·maxLag + lag − 1, plus the intercept at k − 1. */
   private def designRows(obs: DataFrame, block: DataFrame, maxLag: Int,

@@ -54,6 +54,32 @@ class MvSpec extends SparkSpec {
     assert(rmse < 0.1, s"follower fit rmse $rmse")
   }
 
+  test("BlockedVar dynamicForecast walks the coupled horizon (driver feeds followers)") {
+    import spark.implicits._
+    // deterministic driver + one follower b = 0.5*a_{t-1} + 1 EXACTLY:
+    // the blocked recursion must reproduce the hand recursion to ~1e-9
+    val nObs = 40
+    val a = (0 until nObs).map(t => 10.0 + 3.0 * math.sin(t / 2.0) + 0.2 * t)
+    val b = (0 until nObs).map(t => if (t == 0) 5.0 else 0.5 * a(t - 1) + 1.0)
+    val frame = graft.core.SeriesFrame.withMonthlyHorizon(
+      obsSeries(a, "a").unionByName(obsSeries(b, "b")), 4)
+    val out = graft.models.BlockedVar.dynamicForecast(frame, maxLag = 1, maxSources = 2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    assert(out.length == 8, s"both series x 4 steps, got ${out.length}")
+    // replay: a's own equation drives a-hat; b-hat(step i) = 0.5*a-hat(i-1)+1
+    val aFit = graft.models.BlockedVar.fit(frame, 1, 2)._1
+      .filter(col("target") === "a").first().getSeq[Double](1)
+    var aPrev = a.last
+    val bPreds = out.filter(_._1 == "b").sortBy(_._2).map(_._3)
+    val aPreds = out.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    for (i <- 0 until 4) {
+      val bExpect = 0.5 * aPrev + 1.0
+      assert(math.abs(bPreds(i) - bExpect) < 1e-6,
+        s"step $i: b ${bPreds(i)} vs $bExpect")
+      aPrev = aPreds(i)
+    }
+  }
+
   test("coupled cross-lag OLS refuses an oversized series set loudly") {
     val ids = (0 to MvForecast.CoupledSetMax).map(i => s"s$i")
     val e = intercept[IllegalArgumentException](
