@@ -123,7 +123,8 @@ object SparkEntry {
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
-    "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d))
+    "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d)),
+    "ts_opt_transform_by_series" -> ((s, d) => qOptTransformBySeries(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -330,6 +331,19 @@ object SparkEntry {
   private def qSeasonalLengthBySeries(s: SparkSession, d: String): DataFrame =
     graft.eval.AutoSelect.findSeasonalLengthBySeries(segmentMonthlyM(s, d), Seq(3, 4, 6, 12))
       .select(col(SeriesId), col("m").cast("long").as("m"), round(col("acf"), 6).as("acf"))
+
+  /** Grouped `find_optimal_transformation` (util.py:575-896 per series):
+    * the greedy detrend → diff1 try-order with PER-SERIES accept decisions,
+    * each candidate scored by the per-series AR(4)-OLS holdout RMSE
+    * ([[graft.models.GroupedOls]]). The oracle replays both grouped scoring
+    * chains, the per-series detrend fit, the accept CASEs, and the blended
+    * second-stage input. */
+  private def qOptTransformBySeries(s: SparkSession, d: String): DataFrame = {
+    val (recipes, _) = graft.eval.AutoSelect.findOptimalTransformationBySeries(
+      zSegmentsMonthly(s, d), m = 12, h = 12, candidateNames = Seq("detrend", "diff1"))
+    recipes.select(col(SeriesId), col("candidate"),
+      round(col("cand_rmse"), 6).as("cand_rmse"), col("accepted"))
+  }
 
   /** Grouped `find_statistical_transformation` decision table
     * (util.py:431-572 per series): per-series ADF on the internally z-scored
@@ -1342,6 +1356,33 @@ object SparkEntry {
        |  GROUP BY a.target),
        |${OracleGen.solveCtes("bv", 3)}""".stripMargin
 
+  /** Grouped AR(4)-OLS holdout scoring CTEs over a multi-series source CTE
+    * `src` (series_id, ds, y — null y rows allowed, they just can't train):
+    * per-series t/n indices, last-12 holdout, grouped Cholesky fit, and the
+    * per-series test RMSE in `<tag>_sc(series_id, r)`. The grouped twin of
+    * [[ar4ScoreCtes]]. */
+  private def ar4ScoreBySeriesCtes(tag: String, src: String): String = {
+    val lags = (1 to 4).map(i => s"a$i")
+    val pred = "beta_0" + lags.zipWithIndex.map { case (x, i) => s" + beta_${i + 1}*$x" }.mkString
+    s"""${tag}_b AS MATERIALIZED (SELECT series_id, ds, y,
+       |  CAST(row_number() OVER (PARTITION BY series_id ORDER BY ds) AS DOUBLE) AS t,
+       |  ${(1 to 4).map(i =>
+            s"lag(y, $i) OVER (PARTITION BY series_id ORDER BY ds) AS a$i").mkString(", ")}
+       |  FROM $src),
+       |${tag}_n AS (SELECT series_id, count(*) AS n FROM ${tag}_b GROUP BY 1),
+       |${tag}_tr AS (SELECT b.* FROM ${tag}_b b JOIN ${tag}_n USING (series_id)
+       |  WHERE t <= n - 12 AND y IS NOT NULL
+       |    AND ${lags.map(l => s"$l IS NOT NULL").mkString(" AND ")}),
+       |${tag}_te AS (SELECT b.* FROM ${tag}_b b JOIN ${tag}_n USING (series_id)
+       |  WHERE t > n - 12 AND ${lags.map(l => s"$l IS NOT NULL").mkString(" AND ")}),
+       |${OracleGen.momentsCte(tag, lags, s"${tag}_tr", keys = Seq("series_id"))},
+       |${OracleGen.solveCtes(tag, 4)},
+       |${tag}_sc AS MATERIALIZED (SELECT te.series_id,
+       |  sqrt(avg(pow(y - ($pred), 2))) AS r
+       |  FROM ${tag}_te te JOIN ${tag}_fit USING (series_id)
+       |  GROUP BY te.series_id)""".stripMargin
+  }
+
   /** [[SEG]] with per-series z-scoring (the grouped twin of [[ZS]]) plus the
     * raw per-series minimum (`mn`) for log-gate decisions. */
   private val ZSEG =
@@ -1923,6 +1964,46 @@ object SparkEntry {
          |    OVER (PARTITION BY series_id ORDER BY acf DESC, lag ASC) AS rk FROM acfs)
          |SELECT series_id, CAST(lag AS BIGINT) AS m, ROUND(acf, 6) AS acf
          |FROM best WHERE rk = 1""".stripMargin,
+
+    // grouped find_optimal_transformation: detrend -> diff1 greedy with
+    // per-series accepts; three grouped AR(4) scoring chains (base, detrend
+    // candidate, diff candidate over the blended input), per-series detrend
+    // fit in closed form, accept CASEs mirror the engine's strict-< + NaN
+    // skip policy
+    "ts_opt_transform_by_series" ->
+      s"""$ZSEG,
+         |${ar4ScoreBySeriesCtes("q0", "series")},
+         |st AS (SELECT series_id, ds, y,
+         |  CAST(row_number() OVER (PARTITION BY series_id ORDER BY ds) AS DOUBLE) AS t
+         |  FROM series),
+         |dt AS (SELECT series_id, covar_samp(t, y) / var_samp(t) AS slope,
+         |       avg(y) - covar_samp(t, y) / var_samp(t) * avg(t) AS icept
+         |       FROM st GROUP BY 1),
+         |d1 AS (SELECT st.series_id, st.ds, st.y - (icept + slope * t) AS y
+         |       FROM st JOIN dt USING (series_id)),
+         |${ar4ScoreBySeriesCtes("q1", "d1")},
+         |a1 AS MATERIALIZED (SELECT q0_sc.series_id, q0_sc.r AS r0, q1_sc.r AS r1,
+         |  (q1_sc.r IS NOT NULL AND NOT isnan(q1_sc.r) AND NOT isnan(q0_sc.r)
+         |   AND q1_sc.r < q0_sc.r) AS acc1
+         |  FROM q0_sc LEFT JOIN q1_sc USING (series_id)),
+         |yc AS (SELECT s.series_id, s.ds,
+         |  CASE WHEN a.acc1 THEN d.y ELSE s.y END AS y
+         |  FROM series s JOIN a1 a USING (series_id)
+         |  LEFT JOIN d1 d ON d.series_id = s.series_id AND d.ds = s.ds
+         |  WHERE CASE WHEN a.acc1 THEN d.y ELSE s.y END IS NOT NULL),
+         |d2 AS (SELECT series_id, ds,
+         |  y - lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS y FROM yc),
+         |${ar4ScoreBySeriesCtes("q2", "d2")},
+         |a2 AS MATERIALIZED (SELECT a1.series_id,
+         |  CASE WHEN a1.acc1 THEN a1.r1 ELSE a1.r0 END AS cs, q2_sc.r AS r2,
+         |  (q2_sc.r IS NOT NULL AND NOT isnan(q2_sc.r)
+         |   AND NOT isnan(CASE WHEN a1.acc1 THEN a1.r1 ELSE a1.r0 END)
+         |   AND q2_sc.r < CASE WHEN a1.acc1 THEN a1.r1 ELSE a1.r0 END) AS acc2
+         |  FROM a1 LEFT JOIN q2_sc USING (series_id))
+         |SELECT series_id, 'detrend' AS candidate, ROUND(r1, 6) AS cand_rmse,
+         |       acc1 AS accepted FROM a1
+         |UNION ALL
+         |SELECT series_id, 'diff1', ROUND(r2, 6), acc2 FROM a2""".stripMargin,
 
     // grouped find_statistical_transformation decision table: every
     // segment's ADF(p=1) regression solved in ONE grouped Cholesky chain

@@ -392,6 +392,80 @@ object AutoSelect {
   final case class OptimalTransform(stack: TransformStack, frame: DataFrame,
                                     score: Double, accepted: Seq[String])
 
+  /** Grouped `find_optimal_transformation` (util.py:575-896 applied PER
+    * SERIES): the same greedy try-order, but every candidate is accepted or
+    * rejected independently for each series — the 10⁶-series version of the
+    * global decision [[findOptimalTransformation]] makes. Per candidate:
+    * ONE fit over all series ([[graft.operators.Transforms]] params are
+    * per-series already), ONE grouped scoring pass
+    * ([[graft.models.GroupedOls.scoreFeaturesBySeries]] — per-series AR(4)
+    * OLS holdout RMSE), and a join+`when` blend that adopts the transformed
+    * y only where it improved. Rows whose y nulls out under an adopted
+    * transform (a diff head) drop, matching the global path's filter.
+    *
+    * Returns (recipes, frame): recipes = one row per (series, candidate)
+    * with the candidate's score and the accept decision; frame = the
+    * per-series-transformed series. (The decision table is the product —
+    * like [[statTransformRecipesBySeries]]; revert bookkeeping for mixed
+    * per-series stacks is the caller's choice of recipe replay.) */
+  def findOptimalTransformationBySeries(frame: DataFrame, m: Int = 12, h: Int = 12,
+                                        candidateNames: Seq[String] = Seq("detrend", "diff1"))
+      : (DataFrame, DataFrame) = {
+    import graft.models.GroupedOls
+    def score(df: DataFrame): DataFrame = {
+      val withAr = FeatureOps.addArTerms(df.filter(!col(IsFuture)), 4)
+      GroupedOls.scoreFeaturesBySeries(withAr, (1 to 4).map(i => s"ar_$i"), h)
+    }
+    val all: Seq[(String, DataFrame => FittedTransform)] = Seq(
+      "detrend"  -> ((df: DataFrame) => Transforms.detrendLinearT(df)),
+      "deseason" -> ((df: DataFrame) => Transforms.deseasonT(df, m)),
+      "boxcox"   -> ((df: DataFrame) => Transforms.boxcoxMleT(df)),
+      "diff1"    -> ((df: DataFrame) => Transforms.diffT(df, 1)),
+      s"diff$m"  -> ((df: DataFrame) => Transforms.diffT(df, m)),
+      "scale"    -> ((df: DataFrame) => Transforms.scaleT(df))
+    )
+    val candidates = all.filter(c => candidateNames.contains(c._1))
+    var cur = frame.filter(!col(IsFuture)).localCheckpoint(true)
+    var curScores = score(cur).withColumnRenamed("rmse", "_cs").localCheckpoint(true)
+    var recipes = List.empty[DataFrame]
+    candidates.foreach { case (name, mk) =>
+      val attempt = scala.util.Try {
+        val t = mk(cur)
+        val cand = t.transform(cur)
+        val candScores = score(cand).withColumnRenamed("rmse", "_ns")
+        val decided = curScores.join(candScores, Seq(SeriesId), "left")
+          .withColumn("accepted",
+            col("_ns").isNotNull && !isnan(col("_ns")) && !isnan(col("_cs")) &&
+              col("_ns") < col("_cs"))
+          .localCheckpoint(true)
+        val blended = cur.withColumnRenamed(Y, "_y0")
+          .join(cand.select(col(SeriesId), col(Ds), col(Y).as("_y1")),
+            Seq(SeriesId, Ds.toString), "left")
+          .join(graft.core.Joins.maybeBroadcast(
+            decided.select(col(SeriesId), col("accepted"))), Seq(SeriesId), "left")
+          .withColumn(Y, when(col("accepted"), col("_y1")).otherwise(col("_y0")))
+          .filter(col(Y).isNotNull && !isnan(col(Y)))
+          .drop("_y0", "_y1", "accepted")
+        (decided, blended)
+      }
+      attempt.toOption match {
+        case Some((decided, blended)) =>
+          recipes ::= decided.select(col(SeriesId), lit(name).as("candidate"),
+            col("_ns").as("cand_rmse"), col("accepted"))
+          cur = blended.localCheckpoint(true)
+          curScores = decided
+            .withColumn("_cs", when(col("accepted"), col("_ns")).otherwise(col("_cs")))
+            .select(col(SeriesId), col("_cs")).localCheckpoint(true)
+        case None => // a candidate that errors outright is skipped for ALL
+          // series (the reference's try-order error policy)
+      }
+    }
+    val spark = frame.sparkSession
+    val recipe = recipes.reverse.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+    (recipe, cur)
+  }
+
   /** Candidate transformations in the reference's try-order
     * (util.py:575-896): detrend, deseason, log, diff(1), diff(m), scale.
     * Each is kept only if the AR(4)-OLS validation RMSE improves. Pass

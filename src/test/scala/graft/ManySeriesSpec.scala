@@ -131,6 +131,59 @@ class ManySeriesSpec extends SparkSpec {
     assert(math.abs(s0.head - expHead) < 1e-9, s"got ${s0.head} want $expHead")
   }
 
+  test("GroupedOls matches per-series Ols.fit exactly") {
+    val f = manySeries()
+    val withFeats = graft.functions.FeatureOps.addArTerms(
+      graft.functions.FeatureOps.addTimeTrend(f), 2)
+    val feats = Seq("t", "ar_1", "ar_2")
+    val grouped = graft.models.GroupedOls.fitBySeries(withFeats, feats)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(grouped.size == nSeries)
+    for (sid <- Seq("s000", "s042", "s119")) {
+      val single = graft.models.Ols.fit(
+        withFeats.filter(col("series_id") === sid), feats)
+      val g = grouped(sid)
+      assert(math.abs(g.head - single.intercept) < 1e-8, s"$sid intercept")
+      single.beta.zip(g.tail).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-8, s"$sid beta $a vs $b") }
+    }
+  }
+
+  test("findOptimalTransformationBySeries accepts detrend only where it helps") {
+    import spark.implicits._
+    // even series: strong linear trend (detrend must win); odd: mean-
+    // reverting two-tone oscillation (detrend must be rejected)
+    val n = 200; val obs = 48
+    val big = spark.range(n.toLong * obs).select(
+      format_string("s%04d", (col("id") / obs).cast("int")).as("series_id"),
+      expr(s"date_add(date '2020-01-01', cast(id % $obs as int) * 7)")
+        .cast("date").as("ds"),
+      when(((col("id") / obs).cast("long") % 2) === 0,
+          (col("id") % obs).cast("double") * 4.0 + 10.0 + sin(col("id").cast("double")))
+        .otherwise(sin(col("id").cast("double") * 2.39) * 3.0 +
+          sin(col("id").cast("double") * 0.9) * 2.0 + 10.0).as("y"),
+      lit(false).as("is_future"))
+    val (recipes, outFrame) = graft.eval.AutoSelect
+      .findOptimalTransformationBySeries(big, h = 12, candidateNames = Seq("detrend"))
+    // the decision is about holdout-rmse improvement, not trend presence, so
+    // allow a few marginal series; the split must still clearly follow the
+    // even (trending) / odd (stationary) construction
+    val acc = recipes.filter(col("candidate") === "detrend" && col("accepted"))
+      .select("series_id").collect().map(_.getString(0)).toSet
+    val evenAcc = acc.count(s => s.stripPrefix("s").toInt % 2 == 0)
+    assert(evenAcc >= 90, s"most trending series must accept detrend: $evenAcc/100")
+    assert(acc.size - evenAcc <= 10,
+      s"few stationary series may accept detrend: ${acc.size - evenAcc}/100")
+    // the blended frame really is detrended for accepted series only:
+    // a trending series' mean |y| collapses, a stationary one is untouched
+    val m0 = outFrame.filter(col("series_id") === "s0000")
+      .agg(avg(abs(col("y")))).first().getDouble(0)
+    assert(m0 < 10.0, s"detrended trending series should hug 0, got $m0")
+    val sTail = outFrame.filter(col("series_id") === "s0001")
+      .agg(avg(col("y"))).first().getDouble(0)
+    assert(math.abs(sTail - 10.0) < 1.0, s"untouched series keeps its level: $sTail")
+  }
+
   test("seasonalDecompose keeps components per-series on a shared frame") {
     val out = graft.operators.Transforms.seasonalDecompose(manySeries(), 12)
     assert(out.count() == nSeries.toLong * nObs)
