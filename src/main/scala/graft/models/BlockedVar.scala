@@ -100,7 +100,7 @@ object BlockedVar {
       val a = Array.tabulate(k, k)((i, j) =>
         r.getDouble(r.fieldIndex(s"sa_${math.max(i, j)}_${math.min(i, j)}")))
       val b = Array.tabulate(k)(i => r.getDouble(r.fieldIndex(s"sb_$i")))
-      Row(r.getString(r.fieldIndex("target")), solve(a, b).toSeq)
+      Row(r.getString(r.fieldIndex("target")), GroupedOls.solve(a, b).toSeq)
     })(Encoders.row(outSchema)).toDF()
     (fits, block)
   }
@@ -190,23 +190,4 @@ object BlockedVar {
     feats.unionByName(icpt)
   }
 
-  /** Gaussian elimination with partial pivoting (executor-side, k ≤ ~20). */
-  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
-    val k = b0.length
-    val a = a0.map(_.clone); val b = b0.clone
-    for (c <- 0 until k) {
-      val piv = (c until k).maxBy(r => math.abs(a(r)(c)))
-      val t = a(c); a(c) = a(piv); a(piv) = t
-      val tb = b(c); b(c) = b(piv); b(piv) = tb
-      val d = a(c)(c)
-      for (j <- 0 until k) a(c)(j) /= d
-      b(c) /= d
-      for (r <- 0 until k if r != c) {
-        val f = a(r)(c)
-        for (j <- 0 until k) a(r)(j) -= f * a(c)(j)
-        b(r) -= f * b(c)
-      }
-    }
-    b
-  }
 }

@@ -64,7 +64,9 @@ object GroupedOls {
     graft.eval.Evaluation.metricsOverTest(scored, Seq("rmse"))
   }
 
-  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+  /** Gaussian elimination with partial pivoting — the executor-side solver
+    * shared by every grouped closed-form fit (here and [[BlockedVar]]). */
+  private[models] def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
     val k = b0.length
     val a = a0.map(_.clone); val b = b0.clone
     for (c <- 0 until k) {
