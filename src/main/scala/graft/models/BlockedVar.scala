@@ -46,13 +46,18 @@ object BlockedVar {
   /** Step 1+2: the per-target source block — (target, src, src_rank) with
     * rank 0 = the target itself, ranks 1..maxSources−1 the strongest
     * foreign sources by |lag-1 correlation| (ties broken by src id). */
-  def screen(frame: DataFrame, maxLag: Int, maxSources: Int): DataFrame = {
+  def screen(frame: DataFrame, maxLag: Int, maxSources: Int,
+             minAbsCorr: Double = 0.0): DataFrame = {
     val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
     val targets = obs.select(col(SeriesId).as("target"), col(Ds), col(Y))
     val pairs = targets.join(lagsLong(obs, 1), Seq(Ds.toString))
       .filter(col("target") =!= col("src"))
       .groupBy("target", "src").agg(corr(col(Y), col("xval")).as("_c"))
-      .filter(col("_c").isNotNull)
+      // minAbsCorr > 0 drops noise edges entirely: targets with no real
+      // cross-driver keep only their own lags, and the coupling graph's
+      // components stay small — which is what the component-parallel
+      // recursion exploits
+      .filter(col("_c").isNotNull && abs(col("_c")) >= minAbsCorr)
     val ranked = pairs.withColumn("src_rank",
       row_number().over(Window.partitionBy("target")
         .orderBy(abs(col("_c")).desc, col("src").asc)))
@@ -68,9 +73,10 @@ object BlockedVar {
     * last) — plus the chosen block for interpretation/replay.
     * Returns (fits, block) where fits = (target, beta array[k]) and
     * block = [[screen]]'s (target, src, src_rank). */
-  def fit(frame: DataFrame, maxLag: Int, maxSources: Int): (DataFrame, DataFrame) = {
+  def fit(frame: DataFrame, maxLag: Int, maxSources: Int,
+          minAbsCorr: Double = 0.0): (DataFrame, DataFrame) = {
     val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
-    val block = screen(frame, maxLag, maxSources).localCheckpoint(false)
+    val block = screen(frame, maxLag, maxSources, minAbsCorr).localCheckpoint(false)
     val k = maxSources * maxLag + 1
     val design = designRows(obs, block, maxLag, k)
     // complete (target, ds) rows: all k features present and y known
@@ -107,9 +113,10 @@ object BlockedVar {
 
   /** Fitted values over the complete observed rows: (series_id, ds, y, yhat)
     * — a join + grouped dot product, no per-equation jobs. */
-  def fittedValues(frame: DataFrame, maxLag: Int, maxSources: Int): DataFrame = {
+  def fittedValues(frame: DataFrame, maxLag: Int, maxSources: Int,
+                   minAbsCorr: Double = 0.0): DataFrame = {
     val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
-    val (fits, block) = fit(frame, maxLag, maxSources)
+    val (fits, block) = fit(frame, maxLag, maxSources, minAbsCorr)
     val k = maxSources * maxLag + 1
     val design = designRows(obs, block, maxLag, k)
     val complete = design.groupBy("target", Ds)
@@ -125,57 +132,115 @@ object BlockedVar {
   }
 
   /** Recursive horizon forecast over the blocked equations — the coupled
-    * walk of [[MvForecast.dynamicForecast]] at blocked scale: each horizon
-    * step fills EVERY target's screened-source lags from the shared ledger
-    * (actuals ∪ all predictions so far) and scores them set-based — one
-    * small job per step, independent of the series count. Requires
-    * date-aligned series (each series' horizon spine at the same dates),
-    * the same contract as the coupled-set path. Returns horizon rows
-    * (series_id, ds, yhat). */
-  def dynamicForecast(frame: DataFrame, maxLag: Int, maxSources: Int): DataFrame = {
-    val (fits0, block0) = fit(frame, maxLag, maxSources)
-    val fits = fits0.localCheckpoint(false)
-    val block = block0
+    * walk of [[MvForecast.dynamicForecast]] at blocked scale. The coupling
+    * graph (edges = each target's screened sources) decomposes into
+    * connected components, and components are INDEPENDENT: the whole
+    * recursion runs as ONE `flatMapGroups` pass keyed by component — each
+    * component's horizon walks sequentially inside an executor task with
+    * state bounded at |component| × (maxLag + h) ledger values, components
+    * parallelize across the cluster, and there are zero per-step job
+    * barriers (the same shape [[Recursive.dynamicForecastScorer]] uses per
+    * series, lifted to the coupling unit the blocked equations force).
+    * Component discovery is driver-side union-find over the block EDGES —
+    * nSeries·maxSources slim decision rows, the same driver-bounded class
+    * as fold metrics and manifests, never observation data.
+    * Requires date-aligned series (each series' horizon spine at the same
+    * dates), the coupled-set contract. Returns (series_id, ds, yhat). */
+  def dynamicForecast(frame: DataFrame, maxLag: Int, maxSources: Int,
+                      minAbsCorr: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val (fits, block) = fit(frame, maxLag, maxSources, minAbsCorr)
     val k = maxSources * maxLag + 1
     val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
     val obs = withT.filter(!col(IsFuture))
     val fut = withT.filter(col(IsFuture))
-      .withColumn("_step", row_number().over(w)).localCheckpoint(true)
     val maxStep = {
-      val r = fut.agg(max("_step")).first()
-      if (r.isNullAt(0)) 0 else r.getInt(0)
+      val r = fut.groupBy(SeriesId).count().agg(max("count")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    // ledger seed: only the trailing maxLag + h actuals per series matter
+    if (maxStep == 0) return frame.sparkSession.emptyDataFrame
+    // driver union-find over the slim edge list → component id per series
+    val edges = block.select(col("target"), col("src")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val comp = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(s => s -> find(s)).toMap
+    val bcComp = frame.sparkSession.sparkContext.broadcast(comp)
+    val compOf = udf((sid: String) => bcComp.value.getOrElse(sid, sid))
+    // one tagged frame carries everything a component's walk needs:
+    // kind 0 = trailing actual (sid, t, v); 1 = horizon row (sid, t, ds);
+    // 2 = equation betas (sid, arr); 3 = block edge (sid, src, rank)
     val lastT = obs.groupBy(SeriesId).agg(max("_t").as("_maxT"))
-    var known = List(obs.join(lastT, Seq(SeriesId))
+    val seeds = obs.join(lastT, Seq(SeriesId))
       .filter(col("_t") > col("_maxT") - (maxLag + maxStep))
-      .select(col(SeriesId).as("src"), col("_t"), col(Y).as("_v"))
-      .localCheckpoint(true))
-    var preds = List.empty[DataFrame]
-    val lagIdx = (1 to maxLag).toArray
-    for (i <- 1 to maxStep) {
-      val ledger = known.reduce(_ unionByName _)
-      val rows = fut.filter(col("_step") === i)
-        .select(col(SeriesId).as("target"), col(Ds), col("_t"))
-      val feats = rows.join(block, Seq("target"))
-        .withColumn("lag", explode(lit(lagIdx)))
-        .join(ledger.withColumnRenamed("_t", "_tv"),
-          Seq("src")) // then align _tv = _t - lag
-        .filter(col("_tv") === col("_t") - col("lag"))
-        .select(col("target"), col(Ds), col("_t"),
-          (col("src_rank") * maxLag + col("lag") - 1).as("fi"), col("_v").as("x"))
-        .unionByName(rows.select(col("target"), col(Ds), col("_t"),
-          lit(k - 1).as("fi"), lit(1.0).as("x")))
-      val scored = feats.join(fits, Seq("target"))
-        .groupBy(col("target"), col(Ds), col("_t"))
-        .agg(sum(col("x") * element_at(col("beta"), col("fi") + 1)).as("yhat"))
-        .localCheckpoint(true)
-      known ::= scored.select(col("target").as("src"), col("_t"), col("yhat").as("_v"))
-      preds ::= scored
-    }
-    preds.reduceOption(_ unionByName _)
-      .map(_.select(col("target").as(SeriesId), col(Ds), col("yhat")))
-      .getOrElse(frame.sparkSession.emptyDataFrame)
+      .select(col(SeriesId).as("sid"), lit(0).as("kind"), col("_t").as("t"),
+        col(Y).as("v"), lit(null).cast("string").as("ds"),
+        lit(null).cast("array<double>").as("arr"),
+        lit(null).cast("string").as("src"), lit(null).cast("int").as("rank"))
+    val horizon = fut.select(col(SeriesId).as("sid"), lit(1).as("kind"),
+      col("_t").as("t"), lit(null).cast("double").as("v"),
+      col(Ds).cast("string").as("ds"), lit(null).cast("array<double>").as("arr"),
+      lit(null).cast("string").as("src"), lit(null).cast("int").as("rank"))
+    val betaRows = fits.select(col("target").as("sid"), lit(2).as("kind"),
+      lit(null).cast("int").as("t"), lit(null).cast("double").as("v"),
+      lit(null).cast("string").as("ds"), col("beta").as("arr"),
+      lit(null).cast("string").as("src"), lit(null).cast("int").as("rank"))
+    val edgeRows = block.select(col("target").as("sid"), lit(3).as("kind"),
+      lit(null).cast("int").as("t"), lit(null).cast("double").as("v"),
+      lit(null).cast("string").as("ds"), lit(null).cast("array<double>").as("arr"),
+      col("src"), col("src_rank").as("rank"))
+    val tagged = seeds.unionByName(horizon).unionByName(betaRows).unionByName(edgeRows)
+      .withColumn("_comp", compOf(col("sid")))
+    val outSchema = StructType(Seq(StructField(SeriesId, StringType),
+      StructField(Ds.toString, StringType), StructField("yhat", DoubleType)))
+    val lagN = maxLag
+    val scores = tagged
+      .groupByKey(_.getAs[String]("_comp"))(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        val ledger = scala.collection.mutable.HashMap.empty[(String, Int), Double]
+        val betas = scala.collection.mutable.HashMap.empty[String, IndexedSeq[Double]]
+        val srcsOf = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[(Int, String)]]
+        val hz = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+        rows.foreach { r =>
+          r.getAs[Int]("kind") match {
+            case 0 => ledger((r.getAs[String]("sid"), r.getAs[Int]("t"))) = r.getAs[Double]("v")
+            case 1 => hz += ((r.getAs[Int]("t"), r.getAs[String]("sid"), r.getAs[String]("ds")))
+            case 2 => betas(r.getAs[String]("sid")) = r.getAs[scala.collection.Seq[Double]]("arr").toIndexedSeq
+            case 3 => srcsOf.getOrElseUpdate(r.getAs[String]("sid"),
+              scala.collection.mutable.ArrayBuffer.empty) += ((r.getAs[Int]("rank"), r.getAs[String]("src")))
+          }
+        }
+        // walk all series' horizons in shared _t order: aligned spines mean
+        // every step's cross-references resolve from the ledger
+        hz.sortBy(h => (h._1, h._2)).iterator.map { case (t, sid, ds) =>
+          val b = betas.get(sid)
+          val yhat = b match {
+            case Some(beta) =>
+              var s = beta(k - 1) // intercept (featIdx k-1)
+              srcsOf.get(sid).foreach(_.foreach { case (rank, src) =>
+                var l = 1
+                while (l <= lagN) {
+                  s += beta(rank * lagN + l - 1) *
+                    ledger.getOrElse((src, t - l), Double.NaN)
+                  l += 1
+                }
+              })
+              s
+            case None => Double.NaN
+          }
+          ledger((sid, t)) = yhat
+          Row(sid, ds, yhat)
+        }
+      }(Encoders.row(outSchema))
+    scores.toDF().select(col(SeriesId), col(Ds).cast("date").as(Ds.toString), col("yhat"))
   }
 
   /** Long design rows (target, ds, fi, x): the block's source lags at

@@ -184,6 +184,46 @@ class ManySeriesSpec extends SparkSpec {
     assert(math.abs(sTail - 10.0) < 1.0, s"untouched series keeps its level: $sTail")
   }
 
+  test("BlockedVar component walk: 100 independent driver-follower pairs in one pass") {
+    import spark.implicits._
+    def noise(t: Long): Double = {
+      var z = t * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      (math.abs(z % 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    val nPairs = 100; val obs = 40; val h = 3
+    val rows = (0 until nPairs).flatMap { p =>
+      val a = (0 until obs).map(t => 5.0 + 3.0 * noise(p.toLong * 1000 + t))
+      (0 until obs).flatMap { t =>
+        val ds = java.sql.Date.valueOf(java.time.LocalDate.of(2019, 1, 1).plusMonths(t))
+        Seq((f"a$p%03d", ds, Some(a(t)), false),
+          (f"b$p%03d", ds,
+            Some(if (t == 0) 1.0 else 1.0 + 0.7 * a(t - 1) + 0.01 * noise(p * 7919L + t)),
+            false))
+      }
+    }
+    val frame = SeriesFrame.withMonthlyHorizon(
+      rows.toDF("series_id", "ds", "y", "is_future"), h)
+    // threshold keeps only genuine edges → the graph is 100 independent pairs
+    val out = graft.models.BlockedVar.dynamicForecast(frame, maxLag = 1,
+      maxSources = 2, minAbsCorr = 0.3)
+    assert(out.count() == nPairs * 2L * h, "every series' full horizon resolves")
+    assert(out.filter(col("yhat").isNull || isnan(col("yhat"))).count() == 0)
+    // each follower's step-1 forecast tracks its own driver's last actual
+    val lastA = rows.filter(r => r._1.startsWith("a") && !r._4)
+      .groupBy(_._1).map { case (sid, rs) => sid -> rs.maxBy(_._2.toString)._3.get }
+    val step1 = out.withColumn("_rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("series_id").orderBy("ds")))
+      .filter(col("_rk") === 1 && col("series_id").startsWith("b"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("yhat"))
+    step1.foreach { case (sid, yh) =>
+      val expect = 1.0 + 0.7 * lastA("a" + sid.stripPrefix("b"))
+      assert(math.abs(yh - expect) < 0.1, s"$sid step1 $yh vs $expect")
+    }
+  }
+
   test("seasonalDecompose keeps components per-series on a shared frame") {
     val out = graft.operators.Transforms.seasonalDecompose(manySeries(), 12)
     assert(out.count() == nSeries.toLong * nObs)
