@@ -75,7 +75,10 @@ object Grids {
     // vecm.py: lag axis (statsmodels 'deterministic'/'seasons' codes are
     // Johansen-spec options; our VECM fixes the constant-in-cointegration
     // case)
-    "vecm" -> Grid(Map("k_ar_diff" -> Seq(1, 2, 3, 4, 5, 6, 7)))
+    "vecm" -> Grid(Map("k_ar_diff" -> Seq(1, 2, 3, 4, 5, 6, 7))),
+    // tbats_like: Fourier depth x optional second seasonal period (0 = off)
+    "tbats_like" -> Grid(Map(
+      "fourier_order" -> Seq(1, 2, 3), "m2" -> Seq(0, 4, 6)))
   )
 
   /** User-registered grids (`set_grids_file` / a user's own Grids.py,
