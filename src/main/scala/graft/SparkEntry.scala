@@ -549,6 +549,19 @@ object SparkEntry {
     xvarSelMemo.getOrElseUpdate((s, d),
       graft.eval.AutoSelect.autoXvarSelect(zOrdersMonthly(s, d), maxAr = 2, h = 12))
 
+  /** mv_blocked_var and mv_blocked_dynamic share the SAME screened fit on
+    * the same segments frame; memoize (fits, block) checkpointed. */
+  private val blockedFitMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def blockedFitM(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    blockedFitMemo.getOrElseUpdate((s, d), {
+      // both blocked queries fit on the SAME date-aligned window (the
+      // recursion's contract; the screen sees identical rows)
+      val (fits, block) = graft.models.BlockedVar.fit(
+        SeriesFrame.lineUpDates(zSegmentsMonthly(s, d)), maxLag = 1, maxSources = 3)
+      (fits.localCheckpoint(true), block.localCheckpoint(true))
+    })
+
   /** Build the session-scoped series memos up front and return nothing —
     * bench hygiene: the one-time localCheckpoint builds become their own
     * measured line item (`memo_build` in the bench JSON) instead of landing
@@ -1225,8 +1238,7 @@ object SparkEntry {
     * equation's β labeled by the screened source it multiplies — both the
     * screen DECISION and the fit are hash-checked. */
   private def qBlockedVar(s: SparkSession, d: String): DataFrame = {
-    val (fits, block) = graft.models.BlockedVar.fit(zSegmentsMonthly(s, d),
-      maxLag = 1, maxSources = 3)
+    val (fits, block) = blockedFitM(s, d)
     fits.select(col("target"), posexplode(col("beta")).as(Seq("fi", "beta")))
       .join(block.withColumnRenamed("src_rank", "fi"), Seq("target", "fi"), "left")
       .select(col("target").as(SeriesId), col("fi").cast("long").as("fi"),
@@ -1242,10 +1254,13 @@ object SparkEntry {
     * and walks a recursive CTE. */
   private def qBlockedDynamic(s: SparkSession, d: String): DataFrame = {
     // lineUpDates enforces BlockedVar's date-aligned contract (segments can
-    // end on different months at small SF)
+    // end on different months at small SF); the fit is shared with
+    // mv_blocked_var via the memo
     val base = withMonthlyHorizon(
       SeriesFrame.lineUpDates(zSegmentsMonthly(s, d)), 6)
-    graft.models.BlockedVar.dynamicForecast(base, maxLag = 1, maxSources = 3)
+    val (fits, block) = blockedFitM(s, d)
+    graft.models.BlockedVar.dynamicForecastWith(base, fits, block,
+        maxLag = 1, maxSources = 3)
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
   }
 
@@ -2041,7 +2056,10 @@ object SparkEntry {
     // pivoted per target → one grouped Cholesky chain solves every equation
     "mv_blocked_var" ->
       s"""$ZSEG,
-         |${blockedVarCtes()}
+         |bounds AS (SELECT max(mn) AS lo, min(mx) AS hi FROM
+         |  (SELECT series_id, min(ds) AS mn, max(ds) AS mx FROM series GROUP BY 1)),
+         |series2 AS (SELECT s.* FROM series s, bounds WHERE s.ds BETWEEN lo AND hi),
+         |${blockedVarCtes("series2")}
          |SELECT f.target AS series_id, CAST(g.fi AS BIGINT) AS fi,
          |  coalesce(b2.src, 'intercept') AS src,
          |  ROUND(CASE g.fi WHEN 0 THEN beta_0 WHEN 1 THEN beta_1

@@ -148,9 +148,16 @@ object BlockedVar {
     * dates), the coupled-set contract. Returns (series_id, ds, yhat). */
   def dynamicForecast(frame: DataFrame, maxLag: Int, maxSources: Int,
                       minAbsCorr: Double = 0.0): DataFrame = {
+    val (fits, block) = fit(frame, maxLag, maxSources, minAbsCorr)
+    dynamicForecastWith(frame, fits, block, maxLag, maxSources)
+  }
+
+  /** [[dynamicForecast]] over a PRECOMPUTED (fits, block) pair — callers
+    * that already fit (or persist fits) skip the refit. */
+  def dynamicForecastWith(frame: DataFrame, fits: DataFrame, block: DataFrame,
+                          maxLag: Int, maxSources: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
-    val (fits, block) = fit(frame, maxLag, maxSources, minAbsCorr)
     val k = maxSources * maxLag + 1
     val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
     val obs = withT.filter(!col(IsFuture))
