@@ -49,6 +49,7 @@ object SparkEntry {
     "events_sessionize"  -> ((s, d) => qSessionize(s, d)),
     "events_hourly"      -> ((s, d) => qEventsHourly(s, d)),
     "events_hourly_stream" -> ((s, d) => qEventsHourlyStream(s, d)),
+    "events_sessionize_stream" -> ((s, d) => qSessionizeStream(s, d)),
     "doc_text_stats"     -> ((s, d) => qTextStats(s, d)),
     "doc_langid"         -> ((s, d) => qLangId(s, d)),
     "doc_dedup_exact"    -> ((s, d) => qDedupExact(s, d)),
@@ -1282,6 +1283,38 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
         round(avg(col("value")), 6).as("avg_value"))
 
+  /** [[graft.streaming.EventStreams.sessionize]] run AS A STREAM
+    * (`readStream` → `flatMapGroupsWithState` → `Trigger.AvailableNow`):
+    * Append mode emits exactly the CLOSED sessions, so the oracle is the
+    * batch sessionization minus each user's final (still-open) session —
+    * parity stated honestly and hash-checked. */
+  private def qSessionizeStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.events(s, d).schema // also sets nanosAsLong
+    val linkDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val stream = s.readStream.schema(schema).parquet(linkDir.toString)
+    import s.implicits._
+    val evs = stream.select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ms"), col("value"))
+      .as[graft.streaming.EventStreams.Ev]
+    val sessions = graft.streaming.EventStreams.sessionize(evs)
+    val sink = "events_sessionize_stream_sink"
+    s.catalog.dropTempView(sink)
+    val q = sessions.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+      .select(col("user_id"), col("session_num"), col("n_events"),
+        col("start_ms"), col("duration_ms"),
+        round(col("sum_value"), 4).as("sum_value"))
+  }
+
   /** [[graft.streaming.EventStreams.hourlyAggregates]] run AS A STREAM
     * (`readStream` → watermarked window agg → `Trigger.AvailableNow`) over
     * the same events parquet, declared against the SAME oracle as
@@ -1574,6 +1607,27 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // streaming sessionize emits exactly the CLOSED sessions: the batch
+    // sessionization minus each user's final (open) session
+    "events_sessionize_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flag AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+        |  FROM flag),
+        |agg AS (
+        |  SELECT user_id, session_num, count(*) AS n_events, min(ms) AS start_ms,
+        |    max(ms) - min(ms) AS duration_ms, ROUND(sum(value), 4) AS sum_value
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT * FROM agg
+        |QUALIFY session_num < max(session_num) OVER (PARTITION BY user_id)""".stripMargin,
 
     // the streaming twin must produce EXACTLY the batch aggregation
     "events_hourly_stream" ->
