@@ -125,7 +125,8 @@ object SparkEntry {
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d)),
-    "ts_opt_transform_by_series" -> ((s, d) => qOptTransformBySeries(s, d))
+    "ts_opt_transform_by_series" -> ((s, d) => qOptTransformBySeries(s, d)),
+    "ts_auto_xvar_by_series"     -> ((s, d) => qAutoXvarBySeries(s, d))
   )
 
   /** Per-vector L2 norms + dimension count (vector hygiene checks that run
@@ -345,6 +346,16 @@ object SparkEntry {
     recipes.select(col(SeriesId), col("candidate"),
       round(col("cand_rmse"), 6).as("cand_rmse"), col("accepted"))
   }
+
+  /** Grouped `auto_Xvar_select` (Forecaster.py:658-1163 per series): the
+    * staged trend → seasonal → AR greedy walk decided independently for
+    * every segment; all 12 candidate scores come from grouped per-series
+    * OLS fits and the oracle replays the full 12-chain search GROUPED by
+    * series with the same decision tree. */
+  private def qAutoXvarBySeries(s: SparkSession, d: String): DataFrame =
+    graft.eval.AutoSelect.autoXvarSelectBySeries(zSegmentsMonthly(s, d), h = 12)
+      .select(col(SeriesId), col("trend"), col("seasonal"), col("ar_order"),
+        round(col("rmse"), 6).as("rmse"))
 
   /** Grouped `find_statistical_transformation` decision table
     * (util.py:431-572 per series): per-series ADF on the internally z-scored
@@ -2074,6 +2085,35 @@ object SparkEntry {
          |UNION ALL
          |SELECT series_id, 'diff1', ROUND(r2, 6), acc2 FROM a2""".stripMargin,
 
+    // grouped auto_Xvar_select: the full 12-candidate staged search run per
+    // series — grouped moments chains + a per-series greedy decision tree
+    "ts_auto_xvar_by_series" -> {
+      val tags = for ((tKey, _) <- xvarTrendSets; sKey <- 0 to 1; aKey <- 0 to 2)
+        yield s"x$tKey$sKey$aKey"
+      val rJoin = s"${tags.head}_r" +
+        tags.tail.map(t => s" JOIN ${t}_r USING (series_id)").mkString
+      s"""$ZSEG,
+         |${xvarPrepBySeriesSql("s", "series")},
+         |${xvarChainsBySeriesSql("x", "s")},
+         |sel AS (SELECT series_id,
+         |  CASE WHEN r_xa00 <= r_xb00 THEN 0 ELSE 1 END AS dt,
+         |  CASE WHEN dt = 0 THEN (CASE WHEN r_xa00 <= r_xa10 THEN 0 ELSE 1 END)
+         |       ELSE (CASE WHEN r_xb00 <= r_xb10 THEN 0 ELSE 1 END) END AS dsn,
+         |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa00 WHEN dt = 0 THEN r_xa10
+         |       WHEN dsn = 0 THEN r_xb00 ELSE r_xb10 END AS r0,
+         |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa01 WHEN dt = 0 THEN r_xa11
+         |       WHEN dsn = 0 THEN r_xb01 ELSE r_xb11 END AS r1,
+         |  CASE WHEN dt = 0 AND dsn = 0 THEN r_xa02 WHEN dt = 0 THEN r_xa12
+         |       WHEN dsn = 0 THEN r_xb02 ELSE r_xb12 END AS r2,
+         |  CASE WHEN r0 <= r1 AND r0 <= r2 THEN 0 WHEN r1 <= r2 THEN 1 ELSE 2 END AS da
+         |  FROM $rJoin)
+         |SELECT series_id, CASE dt WHEN 0 THEN 't' ELSE 't,t2' END AS trend,
+         |  CASE dsn WHEN 0 THEN '' ELSE 'monthsin,monthcos' END AS seasonal,
+         |  CAST(da AS BIGINT) AS ar_order,
+         |  ROUND(CASE da WHEN 0 THEN r0 WHEN 1 THEN r1 ELSE r2 END, 6) AS rmse
+         |FROM sel""".stripMargin
+    },
+
     // grouped find_statistical_transformation decision table: every
     // segment's ADF(p=1) regression solved in ONE grouped Cholesky chain
     // (momentsCte keys = series_id; the solve CTEs are row-wise, so one
@@ -3397,6 +3437,40 @@ object SparkEntry {
        |  CASE WHEN r0 <= r1 AND r0 <= r2 THEN 0 WHEN r1 <= r2 THEN 1 ELSE 2 END AS da
        |  FROM $rAll)""".stripMargin
   }
+
+  /** Grouped candidate-prep CTEs: [[xvarPrepSql]] with every window and
+    * count per series. */
+  private def xvarPrepBySeriesSql(prep: String, src: String): String =
+    s"""${prep}2 AS (SELECT series_id, ds, y,
+       |  CAST(row_number() OVER (PARTITION BY series_id ORDER BY ds) AS DOUBLE) AS t,
+       |  sin(pi() * month(ds) / 6.0) AS ms, cos(pi() * month(ds) / 6.0) AS mc,
+       |  lag(y, 1) OVER (PARTITION BY series_id ORDER BY ds) AS a1,
+       |  lag(y, 2) OVER (PARTITION BY series_id ORDER BY ds) AS a2
+       |  FROM $src),
+       |${prep}3 AS (SELECT *, t * t AS t2 FROM ${prep}2),
+       |${prep}n AS (SELECT series_id, count(*) AS n FROM ${prep}3 GROUP BY 1),
+       |${prep}tr AS (SELECT p.* FROM ${prep}3 p JOIN ${prep}n USING (series_id)
+       |  WHERE t <= n - 12),
+       |${prep}te AS (SELECT p.* FROM ${prep}3 p JOIN ${prep}n USING (series_id)
+       |  WHERE t > n - 12)""".stripMargin
+
+  /** Grouped 12-candidate fit+score chains: [[xvarChainsSql]] with moments
+    * keyed by series_id (one Cholesky chain solves every series) and
+    * per-series holdout rmse CTEs `<tag>_r(series_id, r_<tag>)`. */
+  private def xvarChainsBySeriesSql(pfx: String, prep: String): String =
+    (for ((tKey, tXs) <- xvarTrendSets; sKey <- 0 to 1; aKey <- 0 to 2) yield {
+      val tag = s"$pfx$tKey$sKey$aKey"
+      val xs = tXs ++ (if (sKey == 1) Seq("ms", "mc") else Nil) ++ (1 to aKey).map(i => s"a$i")
+      val arCond = (1 to aKey).map(i => s" AND a$i IS NOT NULL").mkString
+      val pred = "beta_0" + xs.zipWithIndex.map { case (x, i) => s" + beta_${i + 1}*$x" }.mkString
+      s"""${OracleGen.momentsCte(tag, xs, s"${prep}tr WHERE TRUE$arCond",
+           keys = Seq("series_id"))},
+         |${OracleGen.solveCtes(tag, xs.size)},
+         |${tag}_r AS MATERIALIZED (SELECT te.series_id,
+         |  sqrt(avg(pow(y - ($pred), 2))) AS r_$tag
+         |  FROM ${prep}te te JOIN ${tag}_fit USING (series_id)
+         |  WHERE TRUE$arCond GROUP BY te.series_id)""".stripMargin
+    }).mkString(",\n")
 
   /** Oracle for ts_auto_xvar: replays all 12 reachable
     * (trend ∈ {t; t,t2}) × (seasonal ∈ {∅; monthsin,monthcos}) ×

@@ -94,6 +94,51 @@ object AutoSelect {
 
   private def nanSafe(d: Double): Double = if (d.isNaN) Double.MaxValue else d
 
+  /** Grouped `auto_Xvar_select` (Forecaster.py:658-1163 applied PER SERIES):
+    * the same staged greedy walk — trend rep → seasonal rep → AR order —
+    * but every decision falls independently for each series. All 12
+    * reachable candidate feature sets score through
+    * [[graft.models.GroupedOls.scoreFeaturesBySeries]] (one grouped job
+    * each, over ONE checkpointed feature frame), and the greedy decision
+    * tree is a pure row-wise expression over the joined per-series score
+    * table — so the search holds at any series count. NaN/missing scores
+    * lose every comparison (Spark orders NaN greatest), the per-series
+    * twin of the scalar path's nanSafe policy.
+    * Returns (series_id, trend, seasonal, ar_order, rmse). */
+  def autoXvarSelectBySeries(frame: DataFrame, h: Int = 12): DataFrame = {
+    import graft.models.GroupedOls
+    val base0 = FeatureOps.addTimeTrend(frame.filter(!col(IsFuture)))
+    val base1 = base0.withColumn("t2", col("t") * col("t"))
+    val base2 = FeatureOps.addFourier(
+      FeatureOps.addCalendar(base1, Seq("month")), col("month"), 12.0, "month")
+    val withAr = FeatureOps.addArTerms(base2, 2).localCheckpoint(true)
+    val trendSets = Seq("a" -> Seq("t"), "b" -> Seq("t", "t2"))
+    val scoreCols = for ((tk, txs) <- trendSets; sk <- 0 to 1; ak <- 0 to 2) yield {
+      val feats = txs ++ (if (sk == 1) Seq("monthsin", "monthcos") else Nil) ++
+        (1 to ak).map(i => s"ar_$i")
+      GroupedOls.scoreFeaturesBySeries(withAr, feats, h)
+        .withColumnRenamed("rmse", s"r_$tk$sk$ak")
+    }
+    val wide = scoreCols.reduce((l, r) => l.join(r, Seq(SeriesId), "full"))
+    // the scalar path's greedy walk as row-wise expressions (ties: first wins)
+    val dt = when(col("r_a00") <= col("r_b00"), 0).otherwise(1)
+    val dsn = when(dt === 0,
+        when(col("r_a00") <= col("r_a10"), 0).otherwise(1))
+      .otherwise(when(col("r_b00") <= col("r_b10"), 0).otherwise(1))
+    def rAt(a: Int): org.apache.spark.sql.Column =
+      when(dt === 0 && dsn === 0, col(s"r_a0$a"))
+        .when(dt === 0, col(s"r_a1$a"))
+        .when(dsn === 0, col(s"r_b0$a"))
+        .otherwise(col(s"r_b1$a"))
+    val r0 = rAt(0); val r1 = rAt(1); val r2 = rAt(2)
+    val da = when(r0 <= r1 && r0 <= r2, 0).when(r1 <= r2, 1).otherwise(2)
+    wide.select(col(SeriesId),
+      when(dt === 0, "t").otherwise("t,t2").as("trend"),
+      when(dsn === 0, "").otherwise("monthsin,monthcos").as("seasonal"),
+      da.cast("long").as("ar_order"),
+      when(da === 0, r0).when(da === 1, r1).otherwise(r2).as("rmse"))
+  }
+
   /** `auto_arima`-style order search (/root/reference/src/scalecast/
     * auxmodels.py:6-45) restricted to the AR(p) family: pick p in
     * 1..maxP minimizing AIC = n·ln(SSE/n) + 2(p+1) of the OLS fit on lag

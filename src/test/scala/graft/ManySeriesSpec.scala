@@ -131,6 +131,38 @@ class ManySeriesSpec extends SparkSpec {
     assert(math.abs(s0.head - expHead) < 1e-9, s"got ${s0.head} want $expHead")
   }
 
+  test("autoXvarSelectBySeries splits trend/seasonal decisions per series") {
+    import spark.implicits._
+    // even series: pure trend + noise (seasonal rep must NOT be selected);
+    // odd: strong month-12 seasonality on a flat level (seasonal rep wins)
+    val n = 400; val obs = 60
+    val big = spark.range(n.toLong * obs).select(
+      format_string("s%04d", (col("id") / obs).cast("int")).as("series_id"),
+      expr(s"add_months(date '2019-01-01', cast(id % $obs as int))")
+        .cast("date").as("ds"),
+      when(((col("id") / obs).cast("long") % 2) === 0,
+          (col("id") % obs).cast("double") * 2.0 + 20.0 +
+            sin(col("id").cast("double") * 2.39))
+        .otherwise(sin((col("id") % obs).cast("double") * (2 * math.Pi / 12)) * 8.0 +
+          20.0 + sin(col("id").cast("double") * 2.39) * 0.5).as("y"),
+      lit(false).as("is_future"))
+    val out = graft.eval.AutoSelect.autoXvarSelectBySeries(big, h = 12)
+    assert(out.count() == n.toLong)
+    val seasonalByParity = out
+      .withColumn("even", (expr("cast(substring(series_id, 2) as int)") % 2) === 0)
+      .groupBy("even").agg(
+        sum(when(col("seasonal") =!= "", 1).otherwise(0)).as("nSeas"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (seasEven, nEven) = seasonalByParity(true)
+    val (seasOdd, nOdd) = seasonalByParity(false)
+    // the 12-point holdout makes individual decisions noisy; what must hold
+    // is the per-series CONTRAST between the two constructions
+    assert(seasOdd >= nOdd * 9 / 10, s"seasonal series must pick Fourier: $seasOdd/$nOdd")
+    assert(seasOdd.toDouble / nOdd - seasEven.toDouble / nEven >= 0.5,
+      s"decision rates must separate the constructions: $seasOdd/$nOdd vs $seasEven/$nEven")
+  }
+
   test("GroupedOls matches per-series Ols.fit exactly") {
     val f = manySeries()
     val withFeats = graft.functions.FeatureOps.addArTerms(
