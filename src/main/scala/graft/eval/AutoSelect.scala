@@ -113,11 +113,17 @@ object AutoSelect {
       FeatureOps.addCalendar(base1, Seq("month")), col("month"), 12.0, "month")
     val withAr = FeatureOps.addArTerms(base2, 2).localCheckpoint(true)
     val trendSets = Seq("a" -> Seq("t"), "b" -> Seq("t", "t2"))
-    val scoreCols = for ((tk, txs) <- trendSets; sk <- 0 to 1; ak <- 0 to 2) yield {
+    val combos = for ((tk, txs) <- trendSets; sk <- 0 to 1; ak <- 0 to 2)
+      yield (tk, txs, sk, ak)
+    // the 12 scoring jobs are independent over the one checkpointed frame —
+    // fan them out (each is checkpointed so the join below is 12 tiny
+    // per-series score tables, not 12 live plans)
+    val scoreCols = Evaluation.fanOut(combos, parallelism = 4) { case (tk, txs, sk, ak) =>
       val feats = txs ++ (if (sk == 1) Seq("monthsin", "monthcos") else Nil) ++
         (1 to ak).map(i => s"ar_$i")
       GroupedOls.scoreFeaturesBySeries(withAr, feats, h)
         .withColumnRenamed("rmse", s"r_$tk$sk$ak")
+        .localCheckpoint(true)
     }
     val wide = scoreCols.reduce((l, r) => l.join(r, Seq(SeriesId), "full"))
     // the scalar path's greedy walk as row-wise expressions (ties: first wins)
