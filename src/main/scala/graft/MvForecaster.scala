@@ -1,0 +1,132 @@
+package graft
+
+import graft.core.SeriesFrame._
+import graft.models.{BlockedVar, MvForecast}
+import graft.results.ResultsStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-facing multivariate facade mirroring the reference's `MVForecaster`
+  * workflow (/root/reference/src/scalecast/MVForecaster.py:34-176): several
+  * series modeled jointly, every target on the lags of all (or screened)
+  * series, a shared recursive forecast, per-series banking and exports.
+  * Like [[Forecaster]], every step returns a NEW immutable value over lazy
+  * plans:
+  *
+  * {{{
+  *   val mv = MvForecaster(frame, Seq("a", "b"))   // long (series_id, ds, y)
+  *     .generateFutureDates(6)
+  *     .setTestLength(6)
+  *     .setLags(2)
+  *     .manualForecast(callMe = "mv_mlr")
+  *   mv.exportModelSummaries()
+  * }}}
+  *
+  * Horizon and holdout are recorded as intents and applied inside
+  * [[manualForecast]] AFTER `line_up_dates` trims every series to the shared
+  * calendar (multiseries.py:39-53) — the MV contract is one date spine, and
+  * trimming after horizon generation would silently drop the future rows.
+  *
+  * Estimation strategy follows the engine's scale tiers automatically:
+  * coupled sets up to [[MvForecast.CoupledSetMax]] fit the full cross-lag
+  * design ([[MvForecast.fitPerSeriesOls]] — one grouped moments job);
+  * larger sets route through [[BlockedVar]]'s correlation-screened bounded
+  * designs with the component-parallel recursion (ONE fit shared between
+  * the horizon walk and the fitted-values pass). `optimize_on` collapse
+  * for model selection is [[graft.eval.Evaluation.optimizeOn]].
+  */
+final case class MvForecaster(
+    frame: DataFrame,
+    seriesIds: Seq[String],
+    results: Option[DataFrame] = None,
+    lags: Int = 1,
+    horizon: Int = 0,
+    testLength: Int = 0,
+    maxSources: Int = 3,
+    minAbsCorr: Double = 0.0) {
+
+  /** `generate_future_dates(h)` — recorded, materialized at the inferred
+    * frequency on the aligned calendar inside [[manualForecast]]. */
+  def generateFutureDates(h: Int): MvForecaster = copy(horizon = h)
+
+  /** `lags = n` (MVForecaster.py:68-176 ctor arg): cross-series lag depth. */
+  def setLags(n: Int): MvForecaster = copy(lags = n)
+
+  /** `set_test_length` — recorded; the flag is stamped on the aligned frame
+    * so the holdout is the last n rows of the SHARED calendar. */
+  def setTestLength(n: Int): MvForecaster = copy(testLength = n)
+
+  /** Blocked-tier knobs (only consulted past the coupled-set bound). */
+  def setScreen(maxSources: Int, minAbsCorr: Double = 0.0): MvForecaster =
+    copy(maxSources = maxSources, minAbsCorr = minAbsCorr)
+
+  /** The estimation base: observed rows trimmed to the all-series calendar,
+    * THEN the horizon appended, THEN the holdout flagged. */
+  private def base: DataFrame = {
+    val withFut = if (frame.columns.contains(IsFuture)) frame
+      else frame.withColumn(IsFuture, lit(false))
+    val aligned = lineUpDates(withFut.filter(!col(IsFuture)).drop("is_test"))
+      .select(col(SeriesId), col(Ds), col(Y), col(IsFuture))
+    val horizoned =
+      if (horizon > 0) withInferredHorizon(aligned, horizon) else aligned
+    withTestFlag(horizoned, testLength)
+  }
+
+  /** `manual_forecast`: fit one equation per target on the cross-series
+    * lags (train rows only), walk the coupled recursion over the horizon,
+    * bank under `callMe`. */
+  def manualForecast(callMe: String = "mv"): MvForecaster = {
+    val b = base.localCheckpoint(true)
+    val outCols = Seq(col(SeriesId), col(Ds), col(Y), col("yhat"),
+      col("is_test"), col(IsFuture))
+    val scored =
+      if (seriesIds.size <= MvForecast.CoupledSetMax) {
+        val withLags = MvForecast.addCrossSeriesLags(b, seriesIds, lags)
+        val fits = MvForecast.fitPerSeriesOls(withLags, seriesIds, lags)
+        MvForecast.dynamicForecastOls(withLags, fits, seriesIds, lags)
+          .select(outCols: _*)
+      } else {
+        val (fits, block) = BlockedVar.fit(b, lags, maxSources, minAbsCorr)
+        val fitted = BlockedVar
+          .fittedValuesWith(b, fits, block, lags, maxSources)
+          .join(b.select(col(SeriesId), col(Ds), col("is_test")),
+            Seq(SeriesId, Ds), "left")
+          .withColumn(IsFuture, lit(false))
+        val future = BlockedVar
+          .dynamicForecastWith(b, fits, block, lags, maxSources)
+          .withColumn(Y, lit(null).cast("double"))
+          .withColumn("is_test", lit(false))
+          .withColumn(IsFuture, lit(true))
+        fitted.select(outCols: _*).unionByName(future.select(outCols: _*))
+      }
+    val banked = ResultsStore.bank(scored, callMe)
+    copy(results = Some(results.fold(banked)(r => ResultsStore.union(r, banked))))
+  }
+
+  private def banked: DataFrame = results.getOrElse(
+    throw new IllegalStateException("no model banked yet — call manualForecast first"))
+
+  /** `export('model_summaries')` — one row per (model, series). */
+  def exportModelSummaries(metricNames: Seq[String] = Seq("rmse", "mae")): DataFrame =
+    ResultsStore.modelSummaries(banked, metricNames)
+
+  /** `export('lvl_fcsts')`. */
+  def exportForecasts(): DataFrame = ResultsStore.exportForecasts(banked, modelNames)
+
+  def modelNames: Seq[String] =
+    results.map(_.select("model").distinct().collect().map(_.getString(0)).toSeq.sorted)
+      .getOrElse(Nil)
+
+  /** `optimize_on` collapse of a banked model's per-series metric rows. */
+  def optimizeOn(model: String, metricName: String = "rmse",
+                 how: String = "mean",
+                 weights: Map[String, Double] = Map.empty): Double =
+    graft.eval.Evaluation.optimizeOn(
+      ResultsStore.modelSummaries(banked.filter(col("model") === model),
+        Seq(metricName)).withColumnRenamed(s"test_$metricName", metricName),
+      metricName, how, weights)
+
+  /** `corr_lags` passthrough (MVForecaster.py:1051-1074). */
+  def corrLags(a: String, b: String, maxLag: Int = 12): DataFrame =
+    graft.functions.Diagnostics.corrLags(frame, a, b, maxLag)
+}

@@ -43,12 +43,20 @@ object BlockedVar {
       .withColumn("lag", col("_p") + 1).drop("_p")
       .filter(col("xval").isNotNull)
 
+  /** Observed rows eligible for TRAINING decisions (screen + fit): horizon
+    * rows never, holdout rows only when the frame carries no `is_test` flag
+    * — the same leak bound [[MvForecast.fitPerSeriesOls]] applies. */
+  private def trainObs(frame: DataFrame): DataFrame = {
+    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
+    if (frame.columns.contains("is_test")) obs.filter(!col("is_test")) else obs
+  }
+
   /** Step 1+2: the per-target source block — (target, src, src_rank) with
     * rank 0 = the target itself, ranks 1..maxSources−1 the strongest
     * foreign sources by |lag-1 correlation| (ties broken by src id). */
   def screen(frame: DataFrame, maxLag: Int, maxSources: Int,
              minAbsCorr: Double = 0.0): DataFrame = {
-    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
+    val obs = trainObs(frame)
     val targets = obs.select(col(SeriesId).as("target"), col(Ds), col(Y))
     val pairs = targets.join(lagsLong(obs, 1), Seq(Ds.toString))
       .filter(col("target") =!= col("src"))
@@ -75,13 +83,18 @@ object BlockedVar {
     * block = [[screen]]'s (target, src, src_rank). */
   def fit(frame: DataFrame, maxLag: Int, maxSources: Int,
           minAbsCorr: Double = 0.0): (DataFrame, DataFrame) = {
-    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
+    val obs = trainObs(frame)
     val block = screen(frame, maxLag, maxSources, minAbsCorr).localCheckpoint(false)
     val k = maxSources * maxLag + 1
     val design = designRows(obs, block, maxLag, k)
-    // complete (target, ds) rows: all k features present and y known
+    // complete (target, ds) rows: all of the TARGET'S OWN features present
+    // and y known — a minAbsCorr screen can keep fewer than maxSources
+    // sources, so each equation's width is nsrc·maxLag + 1, not k
+    val nsrc = block.groupBy("target").agg(count(lit(1)).cast("int").as("_nsrc"))
     val complete = design.groupBy("target", Ds)
-      .agg(count(lit(1)).as("_nf")).filter(col("_nf") === k)
+      .agg(count(lit(1)).as("_nf"))
+      .join(nsrc, Seq("target"))
+      .filter(col("_nf") === col("_nsrc") * maxLag + 1)
       .select("target", Ds)
     val rows = design.join(complete, Seq("target", Ds.toString))
       .join(obs.select(col(SeriesId).as("target"), col(Ds), col(Y).as("_yt")),
@@ -98,15 +111,25 @@ object BlockedVar {
       (0 until k).map(i =>
         sum(when(col("fi") === i && col("fj") === i, col("x") * col("_yt"))).as(s"sb_$i"))
     val stats = prods.groupBy("target").agg(aggs.head, aggs.tail: _*)
+      .join(nsrc, Seq("target"))
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructField, StructType}
     val outSchema = StructType(Seq(StructField("target", StringType),
       StructField("beta", ArrayType(DoubleType, containsNull = false))))
     val fits = stats.map({ r =>
-      val a = Array.tabulate(k, k)((i, j) =>
-        r.getDouble(r.fieldIndex(s"sa_${math.max(i, j)}_${math.min(i, j)}")))
-      val b = Array.tabulate(k)(i => r.getDouble(r.fieldIndex(s"sb_$i")))
-      Row(r.getString(r.fieldIndex("target")), GroupedOls.solve(a, b).toSeq)
+      // solve only the target's own sub-block (features 0..nsrc·maxLag−1 are
+      // contiguous by rank construction, intercept at k−1); scatter back
+      // into a full-width β with zeros at the unscreened slots so every
+      // consumer indexes by the SAME featIdx scheme
+      val kt = r.getInt(r.fieldIndex("_nsrc")) * maxLag + 1
+      val idxs = (0 until (kt - 1)) :+ (k - 1)
+      val a = Array.tabulate(kt, kt)((i, j) =>
+        r.getDouble(r.fieldIndex(s"sa_${math.max(idxs(i), idxs(j))}_${math.min(idxs(i), idxs(j))}")))
+      val b = Array.tabulate(kt)(i => r.getDouble(r.fieldIndex(s"sb_${idxs(i)}")))
+      val sub = GroupedOls.solve(a, b)
+      val full = Array.fill(k)(0.0)
+      idxs.indices.foreach(i => full(idxs(i)) = sub(i))
+      Row(r.getString(r.fieldIndex("target")), full.toSeq)
     })(Encoders.row(outSchema)).toDF()
     (fits, block)
   }
@@ -115,12 +138,23 @@ object BlockedVar {
     * — a join + grouped dot product, no per-equation jobs. */
   def fittedValues(frame: DataFrame, maxLag: Int, maxSources: Int,
                    minAbsCorr: Double = 0.0): DataFrame = {
-    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
     val (fits, block) = fit(frame, maxLag, maxSources, minAbsCorr)
+    fittedValuesWith(frame, fits, block, maxLag, maxSources)
+  }
+
+  /** [[fittedValues]] over a PRECOMPUTED (fits, block) pair — scoring covers
+    * EVERY complete observed row (including holdout rows: scoring is not a
+    * training decision), so callers that already fit skip the refit. */
+  def fittedValuesWith(frame: DataFrame, fits: DataFrame, block: DataFrame,
+                       maxLag: Int, maxSources: Int): DataFrame = {
+    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
     val k = maxSources * maxLag + 1
     val design = designRows(obs, block, maxLag, k)
+    val nsrc = block.groupBy("target").agg(count(lit(1)).cast("int").as("_nsrc"))
     val complete = design.groupBy("target", Ds)
-      .agg(count(lit(1)).as("_nf")).filter(col("_nf") === k)
+      .agg(count(lit(1)).as("_nf"))
+      .join(nsrc, Seq("target"))
+      .filter(col("_nf") === col("_nsrc") * maxLag + 1)
       .select("target", Ds)
     design.join(complete, Seq("target", Ds.toString))
       .join(fits, Seq("target"))

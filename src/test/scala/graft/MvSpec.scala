@@ -12,6 +12,51 @@ class MvSpec extends SparkSpec {
 
   def mvFrame = obsSeries(y1, "a").unionByName(obsSeries(y2, "b"))
 
+  test("MvForecaster facade: coupled tier banks, exports, and optimizes") {
+    val mv = MvForecaster(mvFrame, Seq("a", "b"))
+      .generateFutureDates(4)
+      .setTestLength(6)
+      .setLags(1)
+      .manualForecast(callMe = "mv_mlr")
+    val res = mv.results.get
+    assert(res.filter(col("is_future") && col("yhat").isNull).count() == 0,
+      "both horizons complete")
+    val sm = mv.exportModelSummaries(Seq("rmse"))
+    assert(sm.count() == 2, "one summary row per (model, series)")
+    val collapsed = mv.optimizeOn("mv_mlr", "rmse", "mean")
+    assert(!collapsed.isNaN && collapsed >= 0)
+    assert(mv.exportForecasts().count() > 0)
+  }
+
+  test("MvForecaster facade routes oversized sets through the blocked tier") {
+    import spark.implicits._
+    def noise(t: Long): Double = {
+      var z = t * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      (math.abs(z % 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    val nObs = 40
+    val a = (0 until nObs).map(t => 5.0 + 3.0 * noise(t))
+    val rows = (0 until nObs).flatMap { t =>
+      val ds = java.sql.Date.valueOf(java.time.LocalDate.of(2019, 1, 1).plusMonths(t))
+      ("a", ds, Some(a(t)), false) +: (1 to 79).map { i =>
+        val y = if (t == 0) 2.0 + i * 0.1
+                else 2.0 + i * 0.1 + 0.6 * a(t - 1) + 0.05 * noise(t * 100 + i)
+        (f"b$i%02d", ds, Some(y), false)
+      }
+    }
+    val sids = "a" +: (1 to 79).map(i => f"b$i%02d")
+    val mv = MvForecaster(rows.toDF("series_id", "ds", "y", "is_future"), sids)
+      .generateFutureDates(3)
+      .setLags(1)
+      .setScreen(maxSources = 2, minAbsCorr = 0.3)
+      .manualForecast(callMe = "mv_big")
+    val fut = mv.results.get.filter(col("is_future"))
+    assert(fut.count() == 80L * 3)
+    assert(fut.filter(col("yhat").isNull || isnan(col("yhat"))).count() == 0)
+  }
+
   test("BlockedVar screens the true driver and fits past the coupled-set bound") {
     import spark.implicits._
     def noise(t: Int): Double = {
