@@ -62,21 +62,19 @@ object Dedup {
     // as [[graft.operators.Similarity.cosineNearDupPairs]]).
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val capped =
-      if (maxDocFreq == Int.MaxValue) shAll.repartition(nPart, col("shingle"))
+      if (maxDocFreq == Int.MaxValue) shAll
       else shAll
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
-    // lazy localCheckpoint, not cache(): materializes the capped shingle set
-    // as RDD blocks whose HashPartitioning(shingle) survives into the plan —
-    // so BOTH sides of the self-join read the same materialized RDD with no
-    // further exchange AND no AQE re-coalescing (a materialized RDD has no
-    // exchange to coalesce — the full-width pin is structural, not a config
-    // assumption). Unlike cache(), the blocks are released by the
-    // ContextCleaner as soon as the frame is unreferenced — no storage
-    // accrual across repeated dedup calls in one session. Lazy (not eager)
-    // so the materialization pipelines into the first action instead of
-    // paying a separate up-front job.
-    val sh = capped.localCheckpoint(false)
+    // Explicit full-width repartition on the join key: user-specified
+    // repartitions are exempt from AQE's byte-based coalescing, so the
+    // row-exploding self-join keeps its width regardless of config (the
+    // plain window exchange above is NOT exempt — ADVICE r4). All three
+    // consumers below (both self-join sides + the sizes aggregate) read
+    // byte-identical subplans, so ReusedExchangeExec materializes the
+    // shuffle ONCE and no cache/checkpoint storage is held at all — zero
+    // accrual across repeated dedup calls in one session.
+    val sh = capped.repartition(nPart, col("shingle"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
