@@ -43,7 +43,10 @@ final case class MvForecaster(
     horizon: Int = 0,
     testLength: Int = 0,
     maxSources: Int = 3,
-    minAbsCorr: Double = 0.0) {
+    minAbsCorr: Double = 0.0,
+    optimizeHow: String = "mean",
+    optimizeWeights: Map[String, Double] = Map.empty,
+    bestModel: Option[String] = None) {
 
   /** `generate_future_dates(h)` — recorded, materialized at the inferred
     * frequency on the aligned calendar inside [[manualForecast]]. */
@@ -59,6 +62,20 @@ final case class MvForecaster(
   /** Blocked-tier knobs (only consulted past the coupled-set bound). */
   def setScreen(maxSources: Int, minAbsCorr: Double = 0.0): MvForecaster =
     copy(maxSources = maxSources, minAbsCorr = minAbsCorr)
+
+  /** `set_optimize_on` (MVForecaster.py:412-444): how per-series metrics
+    * collapse to one scalar when choosing between models — "mean" / "min" /
+    * "max" / "weighted" (with weights) / a series_id to favor. */
+  def setOptimizeOn(how: String, weights: Map[String, Double] = Map.empty): MvForecaster =
+    copy(optimizeHow = how, optimizeWeights = weights)
+
+  /** `chop_from_front` (MVForecaster.py:292-318) applied to every series. */
+  def chopFromFront(n: Int): MvForecaster =
+    copy(frame = graft.core.SeriesFrame.chopFromFront(frame, n))
+
+  /** `keep_smaller_history` (MVForecaster.py:320-352). */
+  def keepSmallerHistory(n: Int): MvForecaster =
+    copy(frame = graft.core.SeriesFrame.keepSmallerHistory(frame, n))
 
   /** The estimation base: observed rows trimmed to the all-series calendar,
     * THEN the horizon appended, THEN the holdout flagged. */
@@ -103,6 +120,37 @@ final case class MvForecaster(
     copy(results = Some(results.fold(banked)(r => ResultsStore.union(r, banked))))
   }
 
+  /** `tune_test_forecast` (MVForecaster.py:354-410) with the engine's
+    * hyperparameter axis: candidate cross-lag depths. Each candidate fits
+    * on train rows, scores on the holdout, collapses per-series metrics via
+    * [[setOptimizeOn]]'s rule; the winner is refit and banked under
+    * `callMe` and becomes [[bestModel]]. NaN-scoring cells are skipped —
+    * the reference's failed-combo policy. */
+  def tuneTestForecast(lagsGrid: Seq[Int], callMe: String = "mv_tuned",
+                       metricName: String = "rmse"): MvForecaster = {
+    require(testLength > 0,
+      "tune_test_forecast needs a holdout — call setTestLength(n) first")
+    val lower = graft.functions.Metrics.lowerIsBetter.getOrElse(metricName, true)
+    val scores = lagsGrid.map { l =>
+      val cand = copy(lags = l, results = None).manualForecast("__cand")
+      l -> cand.optimizeOn("__cand", metricName, optimizeHow, optimizeWeights)
+    }
+    val valid = scores.filterNot(s => s._2.isNaN || s._2.isInfinite)
+    require(valid.nonEmpty,
+      s"every candidate in lags grid ${lagsGrid.mkString(",")} scored NaN")
+    val best = (if (lower) valid.minBy(_._2) else valid.maxBy(_._2))._1
+    copy(lags = best).manualForecast(callMe).copy(bestModel = Some(callMe))
+  }
+
+  /** `set_best_model(determine_best_by=...)` (MVForecaster.py:513-534):
+    * rank banked models by the collapsed metric, remember the winner. */
+  def setBestModel(determineBestBy: String = "test_rmse"): MvForecaster = {
+    val metric = determineBestBy.stripPrefix("test_").stripPrefix("insample_")
+    val ordered = ResultsStore.orderModels(
+      ResultsStore.modelSummaries(banked, Seq(metric)), determineBestBy)
+    copy(bestModel = Some(ordered.select("model").first().getString(0)))
+  }
+
   private def banked: DataFrame = results.getOrElse(
     throw new IllegalStateException("no model banked yet — call manualForecast first"))
 
@@ -125,6 +173,23 @@ final case class MvForecaster(
       ResultsStore.modelSummaries(banked.filter(col("model") === model),
         Seq(metricName)).withColumnRenamed(s"test_$metricName", metricName),
       metricName, how, weights)
+
+  /** `export('lvl_test_set_predictions')`. */
+  def exportTestSetPredictions(): DataFrame =
+    ResultsStore.exportTestSetPredictions(banked, modelNames)
+
+  /** `export_fitted_vals` (MVForecaster.py:982-1010) for one model —
+    * defaults to [[bestModel]], else the first banked name. */
+  def exportFittedVals(model: Option[String] = None): DataFrame =
+    ResultsStore.exportFittedVals(banked,
+      model.orElse(bestModel).getOrElse(modelNames.headOption.getOrElse(
+        throw new IllegalStateException("no model banked yet"))))
+
+  /** `corr` — pairwise Pearson matrix (MVForecaster.py:1012-1049). */
+  def corr(): DataFrame =
+    graft.functions.Diagnostics.corrMatrix(
+      if (frame.columns.contains(IsFuture)) frame
+      else frame.withColumn(IsFuture, lit(false)))
 
   /** `corr_lags` passthrough (MVForecaster.py:1051-1074). */
   def corrLags(a: String, b: String, maxLag: Int = 12): DataFrame =

@@ -1185,14 +1185,9 @@ object SparkEntry {
       .select(col("sid_a"), col("sid_b"), col("lag").cast("long").as("lag"),
         round(col("corr"), 6).as("corr"))
 
-  private def qMvCorr(s: SparkSession, d: String): DataFrame = {
-    val seg = segmentMonthlyM(s, d)
-    val a = seg.select(col(SeriesId).as("sid_a"), col(Ds), col(Y).as("ya"))
-    val b = seg.select(col(SeriesId).as("sid_b"), col(Ds), col(Y).as("yb"))
-    a.join(b, Seq(Ds.toString)).filter(col("sid_a") < col("sid_b"))
-      .groupBy("sid_a", "sid_b")
-      .agg(round(corr(col("ya"), col("yb")), 6).as("corr"), count(lit(1)).as("n"))
-  }
+  private def qMvCorr(s: SparkSession, d: String): DataFrame =
+    graft.functions.Diagnostics.corrMatrix(segmentMonthlyM(s, d))
+      .select(col("sid_a"), col("sid_b"), round(col("corr"), 6).as("corr"), col("n"))
 
   private def qSessionize(s: SparkSession, d: String): DataFrame = {
     val uw = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

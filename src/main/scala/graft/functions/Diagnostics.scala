@@ -202,6 +202,19 @@ object Diagnostics {
     * lags come out of ONE window pass partitioned by series_id (the lag array
     * shares the sort), then one groupBy(lag) aggregate — no unpartitioned
     * windows, no per-lag jobs. */
+  /** `corr` — the pairwise Pearson matrix of a multivariate frame in long
+    * form (sid_a < sid_b), plus the shared-date count backing each cell
+    * (/root/reference/src/scalecast/MVForecaster.py:1012-1049). One
+    * date-keyed self-join + one grouped `corr` aggregate. */
+  def corrMatrix(df: DataFrame): DataFrame = {
+    val obs = df.filter(!col(IsFuture))
+    val a = obs.select(col(SeriesId).as("sid_a"), col(Ds), col(Y).as("ya"))
+    val b = obs.select(col(SeriesId).as("sid_b"), col(Ds), col(Y).as("yb"))
+    a.join(b, Seq(Ds.toString)).filter(col("sid_a") < col("sid_b"))
+      .groupBy("sid_a", "sid_b")
+      .agg(corr(col("ya"), col("yb")).as("corr"), count(lit(1)).as("n"))
+  }
+
   def corrLags(df: DataFrame, sidA: String, sidB: String, maxLag: Int): DataFrame = {
     val a = df.filter(col(SeriesId) === sidA).select(col(Ds), col(Y).as("ya"))
     val bl = df.filter(col(SeriesId) === sidB)

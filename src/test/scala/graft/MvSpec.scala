@@ -28,6 +28,27 @@ class MvSpec extends SparkSpec {
     assert(mv.exportForecasts().count() > 0)
   }
 
+  test("MvForecaster facade: tuneTestForecast picks a lag depth, setBestModel ranks") {
+    val mv = MvForecaster(mvFrame, Seq("a", "b"))
+      .generateFutureDates(3)
+      .setTestLength(8)
+      .setOptimizeOn("mean")
+      .tuneTestForecast(Seq(1, 2), callMe = "mv_tuned")
+    assert(mv.bestModel.contains("mv_tuned"))
+    assert(Seq(1, 2).contains(mv.lags), "winner comes from the grid")
+    assert(mv.exportForecasts().count() == 6, "2 series x 3 horizon dates")
+    // bank a second (worse) single-lag model, then rank
+    val both = mv.manualForecast(callMe = "mv_alt").setBestModel("test_rmse")
+    assert(Seq("mv_tuned", "mv_alt").contains(both.bestModel.get))
+    assert(both.exportTestSetPredictions().count() == 16, "2 series x 8 holdout dates")
+    assert(both.exportFittedVals(Some("mv_tuned"))
+      .filter(col("fitted_vals").isNull).count() == 0 ||
+      both.exportFittedVals(Some("mv_tuned")).count() > 0)
+    // corr matrix: one (a,b) row over the shared calendar
+    val cm = mv.corr().collect()
+    assert(cm.length == 1 && !cm(0).getAs[Double]("corr").isNaN)
+  }
+
   test("MvForecaster facade routes oversized sets through the blocked tier") {
     import spark.implicits._
     def noise(t: Long): Double = {
