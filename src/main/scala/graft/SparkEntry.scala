@@ -123,6 +123,7 @@ object SparkEntry {
     "doc_decontaminate"  -> ((s, d) => qDecontaminate(s, d)),
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
+    "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d)),
     "ts_opt_transform_by_series" -> ((s, d) => qOptTransformBySeries(s, d)),
@@ -1207,6 +1208,34 @@ object SparkEntry {
   /** Gopher/C4 repetition gates (Rae et al. 2021 §A1.1): top-2-gram char
     * fraction, duplicate-3-gram char fraction, mean word length, and the
     * composite keep flag — all statistics AND the decision hash-checked. */
+  /** PII gate over deterministic "profile" text derived from `customer`
+    * (the documents fixture is PII-free word soup, so the fixture text is
+    * CONSTRUCTED in-query from driver data — modular-key cases decide which
+    * rows carry an email / phone / IP / long id, and c_name's own 9-digit
+    * key runs give organic long-id hits). Both the per-category counts and
+    * the full redaction chain hash-check against the same construction in
+    * the oracle. */
+  private def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Pii
+    val key = col("c_custkey")
+    val text = concat_ws(" ",
+      col("c_name"), lit("segment"), col("c_mktsegment"),
+      when(pmod(key, lit(3)) === 0,
+        concat(lit("contact user"), key.cast("string"), lit("@example.com")))
+        .otherwise(lit("no email on file")),
+      when(pmod(key, lit(4)) === 0,
+        concat(lit("tel 1-555-"), lpad(pmod(key * 7, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(key, lit(5)) === 0,
+        concat(lit("last ip 10."), pmod(key, lit(256)).cast("string"),
+          lit(".0."), pmod(key * 3, lit(256)).cast("string")))
+        .otherwise(lit("")))
+    val prof = Tables.customer(s, d).select(key.as("doc_id"), text.as("text"))
+    Pii.withRedacted(Pii.withPiiStats(prof))
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        col("n_long_id"), col("has_pii"), col("redacted"))
+  }
+
   private def qGopherRepetition(s: SparkSession, d: String): DataFrame =
     Quality.gopherKeep(Quality.repetitionStats(Tables.documents(s, d), "doc_id", "text"))
       .select(col("doc").as("doc_id"),
@@ -1716,6 +1745,31 @@ object SparkEntry {
         |  CAST(off // 256 AS BIGINT) AS chunk_start,
         |  CAST((off + nt - 1) // 256 AS BIGINT) AS chunk_end
         |FROM o""".stripMargin,
+
+    // PII gate: the same deterministic profile construction, the same
+    // RE2-safe patterns (group-0 counts) and the same 4-step redaction
+    // chain, replayed verbatim — email → ipv4 → phone → long-id.
+    "doc_pii_redact" ->
+      """WITH prof AS (SELECT c_custkey AS doc_id,
+        |  concat_ws(' ', c_name, 'segment', c_mktsegment,
+        |    CASE WHEN c_custkey % 3 = 0 THEN concat('contact user', CAST(c_custkey AS VARCHAR), '@example.com') ELSE 'no email on file' END,
+        |    CASE WHEN c_custkey % 4 = 0 THEN concat('tel 1-555-', lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+        |    CASE WHEN c_custkey % 5 = 0 THEN concat('last ip 10.', CAST(c_custkey % 256 AS VARCHAR), '.0.', CAST((c_custkey * 3) % 256 AS VARCHAR)) ELSE '' END
+        |  ) AS text FROM customer),
+        |c AS (SELECT doc_id, text,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?')) AS n_phone,
+        |  len(regexp_extract_all(text, '[0-9]{9,}')) AS n_long_id
+        |  FROM prof)
+        |SELECT doc_id, n_email, n_ipv4, n_phone, n_long_id,
+        |  (n_email > 0 OR n_ipv4 > 0 OR n_phone > 0 OR n_long_id > 0) AS has_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?', '<PHONE>', 'g'),
+        |    '[0-9]{9,}', '<ID>', 'g') AS redacted
+        |FROM c""".stripMargin,
 
     "doc_text_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks FROM documents)
