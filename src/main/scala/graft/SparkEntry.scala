@@ -124,6 +124,7 @@ object SparkEntry {
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
+    "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d)),
     "ts_opt_transform_by_series" -> ((s, d) => qOptTransformBySeries(s, d)),
@@ -908,6 +909,22 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(vecs, "vid", "vec", 0.98, bands = 16, bitsPerBand = 10)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-space decontamination: the documents corpus split into a
+    * "training" side (doc_id % 10 ≠ 0) and a "benchmark" side (% 10 = 0),
+    * then every training doc within trigram-cosine ≥ 0.98 of any benchmark
+    * doc flagged via [[graft.operators.Similarity.crossCosineMatches]] —
+    * banded-signature equi-join candidates, exact re-check (recall regime
+    * identical to doc_neardup_cosine, whose brute-force oracle pins it on
+    * this fixture). */
+  private def qCrossDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val vecs = TextOps.trigramVectors(Tables.documents(s, d), "doc_id", "text")
+    val corpus = vecs.filter(pmod(col("vid"), lit(10)) =!= 0)
+    val probes = vecs.filter(pmod(col("vid"), lit(10)) === 0)
+    Similarity.crossCosineMatches(corpus, probes, "vid", "vec", 0.98,
+        bands = 16, bitsPerBand = 10)
+      .select(col("corpus_id"), col("probe_id"), round(col("sim"), 6).as("sim"))
   }
 
   /** Token counting (the charter's "whitespace + BPE-ish" pair): whitespace
@@ -2383,6 +2400,24 @@ object SparkEntry {
         |sims AS (SELECT qa, qb, d / (na.n * nb.n) AS sim
         |  FROM dots JOIN nrm na ON na.doc_id = qa JOIN nrm nb ON nb.doc_id = qb)
         |SELECT qa AS doc_a, qb AS doc_b, ROUND(sim, 6) AS sim
+        |FROM sims WHERE sim >= 0.98""".stripMargin,
+
+    // cross-corpus decontamination: the SAME trigram-vector construction as
+    // doc_neardup_cosine, restricted to (train, benchmark) cross pairs
+    "doc_cross_decontaminate" ->
+      """WITH tri AS (
+        |  SELECT doc_id,
+        |    (CAST(concat('0x', substr(md5(substr(text, i, 3)), 1, 4)) AS BIGINT) % 64) AS b
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-2)) AS i)
+        |),
+        |vec AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM tri GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sqrt(sum(c*c)) AS n FROM vec GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS cid, b.doc_id AS pid, sum(a.c*b.c) AS d
+        |  FROM vec a JOIN vec b ON a.b = b.b
+        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2),
+        |sims AS (SELECT cid, pid, d / (na.n * nb.n) AS sim
+        |  FROM dots JOIN nrm na ON na.doc_id = cid JOIN nrm nb ON nb.doc_id = pid)
+        |SELECT cid AS corpus_id, pid AS probe_id, ROUND(sim, 6) AS sim
         |FROM sims WHERE sim >= 0.98""".stripMargin,
 
     "emb_norms" ->

@@ -224,6 +224,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Cross-corpus contamination matches: every (corpus, probe) pair with
+    * cosine ≥ tau — the embedding-space twin of
+    * [[graft.operators.Decontaminate]]'s n-gram gate (decontaminate a
+    * training corpus against a benchmark/eval set before training).
+    * Candidates come from an EQUI-join of the two sides' banded hyperplane
+    * signatures on (band, band_val) — never an all-pairs join — with the
+    * same recall math as [[cosineNearDupPairs]]; the exact normalized dot
+    * re-checks each deduplicated candidate, so precision is exact. The
+    * probe side is typically orders of magnitude smaller than the corpus,
+    * so its signature and vector frames flow through the size-gated
+    * broadcast planner while the corpus streams: each corpus row is
+    * touched once for its signature and once per surviving candidate.
+    * Returns (corpus_id, probe_id, sim). */
+  def crossCosineMatches(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, vecCol: String, tau: Double,
+                         bands: Int = 16, bitsPerBand: Int = 10): DataFrame = {
+    val pc = prepared(corpus, idCol, vecCol).localCheckpoint(false)
+    val pp = prepared(probes, idCol, vecCol).localCheckpoint(false)
+    val sc = bandedSignatures(corpus, idCol, vecCol, bands, bitsPerBand)
+    val sp = bandedSignatures(probes, idCol, vecCol, bands, bitsPerBand)
+    val cands = sc.as("c").join(sp.as("p"), Seq("band", "band_val"))
+      .select(col("c.vid").as("cid"), col("p.vid").as("pid"))
+      .distinct()
+    cands
+      .join(pc.select(col("vid").as("cid"), col("v").as("_cv"), col("nrm").as("_cn")), Seq("cid"))
+      .join(pp.select(col("vid").as("pid"), col("v").as("_pv"), col("nrm").as("_pn")), Seq("pid"))
+      .select(col("cid").as("corpus_id"), col("pid").as("probe_id"),
+        (dotFast(col("_cv"), col("_pv")) / (col("_cn") * col("_pn"))).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, each pair once.
     *
     * Candidate generation is an EQUI-join on (band, band_val) over banded

@@ -115,6 +115,38 @@ class ExactPropertySpec extends SparkSpec {
     assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
   }
 
+  test("crossCosineMatches equals the brute-force cross join at tau") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // same planted-cluster recipe; split each cluster across the two sides
+    // so every probe has a true corpus match
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0 until 10).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { j =>
+        val v = base.map(x => x + (if (j == 0) 0f else 0.02f * rnd.nextGaussian().toFloat))
+        (c.toLong * 3 + j, v.toSeq)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.filter(col("vec_id") % 3 =!= 0)
+    val probes = df.filter(col("vec_id") % 3 === 0)
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("corpus_id", "probe_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = toSet(Similarity.crossCosineMatches(
+      corpus, probes, "vec_id", "embedding", 0.95))
+    val pc = Similarity.prepared(corpus, "vec_id", "embedding")
+    val pp = Similarity.prepared(probes, "vec_id", "embedding")
+    val brute = toSet(pc.as("a").join(pp.as("b"))
+      .select(col("a.vid").as("corpus_id"), col("b.vid").as("probe_id"),
+        (Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= 0.95))
+    assert(brute.nonEmpty, "fixture must contain true cross matches")
+    assert(fast == brute, s"banded ${fast.size} vs brute ${brute.size}")
+  }
+
   test("dynamicTestForecast AR(2), 1<k<testLength matches the reference's sequential ledger") {
     // the hard case: a lag can reach across a chunk boundary into a NON-peek
     // position, where the reference keeps the earlier PREDICTION (models.py
