@@ -37,6 +37,30 @@ object Scratch {
         Similarity.cosineNearDupPairs(vecsC, "vid", "vec", 0.98,
           bands = 16, bitsPerBand = 10).count()
       }
+    } else if (args.headOption.contains("cross")) {
+      import graft.functions.TextOps
+      import graft.operators.Similarity
+      val docs = graft.core.Tables.documents(spark, dir)
+      val corpus = TextOps.trigramVectors(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text")
+      val probes = TextOps.trigramVectors(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+      time("corpus trigram count") { corpus.count() }
+      time("probe trigram count") { probes.count() }
+      val pp = time("pp checkpoint count") {
+        val p = Similarity.prepared(probes, "vid", "vec").localCheckpoint(false)
+        p.count(); p
+      }
+      time("pp dims+collect") {
+        pp.select(size(col("v"))).first()
+        pp.select(col("vid"), col("v"), col("nrm")).collect()
+      }
+      time("corpus prepared scan") {
+        Similarity.prepared(corpus, "vid", "vec").count()
+      }
+      time("full cross op") {
+        Similarity.crossCosineMatches(corpus, probes, "vid", "vec", 0.98, 16, 10).count()
+      }
     } else if (args.headOption.contains("pipe")) {
       import graft.operators.Dedup
       import graft.functions.TextOps

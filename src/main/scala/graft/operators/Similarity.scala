@@ -240,19 +240,100 @@ object Similarity {
   def crossCosineMatches(corpus: DataFrame, probes: DataFrame,
                          idCol: String, vecCol: String, tau: Double,
                          bands: Int = 16, bitsPerBand: Int = 10): DataFrame = {
-    val pc = prepared(corpus, idCol, vecCol).localCheckpoint(false)
+    // each side's vector frame materializes ONCE (eager checkpoint —
+    // released by the ContextCleaner when unreferenced): the signature
+    // pass, the dims probe, and the re-score all read the blocks instead
+    // of re-running the upstream vectorization (for trigram vectors that
+    // upstream is a ~300× explode — re-deriving it per consumer dominated
+    // the first cut of this operator)
+    // only the PROBE side materializes up front (it is read 2-3×: count,
+    // dims, collect/signatures); the corpus is consumed exactly once in
+    // tier 1, so checkpointing it there would only copy blocks
     val pp = prepared(probes, idCol, vecCol).localCheckpoint(false)
-    val sc = bandedSignatures(corpus, idCol, vecCol, bands, bitsPerBand)
-    val sp = bandedSignatures(probes, idCol, vecCol, bands, bitsPerBand)
-    val cands = sc.as("c").join(sp.as("p"), Seq("band", "band_val"))
-      .select(col("c.vid").as("cid"), col("p.vid").as("pid"))
-      .distinct()
-    cands
-      .join(pc.select(col("vid").as("cid"), col("v").as("_cv"), col("nrm").as("_cn")), Seq("cid"))
-      .join(pp.select(col("vid").as("pid"), col("v").as("_pv"), col("nrm").as("_pn")), Seq("pid"))
-      .select(col("cid").as("corpus_id"), col("pid").as("probe_id"),
-        (dotFast(col("_cv"), col("_pv")) / (col("_cn") * col("_pn"))).as("sim"))
-      .filter(col("sim") >= tau)
+    val nProbes = pp.count()
+    require(nProbes > 0, "crossCosineMatches needs a non-empty probe set")
+    val dims = pp.select(size(col("v"))).first().getInt(0)
+    // Tier 1 — the canonical decontamination shape: a benchmark set that
+    // fits the broadcast budget ships to every task ONCE and every corpus
+    // vector scores against all of it during a single scan. Zero shuffles,
+    // zero candidate materialization, flops-bound — and EXACTLY the
+    // brute-force definition (recall 1 by construction). At 100 TB corpus ×
+    // 10⁴ benchmark vectors this is a map-only pass.
+    val bcastBudget = {
+      val thr = pp.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (thr > 0) thr * 8 else 80L << 20
+    }
+    if (nProbes * (dims + 2) * 8L <= bcastBudget) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val pc = prepared(corpus, idCol, vecCol)
+      val probeArr = pp.select(col("vid"), col("v"), col("nrm")).collect()
+        .map(r => (r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      val bc = pc.sparkSession.sparkContext.broadcast(probeArr)
+      val outSchema = StructType(Seq(
+        pc.schema("vid").copy(name = "corpus_id"),
+        pp.schema("vid").copy(name = "probe_id"),
+        StructField("sim", DoubleType)))
+      pc.select(col("vid"), col("v"), col("nrm")).flatMap({ r =>
+        val cv = r.getSeq[Double](1).toArray
+        val cn = r.getDouble(2)
+        val cid = r.get(0)
+        bc.value.iterator.flatMap { case (pid, pv, pn) =>
+          var s = 0.0
+          var i = 0
+          val n = math.min(cv.length, pv.length)
+          while (i < n) { s += cv(i) * pv(i); i += 1 }
+          val sim = s / (cn * pn)
+          if (sim >= tau) Some(Row(cid, pid, sim)) else None
+        }
+      })(Encoders.row(outSchema)).toDF()
+    } else {
+      // Tier 2 — probe set too big to ship: banded-signature equi-join
+      // candidates (recall per [[cosineNearDupPairs]]'s band math), exact
+      // re-check on the deduplicated pairs. Here the corpus IS read twice
+      // (signatures + re-score), so it rides a checkpoint.
+      val pc = prepared(corpus, idCol, vecCol).localCheckpoint(true)
+      val sc = signatureRows(pc, dims, bands, bitsPerBand)
+      val sp = signatureRows(pp, dims, bands, bitsPerBand)
+      val cands = sc.as("c").join(sp.as("p"), Seq("band", "band_val"))
+        .select(col("c.vid").as("cid"), col("p.vid").as("pid"))
+        .distinct()
+      cands
+        .join(pc.select(col("vid").as("cid"), col("v").as("_cv"), col("nrm").as("_cn")), Seq("cid"))
+        .join(pp.select(col("vid").as("pid"), col("v").as("_pv"), col("nrm").as("_pn")), Seq("pid"))
+        .select(col("cid").as("corpus_id"), col("pid").as("probe_id"),
+          (dotFast(col("_cv"), col("_pv")) / (col("_cn") * col("_pn"))).as("sim"))
+        .filter(col("sim") >= tau)
+    }
+  }
+
+  /** (vid, band, band_val) signature rows from an already-`prepared`
+    * (vid, v, …) frame — the [[bandedSignatures]] kernel without the
+    * re-preparation, for callers that hold a materialized vector frame. */
+  private def signatureRows(p: DataFrame, dims: Int, bands: Int,
+                            bitsPerBand: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val coefs = Array.tabulate(bands * bitsPerBand, dims)(planeCoefV)
+    val outSchema = StructType(Seq(p.schema("vid").copy(name = "vid"),
+      StructField("band", IntegerType), StructField("band_val", LongType)))
+    p.select(col("vid"), col("v")).flatMap({ r =>
+      val arr = r.getSeq[Double](1).toArray
+      (0 until bands).map { b =>
+        var bucket = 0L
+        var bit = 0
+        while (bit < bitsPerBand) {
+          val c = coefs(b * bitsPerBand + bit)
+          var s = 0.0
+          var d = 0
+          val n = math.min(arr.length, c.length)
+          while (d < n) { s += arr(d) * c(d); d += 1 }
+          if (s > 0) bucket |= (1L << bit)
+          bit += 1
+        }
+        Row(r.get(0), b, bucket)
+      }
+    })(Encoders.row(outSchema)).toDF()
   }
 
   /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, each pair once.

@@ -135,8 +135,16 @@ class ExactPropertySpec extends SparkSpec {
     def toSet(d: org.apache.spark.sql.DataFrame) =
       d.select("corpus_id", "probe_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val fast = toSet(Similarity.crossCosineMatches(
+    // tier 1: probes fit the broadcast budget → map-only brute force
+    val bcast = toSet(Similarity.crossCosineMatches(
       corpus, probes, "vec_id", "embedding", 0.95))
+    // tier 2: squeeze the budget to force the banded-signature equi-join
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val banded = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      toSet(Similarity.crossCosineMatches(
+        corpus, probes, "vec_id", "embedding", 0.95))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     val pc = Similarity.prepared(corpus, "vec_id", "embedding")
     val pp = Similarity.prepared(probes, "vec_id", "embedding")
     val brute = toSet(pc.as("a").join(pp.as("b"))
@@ -144,7 +152,8 @@ class ExactPropertySpec extends SparkSpec {
         (Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= 0.95))
     assert(brute.nonEmpty, "fixture must contain true cross matches")
-    assert(fast == brute, s"banded ${fast.size} vs brute ${brute.size}")
+    assert(bcast == brute, s"broadcast tier ${bcast.size} vs brute ${brute.size}")
+    assert(banded == brute, s"banded tier ${banded.size} vs brute ${brute.size}")
   }
 
   test("dynamicTestForecast AR(2), 1<k<testLength matches the reference's sequential ledger") {
