@@ -154,7 +154,7 @@ object SparkEntry {
   private def qDocPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val stats = TextOps.withTextStats(docs)
-    val dupIds = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, JaccardDfCap)
+    val dupIds = jaccardM(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
     stats.filter(col("quality") >= 0.7)
       .join(dupIds, Seq("doc_id"), "left_anti")
@@ -879,9 +879,16 @@ object SparkEntry {
     Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
 
   private def qJaccardPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8, JaccardDfCap)
+    jaccardM(s, d)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         round(col("jaccard"), 6).as("jaccard"))
+
+  /** doc_jaccard_pairs and doc_pipeline's dup stage run the SAME capped
+    * jaccard pass on the same corpus — shared checkpointed, the
+    * blockedFitM pattern (the pair frame is slim: only ≥minJ pairs). */
+  private def jaccardM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "jaccard")(
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8, JaccardDfCap))
 
   /** Hot-shingle document-frequency cap for the declared Jaccard queries:
     * bounds every inverted-index join key at ≤ cap docs (cap² pairs). */
