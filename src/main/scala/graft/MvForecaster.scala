@@ -44,6 +44,7 @@ final case class MvForecaster(
     testLength: Int = 0,
     maxSources: Int = 3,
     minAbsCorr: Double = 0.0,
+    approxScreen: Boolean = false,
     optimizeHow: String = "mean",
     optimizeWeights: Map[String, Double] = Map.empty,
     bestModel: Option[String] = None) {
@@ -59,9 +60,13 @@ final case class MvForecaster(
     * so the holdout is the last n rows of the SHARED calendar. */
   def setTestLength(n: Int): MvForecaster = copy(testLength = n)
 
-  /** Blocked-tier knobs (only consulted past the coupled-set bound). */
-  def setScreen(maxSources: Int, minAbsCorr: Double = 0.0): MvForecaster =
-    copy(maxSources = maxSources, minAbsCorr = minAbsCorr)
+  /** Blocked-tier knobs (only consulted past the coupled-set bound).
+    * `approx = true` routes source selection through
+    * [[BlockedVar.screenApprox]] — the ANN-screened 10⁶-series path that
+    * never pays the nSeries² correlation pass (requires minAbsCorr > 0). */
+  def setScreen(maxSources: Int, minAbsCorr: Double = 0.0,
+                approx: Boolean = false): MvForecaster =
+    copy(maxSources = maxSources, minAbsCorr = minAbsCorr, approxScreen = approx)
 
   /** `set_optimize_on` (MVForecaster.py:412-444): how per-series metrics
     * collapse to one scalar when choosing between models — "mean" / "min" /
@@ -103,7 +108,13 @@ final case class MvForecaster(
         MvForecast.dynamicForecastOls(withLags, fits, seriesIds, lags)
           .select(outCols: _*)
       } else {
-        val (fits, block) = BlockedVar.fit(b, lags, maxSources, minAbsCorr)
+        val (fits, block) =
+          if (approxScreen)
+            BlockedVar.fitWithBlock(b,
+              BlockedVar.screenApprox(b, maxSources, minAbsCorr)
+                .localCheckpoint(false),
+              lags, maxSources)
+          else BlockedVar.fit(b, lags, maxSources, minAbsCorr)
         val fitted = BlockedVar
           .fittedValuesWith(b, fits, block, lags, maxSources)
           .join(b.select(col(SeriesId), col(Ds), col("is_test")),

@@ -66,6 +66,14 @@ object BlockedVar {
       // components stay small — which is what the component-parallel
       // recursion exploits
       .filter(col("_c").isNotNull && abs(col("_c")) >= minAbsCorr)
+    rankAndAddSelf(obs, pairs, maxSources)
+  }
+
+  /** Shared tail of both screens: rank surviving (target, src, _c) edges by
+    * |corr| (ties by src id), keep maxSources−1, prepend every target's
+    * self row at rank 0. */
+  private def rankAndAddSelf(obs: DataFrame, pairs: DataFrame,
+                             maxSources: Int): DataFrame = {
     val ranked = pairs.withColumn("src_rank",
       row_number().over(Window.partitionBy("target")
         .orderBy(abs(col("_c")).desc, col("src").asc)))
@@ -76,15 +84,89 @@ object BlockedVar {
       .unionByName(ranked)
   }
 
+  /** [[screen]] WITHOUT the quadratic pair pass — the 10⁶-series tier.
+    *
+    * The exact screen's date-keyed self-join materializes nSeries² slim
+    * rows per shared date: inherent if every pair must be scored, fatal at
+    * 10⁶ series. But Pearson correlation of two aligned series is exactly
+    * the COSINE of their mean-centered profiles, so candidate sources can
+    * come from the engine's own ANN tier instead: each series' trailing
+    * `profileWindow`-date centered profile (target side = y_t, source side
+    * = y_{t−1}) feeds [[graft.operators.Similarity.crossCosineMatches]] —
+    * banded hyperplane signatures, equi-join on (band, band_val), never
+    * all-pairs — probed with BOTH signs so strong negative correlations
+    * are found too. The EXACT full-history lag-1 correlation is then
+    * computed only for candidate pairs (a candidate-bounded join), so the
+    * final block is identical to [[screen]]'s whenever candidate recall
+    * holds — the same contract as every LSH tier in the repo; MvSpec pins
+    * equality on planted structure. Cost: O(n·bands) signature rows +
+    * bucket-bounded joins + |candidates|·dates re-check rows.
+    *
+    * `minAbsCorr` must be positive: it is both the noise-edge gate and the
+    * candidate cosine threshold (a zero threshold would re-admit every
+    * pair and with it the quadratic cost this tier exists to avoid). */
+  def screenApprox(frame: DataFrame, maxSources: Int, minAbsCorr: Double,
+                   profileWindow: Int = 64, bands: Int = 16,
+                   bitsPerBand: Int = 8): DataFrame = {
+    require(minAbsCorr > 0,
+      "screenApprox needs a positive minAbsCorr: it doubles as the ANN " +
+        "candidate threshold (at 0 every pair is a candidate and the " +
+        "quadratic pass is back)")
+    val obs = trainObs(frame).localCheckpoint(false)
+    val withT = obs.select(col(SeriesId), col(Y),
+      row_number().over(w).as("_t"))
+    val tMax = withT.agg(max("_t")).first().getInt(0)
+    val lo = math.max(2, tMax - profileWindow + 1)
+    // positions lo..tMax: target profile = y_t, source profile = y_{t−1};
+    // centering makes cosine == Pearson on the window
+    def profile(shift: Int): DataFrame = withT
+      .filter(col("_t") >= lo - shift && col("_t") <= tMax - shift)
+      .groupBy(SeriesId)
+      .agg(sort_array(collect_list(struct(col("_t"), col(Y)))).as("_sv"))
+      .select(col(SeriesId).as("vid"),
+        expr(s"transform(_sv, x -> x.$Y)").as("raw"))
+      .select(col("vid"), transform(col("raw"),
+        x => x - aggregate(col("raw"), lit(0.0), (a, v) => a + v)
+          / size(col("raw"))).as("vec"))
+    val srcProf = profile(1)
+    val tgtProf = profile(0).localCheckpoint(false)
+    val negProf = tgtProf.select(col("vid"),
+      transform(col("vec"), x => -x).as("vec"))
+    import graft.operators.Similarity
+    def matches(probes: DataFrame) =
+      Similarity.crossCosineMatches(srcProf, probes, "vid", "vec",
+          minAbsCorr, bands, bitsPerBand)
+        .select(col("probe_id").as("target"), col("corpus_id").as("src"))
+    val cands = matches(tgtProf).unionByName(matches(negProf))
+      .filter(col("target") =!= col("src")).distinct()
+    // exact full-history lag-1 correlation, candidates only — the same
+    // statistic as [[screen]], so the surviving edges rank identically
+    val targets = obs.select(col(SeriesId).as("target"), col(Ds), col(Y))
+    val pairs = cands
+      .join(lagsLong(obs, 1), Seq("src"))
+      .join(targets, Seq("target", Ds.toString))
+      .groupBy("target", "src").agg(corr(col(Y), col("xval")).as("_c"))
+      .filter(col("_c").isNotNull && abs(col("_c")) >= minAbsCorr)
+    rankAndAddSelf(obs, pairs, maxSources)
+  }
+
   /** Fitted blocked-VAR equations: one row per target with the fitted β in
     * feature-index order (featIdx = src_rank·maxLag + lag − 1, intercept
     * last) — plus the chosen block for interpretation/replay.
     * Returns (fits, block) where fits = (target, beta array[k]) and
     * block = [[screen]]'s (target, src, src_rank). */
   def fit(frame: DataFrame, maxLag: Int, maxSources: Int,
-          minAbsCorr: Double = 0.0): (DataFrame, DataFrame) = {
+          minAbsCorr: Double = 0.0): (DataFrame, DataFrame) =
+    fitWithBlock(frame,
+      screen(frame, maxLag, maxSources, minAbsCorr).localCheckpoint(false),
+      maxLag, maxSources)
+
+  /** [[fit]] over a PRECOMPUTED source block — e.g. [[screenApprox]]'s
+    * (the 10⁶-series path: approx screen + this fit + the recursion never
+    * touch an nSeries² pass). */
+  def fitWithBlock(frame: DataFrame, block: DataFrame, maxLag: Int,
+                   maxSources: Int): (DataFrame, DataFrame) = {
     val obs = trainObs(frame)
-    val block = screen(frame, maxLag, maxSources, minAbsCorr).localCheckpoint(false)
     val k = maxSources * maxLag + 1
     val design = designRows(obs, block, maxLag, k)
     // complete (target, ds) rows: all of the TARGET'S OWN features present

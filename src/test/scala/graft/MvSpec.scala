@@ -68,7 +68,8 @@ class MvSpec extends SparkSpec {
       }
     }
     val sids = "a" +: (1 to 79).map(i => f"b$i%02d")
-    val mv = MvForecaster(rows.toDF("series_id", "ds", "y", "is_future"), sids)
+    val df = rows.toDF("series_id", "ds", "y", "is_future")
+    val mv = MvForecaster(df, sids)
       .generateFutureDates(3)
       .setLags(1)
       .setScreen(maxSources = 2, minAbsCorr = 0.3)
@@ -76,6 +77,51 @@ class MvSpec extends SparkSpec {
     val fut = mv.results.get.filter(col("is_future"))
     assert(fut.count() == 80L * 3)
     assert(fut.filter(col("yhat").isNull || isnan(col("yhat"))).count() == 0)
+    // same workflow through the ANN-screened (no pair pass) tier
+    val futA = MvForecaster(df, sids)
+      .generateFutureDates(3)
+      .setLags(1)
+      .setScreen(maxSources = 2, minAbsCorr = 0.3, approx = true)
+      .manualForecast(callMe = "mv_big_approx")
+      .results.get.filter(col("is_future"))
+    assert(futA.count() == 80L * 3)
+    assert(futA.filter(col("yhat").isNull || isnan(col("yhat"))).count() == 0)
+  }
+
+  test("screenApprox recovers the exact screen's block without the pair pass") {
+    import spark.implicits._
+    def noise(t: Int): Double = {
+      var z = t.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      (math.abs(z % 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    // 60 series in 3 driver families (one NEGATIVE coupling) + noise-only
+    // series that must keep self-only blocks under the threshold
+    val nObs = 48
+    val drivers = Seq("d0", "d1", "d2").zipWithIndex.map { case (n, j) =>
+      n -> (0 until nObs).map(t => 5.0 + 3.0 * noise(t * 10 + j))
+    }
+    val rows = (0 until nObs).flatMap { t =>
+      val ds = java.sql.Date.valueOf(java.time.LocalDate.of(2019, 1, 1).plusMonths(t))
+      drivers.map { case (n, ys) => (n, ds, ys(t), false) } ++
+        (0 until 45).map { i =>
+          val (dn, ys) = drivers(i % 3)
+          val sign = if (i % 5 == 0) -0.7 else 0.7
+          val y = if (t == 0) 2.0 + i * 0.1
+                  else 2.0 + i * 0.1 + sign * ys(t - 1) + 0.05 * noise(t * 100 + i)
+          (f"f$i%02d", ds, y, false)
+        } ++
+        (0 until 12).map(i => (f"n$i%02d", ds, 1.0 + 0.5 * noise(t * 1000 + i), false))
+    }
+    val frame = rows.toDF("series_id", "ds", "y", "is_future")
+    def asSet(b: org.apache.spark.sql.DataFrame) =
+      b.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val exact = asSet(graft.models.BlockedVar.screen(frame, 1, 2, 0.4))
+    val approx = asSet(graft.models.BlockedVar.screenApprox(frame, 2, 0.4,
+      profileWindow = 48))
+    assert(exact == approx,
+      s"approx block must equal the exact screen: missing ${exact -- approx}, extra ${approx -- exact}")
   }
 
   test("BlockedVar screens the true driver and fits past the coupled-set bound") {
