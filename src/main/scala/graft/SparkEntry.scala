@@ -126,6 +126,7 @@ object SparkEntry {
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
+    "mv_screen_approx"   -> ((s, d) => qScreenApprox(s, d)),
     "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d)),
     "ts_opt_transform_by_series" -> ((s, d) => qOptTransformBySeries(s, d)),
     "ts_auto_xvar_by_series"     -> ((s, d) => qAutoXvarBySeries(s, d))
@@ -1318,6 +1319,36 @@ object SparkEntry {
         round(col("beta"), 6).as("beta"))
   }
 
+  /** ANN-screened blocked-VAR source selection, declared end-to-end: an
+    * 8-series frame derived from the z-scored orders series with PLANTED
+    * strong lag couplings — four followers tracking ±(the driver's lag)
+    * with tiny md5-hash wiggle, three pure-hash noise series. Planted
+    * |corr| ≈ 0.99 vs background ≈ |lag-1 autocorr| ≈ 0.1, so the 0.6 gate
+    * separates cleanly and [[graft.models.BlockedVar.screenApprox]]'s
+    * candidate tier (profile cosine == Pearson on the full window) must
+    * reproduce EXACTLY the quadratic screen the oracle replays in SQL —
+    * including the negative couplings, which only the both-signs probing
+    * can see. */
+  private def qScreenApprox(s: SparkSession, d: String): DataFrame = {
+    val base = zOrdersMonthly(s, d)
+      .select(col(Ds), col(Y), lag(col(Y), 1).over(w).as("ylag"))
+      .filter(col("ylag").isNotNull)
+    def noiseCol(tag: String): Column =
+      (pmod(TextOps.hash32(concat(col(Ds).cast("string"), lit("_" + tag))),
+        lit(1000)).cast("double") / 1000.0) - 0.5
+    val driver = base.select(lit("a").as(SeriesId), col(Ds), col(Y))
+    val followers = Seq("f1" -> 1.0, "f2" -> -1.0, "f3" -> 0.9, "f4" -> -0.9)
+      .map { case (n, c) => base.select(lit(n).as(SeriesId), col(Ds),
+        (lit(c) * col("ylag") + lit(0.1) * noiseCol(n)).as(Y)) }
+    val noisers = Seq("n1", "n2", "n3").map(n =>
+      base.select(lit(n).as(SeriesId), col(Ds), noiseCol(n).as(Y)))
+    val frame = (driver +: (followers ++ noisers)).reduce(_ unionByName _)
+      .withColumn(IsFuture, lit(false))
+    graft.models.BlockedVar.screenApprox(frame, maxSources = 2,
+        minAbsCorr = 0.6, profileWindow = 256)
+      .select(col("target"), col("src"), col("src_rank").cast("long").as("src_rank"))
+  }
+
   /** Blocked-VAR recursive 6-step horizon over the 5 z-scored segments:
     * every step fills each target's screened-source lags from the shared
     * ledger (actuals ∪ predictions) — the coupled walk at blocked scale.
@@ -2233,6 +2264,37 @@ object SparkEntry {
     // blocked cross-lag VAR: lag-1 corr screen (rank by |c| desc, src asc) →
     // per-target design (self + top-2 sources + intercept, k=4) → moments
     // pivoted per target → one grouped Cholesky chain solves every equation
+    // ANN-screened source selection == the exact quadratic screen, replayed
+    // in SQL over the same planted-coupling fixture (followers = ±driver
+    // lag + md5 wiggle; hash noise series must keep self-only blocks)
+    "mv_screen_approx" -> {
+      def nz(tag: String) =
+        s"((CAST(concat('0x', substr(md5(concat(CAST(ds AS VARCHAR), '_$tag')), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5)"
+      val fdefs = Seq("f1" -> "1.0", "f2" -> "-1.0", "f3" -> "0.9", "f4" -> "-0.9")
+        .map { case (n, c) =>
+          s"SELECT '$n' AS series_id, ds, $c * ylag + 0.1 * ${nz(n)} AS y FROM b2" }
+      val ndefs = Seq("n1", "n2", "n3")
+        .map(n => s"SELECT '$n' AS series_id, ds, ${nz(n)} AS y FROM b2")
+      s"""$ZS,
+         |sp AS (SELECT ds, y, lag(y) OVER (ORDER BY ds) AS ylag FROM series),
+         |b2 AS (SELECT ds, y, ylag FROM sp WHERE ylag IS NOT NULL),
+         |uni AS (
+         |  SELECT 'a' AS series_id, ds, y FROM b2
+         |  UNION ALL ${(fdefs ++ ndefs).mkString("\n  UNION ALL ")}),
+         |lg AS (SELECT series_id AS src, ds,
+         |       lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS xval FROM uni),
+         |pr AS (SELECT t.series_id AS target, l.src, corr(t.y, l.xval) AS c
+         |       FROM uni t JOIN lg l USING (ds)
+         |       WHERE t.series_id <> l.src AND l.xval IS NOT NULL GROUP BY 1, 2),
+         |rk AS (SELECT target, src,
+         |       row_number() OVER (PARTITION BY target ORDER BY abs(c) DESC, src ASC) AS r
+         |       FROM pr WHERE c IS NOT NULL AND abs(c) >= 0.6),
+         |blk AS (SELECT series_id AS target, series_id AS src, 0 AS r
+         |        FROM (SELECT DISTINCT series_id FROM uni)
+         |        UNION ALL SELECT target, src, r FROM rk WHERE r <= 1)
+         |SELECT target, src, CAST(r AS BIGINT) AS src_rank FROM blk""".stripMargin
+    },
+
     "mv_blocked_var" ->
       s"""$ZSEG,
          |bounds AS (SELECT max(mn) AS lo, min(mx) AS hi FROM
