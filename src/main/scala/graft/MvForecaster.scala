@@ -196,6 +196,19 @@ final case class MvForecaster(
       model.orElse(bestModel).getOrElse(modelNames.headOption.getOrElse(
         throw new IllegalStateException("no model banked yet"))))
 
+  /** `break_mv_forecaster` (util.py:232-296): one univariate [[Forecaster]]
+    * per series, each carrying its own slice of the frame and of the banked
+    * results, so a workflow can continue per series (feature adds,
+    * univariate models, exports) after a joint MV fit. Lazy column filters
+    * over the same plans — nothing is copied. */
+  def breakOut(): Map[String, Forecaster] =
+    seriesIds.map { sid =>
+      sid -> Forecaster(
+        frame.filter(col(SeriesId) === sid),
+        results = results.map(_.filter(col(SeriesId) === sid)),
+        testLength = testLength)
+    }.toMap
+
   /** `corr` — pairwise Pearson matrix (MVForecaster.py:1012-1049). */
   def corr(): DataFrame =
     graft.functions.Diagnostics.corrMatrix(

@@ -47,6 +47,15 @@ class MvSpec extends SparkSpec {
     // corr matrix: one (a,b) row over the shared calendar
     val cm = mv.corr().collect()
     assert(cm.length == 1 && !cm(0).getAs[Double]("corr").isNaN)
+    // break_mv_forecaster: per-series Forecasters carry their result slice
+    val broken = both.breakOut()
+    assert(broken.keySet == Set("a", "b"))
+    val fa = broken("a")
+    assert(fa.frame.select("series_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    assert(fa.results.get.select("series_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    assert(fa.exportForecasts().count() == 3, "a's own 3 horizon rows")
   }
 
   test("MvForecaster facade routes oversized sets through the blocked tier") {
