@@ -176,10 +176,11 @@ final case class MvForecaster(
     results.map(_.select("model").distinct().collect().map(_.getString(0)).toSeq.sorted)
       .getOrElse(Nil)
 
-  /** `optimize_on` collapse of a banked model's per-series metric rows. */
+  /** `optimize_on` collapse of a banked model's per-series metric rows —
+    * defaults to the rule recorded by [[setOptimizeOn]]. */
   def optimizeOn(model: String, metricName: String = "rmse",
-                 how: String = "mean",
-                 weights: Map[String, Double] = Map.empty): Double =
+                 how: String = this.optimizeHow,
+                 weights: Map[String, Double] = this.optimizeWeights): Double =
     graft.eval.Evaluation.optimizeOn(
       ResultsStore.modelSummaries(banked.filter(col("model") === model),
         Seq(metricName)).withColumnRenamed(s"test_$metricName", metricName),
