@@ -94,8 +94,8 @@ object BlockedVar {
     * `profileWindow`-date centered profile (target side = y_t, source side
     * = y_{t−1}) feeds [[graft.operators.Similarity.crossCosineMatches]] —
     * banded hyperplane signatures, equi-join on (band, band_val), never
-    * all-pairs — probed with BOTH signs so strong negative correlations
-    * are found too. The EXACT full-history lag-1 correlation is then
+    * all-pairs — in `absolute` mode, so strong NEGATIVE correlations are
+    * found too. The EXACT full-history lag-1 correlation is then
     * computed only for candidate pairs (a candidate-bounded join), so the
     * final block is identical to [[screen]]'s whenever candidate recall
     * holds — the same contract as every LSH tier in the repo; MvSpec pins
@@ -129,15 +129,11 @@ object BlockedVar {
         x => x - aggregate(col("raw"), lit(0.0), (a, v) => a + v)
           / size(col("raw"))).as("vec"))
     val srcProf = profile(1)
-    val tgtProf = profile(0).localCheckpoint(false)
-    val negProf = tgtProf.select(col("vid"),
-      transform(col("vec"), x => -x).as("vec"))
+    val tgtProf = profile(0)
     import graft.operators.Similarity
-    def matches(probes: DataFrame) =
-      Similarity.crossCosineMatches(srcProf, probes, "vid", "vec",
-          minAbsCorr, bands, bitsPerBand)
-        .select(col("probe_id").as("target"), col("corpus_id").as("src"))
-    val cands = matches(tgtProf).unionByName(matches(negProf))
+    val cands = Similarity.crossCosineMatches(srcProf, tgtProf, "vid", "vec",
+        minAbsCorr, bands, bitsPerBand, absolute = true)
+      .select(col("probe_id").as("target"), col("corpus_id").as("src"))
       .filter(col("target") =!= col("src")).distinct()
     // exact full-history lag-1 correlation, candidates only — the same
     // statistic as [[screen]], so the surviving edges rank identically

@@ -237,9 +237,14 @@ object Similarity {
     * broadcast planner while the corpus streams: each corpus row is
     * touched once for its signature and once per surviving candidate.
     * Returns (corpus_id, probe_id, sim). */
+  /** `absolute = true` matches on |cosine| ≥ tau — one call finds both
+    * strongly-aligned and strongly-opposed pairs (tier 2 probes each
+    * signature in both signs; tier 1 just takes the absolute value), and
+    * `sim` keeps its sign so callers can split the two. */
   def crossCosineMatches(corpus: DataFrame, probes: DataFrame,
                          idCol: String, vecCol: String, tau: Double,
-                         bands: Int = 16, bitsPerBand: Int = 10): DataFrame = {
+                         bands: Int = 16, bitsPerBand: Int = 10,
+                         absolute: Boolean = false): DataFrame = {
     // each side's vector frame materializes ONCE (eager checkpoint —
     // released by the ContextCleaner when unreferenced): the signature
     // pass, the dims probe, and the re-score all read the blocks instead
@@ -274,6 +279,7 @@ object Similarity {
         pc.schema("vid").copy(name = "corpus_id"),
         pp.schema("vid").copy(name = "probe_id"),
         StructField("sim", DoubleType)))
+      val abs = absolute
       pc.select(col("vid"), col("v"), col("nrm")).flatMap({ r =>
         val cv = r.getSeq[Double](1).toArray
         val cn = r.getDouble(2)
@@ -284,7 +290,8 @@ object Similarity {
           val n = math.min(cv.length, pv.length)
           while (i < n) { s += cv(i) * pv(i); i += 1 }
           val sim = s / (cn * pn)
-          if (sim >= tau) Some(Row(cid, pid, sim)) else None
+          if ((if (abs) math.abs(sim) else sim) >= tau) Some(Row(cid, pid, sim))
+          else None
         }
       })(Encoders.row(outSchema)).toDF()
     } else {
@@ -294,7 +301,10 @@ object Similarity {
       // (signatures + re-score), so it rides a checkpoint.
       val pc = prepared(corpus, idCol, vecCol).localCheckpoint(true)
       val sc = signatureRows(pc, dims, bands, bitsPerBand)
-      val sp = signatureRows(pp, dims, bands, bitsPerBand)
+      val spPos = signatureRows(pp, dims, bands, bitsPerBand)
+      val sp = if (!absolute) spPos else spPos.unionByName(
+        signatureRows(pp.select(col("vid"),
+          transform(col("v"), x => -x).as("v")), dims, bands, bitsPerBand))
       val cands = sc.as("c").join(sp.as("p"), Seq("band", "band_val"))
         .select(col("c.vid").as("cid"), col("p.vid").as("pid"))
         .distinct()
@@ -303,7 +313,7 @@ object Similarity {
         .join(pp.select(col("vid").as("pid"), col("v").as("_pv"), col("nrm").as("_pn")), Seq("pid"))
         .select(col("cid").as("corpus_id"), col("pid").as("probe_id"),
           (dotFast(col("_cv"), col("_pv")) / (col("_cn") * col("_pn"))).as("sim"))
-        .filter(col("sim") >= tau)
+        .filter((if (absolute) abs(col("sim")) else col("sim")) >= tau)
     }
   }
 

@@ -154,6 +154,21 @@ class ExactPropertySpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must contain true cross matches")
     assert(bcast == brute, s"broadcast tier ${bcast.size} vs brute ${brute.size}")
     assert(banded == brute, s"banded tier ${banded.size} vs brute ${brute.size}")
+    // absolute mode: negate every probe — plain cosine finds NOTHING, but
+    // |cosine| matching must recover the full brute set in both tiers
+    val negProbes = probes.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    assert(toSet(Similarity.crossCosineMatches(
+      corpus, negProbes, "vec_id", "embedding", 0.95)).isEmpty)
+    val absBcast = toSet(Similarity.crossCosineMatches(
+      corpus, negProbes, "vec_id", "embedding", 0.95, absolute = true))
+    val absBanded = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      toSet(Similarity.crossCosineMatches(
+        corpus, negProbes, "vec_id", "embedding", 0.95, absolute = true))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert(absBcast == brute, s"absolute broadcast ${absBcast.size} vs ${brute.size}")
+    assert(absBanded == brute, s"absolute banded ${absBanded.size} vs ${brute.size}")
   }
 
   test("dynamicTestForecast AR(2), 1<k<testLength matches the reference's sequential ledger") {
