@@ -256,6 +256,39 @@ class ManySeriesSpec extends SparkSpec {
     }
   }
 
+  test("screenApprox recovers 2000 series' planted drivers without a pair pass") {
+    import spark.implicits._
+    def noise(t: Long): Double = {
+      var z = t * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      (math.abs(z % 2000001L).toDouble / 1000000.0) - 1.0
+    }
+    // 20 driver families × 100 series: followers track ±(their driver's
+    // lag); the screen must assign every follower its own family's driver
+    val nFam = 20; val perFam = 100; val obs = 30
+    val drv = Array.tabulate(nFam, obs)((f, t) => 5.0 + 3.0 * noise(t * 31L + f))
+    val rows = (for (f <- 0 until nFam; i <- 0 until perFam; t <- 0 until obs) yield {
+      val ds = java.sql.Date.valueOf(java.time.LocalDate.of(2018, 1, 1).plusMonths(t))
+      val sid = f"f$f%02d_s$i%03d"
+      val sign = if (i % 2 == 0) 0.8 else -0.8
+      val y = if (i == 0) drv(f)(t)
+        else if (t == 0) 1.0 + i * 0.01
+        else 1.0 + i * 0.01 + sign * drv(f)(t - 1) +
+          0.05 * noise(t * 7919L + f * 100003L + i)
+      (sid, ds, y, false)
+    }).toDF("series_id", "ds", "y", "is_future")
+    val block = graft.models.BlockedVar.screenApprox(rows, maxSources = 2,
+      minAbsCorr = 0.5, profileWindow = 30)
+    val rank1 = block.filter(col("src_rank") === 1).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val followers = rank1.filter(!_._1.endsWith("_s000"))
+    assert(followers.length == nFam * (perFam - 1),
+      s"every follower needs a screened source, got ${followers.length}")
+    assert(followers.forall { case (t, s) => s == t.take(3) + "_s000" },
+      "every follower's source must be its own family's driver")
+  }
+
   test("seasonalDecompose keeps components per-series on a shared frame") {
     val out = graft.operators.Transforms.seasonalDecompose(manySeries(), 12)
     assert(out.count() == nSeries.toLong * nObs)
