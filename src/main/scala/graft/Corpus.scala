@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.{Decontaminate, Dedup, Packing, Pii, Quality, Sampling, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chainable training-corpus curation facade — the data-pipeline twin of
+  * [[Forecaster]]/[[MvForecaster]]: each step returns a NEW immutable
+  * `Corpus` over lazy plans, so a whole curation recipe is one declarative
+  * chain that Catalyst optimizes end to end (row-local gates collapse onto
+  * the scan; the pair-generating steps keep their documented bounded-join
+  * shapes). Mirrors the curation sequence large LLM pipelines run —
+  * quality gates → dedup → decontamination → PII scrub → mix sampling →
+  * packing:
+  *
+  * {{{
+  *   val clean = Corpus(docs)
+  *     .qualityFilter(0.7)          // text-stats composite gate
+  *     .gopherFilter()              // Gopher/C4 repetition gates
+  *     .dedupExact()                // md5 canonical-id dedup
+  *     .dedupNear(0.8)              // capped-jaccard near-dup removal
+  *     .decontaminate(benchDocs)    // n-gram benchmark-overlap scrub
+  *     .piiRedact()                 // redact emails/phones/ips/ids in place
+  *     .sample(0.5)                 // deterministic content-hash sample
+  *   clean.pack(2048)               // GPT-style concat-and-chunk layout
+  * }}}
+  *
+  * Every step is the facade form of an oracle-checked operator (the
+  * doc_* declared queries), so the chain's semantics are exactly the
+  * hash-verified ones.
+  */
+final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text") {
+
+  /** Text statistics + composite quality per doc. */
+  def stats: DataFrame = TextOps.withTextStats(docs, textCol)
+
+  /** Keep docs whose composite quality clears the bar (doc_pipeline's
+    * gate); original schema preserved. */
+  def qualityFilter(minQuality: Double): Corpus =
+    copy(docs = TextOps.withTextStats(docs, textCol)
+      .filter(col("quality") >= minQuality)
+      .select(docs.columns.map(col).toSeq: _*))
+
+  /** Gopher/C4 repetition gates (doc_gopher_repetition). */
+  def gopherFilter(): Corpus =
+    copy(docs = Quality.gopherFilter(docs, idCol, textCol))
+
+  /** Exact dedup: keep each md5 digest's canonical (min-id) row
+    * (doc_dedup_exact). */
+  def dedupExact(): Corpus = {
+    val canon = Dedup.exactGroups(docs, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    copy(docs = docs.join(canon, Seq(idCol), "left_semi"))
+  }
+
+  /** Near-dup removal: capped-jaccard pairs ≥ minJ, the higher id of each
+    * pair drops (doc_pipeline's policy; doc_jaccard_pairs semantics). */
+  def dedupNear(minJ: Double, n: Int = 3, maxDocFreq: Int = 100): Corpus = {
+    val dupIds = Dedup.jaccardPairs(docs, idCol, textCol, n, minJ, maxDocFreq)
+      .select(col("doc_b").as(idCol)).distinct()
+    copy(docs = docs.join(dupIds, Seq(idCol), "left_anti"))
+  }
+
+  /** Benchmark decontamination: drop docs whose distinct n-gram overlap
+    * with any benchmark doc reaches minFrac (doc_decontaminate). */
+  def decontaminate(bench: DataFrame, n: Int = 3, minFrac: Double = 0.5): Corpus =
+    copy(docs = Decontaminate.clean(docs, bench, idCol, textCol, n, minFrac))
+
+  /** Embedding-space decontamination: drop docs within trigram-cosine tau
+    * of any benchmark doc (doc_cross_decontaminate). */
+  def decontaminateEmbedding(bench: DataFrame, tau: Double = 0.98): Corpus = {
+    val corpusVecs = TextOps.trigramVectors(docs, idCol, textCol)
+    val benchVecs = TextOps.trigramVectors(bench, idCol, textCol)
+    val bad = Similarity.crossCosineMatches(corpusVecs, benchVecs,
+        "vid", "vec", tau)
+      .select(col("corpus_id").as(idCol)).distinct()
+    copy(docs = docs.join(bad, Seq(idCol), "left_anti"))
+  }
+
+  /** Drop every doc with detected PII (doc_pii_redact's categories). */
+  def piiClean(): Corpus = copy(docs = Pii.cleanDocs(docs, textCol))
+
+  /** Redact PII in place — the text column becomes its redaction. */
+  def piiRedact(): Corpus =
+    copy(docs = docs.withColumn(textCol, Pii.redact(col(textCol))))
+
+  /** Deterministic content-hash sample (doc_sample_hash's membership
+    * predicate — reproducible across engines and partitionings). */
+  def sample(fraction: Double, salt: String = ""): Corpus =
+    copy(docs = Sampling.hashSample(docs, idCol, fraction, salt))
+
+  /** Per-stratum training-mix quotas over a stratum column. */
+  def sampleStratified(strataCol: String, fractions: Map[String, Double],
+                       default: Double = 0.0, salt: String = ""): Corpus =
+    copy(docs = Sampling.stratifiedHashSample(docs, idCol, strataCol,
+      fractions, default, salt))
+
+  /** GPT-style concat-and-chunk packing layout at `contextLen` tokens
+    * (doc_pack_chunks). Returns the layout frame, not a Corpus — packing
+    * is the terminal step before the tokenizer. */
+  def pack(contextLen: Int, shards: Int = 64): DataFrame =
+    Packing.concatChunks(
+      docs.withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long")),
+      idCol, "n_tokens", contextLen, shards)
+
+  def count(): Long = docs.count()
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near dup of 1
+      (4L, "completely different words about other topics entirely here now"),
+      (5L, "mail me at someone@example.org for details about the data"),
+      (6L, "the the the the the the the the the the") // degenerate repetition
+    ).toDF("doc_id", "text")
+  }
+
+  test("the full curation chain composes and each stage drops what it should") {
+    val afterExact = Corpus(docs).dedupExact()
+    assert(afterExact.count() == 5, "one of the two exact dups drops")
+    assert(afterExact.docs.filter(col("doc_id") === 1).count() == 1,
+      "the canonical (min-id) row survives")
+
+    val afterNear = afterExact.dedupNear(0.7)
+    assert(afterNear.docs.filter(col("doc_id") === 3).count() == 0,
+      "the near-dup (higher id of the pair) drops")
+
+    val afterPii = afterNear.piiClean()
+    assert(afterPii.docs.filter(col("doc_id") === 5).count() == 0,
+      "the email-bearing doc drops under piiClean")
+
+    // redaction keeps the doc but scrubs the address
+    val redacted = afterNear.piiRedact().docs
+      .filter(col("doc_id") === 5).select("text").first().getString(0)
+    assert(redacted.contains("<EMAIL>") && !redacted.contains("@"))
+  }
+
+  test("decontaminate drops overlap with a benchmark slice; pack lays out survivors") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val cleaned = Corpus(docs).dedupExact().decontaminate(bench, 3, 0.5)
+    assert(cleaned.docs.filter(col("doc_id") === 1).count() == 0,
+      "benchmark-overlapping doc drops")
+    val layout = cleaned.pack(8, shards = 2)
+    assert(layout.count() == cleaned.count(),
+      "every surviving doc gets a packing row")
+    assert(layout.select("shard").distinct().count() <= 2)
+  }
+
+  test("deterministic sampling is a pure membership predicate") {
+    val s1 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same salt, same membership")
+  }
+}
