@@ -36,6 +36,9 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
   /** Text statistics + composite quality per doc. */
   def stats: DataFrame = TextOps.withTextStats(docs, textCol)
 
+  /** Top-k terms per doc by smooth-idf TF-IDF (doc_tfidf_top_terms). */
+  def topTerms(k: Int): DataFrame = TextOps.topTerms(docs, idCol, k, textCol)
+
   /** Keep docs whose composite quality clears the bar (doc_pipeline's
     * gate); original schema preserved. */
   def qualityFilter(minQuality: Double): Corpus =

@@ -125,6 +125,7 @@ object SparkEntry {
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
+    "doc_tfidf_top_terms" -> ((s, d) => qTfidfTopTerms(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_screen_approx"   -> ((s, d) => qScreenApprox(s, d)),
     "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d)),
@@ -946,6 +947,14 @@ object SparkEntry {
         bands = 16, bitsPerBand = 10)
       .select(col("corpus_id"), col("probe_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** TF-IDF keyword extraction: every doc's top-3 terms by the smooth-idf
+    * weight, rounded-weight-then-term deterministic ranking — both the
+    * weights and the ranking hash-check against the same math in SQL. */
+  private def qTfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    TextOps.topTerms(Tables.documents(s, d), "doc_id", 3)
+      .select(col("doc").as("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), round(col("tfidf"), 6).as("tfidf"))
 
   /** Token counting (the charter's "whitespace + BPE-ish" pair): whitespace
     * split size + GPT-2-style pre-tokenization piece count, both one
@@ -1837,6 +1846,22 @@ object SparkEntry {
         |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?', '<PHONE>', 'g'),
         |    '[0-9]{9,}', '<ID>', 'g') AS redacted
         |FROM c""".stripMargin,
+
+    // tf-idf top terms: same smooth idf, same rounded-weight/term ranking
+    "doc_tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |w AS (SELECT doc_id, term,
+        |        CAST(tf AS DOUBLE) * (ln((nd + 1.0) / (df + 1.0)) + 1.0) AS wt
+        |      FROM tf JOIN dfreq USING (term), n),
+        |r AS (SELECT doc_id, term, ROUND(wt, 6) AS tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY ROUND(wt, 6) DESC, term ASC) AS rank
+        |      FROM w)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "doc_text_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks FROM documents)

@@ -112,4 +112,38 @@ object TextOps {
     }
     scored.withColumn("pred_profile", best._1)
   }
+
+  /** TF-IDF weights per (doc, term) — smooth idf `ln((N+1)/(df+1)) + 1`
+    * (the sklearn TfidfVectorizer smoothing), the standard representation
+    * behind curation-time domain/quality classifiers and keyword
+    * extraction. Scale shape: one token explode + two aggregations (term
+    * counts keyed by (doc, term); document frequencies keyed by term) +
+    * one term-keyed join; the corpus size N rides in as a broadcast
+    * one-row aggregate, so the whole op stays plan-only — no driver
+    * counts, no vocabulary collected anywhere. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    val terms = df.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Top-k terms per doc by tf-idf (rounded-weight desc, term asc — the
+    * deterministic cross-engine ranking). */
+  def topTerms(df: DataFrame, idCol: String, k: Int,
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tfidf(df, idCol, textCol)
+      .withColumn("rank", row_number().over(Window.partitionBy("doc")
+        .orderBy(round(col("tfidf"), 6).desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("rank"), col("term"), col("tfidf"))
+  }
 }

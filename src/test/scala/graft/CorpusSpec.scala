@@ -49,6 +49,17 @@ class CorpusSpec extends SparkSpec {
     assert(layout.select("shard").distinct().count() <= 2)
   }
 
+  test("topTerms ranks distinctive terms above ubiquitous ones") {
+    val top = Corpus(docs).topTerms(2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // 'the' appears in docs 5 and 6 but is doc 6's ENTIRE text: its tf=10
+    // beats any idf discount, while doc 5's rank-1 term must be a
+    // distinctive word, not 'the'
+    assert(top.contains((6L, 1, "the")))
+    val doc5rank1 = top.find(t => t._1 == 5L && t._2 == 1).get._3
+    assert(doc5rank1 != "the", s"doc 5's top term should be distinctive, got $doc5rank1")
+  }
+
   test("deterministic sampling is a pure membership predicate") {
     val s1 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val s2 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
