@@ -47,7 +47,11 @@ final case class MvForecaster(
     approxScreen: Boolean = false,
     optimizeHow: String = "mean",
     optimizeWeights: Map[String, Double] = Map.empty,
-    bestModel: Option[String] = None) {
+    bestModel: Option[String] = None,
+    cilevel: Double = 0.95) {
+
+  /** `set_cilevel` (conformal CIs need testLength ≥ 1/(1−cilevel)). */
+  def setCilevel(level: Double): MvForecaster = copy(cilevel = level)
 
   /** `generate_future_dates(h)` — recorded, materialized at the inferred
     * frequency on the aligned calendar inside [[manualForecast]]. */
@@ -127,7 +131,14 @@ final case class MvForecaster(
           .withColumn(IsFuture, lit(true))
         fitted.select(outCols: _*).unionByName(future.select(outCols: _*))
       }
-    val banked = ResultsStore.bank(scored, callMe)
+    // per-series conformal CIs when the holdout supports the cilevel —
+    // MVForecaster._set_cis (MVForecaster.py:446-511), same gate as the
+    // univariate facade
+    val withCis =
+      if (testLength >= graft.operators.Conformal.minTestLength(cilevel))
+        graft.operators.Conformal.withIntervals(scored, "yhat", cilevel)
+      else scored
+    val banked = ResultsStore.bank(withCis, callMe)
     copy(results = Some(results.fold(banked)(r => ResultsStore.union(r, banked))))
   }
 

@@ -23,6 +23,15 @@ class MvSpec extends SparkSpec {
       "both horizons complete")
     val sm = mv.exportModelSummaries(Seq("rmse"))
     assert(sm.count() == 2, "one summary row per (model, series)")
+    // testLength 6 < 20 → no CIs at the default cilevel; at 0.8 they attach
+    assert(res.filter(col("is_future") && col("lower").isNotNull).count() == 0)
+    val withCis = MvForecaster(mvFrame, Seq("a", "b"))
+      .generateFutureDates(4).setTestLength(6).setLags(1).setCilevel(0.8)
+      .manualForecast(callMe = "mv_ci").results.get
+    val fut = withCis.filter(col("is_future"))
+    assert(fut.filter(col("lower").isNull || col("upper").isNull).count() == 0,
+      "per-series conformal bounds attach at a supported cilevel")
+    assert(fut.filter(col("upper") <= col("lower")).count() == 0)
     val collapsed = mv.optimizeOn("mv_mlr", "rmse", "mean")
     assert(!collapsed.isNaN && collapsed >= 0)
     assert(mv.exportForecasts().count() > 0)
