@@ -82,6 +82,14 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
     copy(docs = docs.join(bad, Seq(idCol), "left_anti"))
   }
 
+  /** Keep docs whose n-gram profile argmax is `profile` (doc_langid's
+    * language-ID heuristic generalized to arbitrary profiles). */
+  def profileFilter(profile: String,
+                    profiles: Map[String, Seq[String]]): Corpus =
+    copy(docs = TextOps.withProfileScores(docs, profiles, textCol)
+      .filter(col("pred_profile") === profile)
+      .select(docs.columns.map(col).toSeq: _*))
+
   /** Drop every doc with detected PII (doc_pii_redact's categories). */
   def piiClean(): Corpus = copy(docs = Pii.cleanDocs(docs, textCol))
 

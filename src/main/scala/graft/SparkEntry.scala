@@ -126,6 +126,7 @@ object SparkEntry {
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
     "doc_tfidf_top_terms" -> ((s, d) => qTfidfTopTerms(s, d)),
+    "doc_bm25"           -> ((s, d) => qBm25(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_screen_approx"   -> ((s, d) => qScreenApprox(s, d)),
     "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d)),
@@ -955,6 +956,14 @@ object SparkEntry {
     TextOps.topTerms(Tables.documents(s, d), "doc_id", 3)
       .select(col("doc").as("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), round(col("tfidf"), 6).as("tfidf"))
+
+  /** BM25 relevance of every doc against a fixed domain lexicon — the
+    * retrieval scoring used to pull domain-relevant docs into a training
+    * mix; k1/b at the standard 1.2/0.75, zero for lexicon-free docs. */
+  private def qBm25(s: SparkSession, d: String): DataFrame =
+    TextOps.bm25(Tables.documents(s, d), "doc_id",
+        Seq("join", "spark", "stream", "window"))
+      .select(col("doc").as("doc_id"), round(col("bm25"), 6).as("bm25"))
 
   /** Token counting (the charter's "whitespace + BPE-ish" pair): whitespace
     * split size + GPT-2-style pre-tokenization piece count, both one
@@ -1862,6 +1871,23 @@ object SparkEntry {
         |      FROM w)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // BM25 against the same 4-term lexicon, same k1=1.2 / b=0.75 math
+    "doc_bm25" ->
+      """WITH lens AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM lens),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |h AS (SELECT doc_id, term FROM t
+        |      WHERE term IN ('join', 'spark', 'stream', 'window')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM h GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |        sum(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+        |      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), st GROUP BY 1)
+        |SELECT l.doc_id, ROUND(coalesce(s, 0.0), 6) AS bm25
+        |FROM lens l LEFT JOIN sc ON sc.doc_id = l.doc_id""".stripMargin,
 
     "doc_text_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks FROM documents)

@@ -146,4 +146,37 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc"), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scoring curation pipelines use to pull domain-relevant
+    * documents toward a training mix (Robertson & Zaragoza 2009; standard
+    * k1/b parameterization, idf = ln(1 + (N − df + 0.5)/(df + 0.5))).
+    * Same plan-only shape as [[tfidf]]: one explode filtered to the query
+    * terms (a broadcast literal array), per-(doc, term) counts, term
+    * document-frequencies, and N/avgdl as a broadcast one-row aggregate;
+    * docs with no query term score 0 via the final left join. */
+  def bm25(df: DataFrame, idCol: String, queryTerms: Seq[String],
+           textCol: String = "text", k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    val qArr = array(queryTerms.distinct.sorted.map(lit): _*)
+    val lens = df.select(col(idCol).as("doc"),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val hits = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(array_contains(qArr, col("term")))
+    val tf = hits.groupBy("doc", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .join(lens, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("_s",
+        col("_idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc").agg(sum("_s").as("bm25"))
+    lens.select(col("doc")).join(scored, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("bm25"), lit(0.0)).as("bm25"))
+  }
 }

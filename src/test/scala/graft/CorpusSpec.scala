@@ -60,6 +60,31 @@ class CorpusSpec extends SparkSpec {
     assert(doc5rank1 != "the", s"doc 5's top term should be distinctive, got $doc5rank1")
   }
 
+  test("bm25 matches a hand-computed score and zeroes lexicon-free docs") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val d = Seq((1L, "spark spark beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val out = TextOps.bm25(d, "doc_id", Seq("spark")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=2, avgdl=2.5, df=1, tf=2, dl=3:
+    //   idf = ln(1 + (2-1+0.5)/(1+0.5)) = ln 2
+    //   s = ln2 * (2*2.2) / (2 + 1.2*(0.25 + 0.75*3/2.5))
+    val expected = math.log(2.0) * 4.4 / 3.38
+    assert(math.abs(out(1L) - expected) < 1e-12, s"got ${out(1L)}, want $expected")
+    assert(out(2L) == 0.0, "no query term -> exactly zero via the left join")
+  }
+
+  test("profileFilter keeps only docs whose argmax profile matches, schema intact") {
+    val profiles = Map(
+      "greek"   -> Seq("alpha", "beta", "gamma", "delta"),
+      "english" -> Seq("the", "about", "other", "for"))
+    val kept = Corpus(docs).profileFilter("greek", profiles)
+    assert(kept.docs.columns.toSeq == docs.columns.toSeq,
+      "score columns must not leak into the corpus schema")
+    val ids = kept.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"greek-profile docs only, got $ids")
+  }
+
   test("deterministic sampling is a pure membership predicate") {
     val s1 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val s2 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
