@@ -127,6 +127,8 @@ object SparkEntry {
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
     "doc_tfidf_top_terms" -> ((s, d) => qTfidfTopTerms(s, d)),
     "doc_bm25"           -> ((s, d) => qBm25(s, d)),
+    "doc_fingerprints"   -> ((s, d) => qFingerprints(s, d)),
+    "doc_fingerprint_pairs" -> ((s, d) => qFingerprintPairs(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_screen_approx"   -> ((s, d) => qScreenApprox(s, d)),
     "mv_blocked_dynamic" -> ((s, d) => qBlockedDynamic(s, d)),
@@ -964,6 +966,31 @@ object SparkEntry {
     TextOps.bm25(Tables.documents(s, d), "doc_id",
         Seq("join", "spark", "stream", "window"))
       .select(col("doc").as("doc_id"), round(col("bm25"), 6).as("bm25"))
+
+  /** Winnowing rolling-hash fingerprints (k=8, w=4), summarized per doc as
+    * (count, sum, min, max) of the selected hash multiset — a four-way
+    * check of the full fingerprint set without shipping ~120 rows/doc. */
+  private def qFingerprints(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val agg = TextOps.winnowFingerprints(docs, "doc_id")
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_fp"), sum("h").as("fp_sum"),
+        min("h").as("fp_min"), max("h").as("fp_max"))
+      .withColumnRenamed("doc", "doc_id")
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"),
+        coalesce(col("fp_min"), lit(-1L)).as("fp_min"),
+        coalesce(col("fp_max"), lit(-1L)).as("fp_max"))
+  }
+
+  /** MOSS-style copy-detection pairs: docs sharing ≥ minShared winnowed
+    * fingerprint hashes, stop-phrase hashes df-capped out of the index. */
+  private def qFingerprintPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.fingerprintPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 4, minShared = 50, maxDocFreq = 100)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
 
   /** Token counting (the charter's "whitespace + BPE-ish" pair): whitespace
     * split size + GPT-2-style pre-tokenization piece count, both one
@@ -1888,6 +1915,70 @@ object SparkEntry {
         |      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), st GROUP BY 1)
         |SELECT l.doc_id, ROUND(coalesce(s, 0.0), 6) AS bm25
         |FROM lens l LEFT JOIN sc ON sc.doc_id = l.doc_id""".stripMargin,
+
+    // Winnowing fingerprints: same base-31 mod 2^20 polynomial over char
+    // 8-grams, same h*2^32+(2^32-1-p) order-embedding window min, w=4
+    "doc_fingerprints" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+        |g AS (SELECT doc_id, unnest(range(1, length(text) - 6)) AS p, text FROM dd),
+        |h AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |        (CAST(ascii(substr(text, p, 1)) AS BIGINT) * 27512614111
+        |       + CAST(ascii(substr(text, p + 1, 1)) AS BIGINT) * 887503681
+        |       + CAST(ascii(substr(text, p + 2, 1)) AS BIGINT) * 28629151
+        |       + CAST(ascii(substr(text, p + 3, 1)) AS BIGINT) * 923521
+        |       + CAST(ascii(substr(text, p + 4, 1)) AS BIGINT) * 29791
+        |       + CAST(ascii(substr(text, p + 5, 1)) AS BIGINT) * 961
+        |       + CAST(ascii(substr(text, p + 6, 1)) AS BIGINT) * 31
+        |       + CAST(ascii(substr(text, p + 7, 1)) AS BIGINT)) % 1048576 AS h
+        |      FROM g),
+        |k2 AS (SELECT doc_id, p, h, h * 4294967296 + (4294967295 - p) AS kk FROM h),
+        |w2 AS (SELECT doc_id,
+        |         min(kk) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |         count(*) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |       FROM k2),
+        |sel AS (SELECT DISTINCT doc_id, wkey // 4294967296 AS h,
+        |          4294967295 - (wkey % 4294967296) AS p FROM w2 WHERE cnt = 4),
+        |agg AS (SELECT doc_id, count(*) AS n_fp, sum(h) AS fp_sum,
+        |          min(h) AS fp_min, max(h) AS fp_max FROM sel GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fp,
+        |  CAST(coalesce(fp_sum, 0) AS BIGINT) AS fp_sum,
+        |  CAST(coalesce(fp_min, -1) AS BIGINT) AS fp_min,
+        |  CAST(coalesce(fp_max, -1) AS BIGINT) AS fp_max
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // MOSS pairs over the same winnowed set: df-cap 100, >= 50 shared hashes
+    "doc_fingerprint_pairs" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+        |g AS (SELECT doc_id, unnest(range(1, length(text) - 6)) AS p, text FROM dd),
+        |h AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |        (CAST(ascii(substr(text, p, 1)) AS BIGINT) * 27512614111
+        |       + CAST(ascii(substr(text, p + 1, 1)) AS BIGINT) * 887503681
+        |       + CAST(ascii(substr(text, p + 2, 1)) AS BIGINT) * 28629151
+        |       + CAST(ascii(substr(text, p + 3, 1)) AS BIGINT) * 923521
+        |       + CAST(ascii(substr(text, p + 4, 1)) AS BIGINT) * 29791
+        |       + CAST(ascii(substr(text, p + 5, 1)) AS BIGINT) * 961
+        |       + CAST(ascii(substr(text, p + 6, 1)) AS BIGINT) * 31
+        |       + CAST(ascii(substr(text, p + 7, 1)) AS BIGINT)) % 1048576 AS h
+        |      FROM g),
+        |k2 AS (SELECT doc_id, p, h, h * 4294967296 + (4294967295 - p) AS kk FROM h),
+        |w2 AS (SELECT doc_id,
+        |         min(kk) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |         count(*) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |       FROM k2),
+        |sel AS (SELECT DISTINCT doc_id, wkey // 4294967296 AS h FROM w2 WHERE cnt = 4),
+        |cap AS (SELECT doc_id, h FROM
+        |          (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfq FROM sel)
+        |        WHERE dfq <= 100),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |       FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM pr WHERE n_shared >= 50""".stripMargin,
 
     "doc_text_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks FROM documents)

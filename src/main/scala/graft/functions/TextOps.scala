@@ -147,6 +147,53 @@ object TextOps {
       .select(col("doc"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS scheme): Karp–Rabin polynomial rolling hash over character
+    * `k`-grams (base 31 mod 2^20), then from every window of `w`
+    * consecutive gram hashes keep the minimum (rightmost on ties). The
+    * selected (position, hash) set is a ~2/(w+1)-density sketch that two
+    * documents sharing any sufficiently long substring are guaranteed to
+    * overlap on — the copy-detection / provenance fingerprint of curation
+    * pipelines.
+    *
+    * Columnar evaluation computes each window's polynomial directly
+    * instead of carrying the rolling recurrence across rows — same hash
+    * family and identical values, but every row is independent, so the
+    * whole op is one codegen'd projection over a native sequence explode
+    * (the [[trigramVectors]] shape, including the pre-explode rebalance
+    * ahead of the ~|text|-fold fan-out). The rightmost-min window rule is
+    * one window-min over an order-embedding key `h·2^32 + (2^32−1−p)`:
+    * minimizing it picks the smallest hash and, among ties, the largest
+    * position — no second pass, no per-group state.
+    *
+    * Returns distinct `(doc, p, h)` selected fingerprints. Docs shorter
+    * than `k + w − 1` chars have no full window and yield no rows. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String = "text",
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && w >= 2, s"need k>=2 and w>=2, got k=$k w=$w")
+    val M = 1L << 20
+    val pow = Iterator.iterate(1L)(_ * 31L).take(k).toArray // 31^0 .. 31^(k-1)
+    val grams = df.filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("doc"), col(textCol).as("_txt"))
+      .repartition(col("doc"))
+      .select(col("doc"),
+        expr(s"explode(sequence(1, length(_txt) - ${k - 1}))").as("_p"), col("_txt"))
+    val h = (0 until k).map { i =>
+      ascii(col("_txt").substr(col("_p") + lit(i), lit(1))).cast("long") * lit(pow(k - 1 - i))
+    }.reduce(_ + _) % lit(M)
+    val win = Window.partitionBy("doc").orderBy("p").rowsBetween(0, w - 1)
+    grams.select(col("doc"), col("_p").cast("long").as("p"), h.as("h"))
+      .withColumn("_key", col("h") * lit(1L << 32) + (lit((1L << 32) - 1) - col("p")))
+      .withColumn("_wkey", min(col("_key")).over(win))
+      .withColumn("_cnt", count(lit(1)).over(win))
+      .filter(col("_cnt") === w)
+      .select(col("doc"),
+        (lit((1L << 32) - 1) - col("_wkey") % lit(1L << 32)).as("p"),
+        expr(s"_wkey div ${1L << 32}").as("h"))
+      .distinct()
+  }
+
   /** BM25 relevance of every document against a fixed query-term set —
     * the retrieval scoring curation pipelines use to pull domain-relevant
     * documents toward a training mix (Robertson & Zaragoza 2009; standard

@@ -88,6 +88,35 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** MOSS-style copy-detection pairs over winnowing fingerprints
+    * ([[graft.functions.TextOps.winnowFingerprints]]): two docs are a
+    * candidate pair when their selected rolling-hash fingerprint SETS share
+    * at least `minShared` hashes. Winnowing guarantees any shared substring
+    * of length ≥ k + w − 1 contributes a shared fingerprint, so this finds
+    * passage-level copying that whole-doc hashing misses and shingle
+    * Jaccard dilutes. Same inverted-index shape as [[jaccardPairs]]: one
+    * shuffle keyed by fingerprint hash, a `maxDocFreq` cap excluding
+    * stop-phrase hashes (bounding every key's fan-out at maxDocFreq²), and
+    * an explicit full-width repartition that all join sides reuse. */
+  def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4, minShared: Int = 10,
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val hsAll = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("doc"), col("h")).distinct()
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val capped =
+      if (maxDocFreq == Int.MaxValue) hsAll
+      else hsAll
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("_df") <= maxDocFreq).drop("_df")
+    val fp = capped.repartition(nPart, col("h"))
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Pin threshold for the row-exploding band self-joins, in banded rows per
     * shuffle partition. Above it, AQE's byte-based post-shuffle coalescing
     * would funnel a join whose OUTPUT vastly exceeds its input onto a few

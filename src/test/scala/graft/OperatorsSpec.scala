@@ -90,6 +90,44 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.length === 1 && pairs.head.getAs[Long]("hamming") === 0L)
   }
 
+  test("winnowing fingerprints match a hand computation, rightmost on ties") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    // "abcab", k=3, w=2: gram hashes (base 31 mod 2^20)
+    //   p1 "abc" = 97*961+98*31+99 = 96354
+    //   p2 "bca" = 98*961+99*31+97 = 97344
+    //   p3 "cab" = 99*961+97*31+98 = 98244
+    // windows (p1,p2) -> p1, (p2,p3) -> p2
+    val d = Seq((1L, "abcab"), (2L, "aaaaa")).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(d, "doc_id", k = 3, w = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fp.filter(_._1 == 1L) == Set((1L, 1L, 96354L), (1L, 2L, 97344L)))
+    // "aaaaa": all three grams hash equal -> each window keeps the
+    // RIGHTMOST position (the Schleimer tie rule): p2 and p3, same h
+    val aaa = fp.filter(_._1 == 2L)
+    assert(aaa.map(_._2) == Set(2L, 3L) && aaa.map(_._3).size == 1)
+  }
+
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    import graft.operators.Dedup
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d = Seq(
+      (1L, s"intro words here $passage trailing content after"),
+      (2L, s"completely other opening text $passage and a different ending"),
+      (3L, "nothing in common with either of those two documents at all now")
+    ).toDF("doc_id", "text")
+    val hs = TextOps.winnowFingerprints(d, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = hs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "a shared substring >= k+w-1 chars must contribute a shared fingerprint")
+    val pairs = Dedup.fingerprintPairs(d, "doc_id", "text", minShared = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"only the passage-sharing pair, got $pairs")
+  }
+
   test("gopher repetition gates: spammy doc fails, normal doc passes") {
     import spark.implicits._
     val df = Seq(
