@@ -73,6 +73,21 @@ object Scratch {
         Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100).count()
       }
       time("stats") { TextOps.withTextStats(docs).count() }
+    } else if (args.headOption.contains("fp")) {
+      import graft.operators.Dedup
+      import graft.functions.TextOps
+      val docs = graft.core.Tables.documents(spark, dir)
+      val fp = TextOps.winnowFingerprints(docs, "doc_id", "text", 8, 4)
+      time("winnow (distinct doc,p,h)") { println("  fp rows=" + fp.count()) }
+      time("winnow again") { fp.count() }
+      time("pairs full op") {
+        println("  pair rows=" +
+          Dedup.fingerprintPairs(docs, "doc_id", "text", 8, 4, 50, 100).count())
+      }
+    } else if (args.headOption.contains("fpplan")) {
+      import graft.operators.Dedup
+      val docs = graft.core.Tables.documents(spark, dir)
+      Dedup.fingerprintPairs(docs, "doc_id", "text", 8, 4, 50, 100).explain("formatted")
     } else {
       val names = if (args.nonEmpty) args.toSeq else Seq("doc_neardup_cosine")
       names.foreach { n =>

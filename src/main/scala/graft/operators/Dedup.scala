@@ -101,7 +101,7 @@ object Dedup {
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, w: Int = 4, minShared: Int = 10,
                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val hsAll = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+    val hsAll = TextOps.winnowRaw(df, idCol, textCol, k, w)
       .select(col("doc"), col("h")).distinct()
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val capped =
@@ -110,7 +110,15 @@ object Dedup {
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
     val fp = capped.repartition(nPart, col("h"))
-    fp.as("a").join(fp.as("b"),
+    // Force a shuffle join: the capped index is small enough that the
+    // planner would otherwise BROADCAST one side, which splits the plan
+    // into a BroadcastExchange + probe pipeline that each re-run the whole
+    // winnow/distinct/cap lineage (with join-key null filters pushed into
+    // the hash projection — measured ~13× the pipeline cost at sf0.1). A
+    // shuffle-hash join makes both sides byte-identical subplans over the
+    // repartition above, so ReusedExchange materializes the index ONCE —
+    // the jaccardPairs shape, zero cache/checkpoint storage.
+    fp.as("a").hint("shuffle_hash").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
