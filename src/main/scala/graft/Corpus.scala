@@ -90,6 +90,17 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
       .filter(col("pred_profile") === profile)
       .select(docs.columns.map(col).toSeq: _*))
 
+  /** CCNet-style perplexity band-pass under the corpus-trained bigram LM
+    * (doc_perplexity's scoring): drop docs whose token stream is too
+    * predictable (templated/repetitive, ppl < lo) or too surprising
+    * (token salad, ppl > hi). Docs with < 2 tokens have no bigrams and
+    * are dropped. */
+  def perplexityFilter(lo: Double, hi: Double): Corpus = {
+    val keep = TextOps.bigramPerplexity(docs, idCol, textCol)
+      .filter(col("ppl").between(lo, hi)).select(col("doc").as(idCol))
+    copy(docs = docs.join(keep, Seq(idCol), "left_semi"))
+  }
+
   /** Drop every doc with detected PII (doc_pii_redact's categories). */
   def piiClean(): Corpus = copy(docs = Pii.cleanDocs(docs, textCol))
 

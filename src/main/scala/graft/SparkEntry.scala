@@ -128,6 +128,7 @@ object SparkEntry {
     "doc_tfidf_top_terms" -> ((s, d) => qTfidfTopTerms(s, d)),
     "doc_bm25"           -> ((s, d) => qBm25(s, d)),
     "doc_fingerprints"   -> ((s, d) => qFingerprints(s, d)),
+    "doc_perplexity"     -> ((s, d) => qPerplexity(s, d)),
     "doc_fingerprint_pairs" -> ((s, d) => qFingerprintPairs(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_screen_approx"   -> ((s, d) => qScreenApprox(s, d)),
@@ -984,6 +985,13 @@ object SparkEntry {
         coalesce(col("fp_min"), lit(-1L)).as("fp_min"),
         coalesce(col("fp_max"), lit(-1L)).as("fp_max"))
   }
+
+  /** Corpus-trained bigram perplexity per doc — the CCNet-style quality
+    * signal; MLE bigram LM fit on the same corpus, ppl = exp(−avg ln P). */
+  private def qPerplexity(s: SparkSession, d: String): DataFrame =
+    TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id")
+      .select(col("doc").as("doc_id"), col("n_bigrams"),
+        round(col("ppl"), 6).as("ppl"))
 
   /** MOSS-style copy-detection pairs: docs sharing ≥ minShared winnowed
     * fingerprint hashes, stop-phrase hashes df-capped out of the index. */
@@ -1915,6 +1923,19 @@ object SparkEntry {
         |      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), st GROUP BY 1)
         |SELECT l.doc_id, ROUND(coalesce(s, 0.0), 6) AS bm25
         |FROM lens l LEFT JOIN sc ON sc.doc_id = l.doc_id""".stripMargin,
+
+    // Bigram perplexity: same MLE bigram LM, exp(-avg ln(c_ab/c_a))
+    "doc_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM bi),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |         exp(-avg(ln(c_ab / c_a))) AS ppl
+        |       FROM bg JOIN cab USING (a, b) JOIN ca USING (a) GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  ROUND(ppl, 6) AS ppl FROM sc""".stripMargin,
 
     // Winnowing fingerprints: same base-31 mod 2^20 polynomial over char
     // 8-grams, same h*2^32+(2^32-1-p) order-embedding window min, w=4

@@ -147,6 +147,38 @@ object TextOps {
       .select(col("doc"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Corpus-trained bigram perplexity — the CCNet/Gopher-style quality
+    * signal: score every document by how predictable its token stream is
+    * under a bigram LM fit on the corpus itself (MLE `P(b|a) =
+    * C(a,b)/C(a)`; scoring the training corpus means every bigram was
+    * counted, so MLE needs no smoothing and stays exactly
+    * SQL-expressible). `ppl = exp(−avg ln P(b|a))` over the doc's
+    * bigrams; repetitive/templated docs score low, incoherent
+    * token-salad docs score near the effective vocabulary size.
+    *
+    * Scale shape is the [[tfidf]] one: one bigram explode (native
+    * sequence generator over the token array, no per-row Scala), two
+    * aggregations (bigram counts keyed by (a,b); context counts keyed by
+    * a), one bigram-keyed join back to the stream, one per-doc average.
+    * No driver-side vocabulary, no broadcast of unbounded state. Docs
+    * with fewer than 2 tokens have no bigrams and are absent from the
+    * output. */
+  def bigramPerplexity(df: DataFrame, idCol: String,
+                       textCol: String = "text"): DataFrame = {
+    val big = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("_t"))
+      .select(col("doc"), expr(
+        "explode(transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS a, _t[i] AS b)))")
+        .as("bg"))
+      .select(col("doc"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bigramC = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val contextC = big.groupBy("a").agg(count(lit(1)).as("c_a"))
+    big.join(bigramC, Seq("a", "b")).join(contextC, Seq("a"))
+      .withColumn("_lp", log(col("c_ab").cast("double") / col("c_a").cast("double")))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), exp(-avg(col("_lp"))).as("ppl"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * the MOSS scheme): Karp–Rabin polynomial rolling hash over character
     * `k`-grams (base 31 mod 2^20), then from every window of `w`

@@ -85,6 +85,16 @@ class CorpusSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L), s"greek-profile docs only, got $ids")
   }
 
+  test("perplexityFilter band-passes on the corpus-trained bigram LM") {
+    import spark.implicits._
+    // doc 1: context s splits 50/50 between a and b -> ppl = 2^(4/7) ~ 1.486
+    // doc 2: pure repetition, every bigram P=1 -> ppl exactly 1
+    val d = Seq((1L, "s a s b s a s b"), (2L, "t t t t t t")).toDF("doc_id", "text")
+    val kept = Corpus(d).perplexityFilter(1.2, 10.0)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"band [1.2,10] keeps only the ambiguous-context doc, got $kept")
+  }
+
   test("deterministic sampling is a pure membership predicate") {
     val s1 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val s2 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet

@@ -90,6 +90,19 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.length === 1 && pairs.head.getAs[Long]("hamming") === 0L)
   }
 
+  test("bigram perplexity matches a hand computation") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    // corpus bigrams: (a,b)x3, (b,a)x1, (a,c)x1; contexts C(a)=4, C(b)=1
+    // P(b|a)=3/4, P(a|b)=1, P(c|a)=1/4
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.bigramPerplexity(d, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - math.pow(0.75, -2.0 / 3)) < 1e-9)
+    assert(out(2L)._1 == 1 && math.abs(out(2L)._2 - 4.0 / 3) < 1e-9)
+    assert(out(3L)._1 == 1 && math.abs(out(3L)._2 - 4.0) < 1e-9)
+  }
+
   test("winnowing fingerprints match a hand computation, rightmost on ties") {
     import spark.implicits._
     import graft.functions.TextOps
