@@ -90,6 +90,13 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
       .filter(col("pred_profile") === profile)
       .select(docs.columns.map(col).toSeq: _*))
 
+  /** Temperature-scaled mixture sample (doc_mixture_temp's rule): stratum
+    * d contributes `n_d^alpha / Σ n^alpha` of a `targetTotal`-row mix. */
+  def sampleTemperature(strataCol: String, alpha: Double,
+                        targetTotal: Long, salt: String = ""): Corpus =
+    copy(docs = Sampling.temperatureSample(docs, idCol, strataCol, alpha,
+      targetTotal, salt))
+
   /** CCNet-style perplexity band-pass under the corpus-trained bigram LM
     * (doc_perplexity's scoring): drop docs whose token stream is too
     * predictable (templated/repetitive, ppl < lo) or too surprising

@@ -122,6 +122,7 @@ object SparkEntry {
     "doc_gopher_repetition" -> ((s, d) => qGopherRepetition(s, d)),
     "doc_decontaminate"  -> ((s, d) => qDecontaminate(s, d)),
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
+    "doc_mixture_temp"   -> ((s, d) => qMixtureTemp(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
@@ -559,7 +560,9 @@ object SparkEntry {
     * reclaims their blocks at the next GC. (The bench/verify harnesses never
     * need this — their sessions end; a library user embedding SparkEntry
     * queries in a resident service does.) */
-  def clearMemos(): Unit = { seriesMemo.clear(); xvarSelMemo.clear() }
+  def clearMemos(): Unit = {
+    seriesMemo.clear(); xvarSelMemo.clear(); blockedFitMemo.clear()
+  }
 
   /** ts_auto_xvar and ts_xvar_replay share the SAME search on the same
     * frame; memoize the selection like the series frames. */
@@ -1357,6 +1360,18 @@ object SparkEntry {
       .select(col("doc_id"), col("stratum"))
   }
 
+  /** Temperature-scaled mixture sample (p_d ∝ n_d^0.5, target 200 rows)
+    * over the same long/short strata as doc_sample_hash — the rates come
+    * from the corpus counts, not from the caller. */
+  private def qMixtureTemp(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("stratum",
+      when(size(graft.functions.TextOps.tokens(col("text"))) >= 60, "long")
+        .otherwise("short"))
+    Sampling.temperatureSample(docs, "doc_id", "stratum", alpha = 0.5,
+        targetTotal = 200)
+      .select(col("doc_id"), col("stratum"))
+  }
+
   /** Blocked cross-lag VAR (the scale path past MvForecast.CoupledSetMax):
     * per-target source blocks from the lag-1 correlation screen (self +
     * top-2 foreign sources), then every equation's bounded OLS fit from ONE
@@ -1849,6 +1864,22 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, stratum FROM h
         |WHERE b < CASE stratum WHEN 'long' THEN 2147483648 ELSE 1073741824 END""".stripMargin,
+
+    // Temperature mixture: same strata, rates n^0.5-proportional, T=200,
+    // 9dp-rounded fraction floored onto the 2^32 hash space
+    "doc_mixture_temp" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) >= 60 THEN 'long' ELSE 'short' END AS stratum
+        |  FROM documents),
+        |c AS (SELECT stratum, CAST(count(*) AS DOUBLE) AS n FROM t GROUP BY 1),
+        |s AS (SELECT sum(pow(n, 0.5)) AS wsum FROM c),
+        |f AS (SELECT stratum,
+        |  CAST(FLOOR(ROUND(least(1.0, 200.0 * pow(n, 0.5) / wsum / n), 9)
+        |       * 4294967296) AS BIGINT) AS thr FROM c, s),
+        |h AS (SELECT doc_id, stratum,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+        |  FROM t)
+        |SELECT h.doc_id, h.stratum FROM h JOIN f USING (stratum) WHERE b < thr""".stripMargin,
 
     // concat-and-chunk packing: md5 shard + per-shard running-offset window,
     // integer chunk spans (DuckDB window SUM(BIGINT) yields HUGEINT — cast)

@@ -41,6 +41,34 @@ object Sampling {
     df.filter(sampleHash(col(keyCol), salt) < (frac * Buckets).cast("long"))
   }
 
+  /** Temperature-scaled mixture sampling (the T5/multilingual-LM
+    * `p_d ∝ n_d^α` rule): domain d's share of a `targetTotal`-row training
+    * mix is `n_d^α / Σ n^α` — α=1 keeps natural proportions, α=0 equalizes
+    * domains, between upweights the tail. Unlike
+    * [[stratifiedHashSample]], the per-stratum rates come FROM the data:
+    * one tiny aggregation (rows = #strata) broadcast back onto the scan,
+    * then the same content-hash membership predicate — so the 100 TB scan
+    * is one pass and the sample stays reproducible under reruns and
+    * repartitioning. Rates are rounded to 9dp before thresholding so the
+    * double `pow`/division math can't flip a boundary row across engines;
+    * a stratum whose quota exceeds its size keeps everything (frac
+    * capped at 1). */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        alpha: Double, targetTotal: Long,
+                        salt: String = ""): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha $alpha out of [0,1]")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).cast("double").as("_n"))
+    val wsum = counts.agg(sum(pow(col("_n"), alpha)).as("_wsum"))
+    val thr = counts.crossJoin(broadcast(wsum))
+      .withColumn("_frac", least(lit(1.0),
+        lit(targetTotal.toDouble) * pow(col("_n"), alpha) / col("_wsum") / col("_n")))
+      .withColumn("_thr", floor(round(col("_frac"), 9) * Buckets).cast("long"))
+      .select(col(strataCol), col("_thr"))
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(sampleHash(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** The 32-bit sampling bucket of a key (exposed for oracles/tests). */
   def sampleHash(key: Column, salt: String = ""): Column =
     TextOps.hash32(concat(key.cast("string"), lit(salt)))

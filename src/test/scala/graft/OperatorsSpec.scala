@@ -199,6 +199,25 @@ class OperatorsSpec extends SparkSpec {
     assert(salted != unsalted)
   }
 
+  test("temperature sampling: alpha=1 is the uniform sample, alpha=0 equalizes quotas") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 60 'a'-stratum rows, 20 'b'-stratum rows
+    val d = ((1 to 60).map(i => (i.toLong, "a")) ++ (61 to 80).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "stratum")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // alpha=1: frac_d = T/N for every stratum == plain hashSample(T/N)
+    val t1 = ids(Sampling.temperatureSample(d, "doc_id", "stratum", 1.0, 40))
+    val u = ids(Sampling.hashSample(d, "doc_id", 0.5))
+    assert(t1 == u, "alpha=1 must reduce to the uniform content-hash sample")
+    // alpha=0: frac_d = T/(k*n_d) == stratified quotas equalized per stratum
+    val t0 = ids(Sampling.temperatureSample(d, "doc_id", "stratum", 0.0, 40))
+    val q = ids(Sampling.stratifiedHashSample(d, "doc_id", "stratum",
+      Map("a" -> 20.0 / 60, "b" -> 1.0)))
+    assert(t0 == q, "alpha=0 must equalize per-stratum quotas")
+  }
+
   test("concat-and-chunk packing: per-shard offsets are gapless and partition-invariant") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, 10L + i % 37)).toDF("id", "nt")
