@@ -592,7 +592,7 @@ object SparkEntry {
     * per-query times order-sensitive across rounds. */
   def prewarmMemos(s: SparkSession, d: String): Unit = {
     ordersMonthlyM(s, d); segmentMonthlyM(s, d)
-    zOrdersMonthly(s, d); zSegBuilding(s, d); docVecsM(s, d)
+    zOrdersMonthly(s, d); zSegBuilding(s, d); docVecsM(s, d); docFpsM(s, d)
   }
 
   /** Memoized trigram-vector frame over the documents corpus — the
@@ -974,9 +974,16 @@ object SparkEntry {
   /** Winnowing rolling-hash fingerprints (k=8, w=4), summarized per doc as
     * (count, sum, min, max) of the selected hash multiset — a four-way
     * check of the full fingerprint set without shipping ~120 rows/doc. */
+  /** Memoized winnowed fingerprint frame (distinct (doc, p, h)) — shared
+    * by doc_fingerprints and doc_fingerprint_pairs, the docVecsM/jaccardM
+    * pattern: one materialized winnow pass per (session, dir). */
+  private def docFpsM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "fps")(
+      TextOps.winnowFingerprints(Tables.documents(s, d), "doc_id"))
+
   private def qFingerprints(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val agg = TextOps.winnowFingerprints(docs, "doc_id")
+    val agg = docFpsM(s, d)
       .groupBy("doc").agg(
         count(lit(1)).as("n_fp"), sum("h").as("fp_sum"),
         min("h").as("fp_min"), max("h").as("fp_max"))
@@ -999,8 +1006,7 @@ object SparkEntry {
   /** MOSS-style copy-detection pairs: docs sharing ≥ minShared winnowed
     * fingerprint hashes, stop-phrase hashes df-capped out of the index. */
   private def qFingerprintPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.fingerprintPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 8, w = 4, minShared = 50, maxDocFreq = 100)
+    Dedup.fingerprintPairsFrom(docFpsM(s, d), minShared = 50, maxDocFreq = 100)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
 
   /** Token counting (the charter's "whitespace + BPE-ish" pair): whitespace

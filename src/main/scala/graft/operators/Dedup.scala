@@ -100,10 +100,18 @@ object Dedup {
     * an explicit full-width repartition that all join sides reuse. */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, w: Int = 4, minShared: Int = 10,
-                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val hsAll = TextOps.winnowRaw(df, idCol, textCol, k, w)
-      .select(col("doc"), col("h")).distinct()
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+                       maxDocFreq: Int = Int.MaxValue): DataFrame =
+    fingerprintPairsFrom(
+      TextOps.winnowRaw(df, idCol, textCol, k, w), minShared, maxDocFreq)
+
+  /** [[fingerprintPairs]] from an already-computed fingerprint frame
+    * (`(doc, p, h)` rows, distinct or not — only the distinct (doc, h)
+    * sets matter here). Lets a session reuse one materialized winnow pass
+    * across the summary and pairs consumers. */
+  def fingerprintPairsFrom(fps: DataFrame, minShared: Int,
+                           maxDocFreq: Int): DataFrame = {
+    val hsAll = fps.select(col("doc"), col("h")).distinct()
+    val nPart = fps.sparkSession.sessionState.conf.numShufflePartitions
     val capped =
       if (maxDocFreq == Int.MaxValue) hsAll
       else hsAll
