@@ -87,7 +87,10 @@ object Scratch {
     } else if (args.headOption.contains("fpplan")) {
       import graft.operators.Dedup
       val docs = graft.core.Tables.documents(spark, dir)
-      Dedup.fingerprintPairs(docs, "doc_id", "text", 8, 4, 50, 100).explain("formatted")
+      val q = Dedup.fingerprintPairs(docs, "doc_id", "text", 8, 4, 50, 100)
+      val ep = q.queryExecution.executedPlan
+      ep.execute().count() // finalize the adaptive plan before printing
+      println(ep.toString)
     } else {
       val names = if (args.nonEmpty) args.toSeq else Seq("doc_neardup_cosine")
       names.foreach { n =>

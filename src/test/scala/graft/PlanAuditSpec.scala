@@ -52,6 +52,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected all-pairs plans: $offenders")
   }
 
+  test("fingerprint pairs self-join is a shuffle join over one reused exchange") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = Dedup.fingerprintPairs(docs, "doc_id", "text",
+      minShared = 50, maxDocFreq = 100)
+    // AQE applies exchange reuse at runtime, and count() would build a
+    // SEPARATE QueryExecution — execute THIS plan, then inspect it final
+    val ep = df.queryExecution.executedPlan
+    ep.execute().count()
+    val s = ep.toString
+    assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"),
+      "the df-capped self-join must not broadcast (a BroadcastExchange " +
+        "build side re-runs the whole winnow lineage)")
+    assert(s.contains("ReusedExchange"),
+      "both self-join sides must read ONE materialized exchange")
+  }
+
   test("the series build prunes the fact scan to the referenced columns") {
     val plan = SparkEntry.queries("ts_build_monthly")(spark, sfDir)
       .queryExecution.executedPlan.toString
