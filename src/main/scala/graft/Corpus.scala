@@ -66,6 +66,18 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
     copy(docs = docs.join(dupIds, Seq(idCol), "left_anti"))
   }
 
+  /** Passage-level copy removal: winnowing-fingerprint pairs sharing ≥
+    * minShared hashes (doc_fingerprint_pairs semantics — catches shared
+    * passages that whole-doc Jaccard dilutes), the higher id of each pair
+    * drops. */
+  def dedupFingerprint(minShared: Int, k: Int = 8, w: Int = 4,
+                       maxDocFreq: Int = 100): Corpus = {
+    val dupIds = Dedup.fingerprintPairs(docs, idCol, textCol, k, w,
+        minShared, maxDocFreq)
+      .select(col("doc_b").as(idCol)).distinct()
+    copy(docs = docs.join(dupIds, Seq(idCol), "left_anti"))
+  }
+
   /** Benchmark decontamination: drop docs whose distinct n-gram overlap
     * with any benchmark doc reaches minFrac (doc_decontaminate). */
   def decontaminate(bench: DataFrame, n: Int = 3, minFrac: Double = 0.5): Corpus =

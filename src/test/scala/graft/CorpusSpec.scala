@@ -85,6 +85,19 @@ class CorpusSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L), s"greek-profile docs only, got $ids")
   }
 
+  test("dedupFingerprint drops the passage-copying doc, keeps unrelated ones") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d = Seq(
+      (1L, s"intro words here $passage trailing content after"),
+      (2L, s"completely other opening text $passage and a different ending"),
+      (3L, "nothing in common with either of those two documents at all now")
+    ).toDF("doc_id", "text")
+    val kept = Corpus(d).dedupFingerprint(minShared = 5)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"doc 2 (higher id of the copy pair) drops, got $kept")
+  }
+
   test("perplexityFilter band-passes on the corpus-trained bigram LM") {
     import spark.implicits._
     // doc 1: context s splits 50/50 between a and b -> ppl = 2^(4/7) ~ 1.486
