@@ -36,6 +36,21 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
   /** Text statistics + composite quality per doc. */
   def stats: DataFrame = TextOps.withTextStats(docs, textCol)
 
+  /** One-row corpus report (doc_corpus_summary): size, exact-dup rate
+    * (distinct md5 texts), token volume, mean quality, long-doc share —
+    * the before/after numbers a curation run is judged by. One scan, one
+    * aggregation. */
+  def summary: DataFrame = {
+    val st = TextOps.withTextStats(docs, textCol)
+    st.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol))).as("n_distinct_texts"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(avg(col("n_tokens")), 6).as("avg_tokens"),
+      round(avg(col("quality")), 6).as("avg_quality"),
+      round(avg(when(col("n_tokens") >= 60, 1.0).otherwise(0.0)), 6).as("pct_long"))
+  }
+
   /** Top-k terms per doc by smooth-idf TF-IDF (doc_tfidf_top_terms). */
   def topTerms(k: Int): DataFrame = TextOps.topTerms(docs, idCol, k, textCol)
 

@@ -123,6 +123,8 @@ object SparkEntry {
     "doc_decontaminate"  -> ((s, d) => qDecontaminate(s, d)),
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
     "doc_mixture_temp"   -> ((s, d) => qMixtureTemp(s, d)),
+    "doc_corpus_summary" -> ((s, d) =>
+      graft.Corpus(Tables.documents(s, d)).summary),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
@@ -2037,6 +2039,21 @@ object SparkEntry {
         |       GROUP BY 1, 2)
         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
         |FROM pr WHERE n_shared >= 50""".stripMargin,
+
+    // One-row corpus report: same stats/quality math aggregated corpus-wide
+    "doc_corpus_summary" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id, text, len(toks) AS nt,
+        |        0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |      + 0.4 * (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) / CAST(len(toks) AS DOUBLE))
+        |      + 0.2 * least(len(toks) / 100.0, 1.0) AS quality FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  ROUND(avg(nt), 6) AS avg_tokens,
+        |  ROUND(avg(quality), 6) AS avg_quality,
+        |  ROUND(avg(CASE WHEN nt >= 60 THEN 1.0 ELSE 0.0 END), 6) AS pct_long
+        |FROM q""".stripMargin,
 
     "doc_text_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS toks FROM documents)

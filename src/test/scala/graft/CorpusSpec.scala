@@ -85,6 +85,15 @@ class CorpusSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L), s"greek-profile docs only, got $ids")
   }
 
+  test("summary reports size, dup rate, and token volume in one row") {
+    val r = Corpus(docs).summary.collect()(0)
+    assert(r.getLong(0) == 6, "n_docs")
+    assert(r.getLong(1) == 5, "docs 1 and 2 are identical texts -> 5 distinct")
+    assert(r.getLong(2) == 58, "4x10 + 2x9 whitespace tokens")
+    assert(math.abs(r.getDouble(3) - 58.0 / 6) < 1e-6, "avg_tokens")
+    assert(r.getDouble(5) == 0.0, "no doc reaches 60 tokens")
+  }
+
   test("dedupFingerprint drops the passage-copying doc, keeps unrelated ones") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog near the river bank"
