@@ -111,26 +111,61 @@ object Dedup {
   def fingerprintPairsFrom(fps: DataFrame, minShared: Int,
                            maxDocFreq: Int): DataFrame = {
     val hsAll = fps.select(col("doc"), col("h")).distinct()
-    val nPart = fps.sparkSession.sessionState.conf.numShufflePartitions
     val capped =
       if (maxDocFreq == Int.MaxValue) hsAll
       else hsAll
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
-    val fp = capped.repartition(nPart, col("h"))
-    // Force a shuffle join: the capped index is small enough that the
-    // planner would otherwise BROADCAST one side, which splits the plan
-    // into a BroadcastExchange + probe pipeline that each re-run the whole
-    // winnow/distinct/cap lineage (with join-key null filters pushed into
-    // the hash projection — measured ~13× the pipeline cost at sf0.1). A
-    // shuffle-hash join makes both sides byte-identical subplans over the
-    // repartition above, so ReusedExchange materializes the index ONCE —
-    // the jaccardPairs shape, zero cache/checkpoint storage.
-    fp.as("a").hint("shuffle_hash").join(fp.as("b"),
-        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    indexSelfPairs(capped, "h")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Session conf: replication factor for salted candidate-pair joins
+    * (default 1 = unsalted). */
+  val PairSaltKey = "spark.graft.pairSalt"
+
+  /** All candidate `(doc_a, doc_b)` rows (doc_a < doc_b, one row per
+    * shared key occurrence) from an inverted-index self-join on `keyCol` —
+    * the pair-generation core of [[fingerprintPairsFrom]] (and the shape
+    * jaccardPairs inlines).
+    *
+    * Unsalted (default): one full-width repartition on the key that BOTH
+    * shuffle-hash-join sides read as byte-identical subplans, so
+    * ReusedExchange materializes the index once (a broadcast build side
+    * would re-run the whole lineage per side — measured ~13× on the
+    * fingerprint tree at sf0.1).
+    *
+    * With `spark.graft.pairSalt = R > 1`: the probe side is salted by a
+    * deterministic doc-hash bucket and the build side replicated R× with
+    * every salt, joining on (key, salt) — the charter's salting-for-skew
+    * tool. Output pairs are IDENTICAL (each pair materializes exactly once,
+    * in the probe doc's salt bucket), but a hot key's df² fan-out spreads
+    * over R tasks instead of one. The df-cap bounds total candidate
+    * volume; salting balances where it lands. Costs the exchange reuse
+    * (sides are no longer byte-identical) — worth it only in the skewed
+    * regime, hence conf-gated off by default. */
+  private[graft] def indexSelfPairs(index: DataFrame, keyCol: String): DataFrame = {
+    val r = index.sparkSession.conf.get(PairSaltKey, "1").toInt
+    val nPart = index.sparkSession.sessionState.conf.numShufflePartitions
+    if (r <= 1) {
+      val ix = index.repartition(nPart, col(keyCol))
+      ix.as("a").hint("shuffle_hash").join(ix.as("b"),
+          col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    } else {
+      val probe = index.withColumn("_salt",
+          pmod(TextOps.hash32(col("doc").cast("string")), lit(r.toLong)))
+        .repartition(nPart, col(keyCol), col("_salt"))
+      val build = index.withColumn("_salt",
+          explode(sequence(lit(0L), lit(r.toLong - 1))))
+        .repartition(nPart, col(keyCol), col("_salt"))
+      probe.as("a").hint("shuffle_hash").join(build.as("b"),
+          col(s"a.$keyCol") === col(s"b.$keyCol") &&
+            col("a._salt") === col("b._salt") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    }
   }
 
   /** Pin threshold for the row-exploding band self-joins, in banded rows per
