@@ -595,6 +595,7 @@ object SparkEntry {
   def prewarmMemos(s: SparkSession, d: String): Unit = {
     ordersMonthlyM(s, d); segmentMonthlyM(s, d)
     zOrdersMonthly(s, d); zSegBuilding(s, d); docVecsM(s, d); docFpsM(s, d)
+    jaccardM(s, d)
   }
 
   /** Memoized trigram-vector frame over the documents corpus — the
