@@ -26,21 +26,15 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
 
   /** Compiled dot product — identical left-to-right summation as [[dot]],
-    * but a single JVM tight loop per row instead of per-element interpreted
-    * Catalyst lambdas. On multi-million-candidate re-rank stages the
-    * higher-order form costs ~50× more; this is the charter's sanctioned
-    * fallback order (native expression > Scala UDF > interpreted HOF) with
-    * the UDF tier chosen because a codegen Expression cannot be registered
-    * without controlling the session. */
-  private val dotFastUdf = udf((a: Array[Double], b: Array[Double]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
-
-  def dotFast(a: Column, b: Column): Column = dotFastUdf(a, b)
+    * now the charter's TOP preference tier: a native codegen Catalyst
+    * expression ([[graft.functions.DotProduct]]) wrapped directly into a
+    * Column, so the loop fuses into whole-stage codegen with the
+    * surrounding cosine arithmetic (no UDF boxing, no per-element
+    * interpreted lambdas — the HOF form measured ~50× slower on
+    * multi-million-candidate re-ranks, the UDF tier still paid
+    * Array[Double] serialization per row). */
+  def dotFast(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotNative(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, z) => acc + z))
