@@ -125,6 +125,7 @@ object SparkEntry {
     "doc_mixture_temp"   -> ((s, d) => qMixtureTemp(s, d)),
     "doc_corpus_summary" -> ((s, d) =>
       graft.Corpus(Tables.documents(s, d)).summary),
+    "doc_curation_chain" -> ((s, d) => qCurationChain(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
@@ -1381,6 +1382,27 @@ object SparkEntry {
       .select(col("doc_id"), col("stratum"))
   }
 
+  /** The round-5 curation tier composed end to end — perplexity band-pass
+    * (LM trained on the full corpus; band on the 6dp-rounded score so the
+    * gate itself is the hash-stable value) → winnowing-fingerprint passage
+    * dedup over the survivors → temperature mixture sample of what's left.
+    * Each stage is independently hash-checked; this query pins the JOIN
+    * semantics BETWEEN stages (semi/anti joins, stage-local doc frequencies
+    * and stage-local mixture counts). */
+  private def qCurationChain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = TextOps.bigramPerplexity(docs, "doc_id")
+      .filter(round(col("ppl"), 6).between(28.0, 31.0))
+      .select(col("doc").as("doc_id"))
+    val banded = graft.Corpus(docs.join(keep, Seq("doc_id"), "left_semi"))
+    val deduped = banded.dedupFingerprint(minShared = 50)
+    val strat = deduped.docs.withColumn("stratum",
+      when(size(TextOps.tokens(col("text"))) >= 60, "long").otherwise("short"))
+    Sampling.temperatureSample(strat, "doc_id", "stratum", alpha = 0.5,
+        targetTotal = 150)
+      .select(col("doc_id"), col("stratum"))
+  }
+
   /** Blocked cross-lag VAR (the scale path past MvForecast.CoupledSetMax):
     * per-target source blocks from the lag-1 correlation screen (self +
     * top-2 foreign sources), then every equation's bounded OLS fit from ONE
@@ -1976,6 +1998,60 @@ object SparkEntry {
         |       FROM bg JOIN cab USING (a, b) JOIN ca USING (a) GROUP BY 1)
         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
         |  ROUND(ppl, 6) AS ppl FROM sc""".stripMargin,
+
+    // The composed curation chain: perplexity band -> fingerprint dedup
+    // over survivors -> temperature sample; stage-local dfs and counts
+    "doc_curation_chain" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t0),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM bi),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
+        |sc AS (SELECT doc_id, exp(-avg(ln(c_ab / c_a))) AS ppl
+        |       FROM bg JOIN cab USING (a, b) JOIN ca USING (a) GROUP BY 1),
+        |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN sc USING (doc_id)
+        |       WHERE ROUND(ppl, 6) BETWEEN 28.0 AND 31.0),
+        |dd AS (SELECT doc_id, text FROM d1 WHERE length(text) >= 11),
+        |g AS (SELECT doc_id, unnest(range(1, length(text) - 6)) AS p, text FROM dd),
+        |h AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |        (CAST(ascii(substr(text, p, 1)) AS BIGINT) * 27512614111
+        |       + CAST(ascii(substr(text, p + 1, 1)) AS BIGINT) * 887503681
+        |       + CAST(ascii(substr(text, p + 2, 1)) AS BIGINT) * 28629151
+        |       + CAST(ascii(substr(text, p + 3, 1)) AS BIGINT) * 923521
+        |       + CAST(ascii(substr(text, p + 4, 1)) AS BIGINT) * 29791
+        |       + CAST(ascii(substr(text, p + 5, 1)) AS BIGINT) * 961
+        |       + CAST(ascii(substr(text, p + 6, 1)) AS BIGINT) * 31
+        |       + CAST(ascii(substr(text, p + 7, 1)) AS BIGINT)) % 1048576 AS h
+        |      FROM g),
+        |k2 AS (SELECT doc_id, p, h, h * 4294967296 + (4294967295 - p) AS kk FROM h),
+        |w2 AS (SELECT doc_id,
+        |         min(kk) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |         count(*) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |       FROM k2),
+        |sel AS (SELECT DISTINCT doc_id, wkey // 4294967296 AS h FROM w2 WHERE cnt = 4),
+        |cap AS (SELECT doc_id, h FROM
+        |          (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfq FROM sel)
+        |        WHERE dfq <= 100),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |       FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT doc_b AS doc_id FROM pr WHERE n_shared >= 50),
+        |d2 AS (SELECT doc_id, text FROM d1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+        |t2 AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) >= 60 THEN 'long' ELSE 'short' END AS stratum
+        |  FROM d2),
+        |c2 AS (SELECT stratum, CAST(count(*) AS DOUBLE) AS n FROM t2 GROUP BY 1),
+        |s2 AS (SELECT sum(pow(n, 0.5)) AS wsum FROM c2),
+        |f2 AS (SELECT stratum,
+        |  CAST(FLOOR(ROUND(least(1.0, 150.0 * pow(n, 0.5) / wsum / n), 9)
+        |       * 4294967296) AS BIGINT) AS thr FROM c2, s2),
+        |h2 AS (SELECT doc_id, stratum,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+        |  FROM t2)
+        |SELECT h2.doc_id, h2.stratum FROM h2 JOIN f2 USING (stratum) WHERE b < thr""".stripMargin,
 
     // Winnowing fingerprints: same base-31 mod 2^20 polynomial over char
     // 8-grams, same h*2^32+(2^32-1-p) order-embedding window min, w=4
