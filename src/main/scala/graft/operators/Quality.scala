@@ -30,14 +30,19 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   /** Word n-grams WITH multiplicity (unlike [[Dedup.shingles]], which
-    * dedups for set-Jaccard): (doc, gram, gram_chars). */
+    * dedups for set-Jaccard): (doc, gram, gram_chars). A native sequence
+    * explode + direct array indexing — the old interpreted
+    * `transform(…, i -> concat_ws(slice(…)))` lambda materialized every
+    * doc's full gram array per row before exploding; this keeps the whole
+    * gram construction inside whole-stage codegen. */
   private def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val g = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array())
-    df.select(col(idCol).as("doc"), explode(g).as("gram"))
+    df.select(col(idCol).as("doc"), toks.as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col("doc"),
+        expr(s"explode(sequence(0, size(_t) - $n))").as("_i"), col("_t"))
+      .select(col("doc"),
+        concat_ws(" ", (0 until n).map(j => expr(s"_t[_i + $j]")): _*).as("gram"))
       .withColumn("gram_chars", length(col("gram")))
   }
 
