@@ -115,6 +115,7 @@ object SparkEntry {
     "ts_auto_xvar"       -> ((s, d) => qAutoXvar(s, d)),
     "ts_opt_transform"   -> ((s, d) => qOptTransform(s, d)),
     "ts_decompose"       -> ((s, d) => qDecompose(s, d)),
+    "ts_stl"             -> ((s, d) => qStl(s, d)),
     "ts_seasonal_length_by_series" -> ((s, d) => qSeasonalLengthBySeries(s, d)),
     "ts_stat_recipes_by_series"    -> ((s, d) => qStatRecipesBySeries(s, d)),
     "ts_xvar_replay"     -> ((s, d) => qXvarReplay(s, d)),
@@ -470,6 +471,17 @@ object SparkEntry {
     * trend / seasonal / resid component table on the z-scored monthly
     * series; the oracle recomputes the centered even-period MA, the
     * normalized per-phase means, and the residual in plain window SQL. */
+  /** STL decomposition over the monthly series — declared WITHOUT an
+    * oracle entry: the iterative cycle-subseries LOESS has no SQL
+    * equivalent, so the driver records its rows-only check (the contract's
+    * documented weaker tier); STLSpec pins component identities in sbt. */
+  private def qStl(s: SparkSession, d: String): DataFrame =
+    Transforms.stl(zOrdersMonthly(s, d), 12)
+      .select(col(SeriesId), col(Ds),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("resid"), 6).as("resid"))
+
   private def qDecompose(s: SparkSession, d: String): DataFrame =
     Transforms.seasonalDecompose(zOrdersMonthly(s, d), 12)
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
