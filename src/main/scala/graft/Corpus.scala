@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   *   val clean = Corpus(docs)
   *     .qualityFilter(0.7)          // text-stats composite gate
   *     .gopherFilter()              // Gopher/C4 repetition gates
+  *     .perplexityFilter(1.2, 50)   // corpus-trained bigram LM band-pass
   *     .dedupExact()                // md5 canonical-id dedup
   *     .dedupNear(0.8)              // capped-jaccard near-dup removal
+  *     .dedupFingerprint(50)        // winnowing passage-copy removal
   *     .decontaminate(benchDocs)    // n-gram benchmark-overlap scrub
   *     .piiRedact()                 // redact emails/phones/ips/ids in place
-  *     .sample(0.5)                 // deterministic content-hash sample
+  *     .sampleTemperature("lang", 0.5, 1000000) // p_d ∝ n_d^α training mix
+  *   clean.summary                  // one-row before/after report
   *   clean.pack(2048)               // GPT-style concat-and-chunk layout
   * }}}
   *

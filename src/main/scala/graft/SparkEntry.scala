@@ -608,7 +608,7 @@ object SparkEntry {
   def prewarmMemos(s: SparkSession, d: String): Unit = {
     ordersMonthlyM(s, d); segmentMonthlyM(s, d)
     zOrdersMonthly(s, d); zSegBuilding(s, d); docVecsM(s, d); docFpsM(s, d)
-    jaccardM(s, d)
+    jaccardM(s, d); docPplM(s, d)
   }
 
   /** Memoized trigram-vector frame over the documents corpus — the
@@ -1015,9 +1015,16 @@ object SparkEntry {
   /** Corpus-trained bigram perplexity per doc — the CCNet-style quality
     * signal; MLE bigram LM fit on the same corpus, ppl = exp(−avg ln P). */
   private def qPerplexity(s: SparkSession, d: String): DataFrame =
-    TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id")
+    docPplM(s, d)
       .select(col("doc").as("doc_id"), col("n_bigrams"),
         round(col("ppl"), 6).as("ppl"))
+
+  /** Memoized corpus-LM perplexity scores — shared by doc_perplexity and
+    * doc_curation_chain's band-pass stage (the LM trains on the FULL
+    * corpus in both, so the scores are the same frame). */
+  private def docPplM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "ppl")(
+      TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id"))
 
   /** MOSS-style copy-detection pairs: docs sharing ≥ minShared winnowed
     * fingerprint hashes, stop-phrase hashes df-capped out of the index. */
@@ -1403,13 +1410,21 @@ object SparkEntry {
     * and stage-local mixture counts). */
   private def qCurationChain(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val keep = TextOps.bigramPerplexity(docs, "doc_id")
+    val keep = docPplM(s, d)
       .filter(round(col("ppl"), 6).between(28.0, 31.0))
       .select(col("doc").as("doc_id"))
-    val banded = graft.Corpus(docs.join(keep, Seq("doc_id"), "left_semi"))
-    val deduped = banded.dedupFingerprint(minShared = 50)
-    val strat = deduped.docs.withColumn("stratum",
-      when(size(TextOps.tokens(col("text"))) >= 60, "long").otherwise("short"))
+    val banded = docs.join(keep, Seq("doc_id"), "left_semi")
+    // winnow fingerprints are doc-LOCAL, so the survivors' fingerprint set
+    // is exactly the memoized frame semi-joined to the survivors; the
+    // stage-local part (df caps, pair counts) runs on the filtered set
+    val survFps = docFpsM(s, d).join(
+      banded.select(col("doc_id").as("doc")), Seq("doc"), "left_semi")
+    val dupIds = Dedup.fingerprintPairsFrom(survFps, minShared = 50,
+        maxDocFreq = 100)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val strat = banded.join(dupIds, Seq("doc_id"), "left_anti")
+      .withColumn("stratum",
+        when(size(TextOps.tokens(col("text"))) >= 60, "long").otherwise("short"))
     Sampling.temperatureSample(strat, "doc_id", "stratum", alpha = 0.5,
         targetTotal = 150)
       .select(col("doc_id"), col("stratum"))
