@@ -127,6 +127,7 @@ object SparkEntry {
     "doc_corpus_summary" -> ((s, d) =>
       graft.Corpus(Tables.documents(s, d)).summary),
     "doc_curation_chain" -> ((s, d) => qCurationChain(s, d)),
+    "events_topk_users"  -> ((s, d) => qEventsTopkUsers(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
@@ -1511,6 +1512,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
         round(avg(col("value")), 6).as("avg_value"))
 
+  /** Hourly heavy hitters: top-3 users by event count per hour, rank
+    * deterministic on (count desc, user_id asc). Shape: one aggregation
+    * keyed (hour, user) — already the reduced frame — then a window over
+    * the hour partition; the rank never touches raw events. */
+  private def qEventsTopkUsers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, d)
+      .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("rank", row_number().over(
+        Window.partitionBy("hour_ms").orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("hour_ms"), col("rank").cast("long").as("rank"),
+        col("user_id"), col("n"))
+  }
+
   /** [[graft.streaming.EventStreams.sessionize]] run AS A STREAM
     * (`readStream` → `flatMapGroupsWithState` → `Trigger.AvailableNow`):
     * Append mode emits exactly the CLOSED sessions, so the oracle is the
@@ -1830,6 +1848,17 @@ object SparkEntry {
         |SELECT user_id, session_num, count(*) AS n_events, min(ms) AS start_ms,
         |  max(ms) - min(ms) AS duration_ms, ROUND(sum(value), 4) AS sum_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // Hourly heavy hitters: same hour truncation, rank on (n desc, user)
+    "events_topk_users" ->
+      """WITH c AS (SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, user_id,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour_ms, user_id, n,
+        |        row_number() OVER (PARTITION BY hour_ms ORDER BY n DESC, user_id) AS rank
+        |      FROM c)
+        |SELECT hour_ms, CAST(rank AS BIGINT) AS rank, user_id, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "events_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
