@@ -128,6 +128,7 @@ object SparkEntry {
       graft.Corpus(Tables.documents(s, d)).summary),
     "doc_curation_chain" -> ((s, d) => qCurationChain(s, d)),
     "events_topk_users"  -> ((s, d) => qEventsTopkUsers(s, d)),
+    "events_funnel"      -> ((s, d) => qEventsFunnel(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
@@ -1512,6 +1513,32 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
         round(avg(col("value")), 6).as("avg_value"))
 
+  /** Windowed conversion funnel (view → click → purchase, each next
+    * stage within 24h of the previous): each stage is the users whose
+    * EARLIEST qualifying event falls strictly inside the window after
+    * their previous stage's time — per-user aggregates joined stage to
+    * stage (each stage frame is one row per user, keyed by user_id; the
+    * raw events are scanned once per stage with the type filter pushed to
+    * the parquet scan). The 24h bound makes the ordering genuinely
+    * binding on the fixture (~32h mean inter-event gap per user).
+    * Output: stage → user count. */
+  private def qEventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val day = 86400L * 1000 * 1000 * 1000 // 24h in epoch-ns
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + lit(day))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + lit(day))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+    stage(v, "view").union(stage(c, "click")).union(stage(p, "purchase"))
+      .select(col("stage"), col("n_users"))
+  }
+
   /** Hourly heavy hitters: top-3 users by event count per hour, rank
     * deterministic on (count desc, user_id asc). Shape: one aggregation
     * keyed (hour, user) — already the reduced frame — then a window over
@@ -1848,6 +1875,21 @@ object SparkEntry {
         |SELECT user_id, session_num, count(*) AS n_events, min(ms) AS start_ms,
         |  max(ms) - min(ms) AS duration_ms, ROUND(sum(value), 4) AS sum_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // Windowed funnel: earliest qualifying event strictly after the prior
+    // stage's time and within 24h of it
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
 
     // Hourly heavy hitters: same hour truncation, rank on (n desc, user)
     "events_topk_users" ->
