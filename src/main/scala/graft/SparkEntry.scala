@@ -129,6 +129,7 @@ object SparkEntry {
     "doc_curation_chain" -> ((s, d) => qCurationChain(s, d)),
     "events_topk_users"  -> ((s, d) => qEventsTopkUsers(s, d)),
     "events_funnel"      -> ((s, d) => qEventsFunnel(s, d)),
+    "events_retention"   -> ((s, d) => qEventsRetention(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
@@ -1539,6 +1540,22 @@ object SparkEntry {
       .select(col("stage"), col("n_users"))
   }
 
+  /** Cohort retention matrix: users grouped by first-seen day, counted on
+    * each of their active days in the first week (offset 0–7). One
+    * distinct (user, day) reduction, a per-user min, and one aggregation —
+    * the user dimension never leaves its shuffle key. */
+  private def qEventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ed = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts div 86400000000000) * 86400000").as("day_ms"))
+      .distinct()
+    val c = ed.groupBy("user_id").agg(min("day_ms").as("c0"))
+    ed.join(c, "user_id")
+      .withColumn("day_offset", expr("(day_ms - c0) div 86400000"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("c0").as("cohort_ms"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Hourly heavy hitters: top-3 users by event count per hour, rank
     * deterministic on (count desc, user_id asc). Shape: one aggregation
     * keyed (hour, user) — already the reduced frame — then a window over
@@ -1875,6 +1892,17 @@ object SparkEntry {
         |SELECT user_id, session_num, count(*) AS n_events, min(ms) AS start_ms,
         |  max(ms) - min(ms) AS duration_ms, ROUND(sum(value), 4) AS sum_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // Cohort retention: distinct user-days, first-seen cohort, day offsets
+    "events_retention" ->
+      """WITH ed AS (SELECT DISTINCT user_id,
+        |              epoch_ms(date_trunc('day', ts)) AS day_ms FROM events),
+        |c AS (SELECT user_id, min(day_ms) AS c0 FROM ed GROUP BY 1)
+        |SELECT c0 AS cohort_ms, (day_ms - c0) // 86400000 AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ed JOIN c USING (user_id)
+        |WHERE (day_ms - c0) // 86400000 <= 7
+        |GROUP BY 1, 2""".stripMargin,
 
     // Windowed funnel: earliest qualifying event strictly after the prior
     // stage's time and within 24h of it
