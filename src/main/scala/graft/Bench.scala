@@ -1,6 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Time each query through the noop sink. A failing query records the
+    * error class instead of masquerading as a fast success (BenchSpec pins
+    * this with a deliberately-broken query). */
+  def runQueries(spark: SparkSession, sfDir: String,
+                 queries: Map[String, (SparkSession, String) => DataFrame])
+      : Seq[(String, Double, Option[String])] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,16 +59,17 @@ object Bench {
     // vanished entirely under count, timing as a plain scan) — the noop
     // write evaluates every output row and column, which is what a
     // consumer of the query pays
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a failing query must NOT bench as a fast success: record its error
+    // class per-query and a top-level failed count so the bench JSON can't
+    // silently disagree with the correctness artifact
+    val results = runQueries(spark, sfDir, selected)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val failed = results.count(_._3.isDefined)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","memo_build":$memoBuild,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","memo_build":$memoBuild,"failed":$failed,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -278,7 +278,15 @@ object BlockedVar {
       val r = fut.groupBy(SeriesId).count().agg(max("count")).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    if (maxStep == 0) return frame.sparkSession.emptyDataFrame
+    if (maxStep == 0) {
+      // keep the (series_id, ds, yhat) shape even with no future rows so
+      // downstream selects (MvForecaster's future-union branch) still resolve
+      val dsType = frame.schema(Ds).dataType
+      return frame.sparkSession.createDataFrame(
+        frame.sparkSession.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField(SeriesId, StringType),
+          StructField(Ds, dsType), StructField("yhat", DoubleType))))
+    }
     // driver union-find over the slim edge list → component id per series
     val edges = block.select(col("target"), col("src")).collect()
       .map(r => (r.getString(0), r.getString(1)))

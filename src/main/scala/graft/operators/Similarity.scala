@@ -251,7 +251,10 @@ object Similarity {
     val pp = prepared(probes, idCol, vecCol).localCheckpoint(false)
     val nProbes = pp.count()
     require(nProbes > 0, "crossCosineMatches needs a non-empty probe set")
-    val dims = pp.select(size(col("v"))).first().getInt(0)
+    // MAX dims over the whole probe set, not the first row: with
+    // variable-length vectors a first-row dims undercounts the broadcast
+    // budget and truncates the tier-2 hyperplanes (silent recall loss)
+    val dims = pp.agg(max(size(col("v")))).first().getInt(0)
     // Tier 1 — the canonical decontamination shape: a benchmark set that
     // fits the broadcast budget ships to every task ONCE and every corpus
     // vector scores against all of it during a single scan. Zero shuffles,
@@ -294,11 +297,17 @@ object Similarity {
       // re-check on the deduplicated pairs. Here the corpus IS read twice
       // (signatures + re-score), so it rides a checkpoint.
       val pc = prepared(corpus, idCol, vecCol).localCheckpoint(true)
-      val sc = signatureRows(pc, dims, bands, bitsPerBand)
-      val spPos = signatureRows(pp, dims, bands, bitsPerBand)
+      // the corpus is already checkpointed for its two reads here, so a
+      // dims agg over the cached blocks is cheap — the hyperplane matrix
+      // must span the LONGEST vector on either side or trailing components
+      // never influence any signature (silent candidate-recall loss)
+      val corpusDims = pc.agg(max(size(col("v")))).first().getInt(0)
+      val sigDims = math.max(dims, corpusDims)
+      val sc = signatureRows(pc, sigDims, bands, bitsPerBand)
+      val spPos = signatureRows(pp, sigDims, bands, bitsPerBand)
       val sp = if (!absolute) spPos else spPos.unionByName(
         signatureRows(pp.select(col("vid"),
-          transform(col("v"), x => -x).as("v")), dims, bands, bitsPerBand))
+          transform(col("v"), x => -x).as("v")), sigDims, bands, bitsPerBand))
       val cands = sc.as("c").join(sp.as("p"), Seq("band", "band_val"))
         .select(col("c.vid").as("cid"), col("p.vid").as("pid"))
         .distinct()

@@ -31,13 +31,14 @@ object PipelineStore {
            results: Option[DataFrame] = None,
            featureSpecs: Seq[graft.functions.FeatureSpec] = Nil): Unit = {
     import spark.implicits._
-    if (featureSpecs.nonEmpty) {
-      featureSpecs.zipWithIndex.map { case (sp, i) =>
-        val (kind, args) = sp.encoded
-        (i, kind, args)
-      }.toDF("idx", "kind", "args")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/specs")
-    }
+    // always overwrite specs, even when empty: re-saving over a path that
+    // previously carried specs must not leave the stale chain behind for
+    // loadFeatureSpecs to replay
+    featureSpecs.zipWithIndex.map { case (sp, i) =>
+      val (kind, args) = sp.encoded
+      (i, kind, args)
+    }.toDF("idx", "kind", "args")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/specs")
     val rows = stack.stack.zipWithIndex.map { case (t, i) =>
       t match {
         case e: ExprTransform => (i, "expr", e.name, 0, "")

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Transforms, TransformStack}
+import graft.results.PipelineStore
+import org.apache.spark.sql.functions._
+
+/** Edge-path robustness: failure honesty in the bench harness, stale-state
+  * hygiene in persistence, empty-horizon schemas, variable-dim vectors. */
+class RobustnessSpec extends SparkSpec {
+
+  test("Bench.runQueries records a per-query error instead of a fast success") {
+    import spark.implicits._
+    val qs: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "good" -> ((s, _) => { import s.implicits._; Seq(1, 2, 3).toDF("x") }),
+      "broken" -> ((s, _) => s.read.parquet("/nonexistent/graft/no_such_dir")))
+    val out = Bench.runQueries(spark, "unused", qs)
+    val byName = out.map(r => r._1 -> r._3).toMap
+    assert(byName("good").isEmpty, "working query must carry no error")
+    assert(byName("broken").isDefined, "broken query must surface its error class")
+    assert(out.count(_._3.isDefined) == 1)
+  }
+
+  test("PipelineStore re-save with no feature specs clears a stale spec chain") {
+    val base = obsSeries((1 to 30).map(_.toDouble))
+    val stack = TransformStack(List(Transforms.scaleT(base)))
+    val path = java.nio.file.Files.createTempDirectory("plstale").toString
+    PipelineStore.save(path, stack, spark,
+      featureSpecs = Seq(graft.functions.FeatureSpec.ArTerms(3)))
+    assert(PipelineStore.loadFeatureSpecs(spark, path).size == 1)
+    // overwrite the same path with a spec-less pipeline: the old chain must
+    // NOT survive to be replayed by loadFeatureSpecs
+    PipelineStore.save(path, stack, spark, featureSpecs = Nil)
+    assert(PipelineStore.loadFeatureSpecs(spark, path).isEmpty,
+      "stale specs/ parquet must be overwritten on re-save")
+  }
+
+  test("BlockedVar.dynamicForecast with no future rows keeps the output schema") {
+    val a = (0 until 30).map(t => 10.0 + 0.3 * t)
+    val b = (0 until 30).map(t => 5.0 + 0.2 * t)
+    val frame = obsSeries(a, "a").unionByName(obsSeries(b, "b"))
+    val out = graft.models.BlockedVar.dynamicForecast(frame, maxLag = 1, maxSources = 2)
+    assert(out.columns.toSeq == Seq("series_id", "ds", "yhat"),
+      s"empty-horizon frame must keep (series_id, ds, yhat), got ${out.columns.toSeq}")
+    assert(out.count() == 0)
+  }
+
+  test("crossCosineMatches is exact with variable-length vectors in both tiers") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // clusters live in 32 dims; a SHORT decoy probe is row one of the probe
+    // set, so a first-row dims read would size planes/budget at 4 and drop
+    // all signal carried by components 4..31
+    val dim = 32
+    val vecs = (0 until 8).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { j =>
+        val v = base.map(x => x + (if (j == 0) 0f else 0.02f * rnd.nextGaussian().toFloat))
+        (c.toLong * 3 + j, v.toSeq)
+      }
+    }
+    val short = Seq((-1L, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val corpus = vecs.filter(_._1 % 3 != 0).toDF("vec_id", "embedding")
+    val probes = (short ++ vecs.filter(_._1 % 3 == 0)).toDF("vec_id", "embedding")
+      .repartition(1).sortWithinPartitions(col("vec_id"))
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("corpus_id", "probe_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pc = Similarity.prepared(corpus, "vec_id", "embedding")
+    val pp = Similarity.prepared(probes, "vec_id", "embedding")
+    val brute = toSet(pc.as("a").join(pp.as("b"))
+      .select(col("a.vid").as("corpus_id"), col("b.vid").as("probe_id"),
+        (Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= 0.95))
+    assert(brute.nonEmpty, "fixture must contain true cross matches")
+    val bcast = toSet(Similarity.crossCosineMatches(
+      corpus, probes, "vec_id", "embedding", 0.95))
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val banded = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      toSet(Similarity.crossCosineMatches(
+        corpus, probes, "vec_id", "embedding", 0.95))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert(bcast == brute, s"broadcast tier ${bcast.size} vs brute ${brute.size}")
+    assert(banded == brute, s"banded tier ${banded.size} vs brute ${brute.size}")
+  }
+}
