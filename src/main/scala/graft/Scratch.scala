@@ -84,6 +84,16 @@ object Scratch {
         println("  pair rows=" +
           Dedup.fingerprintPairs(docs, "doc_id", "text", 8, 4, 50, 100).count())
       }
+    } else if (args.headOption.contains("cc")) {
+      import spark.implicits._
+      val edges = (0L until 40L).flatMap(i =>
+        Seq((s"t${2 * i}", s"t${2 * i + 1}"))).toDF("a", "b")
+      time("cc cold") {
+        graft.operators.Graph.connectedComponents(edges, "a", "b").count()
+      }
+      time("cc warm") {
+        graft.operators.Graph.connectedComponents(edges, "a", "b").count()
+      }
     } else if (args.headOption.contains("fpplan")) {
       import graft.operators.Dedup
       val docs = graft.core.Tables.documents(spark, dir)

@@ -253,9 +253,11 @@ object BlockedVar {
     * parallelize across the cluster, and there are zero per-step job
     * barriers (the same shape [[Recursive.dynamicForecastScorer]] uses per
     * series, lifted to the coupling unit the blocked equations force).
-    * Component discovery is driver-side union-find over the block EDGES —
-    * nSeries·maxSources slim decision rows, the same driver-bounded class
-    * as fold metrics and manifests, never observation data.
+    * Component discovery is [[graft.operators.Graph.connectedComponents]]
+    * over the block EDGES — fully distributed (O(log diameter) rounds of
+    * co-partitioned RDD joins), with the labels attached by a size-gated
+    * broadcast join, so no edge ever reaches the driver and the tagged
+    * frame's plan stays UDF-free.
     * Requires date-aligned series (each series' horizon spine at the same
     * dates), the coupled-set contract. Returns (series_id, ds, yhat). */
   def dynamicForecast(frame: DataFrame, maxLag: Int, maxSources: Int,
@@ -287,19 +289,15 @@ object BlockedVar {
         StructType(Seq(StructField(SeriesId, StringType),
           StructField(Ds, dsType), StructField("yhat", DoubleType))))
     }
-    // driver union-find over the slim edge list → component id per series
-    val edges = block.select(col("target"), col("src")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
-    val comp = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      .map(s => s -> find(s)).toMap
-    val bcComp = frame.sparkSession.sparkContext.broadcast(comp)
-    val compOf = udf((sid: String) => bcComp.value.getOrElse(sid, sid))
+    // distributed connected components over the slim edge list → component
+    // id per series: min-label propagation converges in O(graph diameter)
+    // rounds (the screen bounds out-degree at maxSources, so components stay
+    // small and shallow); no edge ever reaches the driver, and the label
+    // attach below is a size-gated broadcast join, keeping the tagged
+    // frame's plan UDF-free
+    val compLabels = graft.operators.Graph
+      .connectedComponents(block.select(col("target"), col("src")), "target", "src")
+      .select(col("id").as("sid"), col("comp").as("_compLbl"))
     // one tagged frame carries everything a component's walk needs:
     // kind 0 = trailing actual (sid, t, v); 1 = horizon row (sid, t, ds);
     // 2 = equation betas (sid, arr); 3 = block edge (sid, src, rank)
@@ -323,7 +321,11 @@ object BlockedVar {
       lit(null).cast("string").as("ds"), lit(null).cast("array<double>").as("arr"),
       col("src"), col("src_rank").as("rank"))
     val tagged = seeds.unionByName(horizon).unionByName(betaRows).unionByName(edgeRows)
-      .withColumn("_comp", compOf(col("sid")))
+      .join(graft.core.Joins.maybeBroadcast(compLabels), Seq("sid"), "left")
+      // series with no surviving edge (possible only on degenerate blocks)
+      // are their own singleton component
+      .withColumn("_comp", coalesce(col("_compLbl"), col("sid")))
+      .drop("_compLbl")
     val outSchema = StructType(Seq(StructField(SeriesId, StringType),
       StructField(Ds.toString, StringType), StructField("yhat", DoubleType)))
     val lagN = maxLag
