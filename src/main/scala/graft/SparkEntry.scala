@@ -1580,7 +1580,7 @@ object SparkEntry {
     * parity stated honestly and hash-checked. */
   private def qSessionizeStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = Tables.events(s, d).schema // also sets nanosAsLong
+    val schema = Tables.eventsRawSchema(s, d)
     val linkDir = java.nio.file.Paths.get(
       "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
     java.nio.file.Files.createDirectories(linkDir)
@@ -1588,7 +1588,8 @@ object SparkEntry {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$d/events.parquet"))
-    val stream = s.readStream.schema(schema).parquet(linkDir.toString)
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(linkDir.toString))
     import s.implicits._
     val evs = stream.select(col("user_id"), col("event_id"),
         expr("ts div 1000000").as("ms"), col("value"))
@@ -1614,7 +1615,7 @@ object SparkEntry {
     * windows to a real sink and lets the 2-hour watermark evict state. */
   private def qEventsHourlyStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = Tables.events(s, d).schema // also sets nanosAsLong
+    val schema = Tables.eventsRawSchema(s, d)
     // the file stream source only accepts a DIRECTORY; expose the single
     // events.parquet through a symlink dir (no data copy; testdata stays
     // untouched). Production streams read a landing directory anyway.
@@ -1625,7 +1626,8 @@ object SparkEntry {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$d/events.parquet"))
-    val stream = s.readStream.schema(schema).parquet(linkDir.toString)
+    val stream = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(linkDir.toString))
       .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
     val agg = graft.streaming.EventStreams.hourlyAggregates(stream)
     val sink = "events_hourly_stream_sink"

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType, TimestampNTZType}
 
 /** Parquet table loader for the driver-provided star schema
   * (see /root/repo/TESTDATA.md). All queries take an `sfDir` and load
@@ -18,12 +20,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a LONG of epoch-nanoseconds instead (µs-aligned in
-    * the data, so downstream ms/hour truncation is lossless). */
+  /** Canonicalize `events.ts` to epoch-nanoseconds LONG regardless of how the
+    * file encodes it. A real events table arrives as TIMESTAMP (micros), as a
+    * raw epoch LONG, or — with the legacy conf — as TIMESTAMP(NANOS) surfaced
+    * as LONG; every downstream query does integer epoch arithmetic
+    * (`ts div 3600000000000` etc.), so the engine owns this dispatch rather
+    * than assuming one encoding. Works on batch and streaming frames alike
+    * (pure schema inspection, no action). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case LongType => df // TIMESTAMP(NANOS) via nanosAsLong, already epoch-ns
+      case other => throw new IllegalArgumentException(
+        s"events.ts must be a timestamp or epoch-ns LONG, got $other")
+    }
+
+  /** Raw on-disk schema of the events table — what `readStream.schema(...)`
+    * must be handed (the stream source validates against the FILE schema, so
+    * it cannot take the normalized one). Sets the nanos legacy conf first so
+    * TIMESTAMP(NANOS) fixtures read as LONG instead of failing. */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events").schema
+  }
+
+  /** Events table with `ts` canonicalized to epoch-ns LONG (see
+    * [[normalizeEventTs]]). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
+    normalizeEventTs(apply(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -84,4 +84,25 @@ class RobustnessSpec extends SparkSpec {
     assert(bcast == brute, s"broadcast tier ${bcast.size} vs brute ${brute.size}")
     assert(banded == brute, s"banded tier ${banded.size} vs brute ${brute.size}")
   }
+
+  test("events ts normalization accepts TIMESTAMP(MICROS) files and epoch-ns LONG alike") {
+    import graft.core.Tables
+    import spark.implicits._
+    // a micros-timestamp parquet file, the regenerated-fixture encoding
+    val dir = java.nio.file.Files.createTempDirectory("evmicros").toString
+    val tsUs = 1700000000123456L // epoch micros, sub-ms precision preserved
+    Seq((1L, new java.sql.Timestamp(tsUs / 1000) {
+          setNanos((tsUs % 1000000).toInt * 1000) }, 7L, "view", 1.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fromFile = Tables.events(spark, dir)
+    assert(fromFile.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    assert(fromFile.select("ts").as[Long].head() == tsUs * 1000L)
+    // legacy path: ts already an epoch-ns LONG (TIMESTAMP_NANOS via nanosAsLong)
+    val asLong = Seq((1L, tsUs * 1000L)).toDF("event_id", "ts")
+    assert(Tables.normalizeEventTs(asLong).select("ts").as[Long].head() == tsUs * 1000L)
+    // anything else is a loud contract violation, not a silent analysis error
+    val bad = Seq((1L, "2023-11-14")).toDF("event_id", "ts")
+    intercept[IllegalArgumentException](Tables.normalizeEventTs(bad))
+  }
 }
