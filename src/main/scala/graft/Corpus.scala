@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextOps
-import graft.operators.{Decontaminate, Dedup, Packing, Pii, Quality, Sampling, Similarity}
+import graft.operators.{Decontaminate, Dedup, Graph, Packing, Pii, Quality, Sampling, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,35 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
         minShared, maxDocFreq)
       .select(col("doc_b").as(idCol)).distinct()
     copy(docs = docs.join(dupIds, Seq(idCol), "left_anti"))
+  }
+
+  /** Cluster-level near-dup removal: connected components over the
+    * capped-jaccard pair graph, keep ONLY the least id of each component
+    * (doc_dedup_clusters semantics). The pairwise [[dedupNear]] policy
+    * mis-handles transitive shapes — a star (1–3, 2–3) keeps both 1 and 2
+    * even though they share a hub — while a 100 TB curation run wants
+    * exactly one survivor per near-dup CLUSTER; the labels come from
+    * [[graft.operators.Graph.connectedComponents]], so the step stays
+    * fully distributed. */
+  def dedupNearClusters(minJ: Double, n: Int = 3,
+                        maxDocFreq: Int = 100): Corpus =
+    copy(docs = keepComponentMin(
+      Dedup.jaccardPairs(docs, idCol, textCol, n, minJ, maxDocFreq)))
+
+  /** Cluster-level passage-copy removal: [[dedupFingerprint]]'s pair graph,
+    * one survivor (least id) per connected component. */
+  def dedupFingerprintClusters(minShared: Int, k: Int = 8, w: Int = 4,
+                               maxDocFreq: Int = 100): Corpus =
+    copy(docs = keepComponentMin(
+      Dedup.fingerprintPairs(docs, idCol, textCol, k, w, minShared, maxDocFreq)))
+
+  /** Drop every pair-graph vertex except its component's least id; docs
+    * touching no pair are untouched (they are absent from the labeling). */
+  private def keepComponentMin(pairs: DataFrame): DataFrame = {
+    val dropIds = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination: drop docs whose distinct n-gram overlap

@@ -54,10 +54,12 @@ object SparkEntry {
     "doc_langid"         -> ((s, d) => qLangId(s, d)),
     "doc_dedup_exact"    -> ((s, d) => qDedupExact(s, d)),
     "doc_jaccard_pairs"  -> ((s, d) => qJaccardPairs(s, d)),
+    "doc_dedup_clusters" -> ((s, d) => qDedupClusters(s, d)),
     "doc_minhash_lsh"    -> ((s, d) => qMinhashLsh(s, d)),
     "doc_simhash"        -> ((s, d) => qSimhash(s, d)),
     "doc_simhash_pairs"  -> ((s, d) => qSimhashPairs(s, d)),
     "doc_multimodal"     -> ((s, d) => qMultimodal(s, d)),
+    "doc_multimodal_real" -> ((s, d) => qMultimodalReal(s, d)),
     "emb_knn"            -> ((s, d) => qEmbKnn(s, d)),
     "emb_knn_lsh"        -> ((s, d) => qEmbKnnLsh(s, d)),
     "emb_lsh_buckets"    -> ((s, d) => qEmbLshBuckets(s, d)),
@@ -922,6 +924,17 @@ object SparkEntry {
     * bounds every inverted-index join key at ≤ cap docs (cap² pairs). */
   private val JaccardDfCap = 100
 
+  /** Cluster-level near-dup labeling (Corpus.dedupNearClusters semantics):
+    * [[graft.operators.Graph.connectedComponents]] over the capped-jaccard
+    * pair graph; every paired doc gets its component's least id as
+    * cluster_id and keeps iff it IS that least id. Pins the distributed CC
+    * kernel against a recursive-CTE reachability oracle — every label, not
+    * an aggregate. */
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.connectedComponents(jaccardM(s, d), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("kept"))
+
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
@@ -936,6 +949,34 @@ object SparkEntry {
   private def qMultimodal(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.withBinaryPayload(Tables.documents(s, d), "text")).toDF()
+
+  /** Real container-header decode end to end: every doc gets a synthetic
+    * PNG / JPEG / GIF payload (format cycles on doc_id % 3) with dimensions
+    * PLANTED from doc_id arithmetic, then [[graft.operators.Multimodal
+    * .HeaderDecoder]] parses the genuine byte layout back and the resize
+    * planner computes bounded targets. The oracle recomputes the planted
+    * dims + targets from the same arithmetic — any parser/builder offset or
+    * endianness slip breaks the hash. (Byte-level parse fixtures with
+    * hand-written literal headers live in OperatorsSpec.) */
+  private def qMultimodalReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.HeaderDecoder
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16L + (id * 7L) % 2033L
+        val h = 16L + (id * 13L) % 1525L
+        val bytes = (id % 3) match {
+          case 0L => HeaderDecoder.pngPayload(w, h)
+          case 1L => HeaderDecoder.jpegPayload(w, h)
+          case _  => HeaderDecoder.gifPayload(w, h)
+        }
+        (id, bytes)
+      }).toDF("doc_id", "payload")
+    Multimodal.withResizeTargets(
+        Multimodal.extractFeatures(payloads).toDF(), 512)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("target_width"), col("target_height"))
+  }
 
   /** Embedding-cosine near-duplicate pairs over deterministic char-trigram
     * embeddings (the docs near-dup path when no learned embedding exists):
@@ -2301,6 +2342,29 @@ object SparkEntry {
          |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8""".stripMargin,
 
+    // connected components over the jaccard pair graph: reachability
+    // closure per vertex (min reachable id == component label) — DuckDB's
+    // recursive CTE walks what the Spark side labels via min-label
+    // propagation + pointer jumping
+    "doc_dedup_clusters" ->
+      s"""${SHINGLES.replaceFirst("WITH ", "WITH RECURSIVE ")}
+         |dsc AS (SELECT * FROM ds
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $JaccardDfCap),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM dsc GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM dsc a JOIN dsc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |       UNION SELECT doc_b, doc_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM ed
+         |  UNION
+         |  SELECT reach.v, ed.b FROM reach JOIN ed ON ed.a = reach.r)
+         |SELECT v AS doc_id, min(r) AS cluster_id, v = min(r) AS kept
+         |FROM reach GROUP BY v""".stripMargin,
+
     "doc_minhash_lsh" ->
       s"""$SHINGLES
          |x AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS x FROM ds),
@@ -2335,6 +2399,20 @@ object SparkEntry {
         |  64 + (h60 // 7) % 1017 AS height,
         |  500 + (h60 // 13) % 59500 AS duration_ms
         |FROM h""".stripMargin,
+
+    // planted-dimension replay of the real header decode: the Spark side
+    // round-trips doc_id → PNG/JPEG/GIF bytes → parsed dims; the oracle
+    // recomputes the plant + resize plan arithmetically
+    "doc_multimodal_real" ->
+      """WITH dims AS (SELECT doc_id,
+        |  16 + (doc_id * 7) % 2033 AS width,
+        |  16 + (doc_id * 13) % 1525 AS height FROM documents),
+        |sc AS (SELECT *, least(1.0, 512.0 / greatest(width, height)) AS scale
+        |       FROM dims)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * scale) AS BIGINT) AS target_width,
+        |  CAST(floor(height * scale) AS BIGINT) AS target_height
+        |FROM sc""".stripMargin,
 
     "emb_knn" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS v,

@@ -36,36 +36,59 @@ import scala.reflect.ClassTag
   */
 object Graph {
 
+  /** Edge volume below which the labeling solves on the driver (one collect
+    * of the slim two-column pair frame + array union-find) instead of the
+    * iterative RDD loop — the same size-gated two-tier shape as
+    * [[Similarity]]'s broadcast tiers. The loop pays fixed per-round
+    * scheduling (~0.5 s × O(log diameter) rounds) that dwarfs a toy graph;
+    * the local tier is bounded at ~8 MB of edges (≈ a few hundred thousand
+    * pairs), far under driver memory, and both tiers produce identical
+    * labels (pinned by GraphSpec). */
+  val LocalMaxBytes: Long = 8L << 20
+
   /** (id, comp) for every vertex appearing in `edges`; comp = least vertex
     * id in the component under the id type's natural ordering. Self-loops
     * are ignored: vertices touching no real edge are absent, so callers
     * default them to their own singleton. Supported id types: string, long,
-    * int (both columns must match). */
+    * int (both columns must match). `localMaxBytes` gates the driver-local
+    * small-graph tier (see [[LocalMaxBytes]]); pass 0 to force the
+    * distributed loop. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 64): DataFrame = {
+                          maxIter: Int = 64,
+                          localMaxBytes: Long = LocalMaxBytes): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
-      .localCheckpoint(true)
     val idType = e.schema("a").dataType
     require(e.schema("b").dataType == idType,
       s"edge endpoint types differ: $idType vs ${e.schema("b").dataType}")
-    // size the loop's partitioner to the EDGE count, not the session shuffle
+    // size the loop's partitioner to the EDGE VOLUME, not the session shuffle
     // width: every round launches a task per partition, so a fixture-sized
     // graph on 32 partitions pays 32× the scheduling for empty work, while
-    // ~1M-edge partitions keep 100 TB-scale graphs wide enough
-    val nEdges = e.count()
-    val nPart = math.min(4096L, math.max(1L, nEdges / 1000000L + 1L)).toInt
+    // ~32 MB edge partitions keep 100 TB-scale graphs wide enough. The
+    // volume comes from the optimizer's size estimate — free, no up-front
+    // count() action — capped by the edge plan's own physical width (the
+    // estimate multiplies through joins and can explode; the upstream job
+    // already ran at that width, so it never needs MORE partitions).
+    val estBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    // labels stay an RDD in the loop tier — the result is vertex-sized and
+    // must never transit the driver; only the local tier's (already
+    // driver-resident, size-gated) labels are parallelized back out
+    def solve[T: Ordering : ClassTag](get: Row => (T, T)): RDD[(T, T)] =
+      if (estBytes <= localMaxBytes)
+        spark.sparkContext.parallelize(localCC(e.collect().map(get)).toSeq, 1)
+      else {
+        val byBytes = (estBytes / (32L << 20) + 1).min(4096).max(1).toInt
+        val nPart = math.max(1, math.min(byBytes, e.rdd.getNumPartitions))
+        ccLoop[T](e.rdd.map(get), nPart, maxIter)
+      }
     val labels = idType match {
-      case StringType =>
-        ccLoop[String](e.rdd.map(r => (r.getString(0), r.getString(1))), nPart, maxIter)
-          .map { case (v, c) => Row(v, c) }
-      case LongType =>
-        ccLoop[Long](e.rdd.map(r => (r.getLong(0), r.getLong(1))), nPart, maxIter)
-          .map { case (v, c) => Row(v, c) }
-      case IntegerType =>
-        ccLoop[Int](e.rdd.map(r => (r.getInt(0), r.getInt(1))), nPart, maxIter)
-          .map { case (v, c) => Row(v, c) }
+      case StringType => solve[String](r => (r.getString(0), r.getString(1)))
+        .map { case (v, c) => Row(v, c) }
+      case LongType => solve[Long](r => (r.getLong(0), r.getLong(1)))
+        .map { case (v, c) => Row(v, c) }
+      case IntegerType => solve[Int](r => (r.getInt(0), r.getInt(1)))
+        .map { case (v, c) => Row(v, c) }
       case t: DataType => throw new IllegalArgumentException(
         s"connectedComponents supports string/long/int vertex ids, got $t")
     }
@@ -73,17 +96,51 @@ object Graph {
       StructType(Seq(StructField("id", idType), StructField("comp", idType))))
   }
 
+  /** Driver-local tier: path-compressing union-by-min over an in-memory edge
+    * array. Only ever sees ≤ [[LocalMaxBytes]] of pairs. */
+  private def localCC[T: Ordering](edges: Array[(T, T)]): Iterable[(T, T)] = {
+    val ord = implicitly[Ordering[T]]
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.map(v => (v, find(v)))
+  }
+
   private def ccLoop[T: Ordering : ClassTag](rawEdges: RDD[(T, T)], nPart: Int,
                                              maxIter: Int): RDD[(T, T)] = {
     val ord = implicitly[Ordering[T]]
     def lo(x: T, y: T): T = if (ord.lteq(x, y)) x else y
     val part = new HashPartitioner(nPart)
-    // symmetrized + deduplicated, keyed by dst, co-partitioned with labels
+    // symmetrized, keyed by dst, co-partitioned with labels. Duplicates are
+    // thinned per-partition (min-combining downstream is idempotent, so a
+    // global distinct's extra shuffle buys nothing).
     val eL = rawEdges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      .distinct(nPart)
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels: RDD[(T, T)] = eL.keys.distinct(nPart)
-      .map(v => (v, v)).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(part)
+      .mapPartitions(it => {
+        val seen = scala.collection.mutable.HashSet.empty[(T, T)]
+        it.filter(seen.add)
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertex set = eL's keys (symmetric, so every endpoint appears); the
+    // reduceByKey reuses eL's partitioner — narrow, no shuffle
+    var labels: RDD[(T, T)] = eL.mapValues(_ => ())
+      .reduceByKey(part, (a, _) => a)
+      .mapPartitions(_.map { case (v, _) => (v, v) }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = rawEdges.sparkContext
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -92,15 +149,23 @@ object Graph {
       val nbrMin = eL.join(labels)
         .map { case (_, (src, lbl)) => (src, lbl) }
         .reduceByKey(part, lo(_, _))
-      val next = labels.leftOuterJoin(nbrMin, part)
-        .mapValues { case (own, nbr) => lo(own, nbr.getOrElse(own)) }
+      // candidate label, carrying the old one so the convergence test rides
+      // the SAME action that materializes the round (no dedicated count job)
+      val cand = labels.leftOuterJoin(nbrMin, part)
+        .mapValues { case (own, nbr) => (own, lo(own, nbr.getOrElse(own))) }
       // pointer jump: comp ← comp(comp); a label is always a vertex id
-      val jumped = next.map { case (v, c) => (c, v) }.partitionBy(part)
-        .leftOuterJoin(next, part)
-        .map { case (c, (v, cc)) => (v, lo(c, cc.getOrElse(c))) }
+      val acc = sc.longAccumulator(s"cc_changed_$iter")
+      val jumped = cand.map { case (v, (old, c)) => (c, (v, old)) }
+        .partitionBy(part)
+        .leftOuterJoin(cand.mapValues(_._2), part)
+        .map { case (c, ((v, old), cc)) =>
+          val nw = lo(c, cc.getOrElse(c))
+          if (old != nw) acc.add(1L)
+          (v, nw)
+        }
         .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-      changed = labels.join(jumped, part)
-        .filter { case (_, (o, n)) => o != n }.count()
+      jumped.count() // the round's one action; fills the accumulator
+      changed = acc.value
       labels.unpersist(blocking = false)
       labels = jumped
       iter += 1

@@ -36,6 +36,24 @@ class CorpusSpec extends SparkSpec {
     assert(redacted.contains("<EMAIL>") && !redacted.contains("@"))
   }
 
+  test("cluster dedup keeps one doc per component where the pair policy keeps hub spokes") {
+    import spark.implicits._
+    // star: 1–3 and 2–3 are near-dups (hub 3 contains both), 1 vs 2 share
+    // nothing — the shape where pairwise higher-id-drops and
+    // keep-one-per-cluster genuinely differ
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w"),
+      (3L, "a b c d e f g h p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val pair = Corpus(d).dedupNear(0.4)
+    assert(pair.docs.select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "pairwise policy drops only the hub (each pair's higher id)")
+    val clus = Corpus(d).dedupNearClusters(0.4)
+    assert(clus.docs.select("doc_id").as[Long].collect().toSet == Set(1L),
+      "cluster policy keeps exactly the component's least id")
+  }
+
   test("decontaminate drops overlap with a benchmark slice; pack lays out survivors") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))

@@ -23,9 +23,10 @@ class GraphSpec extends SparkSpec {
   test("connectedComponents converges on a chain far past the round bound") {
     import spark.implicits._
     // a 300-vertex path needs 299 propagation-only rounds — pointer jumping
-    // must close it inside the default maxIter
+    // must close it inside the default maxIter. localMaxBytes = 0 forces the
+    // distributed loop regardless of the size gate.
     val edges = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Graph.connectedComponents(edges, "a", "b")
+    val labels = Graph.connectedComponents(edges, "a", "b", localMaxBytes = 0L)
     assert(labels.select(countDistinct("comp")).first().getLong(0) == 1L)
     assert(labels.filter(col("comp") =!= 0L).count() == 0L)
   }
@@ -34,14 +35,33 @@ class GraphSpec extends SparkSpec {
     import spark.implicits._
     // 10^4 three-vertex chains: comp of {3i, 3i+1, 3i+2} must be 3i; all
     // assertions are aggregates — no per-row data reaches the driver
+    // (localMaxBytes = 0 pins the loop tier, not the size-gated local one)
     val edges = (0L until 10000L)
       .flatMap(i => Seq((3 * i, 3 * i + 1), (3 * i + 1, 3 * i + 2)))
       .toDF("a", "b").repartition(8)
-    val labels = Graph.connectedComponents(edges, "a", "b")
+    val labels = Graph.connectedComponents(edges, "a", "b", localMaxBytes = 0L)
     assert(labels.count() == 30000L)
     assert(labels.select(countDistinct("comp")).first().getLong(0) == 10000L)
     assert(labels.filter(col("comp") =!= (col("id") - col("id") % 3)).count() == 0L,
       "every vertex must carry its component's least id")
+  }
+
+  test("local and distributed tiers label an irregular graph identically") {
+    import spark.implicits._
+    // mixed shapes with shuffled ids: chains, a star, bridges, duplicates
+    val rnd = new scala.util.Random(11)
+    val perm = rnd.shuffle((0L until 400L).toVector)
+    val edges = ((0 until 120).map(i => (perm(i), perm(i + 1))) ++ // long chain
+      (200 until 260).map(i => (perm(200), perm(i))) ++            // star
+      (300 until 340).map(i => (perm(i), perm(i + 30))) ++         // overlaps
+      Seq((perm(0), perm(0)))).toDF("a", "b")                      // self-loop
+    def labelMap(lmb: Long) =
+      Graph.connectedComponents(edges, "a", "b", localMaxBytes = lmb)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelMap(Graph.LocalMaxBytes)
+    val looped = labelMap(0L)
+    assert(local == looped, "the two tiers must agree label-for-label")
+    assert(local.nonEmpty && local.forall { case (v, c) => c <= v })
   }
 
   test("BlockedVar recursion plan is UDF-free with distributed components") {

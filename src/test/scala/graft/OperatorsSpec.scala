@@ -297,6 +297,53 @@ class OperatorsSpec extends SparkSpec {
     assert(resized.filter(col("target_width") > 256 || col("target_height") > 256).count() == 0)
   }
 
+  test("HeaderDecoder parses hand-written PNG/JPEG/GIF byte layouts and rejects garbage") {
+    import graft.operators.Multimodal.HeaderDecoder
+    // PNG, 3×2: literal bytes straight from the spec (sig + IHDR), written
+    // by hand so a mirrored builder/parser bug cannot hide
+    val png = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',      // len 13 + "IHDR"
+      0x00, 0x00, 0x00, 0x03,                          // width 3 (BE)
+      0x00, 0x00, 0x00, 0x02,                          // height 2 (BE)
+      0x08, 0x02, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(HeaderDecoder.decode(png).contains(("png", 3L, 2L)))
+    // JPEG: SOI, APP0 (skipped by length), SOF0 with height 5 width 7
+    val jpg = Array(
+      0xff, 0xd8,                                      // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,              // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08,                    // SOF0, len 11, prec 8
+      0x00, 0x05,                                      // height 5 (BE)
+      0x00, 0x07,                                      // width 7 (BE)
+      0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(HeaderDecoder.decode(jpg).contains(("jpeg", 7L, 5L)))
+    // GIF89a: logical screen 4×9, LITTLE-endian u16s
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      0x04, 0x00, 0x09, 0x00, 0x00, 0x00, 0x00)
+    assert(HeaderDecoder.decode(gif).contains(("gif", 4L, 9L)))
+    // big dimensions exercise unsigned width bytes (PNG 2033×70000)
+    assert(HeaderDecoder.decode(HeaderDecoder.pngPayload(2033L, 70000L))
+      .contains(("png", 2033L, 70000L)))
+    // garbage and truncated payloads fall through to the stub tier
+    assert(HeaderDecoder.decode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(HeaderDecoder.decode(png.take(12)).isEmpty)
+    assert(HeaderDecoder.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("extractFeatures uses real header dims when present, stub otherwise") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.HeaderDecoder
+    val payloads = Seq(
+      (1L, HeaderDecoder.jpegPayload(640L, 480L)),
+      (2L, "plain text payload".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val m = Multimodal.extractFeatures(payloads).collect().map(f => f.doc_id -> f).toMap
+    assert(m(1L).width == 640L && m(1L).height == 480L && m(1L).duration_ms == 0L)
+    val (n, hex, w, h, d) = Multimodal.FakeDecoder.decode("plain text payload".getBytes("UTF-8"))
+    assert(m(2L).width == w && m(2L).height == h && m(2L).duration_ms == d
+      && m(2L).checksum == hex && m(2L).n_bytes == n)
+  }
+
   test("text stats: tokens, distinct ratio, stopwords") {
     import spark.implicits._
     val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
