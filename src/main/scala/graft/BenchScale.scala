@@ -93,6 +93,12 @@ object BenchScale {
             maxLag = 1, maxSources = 2)
           fits.write.mode("overwrite").format("noop").save()
         })
+      // local[n] hosts the executor block store in the same JVM, so heap
+      // after the ops is dominated by the (deliberately) checkpointed input
+      // and operator checkpoints — executor-side storage on a real cluster.
+      // Unpersist everything first so the number read is DRIVER state.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val mem = usedMb
       val opsJson = ops.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val line = s"""{"n_series":$n,"rows":${n * nObs},"ops":{$opsJson},"driver_used_mb":$mem}"""

@@ -102,35 +102,7 @@ final case class MvForecaster(
     * lags (train rows only), walk the coupled recursion over the horizon,
     * bank under `callMe`. */
   def manualForecast(callMe: String = "mv"): MvForecaster = {
-    val b = base.localCheckpoint(true)
-    val outCols = Seq(col(SeriesId), col(Ds), col(Y), col("yhat"),
-      col("is_test"), col(IsFuture))
-    val scored =
-      if (seriesIds.size <= MvForecast.CoupledSetMax) {
-        val withLags = MvForecast.addCrossSeriesLags(b, seriesIds, lags)
-        val fits = MvForecast.fitPerSeriesOls(withLags, seriesIds, lags)
-        MvForecast.dynamicForecastOls(withLags, fits, seriesIds, lags)
-          .select(outCols: _*)
-      } else {
-        val (fits, block) =
-          if (approxScreen)
-            BlockedVar.fitWithBlock(b,
-              BlockedVar.screenApprox(b, maxSources, minAbsCorr)
-                .localCheckpoint(false),
-              lags, maxSources)
-          else BlockedVar.fit(b, lags, maxSources, minAbsCorr)
-        val fitted = BlockedVar
-          .fittedValuesWith(b, fits, block, lags, maxSources)
-          .join(b.select(col(SeriesId), col(Ds), col("is_test")),
-            Seq(SeriesId, Ds), "left")
-          .withColumn(IsFuture, lit(false))
-        val future = BlockedVar
-          .dynamicForecastWith(b, fits, block, lags, maxSources)
-          .withColumn(Y, lit(null).cast("double"))
-          .withColumn("is_test", lit(false))
-          .withColumn(IsFuture, lit(true))
-        fitted.select(outCols: _*).unionByName(future.select(outCols: _*))
-      }
+    val scored = score(base.localCheckpoint(true))
     // per-series conformal CIs when the holdout supports the cilevel —
     // MVForecaster._set_cis (MVForecaster.py:446-511), same gate as the
     // univariate facade
@@ -140,6 +112,60 @@ final case class MvForecaster(
       else scored
     val banked = ResultsStore.bank(withCis, callMe)
     copy(results = Some(results.fold(banked)(r => ResultsStore.union(r, banked))))
+  }
+
+  /** The estimation core shared by [[manualForecast]] and [[backtest]]:
+    * score an already-flagged frame (is_test set, horizon rows optional)
+    * through the coupled or blocked tier. Test-row predictions are static
+    * one-step cross-lag predictions; future rows walk the coupled
+    * recursion — the banked-results convention. */
+  private def score(b: DataFrame): DataFrame = {
+    val outCols = Seq(col(SeriesId), col(Ds), col(Y), col("yhat"),
+      col("is_test"), col(IsFuture))
+    if (seriesIds.size <= MvForecast.CoupledSetMax) {
+      val withLags = MvForecast.addCrossSeriesLags(b, seriesIds, lags)
+      val fits = MvForecast.fitPerSeriesOls(withLags, seriesIds, lags)
+      MvForecast.dynamicForecastOls(withLags, fits, seriesIds, lags)
+        .select(outCols: _*)
+    } else {
+      val (fits, block) =
+        if (approxScreen)
+          BlockedVar.fitWithBlock(b,
+            BlockedVar.screenApprox(b, maxSources, minAbsCorr)
+              .localCheckpoint(false),
+            lags, maxSources)
+        else BlockedVar.fit(b, lags, maxSources, minAbsCorr)
+      val fitted = BlockedVar
+        .fittedValuesWith(b, fits, block, lags, maxSources)
+        .join(b.select(col(SeriesId), col(Ds), col("is_test")),
+          Seq(SeriesId, Ds), "left")
+        .withColumn(IsFuture, lit(false))
+      val future = BlockedVar
+        .dynamicForecastWith(b, fits, block, lags, maxSources)
+        .withColumn(Y, lit(null).cast("double"))
+        .withColumn("is_test", lit(false))
+        .withColumn(IsFuture, lit(true))
+      fitted.select(outCols: _*).unionByName(future.select(outCols: _*))
+    }
+  }
+
+  /** `backtest` over the MV frame (util.py:112-230 applied to an
+    * MVForecaster): [[graft.eval.Evaluation.backtest]] with this
+    * forecaster's coupled/blocked scoring as the model — each iteration
+    * moves the origin back `jumpBack` rows, refits every cross-lag
+    * equation on its train slice, and scores the flagged h-row holdout.
+    * Chainable like the univariate [[Forecaster.backtest]]; returns the
+    * per-(iter, series) metric frame. */
+  def backtest(nIter: Int = 3, h: Int = 12, jumpBack: Int = 6,
+               metricNames: Seq[String] = Seq("rmse", "mae"),
+               parallelism: Int = 1): DataFrame = {
+    val withFut = if (frame.columns.contains(IsFuture)) frame
+      else frame.withColumn(IsFuture, lit(false))
+    val aligned = lineUpDates(withFut.filter(!col(IsFuture)).drop("is_test"))
+      .select(col(SeriesId), col(Ds), col(Y), col(IsFuture))
+    graft.eval.Evaluation.backtest(aligned.localCheckpoint(true), nIter, h,
+      jumpBack, flagged => score(flagged.localCheckpoint(true)),
+      metricNames, parallelism)
   }
 
   /** `tune_test_forecast` (MVForecaster.py:354-410) with the engine's

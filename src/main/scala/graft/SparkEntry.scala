@@ -50,6 +50,7 @@ object SparkEntry {
     "events_hourly"      -> ((s, d) => qEventsHourly(s, d)),
     "events_hourly_stream" -> ((s, d) => qEventsHourlyStream(s, d)),
     "events_sessionize_stream" -> ((s, d) => qSessionizeStream(s, d)),
+    "events_dedup_stream" -> ((s, d) => qDedupStream(s, d)),
     "doc_text_stats"     -> ((s, d) => qTextStats(s, d)),
     "doc_langid"         -> ((s, d) => qLangId(s, d)),
     "doc_dedup_exact"    -> ((s, d) => qDedupExact(s, d)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "ts_backtest_metrics" -> ((s, d) => qBacktestMetrics(s, d)),
     "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d)),
     "mv_dynamic"         -> ((s, d) => qMvDynamic(s, d)),
+    "mv_backtest"        -> ((s, d) => qMvBacktest(s, d)),
     "ts_seg_dynamic"     -> ((s, d) => qSegDynamic(s, d)),
     "ts_validation_grid" -> ((s, d) => qValidationGrid(s, d)),
     "ts_adf"             -> ((s, d) => qAdf(s, d)),
@@ -1284,6 +1286,21 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
   }
 
+  /** MV facade backtest on the 2-series coupled frame: two origins 6 rows
+    * apart, each refitting both cross-lag equations on its own train slice
+    * and scoring the 12-row holdout statically (the banked-results
+    * convention — test rows predict from actual lags). Oracle: per-(iter,
+    * series) keyed moments + Cholesky solves over the shared lag table. */
+  private def qMvBacktest(s: SparkSession, d: String): DataFrame = {
+    val sids = Seq("AUTOMOBILE", "BUILDING")
+    val seg = segmentMonthlyM(s, d).filter(col(SeriesId).isin(sids: _*))
+    val z = Transforms.scaleT(seg).transform(seg)
+    MvForecaster(z, sids)
+      .backtest(nIter = 2, h = 12, jumpBack = 6, parallelism = 2)
+      .select(col("iter").cast("long").as("iter"), col(SeriesId),
+        round(col("rmse"), 6).as("rmse"), round(col("mae"), 6).as("mae"))
+  }
+
   /** `train_only` leakage discipline (SeriesTransformer.py:400-404): scaler
     * params fit ONLY on rows up to the trainEnd bound, transform applied to
     * every row — the oracle fits μ/σ on the same slice. */
@@ -1647,6 +1664,39 @@ object SparkEntry {
         round(col("sum_value"), 4).as("sum_value"))
   }
 
+  /** [[graft.streaming.EventStreams.dedupStream]] run AS A STREAM
+    * (`readStream` → watermarked `dropDuplicatesWithinWatermark` →
+    * `Trigger.AvailableNow`): streaming exact dedup on (user_id,
+    * event_type) with EVICTABLE state. The fixture arrives as one file =
+    * one micro-batch, so the emitted key set equals the batch DISTINCT —
+    * the oracle — while the watermark bounds state for continuous ingest.
+    * Output is the key columns only: which physical row survives a
+    * within-batch dedup is not defined, the key set is. */
+  private def qDedupStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.eventsRawSchema(s, d)
+    val linkDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val stream = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(linkDir.toString))
+      .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val deduped = graft.streaming.EventStreams.dedupStream(
+      stream, Seq("user_id", "event_type"))
+    val sink = "events_dedup_stream_sink"
+    s.catalog.dropTempView(sink)
+    val q = deduped.select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   /** [[graft.streaming.EventStreams.hourlyAggregates]] run AS A STREAM
     * (`readStream` → watermarked window agg → `Trigger.AvailableNow`) over
     * the same events parquet, declared against the SAME oracle as
@@ -1998,6 +2048,10 @@ object SparkEntry {
         |  FROM sess GROUP BY 1, 2)
         |SELECT * FROM agg
         |QUALIFY session_num < max(session_num) OVER (PARTITION BY user_id)""".stripMargin,
+
+    // streaming exact dedup over one micro-batch == the batch DISTINCT
+    "events_dedup_stream" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     // the streaming twin must produce EXACTLY the batch aggregation
     "events_hourly_stream" ->
@@ -3798,6 +3852,49 @@ object SparkEntry {
          |SELECT 'BUILDING', CAST(ld + to_months(i::INT) AS DATE), ROUND(pb, 6)
          |FROM rec, nn WHERE i >= 1""".stripMargin
     },
+
+    // MV backtest: per-(iter, target) keyed moments over the shared
+    // cross-lag table, one Cholesky chain solving every (iter, target)
+    // equation at once, static holdout predictions, per-cell rmse/mae.
+    // Chop/flag replication: rb = per-series row index from the back on the
+    // date-aligned frame; iteration `it` trains on rb > it*6+12 and tests
+    // on the 12 rows after the origin.
+    "mv_backtest" ->
+      s"""$SEG,
+         |two AS (SELECT * FROM series WHERE series_id IN ('AUTOMOBILE', 'BUILDING')),
+         |zp AS (SELECT series_id, avg(y) AS mu, stddev_samp(y) AS sd
+         |       FROM two GROUP BY 1),
+         |tz AS (SELECT t.series_id, t.ds, (t.y - zp.mu) / zp.sd AS y
+         |       FROM two t JOIN zp USING (series_id)),
+         |bdp AS (SELECT series_id, min(ds) AS lo, max(ds) AS hi FROM tz GROUP BY 1),
+         |bd AS (SELECT max(lo) AS lo, min(hi) AS hi FROM bdp),
+         |al AS (SELECT tz.* FROM tz, bd WHERE ds BETWEEN lo AND hi),
+         |wide AS (SELECT ds,
+         |  max(CASE WHEN series_id = 'AUTOMOBILE' THEN y END) AS ca,
+         |  max(CASE WHEN series_id = 'BUILDING' THEN y END) AS cb
+         |  FROM al GROUP BY 1),
+         |lagged AS (SELECT ds, lag(ca) OVER (ORDER BY ds) AS xa,
+         |           lag(cb) OVER (ORDER BY ds) AS xb FROM wide),
+         |eqr AS (SELECT a.series_id, a.ds, a.y, l.xa, l.xb,
+         |        row_number() OVER (PARTITION BY a.series_id ORDER BY a.ds DESC) AS rb
+         |        FROM al a JOIN lagged l USING (ds)),
+         |its AS (SELECT i AS it FROM generate_series(0, 1) g(i)),
+         |tr AS (SELECT e.*, i.it FROM eqr e, its i
+         |       WHERE e.rb > i.it * 6 + 12 AND e.xa IS NOT NULL
+         |         AND e.xb IS NOT NULL AND e.y IS NOT NULL),
+         |${OracleGen.momentsCte("bt", Seq("xa", "xb"), "tr",
+             keys = Seq("it", "series_id"))},
+         |${OracleGen.solveCtes("bt", 2)},
+         |te AS (SELECT e.series_id, e.y, e.xa, e.xb, i.it FROM eqr e, its i
+         |       WHERE e.rb > i.it * 6 AND e.rb <= i.it * 6 + 12),
+         |pred AS (SELECT te.it, te.series_id, te.y,
+         |         f.beta_0 + f.beta_1 * te.xa + f.beta_2 * te.xb AS yhat
+         |         FROM te JOIN bt_fit f
+         |           ON f.it = te.it AND f.series_id = te.series_id)
+         |SELECT CAST(it AS BIGINT) AS iter, series_id,
+         |  ROUND(sqrt(avg(pow(yhat - y, 2))), 6) AS rmse,
+         |  ROUND(avg(abs(yhat - y)), 6) AS mae
+         |FROM pred GROUP BY 1, 2""".stripMargin,
 
     // Theta (θ=2): Z0 = per-series OLS trend, Z2 = 2y − Z0, ŷ = (Z0 + SES(Z2))/2;
     // SES via the ts_ses closed-form unroll with α=0.3.

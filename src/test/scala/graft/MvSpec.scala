@@ -37,6 +37,33 @@ class MvSpec extends SparkSpec {
     assert(mv.exportForecasts().count() > 0)
   }
 
+  test("MvForecaster.backtest refits per origin; iter 0 equals the single-origin holdout") {
+    val mv = MvForecaster(mvFrame, Seq("a", "b")).setLags(1)
+    val bt = mv.backtest(nIter = 2, h = 6, jumpBack = 3)
+    val rows = bt.collect()
+    assert(rows.length == 4, "2 iterations x 2 series")
+    assert(rows.forall { r =>
+      val rmse = r.getAs[Double]("rmse")
+      !rmse.isNaN && rmse >= 0 && r.getAs[Double]("mae") <= rmse + 1e-12
+    })
+    // iter 0 is exactly manualForecast's holdout scoring at the same h
+    val single = graft.eval.Evaluation.metricsOverTest(
+      mv.setTestLength(6).manualForecast("m").results.get
+        .filter(col("model") === "m"), Seq("rmse", "mae"))
+      .collect()
+      .map(r => r.getAs[String]("series_id") -> r.getAs[Double]("rmse")).toMap
+    val iter0 = rows.filter(_.getAs[Int]("iter") == 0)
+      .map(r => r.getAs[String]("series_id") -> r.getAs[Double]("rmse")).toMap
+    Seq("a", "b").foreach { sid =>
+      assert(math.abs(single(sid) - iter0(sid)) < 1e-9,
+        s"$sid: backtest iter0 ${iter0(sid)} vs single-origin ${single(sid)}")
+    }
+    // origins genuinely move: the two iterations score different slices
+    val byIter = rows.groupBy(_.getAs[Int]("iter")).view
+      .mapValues(_.map(_.getAs[Double]("rmse")).sorted.toSeq)
+    assert(byIter(0) != byIter(1), "iterations must not score the same window")
+  }
+
   test("MvForecaster facade: tuneTestForecast picks a lag depth, setBestModel ranks") {
     val mv = MvForecaster(mvFrame, Seq("a", "b"))
       .generateFutureDates(3)
