@@ -63,13 +63,20 @@ object Bench {
     // class per-query and a top-level failed count so the bench JSON can't
     // silently disagree with the correctness artifact
     val results = runQueries(spark, sfDir, selected)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // keep the line SHORT: the driver records a bounded tail of this
+    // process's output, and an over-long line truncates into an unparseable
+    // artifact (round 6's BENCH json lost its per-query map that way).
+    // 3 decimals = ms precision, ample for second-scale timings.
+    def f3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val failed = results.count(_._3.isDefined)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","memo_build":$memoBuild,"failed":$failed,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val errPart = if (failed > 0) s""","errors":$errs""" else ""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
