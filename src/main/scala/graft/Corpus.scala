@@ -57,6 +57,25 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
   /** Top-k terms per doc by smooth-idf TF-IDF (doc_tfidf_top_terms). */
   def topTerms(k: Int): DataFrame = TextOps.topTerms(docs, idCol, k, textCol)
 
+  /** Per-stratum EXACT quality quantiles (doc_quality_quantiles) — how a
+    * curation run picks per-stratum score thresholds ("keep the top 40% of
+    * each language"). `percentile` is Spark's exact interpolated quantile:
+    * one shuffle keyed by stratum, sort within the aggregation buffer —
+    * right up to strata of ~10⁸ docs; beyond that swap in
+    * `percentile_approx` (t-digest sketch) at the same call site. Quality
+    * is 6dp-rounded BEFORE the quantile so interpolation runs on the same
+    * numbers in any engine. */
+  def qualityQuantiles(stratumOf: org.apache.spark.sql.Column,
+                       pcts: Seq[Double]): DataFrame =
+    stats.withColumn("_stratum", stratumOf)
+      .withColumn("_q", round(col("quality"), 6))
+      .groupBy(col("_stratum").as("stratum"))
+      .agg(percentile(col("_q"),
+        lit(pcts.toArray)).as("_qs"))
+      .select(col("stratum"), posexplode(col("_qs")).as(Seq("_i", "_v")))
+      .select(col("stratum"), (col("_i") + 1).cast("long").as("i"),
+        round(col("_v"), 6).as("quality_q"))
+
   /** Keep docs whose composite quality clears the bar (doc_pipeline's
     * gate); original schema preserved. */
   def qualityFilter(minQuality: Double): Corpus =

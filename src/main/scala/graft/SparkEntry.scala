@@ -134,6 +134,9 @@ object SparkEntry {
     "events_topk_users"  -> ((s, d) => qEventsTopkUsers(s, d)),
     "events_funnel"      -> ((s, d) => qEventsFunnel(s, d)),
     "events_retention"   -> ((s, d) => qEventsRetention(s, d)),
+    "events_props_agg"   -> ((s, d) => qEventsPropsAgg(s, d)),
+    "events_asof_view"   -> ((s, d) => qEventsAsofView(s, d)),
+    "doc_quality_quantiles" -> ((s, d) => qQualityQuantiles(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
     "doc_cross_decontaminate" -> ((s, d) => qCrossDecontaminate(s, d)),
@@ -1566,6 +1569,51 @@ object SparkEntry {
         col("chunk_start"), col("chunk_end"))
   }
 
+  /** Semi-structured props extraction: `from_json` with an explicit typed
+    * schema (one codegen'd JsonToStructs per row — never a Python/Scala UDF
+    * parse) feeding a keyed aggregation. The 100 TB shape for event
+    * payloads: parse projects ONLY the declared fields, so a 2 KB props
+    * blob costs one column's worth of work. */
+  private def qEventsPropsAgg(s: SparkSession, d: String): DataFrame = {
+    val propsSchema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hi"))
+  }
+
+  /** [[Corpus.qualityQuantiles]] declared: per-stratum exact interpolated
+    * quality quantiles — the threshold-picking table a curation mix is
+    * tuned with. Oracle: DuckDB `quantile_cont` over the same 6dp-rounded
+    * scores (both engines interpolate identically on identical inputs). */
+  private def qQualityQuantiles(s: SparkSession, d: String): DataFrame =
+    Corpus(Tables.documents(s, d)).qualityQuantiles(
+      when(col("n_tokens") >= 60, "long").otherwise("short"),
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+
+  /** [[graft.operators.AsOf.asofJoin]] declared: every purchase event
+    * joined to the same user's most recent at-or-before view (time + value)
+    * — the state-at-event-time lookup every event pipeline needs. Oracle:
+    * DuckDB's native ASOF LEFT JOIN. */
+  private def qEventsAsofView(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // unique right rows per (key, time): the operator's determinism contract
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("vval"))
+    graft.operators.AsOf.asofJoin(purchases, views, Seq("user_id"),
+        "ts", "ts", Seq("vval"))
+      .select(col("user_id"), col("event_id"),
+        expr("ts_asof div 1000000").as("view_ms"),
+        round(col("vval_asof"), 4).as("view_value"))
+  }
+
   private def qEventsHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d) // ts is epoch-ns LONG; truncate to the hour in ms (integer div)
       .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"), col("event_type"))
@@ -2052,6 +2100,40 @@ object SparkEntry {
     // streaming exact dedup over one micro-batch == the batch DISTINCT
     "events_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // as-of semantics pinned against DuckDB's NATIVE ASOF JOIN: greatest
+    // right time <= left time per key, null when no prior right row
+    "events_asof_view" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, max(value) AS vval FROM events
+        |      WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, epoch_ms(v.ts) AS view_ms,
+        |  ROUND(v.vval, 4) AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    // typed JSON field extraction + keyed aggregation (DuckDB sums of
+    // BIGINT widen to HUGEINT — cast back so the schemas agree)
+    "events_props_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  ROUND(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
+        |  CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // per-stratum exact interpolated quality quantiles over the SAME
+    // 6dp-rounded composite score as doc_text_stats
+    "doc_quality_quantiles" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT CASE WHEN len(toks) >= 60 THEN 'long' ELSE 'short' END AS stratum,
+        |  ROUND(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |      + 0.4 * (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) / CAST(len(toks) AS DOUBLE))
+        |      + 0.2 * least(len(toks) / 100.0, 1.0), 6) AS q FROM t),
+        |qn AS (SELECT stratum, quantile_cont(q, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        |       FROM s GROUP BY 1)
+        |SELECT stratum, CAST(generate_subscripts(qs, 1) AS BIGINT) AS i,
+        |  ROUND(unnest(qs), 6) AS quality_q
+        |FROM qn""".stripMargin,
 
     // the streaming twin must produce EXACTLY the batch aggregation
     "events_hourly_stream" ->
