@@ -136,6 +136,7 @@ object SparkEntry {
     "events_retention"   -> ((s, d) => qEventsRetention(s, d)),
     "events_props_agg"   -> ((s, d) => qEventsPropsAgg(s, d)),
     "events_asof_view"   -> ((s, d) => qEventsAsofView(s, d)),
+    "events_interval_join" -> ((s, d) => qEventsIntervalJoin(s, d)),
     "doc_quality_quantiles" -> ((s, d) => qQualityQuantiles(s, d)),
     "doc_pack_chunks"    -> ((s, d) => qPackChunks(s, d)),
     "doc_pii_redact"     -> ((s, d) => qPiiRedact(s, d)),
@@ -1614,6 +1615,23 @@ object SparkEntry {
         round(col("vval_asof"), 4).as("view_value"))
   }
 
+  /** [[graft.operators.IntervalJoin.intervalJoin]] declared: every
+    * (view, click) pair per user with the click inside the 24h window
+    * after the view — the windowed-attribution primitive, bucketed so the
+    * plan is an equi-join, never a per-key theta-join. */
+  private def qEventsIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val day = 86400L * 1000 * 1000 * 1000 // 24h in epoch-ns
+    graft.operators.IntervalJoin.intervalJoin(views, clicks, Seq("user_id"),
+        "ts", "cts", Seq("click_id"), 0L, day)
+      .select(col("user_id"), col("view_id"), col("click_id_r").as("click_id"),
+        expr("(cts_r - ts) div 1000000").as("gap_ms"))
+  }
+
   private def qEventsHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d) // ts is epoch-ns LONG; truncate to the hour in ms (integer div)
       .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"), col("event_type"))
@@ -2111,6 +2129,15 @@ object SparkEntry {
         |SELECT p.user_id, p.event_id, epoch_ms(v.ts) AS view_ms,
         |  ROUND(v.vval, 4) AS view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    // windowed attribution pairs: the oracle states the range predicate
+    // directly; the engine's bucketed equi-join must reproduce it exactly
+    "events_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  (epoch_us(c.ts) - epoch_us(v.ts)) // 1000 AS gap_ms
+        |FROM events v JOIN events c ON c.user_id = v.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR""".stripMargin,
 
     // typed JSON field extraction + keyed aggregation (DuckDB sums of
     // BIGINT widen to HUGEINT — cast back so the schemas agree)

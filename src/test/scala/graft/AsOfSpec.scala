@@ -30,6 +30,34 @@ class AsOfSpec extends SparkSpec {
     assert(got(5L) == (None, None), "key c has no quotes at all")
   }
 
+  test("intervalJoin equals the brute-force range predicate, boundaries exact") {
+    import graft.operators.IntervalJoin
+    import spark.implicits._
+    // deterministic irregular times; windows straddle bucket boundaries
+    val left = (1 to 200).map(i => ((i % 5).toString, (i * 37L) % 1000, i.toLong))
+      .toDF("k", "t", "lid").repartition(4)
+    val right = (1 to 300).map(i => ((i % 5).toString, (i * 53L) % 1000, 1000L + i))
+      .toDF("k", "rt", "rid").repartition(4)
+    val got = IntervalJoin.intervalJoin(left, right, Seq("k"), "t", "rt",
+        Seq("rid"), 0L, 100L)
+      .select("lid", "rid_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = left.as("l").join(right.as("r"), col("l.k") === col("r.k") &&
+        col("r.rt") > col("l.t") && col("r.rt") <= col("l.t") + 100L)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must produce matches")
+    assert(got == brute, s"bucketed ${got.size} vs brute ${brute.size}")
+    // exclusive lower bound: an exactly-equal time must NOT match
+    val l1 = Seq(("a", 100L, 1L)).toDF("k", "t", "lid")
+    val r1 = Seq(("a", 100L, 9L), ("a", 200L, 8L), ("a", 201L, 7L))
+      .toDF("k", "rt", "rid")
+    val edge = IntervalJoin.intervalJoin(l1, r1, Seq("k"), "t", "rt",
+        Seq("rid"), 0L, 100L)
+      .select("rid_r").collect().map(_.getLong(0)).toSet
+    assert(edge == Set(8L), "(t, t+100]: rt=100 excluded, rt=200 included, rt=201 out")
+  }
+
   test("asofJoin preserves every left row and column across a shuffle-width input") {
     import spark.implicits._
     val left = (1 to 500).map(i => ((i % 7).toString, i.toLong, s"p$i"))
