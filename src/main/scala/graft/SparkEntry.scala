@@ -32,6 +32,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_build_monthly"   -> ((s, d) => SeriesFrame.ordersMonthly(s, d)),
     "mv_build_segments"  -> ((s, d) => SeriesFrame.segmentMonthly(s, d).orderBy(SeriesId, Ds)),
+    "ts_build_star"      -> ((s, d) => SeriesFrame.nationMonthly(s, d).orderBy(SeriesId, Ds)),
+    "events_kmv_users"   -> ((s, d) => qEventsKmvUsers(s, d)),
+    "doc_source_rollup"  -> ((s, d) => qDocSourceRollup(s, d)),
+    "events_stream_join" -> ((s, d) => qEventsStreamJoin(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
     "ts_naive"           -> ((s, d) => qNaive(s, d)),
@@ -1697,6 +1701,81 @@ object SparkEntry {
         col("user_id"), col("n"))
   }
 
+  /** Multi-dimensional aggregation (`ROLLUP`) over the corpus dimensions —
+    * per-(source, lang) doc counts and char volume with per-source and
+    * grand-total subtotal rows, the one-pass hierarchy summary a curation
+    * report needs (counts by source, by source×lang, overall) without three
+    * scans. `grouping()` flags disambiguate subtotal rows from real NULL
+    * dimension values; Spark expands the grouping sets inside a single
+    * shuffle (partial aggs per set), same as it would at 100 TB. */
+  private def qDocSourceRollup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .rollup(col("source"), col("lang"))
+      .agg(grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("g_source"), col("g_lang"), col("n_docs"), col("sum_chars"))
+
+  /** [[graft.functions.KmvDistinct]] declared: per-hour distinct-user
+    * cardinality via the KMV sketch (k = 16) next to the exact distinct
+    * count. The sketch is a native `TypedImperativeAggregate` whose buffer
+    * is bounded at k longs per group with map-side partial aggregation —
+    * the 100 TB cardinality shape (an exact COUNT(DISTINCT) shuffles every
+    * distinct key) — and, unlike HLL, a pure function of the input hash
+    * set, so DuckDB replays the estimate bit-for-bit (k-th smallest
+    * distinct md5-prefix hash). Hours with < 16 users give the exact
+    * count; busier hours give the (k−1)/u_k estimate. */
+  private def qEventsKmvUsers(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvSketch
+    Tables.events(s, d)
+      .select(expr("(ts div 3600000000000) * 3600000").as("hour_ms"),
+        KmvSketch.hash60(col("user_id")).as("h"))
+      .groupBy("hour_ms")
+      .agg(countDistinct(col("h")).as("n_exact"),
+        round(KmvSketch.kmvDistinct(col("h"), 16), 6).as("n_est"))
+  }
+
+  /** [[graft.streaming.EventStreams.intervalJoinStream]] declared: the 24h
+    * view→click attribution pairs as a STREAM-STREAM inner join — two
+    * `readStream` sources, event-time watermarks on BOTH sides, and the
+    * range-bounded join condition from which Spark derives state eviction
+    * for both buffers; without the bound a stream-stream join accumulates
+    * state forever. Run under `Trigger.AvailableNow`; inner matches emit
+    * within the micro-batch, so the result equals the batch interval join
+    * and shares `events_interval_join`'s oracle shape. */
+  private def qEventsStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.eventsRawSchema(s, d)
+    val linkDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+    def readEvents(): DataFrame = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(linkDir.toString))
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+    val views = readEvents().filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("t").as("ltime"))
+    val clicks = readEvents().filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user_id"), col("event_id").as("click_id"),
+        col("t").as("rtime"))
+    val joined = graft.streaming.EventStreams.intervalJoinStream(
+      views, clicks, Seq("user_id"), 0L, 86400L)
+    val sink = "events_stream_join_sink"
+    s.catalog.dropTempView(sink)
+    val q = joined
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        expr("(unix_micros(rtime) - unix_micros(ltime)) div 1000").as("gap_ms"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   /** [[graft.streaming.EventStreams.sessionize]] run AS A STREAM
     * (`readStream` → `flatMapGroupsWithState` → `Trigger.AvailableNow`):
     * Append mode emits exactly the CLOSED sessions, so the oracle is the
@@ -1900,6 +1979,49 @@ object SparkEntry {
 
     "mv_build_segments" ->
       s"$SEG SELECT series_id, ds, y, FALSE AS is_future FROM series ORDER BY 1, 2",
+
+    // star-schema series ingest: net revenue per customer nation per month
+    "ts_build_star" ->
+      """SELECT n_name AS series_id,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+        |  ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS y,
+        |  FALSE AS is_future
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // KMV distinct sketch: k-th smallest distinct 60-bit md5-prefix hash;
+    // exact count below k=16 distinct, (k-1)/u_k estimate above
+    "events_kmv_users" ->
+      """WITH e AS (SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |d AS (SELECT DISTINCT hour_ms, h FROM e),
+        |r AS (SELECT hour_ms, h,
+        |        row_number() OVER (PARTITION BY hour_ms ORDER BY h) AS rn,
+        |        count(*) OVER (PARTITION BY hour_ms) AS cnt FROM d)
+        |SELECT hour_ms, CAST(cnt AS BIGINT) AS n_exact,
+        |  ROUND(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
+        |        ELSE 15.0 / (h / 1152921504606846976.0) END, 6) AS n_est
+        |FROM r WHERE rn = least(cnt, CAST(16 AS BIGINT))""".stripMargin,
+
+    // ROLLUP subtotal hierarchy; DuckDB sum(BIGINT) widens to HUGEINT → cast
+    "doc_source_rollup" ->
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // stream-stream interval join == the batch range predicate
+    "events_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  (epoch_us(c.ts) - epoch_us(v.ts)) // 1000 AS gap_ms
+        |FROM events v JOIN events c ON c.user_id = v.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR""".stripMargin,
 
     "ts_ar_terms" ->
       s"""$S SELECT series_id, ds, y,

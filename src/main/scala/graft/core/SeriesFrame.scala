@@ -57,6 +57,38 @@ object SeriesFrame {
       .withColumn(IsFuture, lit(false))
       .select(SeriesId, Ds, Y, IsFuture)
 
+  /** Star-schema multi-series ingest: monthly net revenue per customer
+    * nation — the "build series frames straight off the lake" path. Join
+    * strategy is the 100 TB shape: lineitem→orders is the one genuine
+    * fact-fact shuffle (keyed by orderkey); customer rides a SIZE-GATED
+    * broadcast ([[Joins.maybeBroadcast]] — hinted only while the
+    * plan-estimated size clears the session threshold, AQE decides above
+    * it); nation (25 rows at any SF) is an unconditional broadcast. Both
+    * dims are pruned to key+attribute before the join and the revenue
+    * expression projects down to three fact columns, so only
+    * (orderkey, rev) survive the fact shuffle.
+    */
+  def nationMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        // net revenue quantized to integer cents per line item: the group
+        // total becomes exact integer arithmetic — invariant to summation
+        // order across engines AND across cluster partitionings (a raw
+        // double sum of products can straddle a cents rounding boundary)
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("rev_c"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Joins.maybeBroadcast(
+          Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as(SeriesId), trunc(col("o_orderdate"), "month").as(Ds))
+      .agg(round(sum("rev_c") / 100.0, 2).as(Y))
+      .withColumn(IsFuture, lit(false))
+      .select(SeriesId, Ds, Y, IsFuture)
+
   /** Daily shipped-quantity series from `lineitem` (larger, daily freq). */
   def lineitemDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

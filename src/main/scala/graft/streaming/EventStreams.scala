@@ -43,6 +43,35 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: every (left, right) pair on the same key
+    * with the right event inside `(lo, hi]` nanoseconds after the left — the
+    * streaming twin of [[graft.operators.IntervalJoin.intervalJoin]] (24h
+    * view→click attribution and the like), and the one Structured Streaming
+    * join class the batch tier can't substitute for on continuous ingest.
+    *
+    * Both sides carry an event-time watermark and the join condition bounds
+    * the two event times against each other, which is exactly what Spark
+    * needs to derive STATE EVICTION for both join buffers (left rows older
+    * than `watermark + hi`, right rows older than `watermark`) — without the
+    * range bound a stream-stream inner join buffers forever. Inner matches
+    * emit as soon as both rows have arrived; the watermark only governs
+    * state cleanup, so results within a micro-batch equal the batch join.
+    *
+    * `left`/`right` must already be streaming frames with TIMESTAMP event
+    * times named `ltime`/`rtime` and equi-key columns `keys` (right side
+    * prefixed `r_`). Bounds are inclusive-exclusive like the batch operator:
+    * `rtime − ltime ∈ (lo, hi]`, given here in seconds.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         loSec: Long, hiSec: Long,
+                         watermark: String = "1 hour"): DataFrame = {
+    val cond = keys.map(k => s"$k = r_$k").mkString(" AND ") +
+      s" AND rtime > ltime + INTERVAL $loSec SECONDS" +
+      s" AND rtime <= ltime + INTERVAL $hiSec SECONDS"
+    left.withWatermark("ltime", watermark)
+      .join(right.withWatermark("rtime", watermark), expr(cond))
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
   final case class SessionState(sessionNum: Long, lastMs: Long,
                                 startMs: Long, n: Long, sumValue: Double)

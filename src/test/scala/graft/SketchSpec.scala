@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.KmvSketch
+import org.apache.spark.sql.functions._
+
+/** KMV distinct-count sketch ([[graft.functions.KmvDistinct]]): exactness
+  * below k, the (k−1)/u_k estimator above k, merge/partition invariance
+  * (the 100 TB contract — partial aggregation must not change the result),
+  * and null handling. */
+class SketchSpec extends SparkSpec {
+
+  private def hashed(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("id").select(KmvSketch.hash60(col("id")).as("h"))
+  }
+
+  test("kmv is exact below k distinct values") {
+    val df = hashed(Seq(1L, 2L, 3L, 2L, 1L, 3L, 4L))
+    val est = df.agg(KmvSketch.kmvDistinct(col("h"), 16)).head().getDouble(0)
+    assert(est === 4.0)
+  }
+
+  test("kmv above k matches the (k-1)/u_k formula on the true k-th hash") {
+    val ids = (1L to 200L)
+    val df = hashed(ids)
+    val k = 16
+    val est = df.agg(KmvSketch.kmvDistinct(col("h"), k)).head().getDouble(0)
+    val hs = df.collect().map(_.getLong(0)).distinct.sorted
+    val expected = (k - 1).toDouble / (hs(k - 1).toDouble / 1152921504606846976.0)
+    assert(math.abs(est - expected) < 1e-9)
+    // sanity: the estimate is in the right ballpark of the true 200
+    assert(est > 100.0 && est < 400.0)
+  }
+
+  test("kmv is partition-invariant (merge path == single partition)") {
+    val df = hashed((1L to 500L) ++ (1L to 100L))
+    val one = df.coalesce(1).agg(KmvSketch.kmvDistinct(col("h"), 16)).head().getDouble(0)
+    val many = df.repartition(7).agg(KmvSketch.kmvDistinct(col("h"), 16)).head().getDouble(0)
+    assert(one === many)
+  }
+
+  test("kmv grouped: per-group buffers stay independent and nulls are skipped") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None), ("b", Some(9L)))
+      .toDF("g", "id")
+      .select(col("g"), when(col("id").isNotNull, KmvSketch.hash60(col("id"))).as("h"))
+    val out = df.groupBy("g").agg(KmvSketch.kmvDistinct(col("h"), 16).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") === 2.0 && out("b") === 1.0)
+  }
+
+  test("hash60 stays inside the 60-bit domain") {
+    val mx = hashed((1L to 1000L)).agg(max(col("h")), min(col("h"))).head()
+    assert(mx.getLong(0) < 1152921504606846976L && mx.getLong(1) >= 0L)
+  }
+}

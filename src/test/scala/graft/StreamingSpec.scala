@@ -33,6 +33,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits bounded-window pairs across batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark0.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = EventStreams.intervalJoinStream(
+      lIn.toDS().toDF("user_id", "view_id", "ltime"),
+      rIn.toDS().toDF("r_user_id", "click_id", "rtime"),
+      Seq("user_id"), 0L, 3600L)
+    val q = joined.select("user_id", "view_id", "click_id")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: u1 view@10:00; clicks at 10:30 (in), 10:00 (boundary:
+      // rtime > ltime is strict → out), 11:30 (past 1h → out); u2 click
+      // with no view → out
+      lIn.addData((1L, 1L, t("2024-01-01 10:00:00")))
+      rIn.addData((1L, 11L, t("2024-01-01 10:30:00")),
+        (1L, 12L, t("2024-01-01 10:00:00")),
+        (1L, 13L, t("2024-01-01 11:30:00")),
+        (2L, 14L, t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === Set((1L, 1L, 11L)))
+      // batch 2: a click arriving later still matches the BUFFERED view —
+      // the stream-state behavior the batch operator can't provide
+      rIn.addData((1L, 15L, t("2024-01-01 10:45:00")))
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+        Set((1L, 1L, 11L), (1L, 1L, 15L)))
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregates with watermark produce windowed counts") {
     val spark0 = spark
     import spark0.implicits._
