@@ -35,6 +35,7 @@ object SparkEntry {
     "ts_build_star"      -> ((s, d) => SeriesFrame.nationMonthly(s, d).orderBy(SeriesId, Ds)),
     "events_kmv_users"   -> ((s, d) => qEventsKmvUsers(s, d)),
     "doc_source_rollup"  -> ((s, d) => qDocSourceRollup(s, d)),
+    "emb_centroids"      -> ((s, d) => qEmbCentroids(s, d)),
     "events_stream_join" -> ((s, d) => qEventsStreamJoin(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
@@ -1686,20 +1687,39 @@ object SparkEntry {
 
   /** Hourly heavy hitters: top-3 users by event count per hour, rank
     * deterministic on (count desc, user_id asc). Shape: one aggregation
-    * keyed (hour, user) — already the reduced frame — then a window over
-    * the hour partition; the rank never touches raw events. */
+    * keyed (hour, user) — already the reduced frame — then the bounded
+    * [[graft.functions.TopKPairs]] aggregate keyed by hour: map-side
+    * partials cut each partition to ≤ k pairs per hour before the
+    * exchange, so the heavy-hitter step shuffles `hours × k` rows and
+    * sorts nothing — the `row_number() OVER (PARTITION BY hour)` form
+    * this replaces shuffles every (hour, user) row and sorts each hour
+    * partition only to discard all but 3 (TopKSpec pins equality). */
   private def qEventsTopkUsers(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = Tables.events(s, d)
+    import graft.functions.TopK
+    Tables.events(s, d)
       .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"),
         col("user_id"))
       .agg(count(lit(1)).as("n"))
-    counts.withColumn("rank", row_number().over(
-        Window.partitionBy("hour_ms").orderBy(col("n").desc, col("user_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("hour_ms"), col("rank").cast("long").as("rank"),
-        col("user_id"), col("n"))
+      .groupBy(col("hour_ms"))
+      .agg(TopK.topkPairs(col("n"), col("user_id"), 3).as("top"))
+      .select(col("hour_ms"), inline(col("top")))
+      .select(col("hour_ms"), col("rank"), col("id").as("user_id"),
+        col("w").as("n"))
   }
+
+  /** Per-label embedding centroids: mean vector per cluster label without
+    * ever materializing a per-group vector collection — `posexplode` to
+    * (label, dim, x) and one (label, dim) aggregation, so the shuffle key
+    * carries the dimension index and a billion vectors reduce map-side.
+    * The centroid step of embedding-space clustering curation (SemDeDup-
+    * style: cluster, then prune near-dups within clusters against the
+    * centroid); pairs with emb_knn_ivf's KMeans quantizer. */
+  private def qEmbCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("centroid"))
 
   /** Multi-dimensional aggregation (`ROLLUP`) over the corpus dimensions —
     * per-(source, lang) doc counts and char volume with per-source and
@@ -2006,6 +2026,15 @@ object SparkEntry {
         |  ROUND(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
         |        ELSE 15.0 / (h / 1152921504606846976.0) END, 6) AS n_est
         |FROM r WHERE rn = least(cnt, CAST(16 AS BIGINT))""".stripMargin,
+
+    // per-(label, dim) centroid means; generate_subscripts is 1-based
+    "emb_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |  unnest(embedding) AS x,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim, count(*) AS n, ROUND(avg(x), 6) AS centroid
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     // ROLLUP subtotal hierarchy; DuckDB sum(BIGINT) widens to HUGEINT → cast
     "doc_source_rollup" ->
