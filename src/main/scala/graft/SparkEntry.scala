@@ -622,9 +622,21 @@ object SparkEntry {
     * on whichever query the map happens to order first, which made
     * per-query times order-sensitive across rounds. */
   def prewarmMemos(s: SparkSession, d: String): Unit = {
-    ordersMonthlyM(s, d); segmentMonthlyM(s, d)
-    zOrdersMonthly(s, d); zSegBuilding(s, d); docVecsM(s, d); docFpsM(s, d)
-    jaccardM(s, d); docPplM(s, d)
+    // independent memo chains build as CONCURRENT Spark jobs (the doc-tier
+    // scans and the series rollups touch different tables; within a chain
+    // the dependency order is kept) — local[32] has far more slots than any
+    // single memo's task count, so overlapping the builds hides each job's
+    // scheduling + single-stage tail latency. TrieMap.getOrElseUpdate keeps
+    // racing rebuilds harmless (disjoint keys here anyway).
+    val chains: Seq[() => Unit] = Seq(
+      () => { ordersMonthlyM(s, d); zOrdersMonthly(s, d) },
+      () => { segmentMonthlyM(s, d); zSegBuilding(s, d) },
+      () => { docVecsM(s, d); () },
+      () => { docFpsM(s, d); () },
+      () => { jaccardM(s, d); () },
+      () => { docPplM(s, d); () })
+    graft.eval.Evaluation.fanOut(chains, parallelism = chains.size)(_.apply())
+    ()
   }
 
   /** Memoized trigram-vector frame over the documents corpus — the
