@@ -1769,6 +1769,22 @@ object SparkEntry {
         round(KmvSketch.kmvDistinct(col("h"), 16), 6).as("n_est"))
   }
 
+  /** Run a STREAMING query body under a narrower shuffle width. Stateful
+    * streaming operators allocate one state store per shuffle partition
+    * (a stream-stream join keeps FOUR per partition), and each store pays
+    * setup + commit every micro-batch regardless of rows — at the batch
+    * tier's width (32 here; thousands on a cluster) that fixed cost
+    * dominates a bounded run. State width is a real, deploy-time streaming
+    * knob (it freezes into the checkpoint), sized to state VOLUME rather
+    * than scan width; the conf change is scoped and restored because batch
+    * queries in the same session must keep the session width. */
+  private def withStreamWidth[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** [[graft.streaming.EventStreams.intervalJoinStream]] declared: the 24h
     * view→click attribution pairs as a STREAM-STREAM inner join — two
     * `readStream` sources, event-time watermarks on BOTH sides, and the
@@ -1799,12 +1815,14 @@ object SparkEntry {
       views, clicks, Seq("user_id"), 0L, 86400L)
     val sink = "events_stream_join_sink"
     s.catalog.dropTempView(sink)
-    val q = joined
-      .select(col("user_id"), col("view_id"), col("click_id"),
-        expr("(unix_micros(rtime) - unix_micros(ltime)) div 1000").as("gap_ms"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamWidth(s, 8) {
+      val q = joined
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          expr("(unix_micros(rtime) - unix_micros(ltime)) div 1000").as("gap_ms"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
@@ -1867,10 +1885,12 @@ object SparkEntry {
       stream, Seq("user_id", "event_type"))
     val sink = "events_dedup_stream_sink"
     s.catalog.dropTempView(sink)
-    val q = deduped.select(col("user_id"), col("event_type"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamWidth(s, 8) {
+      val q = deduped.select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
