@@ -36,6 +36,7 @@ object SparkEntry {
     "events_kmv_users"   -> ((s, d) => qEventsKmvUsers(s, d)),
     "doc_source_rollup"  -> ((s, d) => qDocSourceRollup(s, d)),
     "emb_centroids"      -> ((s, d) => qEmbCentroids(s, d)),
+    "emb_semdedup"       -> ((s, d) => qEmbSemdedup(s, d)),
     "events_stream_join" -> ((s, d) => qEventsStreamJoin(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
@@ -1733,6 +1734,38 @@ object SparkEntry {
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("centroid"))
 
+  /** Cluster-prototypical semantic prune over the embedding table — the
+    * cheap first pass of SemDeDup-style curation: per cluster label, score
+    * every vector's cosine against the CLUSTER CENTROID and drop all but
+    * one representative (lowest vec_id) of the centroid-dense core
+    * (cos ≥ 0.3), keeping the informative outliers. (Pairwise
+    * within-cluster near-dup is the doc_neardup_cosine tier; this is the
+    * O(n) prototype filter that runs before it.) Shape: the centroid frame
+    * is #labels rows → size-gated broadcast back onto the scan; the cosine
+    * is the native codegen [[graft.functions.DotProduct]]; threshold
+    * compares the ROUNDED score so cross-engine float noise can't flip a
+    * boundary row. */
+  private def qEmbSemdedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProduct.dotNative
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cent = emb.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos").agg(avg("col").as("c"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x("c")).as("cv"))
+    val scored = emb.join(graft.core.Joins.maybeBroadcast(cent), "label")
+      .withColumn("cos", round(
+        dotNative(col("v"), col("cv")) /
+          (sqrt(dotNative(col("v"), col("v"))) * sqrt(dotNative(col("cv"), col("cv")))), 6))
+    val keepers = scored.filter(col("cos") >= 0.3)
+      .groupBy("label").agg(min("vec_id").as("keeper"))
+    scored.join(graft.core.Joins.maybeBroadcast(keepers), Seq("label"), "left")
+      .select(col("vec_id"), col("label"), col("cos"),
+        (col("cos") < 0.3 || col("vec_id") === col("keeper")).as("keep"))
+  }
+
   /** Multi-dimensional aggregation (`ROLLUP`) over the corpus dimensions —
     * per-(source, lang) doc counts and char volume with per-source and
     * grand-total subtotal rows, the one-pass hierarchy summary a curation
@@ -2067,6 +2100,23 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, dim, count(*) AS n, ROUND(avg(x), 6) AS centroid
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // centroid-core prune: keep flag thresholded on the ROUNDED cosine
+    "emb_semdedup" ->
+      """WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x,
+        |  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |c AS (SELECT label, i, avg(x) AS c FROM x GROUP BY 1, 2),
+        |dots AS (SELECT x.vec_id, x.label, sum(x.x * c.c) AS dot,
+        |    sum(x.x * x.x) AS n1, sum(c.c * c.c) AS n2
+        |  FROM x JOIN c ON x.label = c.label AND x.i = c.i GROUP BY 1, 2),
+        |s AS (SELECT vec_id, label,
+        |  ROUND(dot / (sqrt(n1) * sqrt(n2)), 6) AS cos FROM dots),
+        |k AS (SELECT label, min(vec_id) AS keeper FROM s
+        |      WHERE cos >= 0.3 GROUP BY 1)
+        |SELECT s.vec_id, s.label, s.cos,
+        |  (s.cos < 0.3 OR s.vec_id = k.keeper) AS keep
+        |FROM s LEFT JOIN k USING (label)""".stripMargin,
 
     // ROLLUP subtotal hierarchy; DuckDB sum(BIGINT) widens to HUGEINT → cast
     "doc_source_rollup" ->
