@@ -48,6 +48,24 @@ object BenchScale {
       lit(false).as("is_future"))
   }
 
+  /** Synthetic corpus with planted duplicate structure: 50 hash-drawn words
+    * per doc from a 500-word vocab; every doc_id%10==5 is an EXACT copy of
+    * its predecessor, every doc_id%10==9 a NEAR copy (49 shared words + one
+    * changed) — so the dedup tiers have genuine O(n) pair work at any n,
+    * never the degenerate all-alike corpus whose pair output is itself
+    * quadratic. Pure column arithmetic, no joins/UDFs. */
+  def syntheticDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    val base = spark.range(nDocs).select(col("id").as("doc_id"))
+    val srcBase = when(pmod(col("doc_id"), lit(10L)).isin(5L, 9L), col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    val words = transform(sequence(lit(0), lit(49)), i =>
+      concat(lit("w"), pmod(xxhash64(concat_ws("_", srcBase, i)), lit(500L)).cast("string")))
+    val text = array_join(
+      when(pmod(col("doc_id"), lit(10L)) === 9,
+        concat(slice(words, 1, 49), array(lit("wdup")))).otherwise(words), " ")
+    base.select(col("doc_id"), text.as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -105,7 +123,44 @@ object BenchScale {
       System.err.println(s"[bench_scale] $line")
       line
     }
-    println(s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}]}""")
+    // corpus tier: same 10× growth discipline over the dedup operators
+    val docSizes = Seq(20000L, 200000L)
+    val corpusPoints = docSizes.map { n =>
+      val docs = syntheticDocs(spark, n).localCheckpoint(true)
+      import graft.operators.Dedup
+      val ops = Seq(
+        "dedup_exact" -> time {
+          Dedup.exactGroups(docs, "doc_id", "text")
+            .write.mode("overwrite").format("noop").save()
+        },
+        "jaccard_pairs" -> time {
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "minhash_lsh" -> time {
+          Dedup.minhashCandidates(docs, "doc_id", "text")
+            .write.mode("overwrite").format("noop").save()
+        },
+        "fingerprint_pairs" -> time {
+          Dedup.fingerprintPairs(docs, "doc_id", "text",
+            minShared = 20, maxDocFreq = 100)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "cc_clusters" -> time {
+          graft.operators.Graph.connectedComponents(
+            Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100)
+              .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+            .write.mode("overwrite").format("noop").save()
+        })
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val mem = usedMb
+      val opsJson = ops.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val line = s"""{"n_docs":$n,"ops":{$opsJson},"driver_used_mb":$mem}"""
+      System.err.println(s"[bench_scale] $line")
+      line
+    }
+    println(s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}]}""")
     spark.stop()
   }
 

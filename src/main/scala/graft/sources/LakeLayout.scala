@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lake layout for the series/corpus tables at 100 TB: bucketed (and
+  * bucket-sorted) parquet tables keyed by the frame's partition key.
+  *
+  * Every series operator in the engine is a `groupBy(series_id)` aggregate
+  * or a window `PARTITION BY series_id ORDER BY ds` (SURVEY §8), and every
+  * dedup/ANN candidate generator is an equi-join on a bounded key — so the
+  * dominant cluster cost at scale is the repeated hash-exchange of the same
+  * fact data on the same key. Writing the lake bucketed by that key removes
+  * it: a scan of a bucketed table reports its hash distribution to Catalyst,
+  * and joins/aggregations keyed on the bucket column plan with NO Exchange
+  * on the bucketed side (LakeLayoutSpec pins exactly that). `sortBy(ds)`
+  * additionally lays each bucket out in window order, so the per-partition
+  * sorts the window operators still plan run over already-ordered runs.
+  *
+  * Bucket count is a layout-time decision like streaming state width: size
+  * it to cluster width (tasks per scan), not data volume — at 1000
+  * executors, thousands of buckets; the fixture specs use a handful.
+  * Bucketed writes go through the session catalog (`saveAsTable`) because
+  * the bucketing metadata lives in the table definition, not the files —
+  * path-based `parquet(path)` reads cannot recover it.
+  */
+object LakeLayout {
+
+  /** Write `df` as a bucketed, bucket-sorted parquet table. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCol: String = "series_id",
+                    sortCols: Seq[String] = Seq("series_id", "ds")): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Read a bucketed table back (the catalog carries the bucket spec). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

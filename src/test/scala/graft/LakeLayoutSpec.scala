@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.LakeLayout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed lake layout ([[graft.sources.LakeLayout]]): the plan proof that
+  * bucketing by the series key deletes the exchanges every series op
+  * otherwise pays, and that results are identical to the unbucketed path. */
+class LakeLayoutSpec extends SparkSpec {
+
+  /** Shuffle exchanges in the FINAL (post-AQE) plan: execute first — the
+    * adaptive plan only materializes its stages (and thus its exchanges)
+    * at runtime, so inspecting before execution undercounts to zero. */
+  private def exchanges(df: DataFrame): Int = {
+    df.collect()
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+  }
+
+  /** Drop the table AND its warehouse location: the default in-memory
+    * catalog forgets tables between sessions, leaving orphan directories
+    * that block a fresh `saveAsTable`. */
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def frame(): DataFrame = {
+    import spark.implicits._
+    (for { s <- 1 to 20; t <- 1 to 30 } yield
+      (s"s$s", java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(t)),
+        (s * 31 + t * 7) % 100 / 10.0))
+      .toDF("series_id", "ds", "y")
+  }
+
+  test("groupBy on the bucket key plans no exchange; unbucketed pays one") {
+    val df = frame()
+    freshTable("ll_series")
+    LakeLayout.writeBucketed(df, "ll_series", buckets = 4)
+    val bucketed = LakeLayout.readBucketed(spark, "ll_series")
+      .groupBy("series_id").agg(sum("y").as("sy"))
+    val plain = df.groupBy("series_id").agg(sum("y").as("sy"))
+    assert(exchanges(bucketed) === 0, "bucketed scan must feed the agg directly")
+    assert(exchanges(plain) >= 1,
+      "the unbucketed agg must pay the hash exchange the layout deletes")
+    // identical results either way
+    val a = bucketed.collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100))).toSet
+    val b = plain.collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100))).toSet
+    assert(a === b)
+  }
+
+  test("self-join on the bucket key plans no exchange on either side") {
+    freshTable("ll_series_j")
+    LakeLayout.writeBucketed(frame(), "ll_series_j", buckets = 4)
+    val t = LakeLayout.readBucketed(spark, "ll_series_j")
+    val agg = t.groupBy("series_id").agg(avg("y").as("mu"))
+    val joined = t.join(agg.hint("merge"), "series_id")
+      .withColumn("dev", col("y") - col("mu"))
+    assert(exchanges(joined) === 0,
+      "both sides derive the bucket distribution — no shuffle anywhere")
+    assert(joined.count() === 600)
+  }
+
+  test("window over (series_id, ds) on the bucketed table needs no exchange") {
+    import org.apache.spark.sql.expressions.Window
+    freshTable("ll_series_w")
+    LakeLayout.writeBucketed(frame(), "ll_series_w", buckets = 4)
+    val w = Window.partitionBy("series_id").orderBy("ds")
+    val lagged = LakeLayout.readBucketed(spark, "ll_series_w")
+      .withColumn("y1", lag("y", 1).over(w))
+    assert(exchanges(lagged) === 0,
+      "the bucket distribution satisfies the window's partitioning requirement")
+    assert(lagged.filter(col("y1").isNotNull).count() === 580)
+  }
+}
