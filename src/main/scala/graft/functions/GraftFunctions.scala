@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftColumns
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for graft's native Catalyst expressions — the
+  * `SparkSessionExtensions` tier of the charter's custom-operator ladder.
+  *
+  * Two registration paths, same builders:
+  *
+  *  - config: `spark.sql.extensions=graft.functions.GraftExtensions` injects
+  *    the functions at session build (the standard library-extension hook);
+  *  - live session: [[GraftFunctions.register]] adds them to an existing
+  *    session's function registry (tests, notebooks, long-lived services).
+  *
+  * After either, plain SQL can call them:
+  * {{{
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT hour, kmv_distinct(h, 16) FROM hashed GROUP BY hour
+  *   SELECT g, inline(topk_pairs(w, id, 3)) FROM scores GROUP BY g
+  * }}}
+  *
+  * Aggregate builders return the raw `AggregateFunction`; the analyzer
+  * wraps it into an `AggregateExpression` exactly as it does for built-ins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, name: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: $arg must be an INT literal, got $other")
+  }
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$name takes exactly $n arguments, got ${args.length}")
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * injectFunction shape. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        arity("graft_dot", args, 2); DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getCanonicalName, "kmv_distinct"),
+      (args: Seq[Expression]) => {
+        arity("kmv_distinct", args, 2)
+        KmvDistinct(args(0), intLit(args(1), "kmv_distinct", "k"))
+      }),
+    (FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getCanonicalName, "topk_pairs"),
+      (args: Seq[Expression]) => {
+        arity("topk_pairs", args, 3)
+        TopKPairs(args(0), args(1), intLit(args(2), "topk_pairs", "k"))
+      }))
+
+  /** Register every graft function into a LIVE session's registry. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      GraftColumns.registerFunction(spark, ident, info, builder)
+    }
+}

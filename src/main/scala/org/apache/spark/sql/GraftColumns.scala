@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumns {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function into a live session's `private[sql]` registry —
+    * the in-session counterpart of `SparkSessionExtensions.injectFunction`
+    * for sessions that already exist (tests, notebooks, services). */
+  def registerFunction(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
 }
