@@ -87,14 +87,12 @@ final case class MllibTsEstimator(
         .setMaxIter(p("n_estimators", 50).toInt)
         .setMaxDepth(p("max_depth", 3).toInt)
         .setFeaturesCol(featCol).setLabelCol(Y).setPredictionCol("yhat")
-      // explicit scope boundaries, not silent absences (cfg.py:26-48 lists
-      // svr/mlp in the sklearn registry; MLlib has no kernel SVR and no MLP
-      // REGRESSOR — only the MLP classifier — so substituting would change
-      // the model family silently)
+      // svr/mlp live outside the MLlib pipeline (driver-fit kernel/net
+      // models with columnar broadcast prediction — [[Svr]], [[MlpNet]]);
+      // they route through `fit`, not the pipeline builder
       case "svr" | "mlp" => throw new UnsupportedOperationException(
-        s"estimator '$algo' is unsupported: no MLlib equivalent " +
-          "(kernel SVR / MLP regressor); nearest supported families: " +
-          "mlr/ridge (linear), gbt/rf (nonlinear), knn (KnnRegressor)")
+        s"estimator '$algo' does not build an MLlib pipeline — call " +
+          "MllibTsEstimator.fit (it routes to the native Svr/MlpNet models)")
       // reference names with NAMED substitutions elsewhere in the engine —
       // point at them instead of a bare unknown-algo error
       case "prophet" => throw new UnsupportedOperationException(
@@ -120,10 +118,24 @@ final case class MllibTsEstimator(
     * round-trips of WeightedLeastSquares instrumentation. Everything else
     * (regularized, scaled, trees, custom registrations) fits the MLlib
     * pipeline. */
-  def fit(frame: DataFrame): Transformer =
-    if ((algo == "mlr" || algo == "prophet_like") && normalizer == "none")
+  def fit(frame: DataFrame): Transformer = algo match {
+    case "mlr" | "prophet_like" if normalizer == "none" =>
       OlsModel(Ols.fit(frame, features))
-    else fitMllib(frame)
+    // the reference's svr/mlp (sklearn SVR / MLPRegressor): native
+    // driver-fit models with documented optimizer substitutions — see
+    // [[Svr]] (ε-SVR dual coordinate descent) and [[MlpNet]] (tanh net,
+    // full-batch L-BFGS, deterministic init). The normalizer is baked into
+    // the model (kernel/net fits are scale-sensitive).
+    case "svr" => Svr.fit(frame, features,
+      c = p("C", 1.0), epsilon = p("epsilon", 0.1),
+      gammaOpt = params.get("gamma"),
+      normalizer = if (normalizer == "none") "scale" else normalizer)
+    case "mlp" => MlpNet.fit(frame, features,
+      hidden = p("hidden_layer_sizes", 8.0).toInt,
+      alpha = p("alpha", 1e-4), maxIter = p("maxiter", 300.0).toInt,
+      seed = seed)
+    case _ => fitMllib(frame)
+  }
 
   /** The MLlib pipeline fit, unconditionally — for callers that need the
     * pipeline object itself (stage introspection, parity tests). */
@@ -140,7 +152,7 @@ object MllibTsEstimator {
   /** Registry parity with cfg.py:26-48 for the MLlib-expressible estimators
     * (knn lives in [[KnnRegressor]] — join-based, not an MLlib pipeline). */
   val supportedAlgos: Seq[String] = Seq("mlr", "lasso", "ridge", "elasticnet",
-    "sgd", "rf", "gbt", "xgboost", "catboost", "prophet_like")
+    "sgd", "rf", "gbt", "xgboost", "catboost", "prophet_like", "svr", "mlp")
 
   /** What a user-registered estimator builder receives: the (possibly
     * scaled) assembled feature column, label/prediction columns, the
@@ -164,7 +176,7 @@ object MllibTsEstimator {
     scala.collection.concurrent.TrieMap.empty[String, (String, String) => PipelineStage]
 
   def registerEstimator(name: String)(builder: Spec => PipelineStage): Unit = {
-    require(!supportedAlgos.contains(name) && name != "svr" && name != "mlp",
+    require(!supportedAlgos.contains(name),
       s"estimator '$name' is builtin")
     customEst.put(name, builder)
   }

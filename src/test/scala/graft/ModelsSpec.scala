@@ -124,12 +124,14 @@ class ModelsSpec extends SparkSpec {
     }
   }
 
-  test("svr/mlp fail loudly as unsupported; prophet_like fits the curve vectorized") {
+  test("svr/mlp route outside the pipeline builder; prophet_like fits the curve vectorized") {
     for (algo <- Seq("svr", "mlp")) {
+      // fit() serves them natively (SvrMlpSpec); the MLlib pipeline builder
+      // has no stage for them and must say so, not silently substitute
       val e = intercept[UnsupportedOperationException] {
         MllibTsEstimator(algo, Seq("ar_1")).pipeline()
       }
-      assert(e.getMessage.contains("unsupported"), s"$algo message: ${e.getMessage}")
+      assert(e.getMessage.contains("Svr/MlpNet"), s"$algo message: ${e.getMessage}")
     }
     // prophet_like: exact recovery of a trend + sinusoid at period 12
     val ys = (0 until 48).map(t => 10.0 + 0.5 * (t + 1) +
