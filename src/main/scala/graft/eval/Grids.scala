@@ -53,6 +53,15 @@ object Grids {
       "max_depth" -> Seq(2, 5), "n_estimators" -> Seq(100, 500))),
     // example.py gbt: depth axis ('max_features' omitted as above)
     "gbt" -> Grid(Map("max_depth" -> Seq(2, 3, 4, 5))),
+    // native ε-SVR (models/Svr.scala): sklearn-style C/epsilon axes; gamma
+    // stays at the data-adaptive 'scale' default unless tuned explicitly
+    "svr" -> Grid(Map(
+      "C" -> Seq(0.1, 1.0, 10.0, 100.0),
+      "epsilon" -> Seq(0.01, 0.1, 0.5))),
+    // native MLP (models/MlpNet.scala): width and ridge penalty
+    "mlp" -> Grid(Map(
+      "hidden_layer_sizes" -> Seq(4, 8, 16),
+      "alpha" -> Seq(1e-5, 1e-4, 1e-3))),
     // example.py knn: n_neighbors 2..100 (capped at 20 — the reference's
     // 2..100 over a ≤100-ob series mostly aliases to the same neighbor sets)
     "knn" -> Grid(Map("k" -> (2 to 20).map(_.toDouble))),

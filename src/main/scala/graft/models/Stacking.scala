@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 /** Model stacking via signal features — the reference's `add_signals` +
   * `mlp_stack` pattern (/root/reference/src/scalecast/Forecaster.py:367-407,
   * auxmodels.py:47-126): base models' predictions become feature columns
-  * (`signal_<model>`) and a meta-regressor is trained on them. The MLlib
-  * meta-learner is GBT (sklearn's bagged-MLP meta-learner has no cluster
-  * equivalent — documented substitution, SURVEY §2.5).
+  * (`signal_<model>`) and a meta-regressor is trained on them. The default
+  * meta-learner is GBT (kept for round-over-round result stability); with
+  * the native [[MlpNet]] estimator, `metaAlgo = "mlp"` reproduces the
+  * reference's MLP meta-learner family directly (StackingSpec drives it).
   */
 object Stacking {
 
