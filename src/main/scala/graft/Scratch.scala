@@ -94,6 +94,28 @@ object Scratch {
       time("cc warm") {
         graft.operators.Graph.connectedComponents(edges, "a", "b").count()
       }
+    } else if (args.headOption.contains("blocked")) {
+      import graft.core.SeriesFrame
+      val seg = time("segments memo") {
+        val base = SeriesFrame.segmentMonthly(spark, dir)
+        val z = graft.operators.Transforms.scaleT(base).transform(base)
+        val lined = SeriesFrame.lineUpDates(z).localCheckpoint(true)
+        lined.count(); lined
+      }
+      val (fits, block) = time("fit (screen + solve)") {
+        val r = graft.models.BlockedVar.fit(seg, maxLag = 1, maxSources = 3)
+        (r._1.localCheckpoint(true), r._2.localCheckpoint(true))
+      }
+      time("dynamic recursion") {
+        val base = SeriesFrame.withMonthlyHorizon(seg, 6)
+        graft.models.BlockedVar.dynamicForecastWith(base, fits, block,
+          maxLag = 1, maxSources = 3).count()
+      }
+      time("dynamic recursion warm") {
+        val base = SeriesFrame.withMonthlyHorizon(seg, 6)
+        graft.models.BlockedVar.dynamicForecastWith(base, fits, block,
+          maxLag = 1, maxSources = 3).count()
+      }
     } else if (args.headOption.contains("fpplan")) {
       import graft.operators.Dedup
       val docs = graft.core.Tables.documents(spark, dir)
