@@ -74,25 +74,36 @@ object MlpNet {
     ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
 
-  def fit(frame: DataFrame, features: Seq[String],
-          hidden: Int = 8, alpha: Double = 1e-4,
-          maxIter: Int = 300, seed: Long = 42L): MlpModel = {
-    val hasTest = frame.columns.contains("is_test")
-    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
-    val train0 = if (hasTest) obs.filter(!col("is_test")) else obs
-    val train = features.foldLeft(train0)((f, c0) =>
-      f.filter(col(c0).isNotNull && !isnan(col(c0))))
-    val rows = train.orderBy(col(SeriesId), col(Ds))
-      .select((features :+ Y).map(col): _*)
-      .collect()
-    val n = rows.length
+  /** Fitted local net — pure JVM state, serializable into executor tasks. */
+  private[models] final case class LocalMlp(
+      w1: Array[Array[Double]], b1: Array[Double], w2: Array[Double],
+      b2: Double, shift: Array[Double], scale: Array[Double]) {
+    def predict(xRaw: Array[Double]): Double = {
+      val d = shift.length
+      val x = Array.tabulate(d)(j => (xRaw(j) - shift(j)) / scale(j))
+      var s = b2
+      var u = 0
+      while (u < w2.length) {
+        var pre = b1(u)
+        var j = 0
+        while (j < d) { pre += w1(u)(j) * x(j); j += 1 }
+        s += w2(u) * math.tanh(pre)
+        u += 1
+      }
+      s
+    }
+  }
+
+  /** The deterministic L-BFGS solve over raw (X, y). */
+  private[models] def solveLocal(xRaw: DenseMatrix[Double], yRaw: DenseVector[Double],
+                                 hidden: Int, alpha: Double, maxIter: Int,
+                                 seed: Long): LocalMlp = {
+    val n = xRaw.rows
     require(n > 0, "mlp: empty training set")
     require(n <= MaxTrainRows,
-      s"mlp: $n training rows exceeds the per-series driver bound $MaxTrainRows")
-    val d = features.length
+      s"mlp: $n training rows exceeds the per-series bound $MaxTrainRows")
+    val d = xRaw.cols
     val h = hidden
-    val xRaw = DenseMatrix.tabulate(n, d)((i, j) => rows(i).getDouble(j))
-    val yRaw = DenseVector.tabulate(n)(i => rows(i).getDouble(d))
 
     val shift = Array.tabulate(d)(j => breeze.stats.mean(xRaw(::, j)))
     val scale = Array.tabulate(d) { j =>
@@ -141,17 +152,41 @@ object MlpNet {
       tolerance = 1e-9)
     val theta = opt.minimize(loss, init)
 
-    val w1 = DenseMatrix.tabulate(h, d)((u, j) => theta(u * d + j))
-    val b1 = theta(h * d until h * d + h).toDenseVector
-    val w2 = theta(h * d + h until h * d + 2 * h).toDenseVector
-    val bb2 = theta(nParams - 1)
-    val spark = frame.sparkSession
-    import spark.implicits._
     // un-scale the target: ŷ = μy + σy(Σ w2·tanh(·) + b2) folds into w2/b2
-    val units = (0 until h).map { u =>
-      (Array.tabulate(d)(j => w1(u, j)), b1(u), sdY * w2(u))
-    }.toDF("_w", "_b", "_w2")
-    new MlpModel(units.localCheckpoint(true), muY + sdY * bb2, features,
+    LocalMlp(
+      Array.tabulate(h, d)((u, j) => theta(u * d + j)),
+      Array.tabulate(h)(u => theta(h * d + u)),
+      Array.tabulate(h)(u => sdY * theta(h * d + h + u)),
+      muY + sdY * theta(nParams - 1),
       shift, scale)
   }
+
+  /** Train on observed, non-test, feature-complete rows of (typically) one
+    * series; returns the columnar-prediction Transformer. */
+  def fit(frame: DataFrame, features: Seq[String],
+          hidden: Int = 8, alpha: Double = 1e-4,
+          maxIter: Int = 300, seed: Long = 42L): MlpModel = {
+    val rows = Svr.trainRows(frame, features)
+    val n = rows.length
+    val d = features.length
+    val xRaw = DenseMatrix.tabulate(n, d)((i, j) => rows(i).getDouble(j))
+    val yRaw = DenseVector.tabulate(n)(i => rows(i).getDouble(d))
+    val m = solveLocal(xRaw, yRaw, hidden, alpha, maxIter, seed)
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val units = m.w1.indices.map(u => (m.w1(u), m.b1(u), m.w2(u)))
+      .toDF("_w", "_b", "_w2")
+    new MlpModel(units.localCheckpoint(true), m.b2, features, m.shift, m.scale)
+  }
+
+  /** The 10⁶-series path (the [[Svr.fitPredictBySeries]] twin): per-series
+    * L-BFGS fit + score inside ONE `flatMapGroups` pass — one shuffle keyed
+    * by series_id, no driver or broadcast state. Output: (series_id, ds,
+    * yhat) for every feature-complete row. */
+  def fitPredictBySeries(frame: DataFrame, features: Seq[String],
+                         hidden: Int = 8, alpha: Double = 1e-4,
+                         maxIter: Int = 300, seed: Long = 42L): DataFrame =
+    Svr.groupedFitPredict(frame, features) { (x, y) =>
+      solveLocal(x, y, hidden, alpha, maxIter, seed).predict _
+    }
 }

@@ -6,9 +6,9 @@ import graft.functions.DotProduct.dotNative
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** ε-insensitive support-vector regression — the reference's `svr` estimator
   * (/root/reference/src/scalecast/cfg.py:26-48, sklearn.svm.SVR: RBF kernel,
@@ -28,11 +28,15 @@ import org.apache.spark.sql.types.StructType
   * inside the ε-tube end at β = 0 (SvrMlpSpec pins this KKT property), tube
   * violators saturate at ±C.
   *
-  * Spark shape (the KnnRegressor pattern): fitting is per-series driver math
-  * over a series-length-sized design (the reference's own unit of work —
-  * SURVEY §4); prediction is columnar — support vectors broadcast, per-row
-  * kernel terms via the native codegen dot product, one groupBy sum. No
-  * UDFs anywhere.
+  * Two Spark shapes, one solver:
+  *  - [[Svr.fit]] (single/few series): driver fit over a series-length-sized
+  *    design (the reference's own unit of work — SURVEY §4); prediction is
+  *    columnar — support vectors broadcast, per-row kernel terms via the
+  *    native codegen dot product, one groupBy sum, no UDFs;
+  *  - [[Svr.fitPredictBySeries]] (the 10⁶-series path): each series' fit AND
+  *    prediction run inside ONE executor task via `flatMapGroups` — one
+  *    shuffle keyed by series_id, zero driver state, a million series
+  *    parallelize (the detrendLoessT / GroupedOls pattern).
   */
 final class SvrModel(override val uid: String, svRows: DataFrame,
                      features: Seq[String], gamma: Double, intercept: Double,
@@ -46,7 +50,7 @@ final class SvrModel(override val uid: String, svRows: DataFrame,
 
   override def copy(extra: ParamMap): SvrModel = this
   override def transformSchema(schema: StructType): StructType =
-    schema.add("yhat", org.apache.spark.sql.types.DoubleType)
+    schema.add("yhat", DoubleType)
 
   /** Rows with nonzero dual weight — the KKT sparsity diagnostic. */
   def numSupportVectors: Long = svRows.count()
@@ -75,34 +79,39 @@ final class SvrModel(override val uid: String, svRows: DataFrame,
 
 object Svr {
 
-  /** Guard: the kernel matrix is n², and a series is the reference's
-    * driver-sized unit of work. */
+  /** Guard: the kernel matrix is n², and a series is the per-task unit. */
   val MaxTrainRows = 20000
 
-  def fit(frame: DataFrame, features: Seq[String],
-          c: Double = 1.0, epsilon: Double = 0.1,
-          gammaOpt: Option[Double] = None, normalizer: String = "scale",
-          maxSweeps: Int = 500, tol: Double = 1e-9): SvrModel = {
-    val hasTest = frame.columns.contains("is_test")
-    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
-    val train0 = if (hasTest) obs.filter(!col("is_test")) else obs
-    val train = features.foldLeft(train0)((f, c0) =>
-      f.filter(col(c0).isNotNull && !isnan(col(c0))))
-    // deterministic row order: the solver's sweep order must not depend on
-    // partitioning
-    val rows = train.orderBy(col(SeriesId), col(Ds))
-      .select((features :+ Y).map(col): _*)
-      .collect()
-    val n = rows.length
+  /** Fitted local model — pure JVM state, serializable into executor tasks. */
+  private[models] final case class LocalSvr(
+      sv: Array[Array[Double]], beta: Array[Double], gamma: Double,
+      intercept: Double, shift: Array[Double], scale: Array[Double]) {
+    def predict(xRaw: Array[Double]): Double = {
+      val d = shift.length
+      val x = Array.tabulate(d)(j => (xRaw(j) - shift(j)) / scale(j))
+      var s = intercept
+      var i = 0
+      while (i < sv.length) {
+        var dd = 0.0
+        var j = 0
+        while (j < d) { val t = x(j) - sv(i)(j); dd += t * t; j += 1 }
+        s += beta(i) * math.exp(-gamma * dd)
+        i += 1
+      }
+      s
+    }
+  }
+
+  /** The deterministic dual coordinate-descent solve over raw (X, y). */
+  private[models] def solveLocal(xRaw: DenseMatrix[Double], yv: DenseVector[Double],
+                                 c: Double, epsilon: Double,
+                                 gammaOpt: Option[Double], normalizer: String,
+                                 maxSweeps: Int, tol: Double): LocalSvr = {
+    val n = xRaw.rows
+    val d = xRaw.cols
     require(n > 0, "svr: empty training set")
     require(n <= MaxTrainRows,
-      s"svr: $n training rows exceeds the per-series driver bound $MaxTrainRows")
-    val d = features.length
-    val xRaw = DenseMatrix.tabulate(n, d)((i, j) => rows(i).getDouble(j))
-    val y = DenseVector.tabulate(n)(i => rows(i).getDouble(d))
-
-    // feature conditioning baked into the model (sklearn users pipeline a
-    // scaler; the kernel is scale-sensitive)
+      s"svr: $n training rows exceeds the per-series bound $MaxTrainRows")
     val (shift, scale) = normalizer match {
       case "none" => (Array.fill(d)(0.0), Array.fill(d)(1.0))
       case "scale" =>
@@ -122,8 +131,7 @@ object Svr {
 
     // sklearn gamma='scale' = 1 / (d · Var(X)) over the scaled design
     val gamma = gammaOpt.getOrElse {
-      val flat = x.toDenseVector
-      val v = breeze.stats.variance(flat)
+      val v = breeze.stats.variance(x.toDenseVector)
       1.0 / (d * (if (v > 0) v else 1.0))
     }
 
@@ -145,7 +153,7 @@ object Svr {
       var i = 0
       while (i < n) {
         val kii = kk(i, i)
-        val g = y(i) - (f(i) - kii * beta(i)) // residual excluding i's own term
+        val g = yv(i) - (f(i) - kii * beta(i)) // residual excluding i's own term
         val soft = math.signum(g) * math.max(0.0, math.abs(g) - epsilon)
         val bNew = math.max(-c, math.min(c, soft / kii))
         val delta = bNew - beta(i)
@@ -160,30 +168,110 @@ object Svr {
       }
       sweep += 1
     }
+    val svIdx = (0 until n).filter(i => math.abs(beta(i)) > 1e-12).toArray
+    LocalSvr(
+      svIdx.map(i => Array.tabulate(d)(j => x(i, j))),
+      svIdx.map(beta(_)),
+      gamma, breeze.linalg.sum(beta), shift, scale)
+  }
 
-    // support vectors: nonzero duals only; Σβ is the folded bias term
-    val intercept = breeze.linalg.sum(beta)
+  /** Train on observed, non-test, feature-complete rows of (typically) one
+    * series; returns the columnar-prediction Transformer. */
+  def fit(frame: DataFrame, features: Seq[String],
+          c: Double = 1.0, epsilon: Double = 0.1,
+          gammaOpt: Option[Double] = None, normalizer: String = "scale",
+          maxSweeps: Int = 500, tol: Double = 1e-9): SvrModel = {
+    val rows = trainRows(frame, features)
+    val n = rows.length
+    val d = features.length
+    val xRaw = DenseMatrix.tabulate(n, d)((i, j) => rows(i).getDouble(j))
+    val yv = DenseVector.tabulate(n)(i => rows(i).getDouble(d))
+    val m = solveLocal(xRaw, yv, c, epsilon, gammaOpt, normalizer, maxSweeps, tol)
     val spark = frame.sparkSession
     import spark.implicits._
-    val svs = (0 until n).filter(i => math.abs(beta(i)) > 1e-12).map { i =>
-      val sv = Array.tabulate(d)(j => x(i, j))
+    val svs = m.sv.indices.map { i =>
+      val sv = m.sv(i)
       var ss = 0.0; var j = 0
       while (j < d) { ss += sv(j) * sv(j); j += 1 }
-      (sv, beta(i), ss)
+      (sv, m.beta(i), ss)
     }
     val svDf =
       if (svs.nonEmpty) svs.toDF("_sv", "_beta", "_ss")
       else Seq((Array.fill(d)(0.0), 0.0, 0.0)).toDF("_sv", "_beta", "_ss").limit(0)
-    new SvrModel(svDf.localCheckpoint(true), features, gamma, intercept,
-      shift, scale)
+    new SvrModel(svDf.localCheckpoint(true), features, m.gamma, m.intercept,
+      m.shift, m.scale)
   }
 
-  /** Diagnostic for specs: (beta, insideTube) per training row — the KKT
-    * structure check (|residual| < ε ⇒ β = 0 at the optimum). */
-  private[models] def dualStructure(model: SvrModel, frame: DataFrame,
-                                    features: Seq[String],
-                                    epsilon: Double): DataFrame = {
-    val scored = model.transform(frame.filter(!col(IsFuture)))
-    scored.withColumn("_inTube", abs(col(Y) - col("yhat")) < epsilon)
+  /** The 10⁶-series path: per-series fit + score in ONE `flatMapGroups`
+    * pass — each task trains its series' SVR on observed non-test rows and
+    * scores every feature-complete row (observed and horizon). Output:
+    * (series_id, ds, yhat). One shuffle keyed by series_id, no driver or
+    * broadcast state; ManySeriesSpec-style coverage in SvrMlpSpec. */
+  def fitPredictBySeries(frame: DataFrame, features: Seq[String],
+                         c: Double = 1.0, epsilon: Double = 0.1,
+                         gammaOpt: Option[Double] = None,
+                         normalizer: String = "scale",
+                         maxSweeps: Int = 500, tol: Double = 1e-9): DataFrame =
+    groupedFitPredict(frame, features) { (x, y) =>
+      solveLocal(x, y, c, epsilon, gammaOpt, normalizer, maxSweeps, tol).predict _
+    }
+
+  // ---------------------------------------------------------------- shared
+
+  private[models] def trainRows(frame: DataFrame, features: Seq[String]): Array[Row] = {
+    val hasTest = frame.columns.contains("is_test")
+    val obs = frame.filter(!col(IsFuture) && col(Y).isNotNull)
+    val train0 = if (hasTest) obs.filter(!col("is_test")) else obs
+    val train = features.foldLeft(train0)((f, c0) =>
+      f.filter(col(c0).isNotNull && !isnan(col(c0))))
+    // deterministic row order: solver sweep order must not depend on
+    // partitioning
+    train.orderBy(col(SeriesId), col(Ds))
+      .select((features :+ Y).map(col): _*)
+      .collect()
+  }
+
+  /** Generic per-series fit+predict harness shared by svr and mlp: `mk`
+    * builds a predictor from the series' raw train design. */
+  private[models] def groupedFitPredict(frame: DataFrame, features: Seq[String])(
+      mk: (DenseMatrix[Double], DenseVector[Double]) => Array[Double] => Double): DataFrame = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val hasTest = frame.columns.contains("is_test")
+    val cols = Seq(col(SeriesId).cast("string"), col(Ds).cast("date"),
+      col(Y).cast("double"), col(IsFuture).cast("boolean"),
+      (if (hasTest) col("is_test") else lit(false)).cast("boolean").as("is_test")) ++
+      features.map(c => col(c).cast("double"))
+    val d = features.length
+    val outSchema = StructType(Seq(
+      StructField(SeriesId, org.apache.spark.sql.types.StringType),
+      StructField(Ds, org.apache.spark.sql.types.DateType),
+      StructField("yhat", DoubleType)))
+    import org.apache.spark.sql.Encoders
+    frame.select(cols: _*).groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toIndexedSeq.sortBy(r => r.getDate(1).getTime)
+        def feats(r: Row): Option[Array[Double]] = {
+          val a = new Array[Double](d)
+          var j = 0
+          while (j < d) {
+            if (r.isNullAt(5 + j) || r.getDouble(5 + j).isNaN) return None
+            a(j) = r.getDouble(5 + j); j += 1
+          }
+          Some(a)
+        }
+        val train = rows.filter(r => !r.getBoolean(3) && !r.isNullAt(2) &&
+          !r.getBoolean(4) && feats(r).isDefined)
+        if (train.isEmpty) Iterator.empty
+        else {
+          val x = DenseMatrix.tabulate(train.length, d)((i, j) =>
+            train(i).getDouble(5 + j))
+          val y = DenseVector.tabulate(train.length)(i => train(i).getDouble(2))
+          val predict = mk(x, y)
+          rows.iterator.flatMap { r =>
+            feats(r).map(f => Row(sid, r.getDate(1), predict(f)))
+          }
+        }
+      }(Encoders.row(outSchema)).toDF()
   }
 }

@@ -69,6 +69,39 @@ class SvrMlpSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x === y, "fit must be bit-stable") }
   }
 
+  test("fitPredictBySeries matches the driver fit per series and scales out") {
+    import org.apache.spark.sql.DataFrame
+    // 60 series with distinct shapes; per-series executor fits must
+    // reproduce the driver path's predictions series by series
+    val frames: Seq[DataFrame] = (0 until 60).map { s =>
+      val ys = (0 until 40).map(t => 10.0 + s % 7 + 0.2 * t + math.sin((t + s) / 3.0))
+      graft.functions.FeatureOps.addTimeTrend(obsSeries(ys, s"s$s"))
+    }
+    val all = frames.reduce(_ unionByName _).repartition(8)
+    val grouped = Svr.fitPredictBySeries(all, Seq("t"))
+    assert(grouped.select("series_id").distinct().count() === 60)
+    assert(grouped.count() === 60L * 40)
+    // spot-check three series against the driver/broadcast path
+    for (sid <- Seq("s0", "s13", "s59")) {
+      val one = frames(sid.drop(1).toInt)
+      val driver = Svr.fit(one, Seq("t")).transform(one)
+        .orderBy("ds").collect().map(_.getAs[Double]("yhat"))
+      val dist = grouped.filter(col("series_id") === sid)
+        .orderBy("ds").collect().map(_.getAs[Double]("yhat"))
+      driver.zip(dist).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"$sid: $a vs $b") }
+    }
+    // mlp twin: complete per-series coverage + parity on one series
+    val mg = MlpNet.fitPredictBySeries(all, Seq("t"), maxIter = 60)
+    assert(mg.select("series_id").distinct().count() === 60)
+    val oneM = MlpNet.fit(frames(5), Seq("t"), maxIter = 60)
+      .transform(frames(5)).orderBy("ds").collect().map(_.getAs[Double]("yhat"))
+    val distM = mg.filter(col("series_id") === "s5")
+      .orderBy("ds").collect().map(_.getAs[Double]("yhat"))
+    oneM.zip(distM).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"mlp s5: $a vs $b") }
+  }
+
   test("registry fit() routes svr/mlp and the facade banks a dynamic forecast") {
     val ys = (0 until 48).map(t => 10 + 0.3 * t + math.sin(t / 2.0))
     val base = SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6)
