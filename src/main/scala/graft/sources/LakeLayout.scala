@@ -37,4 +37,23 @@ object LakeLayout {
   /** Read a bucketed table back (the catalog carries the bucket spec). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Hive-style partitioned parquet write — the time axis of the lake
+    * layout. Where bucketing kills the recurring shuffle, directory
+    * partitioning kills the recurring SCAN: a predicate on the partition
+    * column prunes whole directories at PLANNING time (`PartitionFilters`
+    * in the scan node), so an incremental job over yesterday's events
+    * reads yesterday's files and nothing else, at any total table size.
+    * Partition by a LOW-cardinality derived column (day/month, source) —
+    * one directory per value; partitioning by a high-cardinality key
+    * creates the small-files problem bucketing exists to avoid. Unlike
+    * bucket metadata, partition layout lives in the paths, so plain
+    * path-based reads recover it. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCols: _*).save(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

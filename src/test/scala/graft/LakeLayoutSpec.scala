@@ -68,6 +68,25 @@ class LakeLayoutSpec extends SparkSpec {
     assert(joined.count() === 600)
   }
 
+  test("partitioned write prunes directories at planning time") {
+    val dir = "/tmp/graft_ll_part"
+    val df = frame().withColumn("month",
+      date_format(col("ds"), "yyyy-MM"))
+    LakeLayout.writePartitioned(df, dir, Seq("month"))
+    val pruned = LakeLayout.readPartitioned(spark, dir)
+      .filter(col("month") === "2020-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("month"),
+      s"partition predicate must prune at the scan: $plan")
+    // the pruned read returns exactly January's rows (ds 2020-01-02..31)
+    assert(pruned.count() === frame()
+      .filter(date_format(col("ds"), "yyyy-MM") === "2020-01").count())
+    // files actually touched: only the 2020-01 directory
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("month=2020-01")),
+      s"scan must touch only the pruned partition: ${files.toSeq}")
+  }
+
   test("window over (series_id, ds) on the bucketed table needs no exchange") {
     import org.apache.spark.sql.expressions.Window
     freshTable("ll_series_w")
