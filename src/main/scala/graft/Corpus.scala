@@ -57,6 +57,27 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
   /** Top-k terms per doc by smooth-idf TF-IDF (doc_tfidf_top_terms). */
   def topTerms(k: Int): DataFrame = TextOps.topTerms(docs, idCol, k, textCol)
 
+  /** Dimension rollup (doc_source_rollup): per-(dims...) doc counts and
+    * token volume WITH every subtotal level in one shuffle — the hierarchy
+    * report a mixture design reads (per source, per source×lang, total). */
+  def rollup(dims: String*): DataFrame = {
+    val st = TextOps.withTextStats(docs, textCol)
+    st.rollup(dims.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+  }
+
+  /** KMV-estimated distinct text count ([[graft.functions.KmvDistinct]]):
+    * the dup-rate denominator at corpus sizes where an exact
+    * COUNT(DISTINCT md5) shuffles every digest — bounded k-longs state,
+    * exact below k distinct. */
+  def distinctTextEstimate(k: Int = 1024): DataFrame = {
+    import graft.functions.KmvSketch
+    docs.select(KmvSketch.hash60(col(textCol)).as("_h"))
+      .agg(round(KmvSketch.kmvDistinct(col("_h"), k), 3).as("n_distinct_est"))
+  }
+
   /** Per-stratum EXACT quality quantiles (doc_quality_quantiles) — how a
     * curation run picks per-stratum score thresholds ("keep the top 40% of
     * each language"). `percentile` is Spark's exact interpolated quantile:

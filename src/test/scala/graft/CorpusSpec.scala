@@ -112,6 +112,18 @@ class CorpusSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.0, "no doc reaches 60 tokens")
   }
 
+  test("rollup subtotals and the KMV distinct estimate agree with exact counts") {
+    val withDims = docs.withColumn("src",
+      when(col("doc_id") <= 3, "a").otherwise("b"))
+    val rows = Corpus(withDims).rollup("src").collect()
+      .map(r => Option(r.getString(0)).getOrElse("ALL") -> r.getLong(1)).toMap
+    assert(rows == Map("a" -> 3L, "b" -> 3L, "ALL" -> 6L),
+      s"per-src counts + grand total in one pass, got $rows")
+    // 5 distinct texts, k=1024 ≫ 5 → the KMV estimate is EXACT
+    val est = Corpus(docs).distinctTextEstimate().collect()(0).getDouble(0)
+    assert(est == 5.0, s"below-k KMV is exact, got $est")
+  }
+
   test("dedupFingerprint drops the passage-copying doc, keeps unrelated ones") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog near the river bank"
