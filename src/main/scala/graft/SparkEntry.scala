@@ -33,6 +33,7 @@ object SparkEntry {
     "ts_build_monthly"   -> ((s, d) => SeriesFrame.ordersMonthly(s, d)),
     "mv_build_segments"  -> ((s, d) => SeriesFrame.segmentMonthly(s, d).orderBy(SeriesId, Ds)),
     "ts_build_star"      -> ((s, d) => SeriesFrame.nationMonthly(s, d).orderBy(SeriesId, Ds)),
+    "mv_star_fit"        -> ((s, d) => qMvStarFit(s, d)),
     "events_kmv_users"   -> ((s, d) => qEventsKmvUsers(s, d)),
     "doc_source_rollup"  -> ((s, d) => qDocSourceRollup(s, d)),
     "emb_centroids"      -> ((s, d) => qEmbCentroids(s, d)),
@@ -1734,6 +1735,24 @@ object SparkEntry {
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("centroid"))
 
+  /** Star-schema ingest feeding the per-series model tier end to end:
+    * z-score each of the 25 nation series from [[SeriesFrame.nationMonthly]],
+    * add (t, ar_1), and fit every per-series OLS equation through ONE
+    * grouped moments aggregation + executor-side Cholesky solves
+    * ([[graft.models.GroupedOls]]) — the 10⁶-series fit shape applied
+    * directly to the lake-join series build. The oracle replays the star
+    * join, the per-series z-score, and 25 grouped Cholesky chains. */
+  private def qMvStarFit(s: SparkSession, d: String): DataFrame = {
+    val base = SeriesFrame.nationMonthly(s, d)
+    val z = Transforms.scaleT(base).transform(base)
+    val withF = FeatureOps.addArTerms(FeatureOps.addTimeTrend(z), 1)
+    graft.models.GroupedOls.fitBySeries(withF, Seq("t", "ar_1"))
+      .select(col(SeriesId),
+        round(element_at(col("beta"), 1), 6).as("b0"),
+        round(element_at(col("beta"), 2), 6).as("b_t"),
+        round(element_at(col("beta"), 3), 6).as("b_ar1"))
+  }
+
   /** Cluster-prototypical semantic prune over the embedding table — the
     * cheap first pass of SemDeDup-style curation: per cluster label, score
     * every vector's cosine against the CLUSTER CENTROID and drop all but
@@ -2076,6 +2095,32 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // star join → per-nation z-score → 25 grouped Cholesky OLS solves
+    "mv_star_fit" ->
+      s"""WITH base AS (
+         |  SELECT n_name AS series_id,
+         |    CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+         |    ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS y
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2),
+         |zp AS (SELECT series_id, avg(y) AS mu, stddev_samp(y) AS sd
+         |       FROM base GROUP BY 1),
+         |series AS (SELECT base.series_id, ds, (y - mu) / sd AS y
+         |           FROM base JOIN zp USING (series_id)),
+         |feats AS (SELECT series_id, ds, y,
+         |    CAST(row_number() OVER (PARTITION BY series_id ORDER BY ds) AS DOUBLE) AS t,
+         |    lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS ar_1
+         |  FROM series),
+         |rws AS (SELECT * FROM feats WHERE ar_1 IS NOT NULL),
+         |${OracleGen.momentsCte("sf", Seq("t", "ar_1"), "rws", keys = Seq("series_id"))},
+         |${OracleGen.solveCtes("sf", 2)}
+         |SELECT series_id, ROUND(beta_0, 6) AS b0, ROUND(beta_1, 6) AS b_t,
+         |  ROUND(beta_2, 6) AS b_ar1
+         |FROM sf_fit""".stripMargin,
 
     // KMV distinct sketch: k-th smallest distinct 60-bit md5-prefix hash;
     // exact count below k=16 distinct, (k-1)/u_k estimate above
