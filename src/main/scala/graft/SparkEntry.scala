@@ -39,6 +39,7 @@ object SparkEntry {
     "emb_centroids"      -> ((s, d) => qEmbCentroids(s, d)),
     "emb_semdedup"       -> ((s, d) => qEmbSemdedup(s, d)),
     "events_stream_join" -> ((s, d) => qEventsStreamJoin(s, d)),
+    "events_kmv_stream"  -> ((s, d) => qEventsKmvStream(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
     "ts_naive"           -> ((s, d) => qNaive(s, d)),
@@ -1837,6 +1838,43 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** [[graft.functions.KmvDistinct]] composed with Structured Streaming:
+    * the per-hour distinct-user KMV estimate computed AS A STREAM — the
+    * sketch's k-longs buffer is exactly what the streaming state store
+    * holds per hour, so continuous cardinality monitoring carries bounded
+    * state where a streaming COUNT(DISTINCT) is simply DISALLOWED by the
+    * engine (distinct aggregation cannot be incrementalized) — the sketch
+    * is how a stream answers cardinality at all. Oracle: the batch KMV
+    * replay (the sketch is a pure function of the hash set, and one
+    * file = one micro-batch under `Trigger.AvailableNow`). */
+  private def qEventsKmvStream(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvSketch
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.eventsRawSchema(s, d)
+    val linkDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(linkDir.toString))
+    val agg = stream
+      .select(expr("(ts div 3600000000000) * 3600000").as("hour_ms"),
+        KmvSketch.hash60(col("user_id")).as("h"))
+      .groupBy("hour_ms")
+      .agg(round(KmvSketch.kmvDistinct(col("h"), 16), 6).as("n_est"))
+    val sink = "events_kmv_stream_sink"
+    s.catalog.dropTempView(sink)
+    withStreamWidth(s, 8) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(sink)
+  }
+
   /** [[graft.streaming.EventStreams.intervalJoinStream]] declared: the 24h
     * view→click attribution pairs as a STREAM-STREAM inner join — two
     * `readStream` sources, event-time watermarks on BOTH sides, and the
@@ -2170,6 +2208,21 @@ object SparkEntry {
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // streaming KMV == the batch sketch replay (estimate only: a stream
+    // cannot COUNT(DISTINCT) at all)
+    "events_kmv_stream" ->
+      """WITH e AS (SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |d AS (SELECT DISTINCT hour_ms, h FROM e),
+        |r AS (SELECT hour_ms, h,
+        |        row_number() OVER (PARTITION BY hour_ms ORDER BY h) AS rn,
+        |        count(*) OVER (PARTITION BY hour_ms) AS cnt FROM d)
+        |SELECT hour_ms,
+        |  ROUND(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
+        |        ELSE 15.0 / (h / 1152921504606846976.0) END, 6) AS n_est
+        |FROM r WHERE rn = least(cnt, CAST(16 AS BIGINT))""".stripMargin,
 
     // stream-stream interval join == the batch range predicate
     "events_stream_join" ->
