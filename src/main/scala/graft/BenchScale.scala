@@ -103,6 +103,17 @@ object BenchScale {
           graft.eval.AutoSelect.autoXvarSelectBySeries(frame)
             .write.mode("overwrite").format("noop").save()
         },
+        "svr_by_series" -> time {
+          val withT = graft.functions.FeatureOps.addTimeTrend(frame)
+          graft.models.Svr.fitPredictBySeries(withT, Seq("t"), maxSweeps = 100)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "mlp_by_series" -> time {
+          val withT = graft.functions.FeatureOps.addTimeTrend(frame)
+          graft.models.MlpNet.fitPredictBySeries(withT, Seq("t"),
+            hidden = 4, maxIter = 60)
+            .write.mode("overwrite").format("noop").save()
+        },
         "blockedvar_screen_fit" -> time {
           val block = graft.models.BlockedVar.screenApprox(frame,
             maxSources = 2, minAbsCorr = 0.6, profileWindow = 64)
