@@ -40,6 +40,7 @@ object SparkEntry {
     "emb_semdedup"       -> ((s, d) => qEmbSemdedup(s, d)),
     "events_stream_join" -> ((s, d) => qEventsStreamJoin(s, d)),
     "events_kmv_stream"  -> ((s, d) => qEventsKmvStream(s, d)),
+    "events_value_sketch" -> ((s, d) => qEventsValueSketch(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
     "ts_naive"           -> ((s, d) => qNaive(s, d)),
@@ -1838,6 +1839,29 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** [[graft.functions.HashSample]] declared: per-event-type value
+    * quantiles estimated from the deterministic k-smallest-hash sample
+    * (k = 64) — bounded-state quantiles where the exact form
+    * ([[graft.Corpus.qualityQuantiles]]'s `percentile`) sorts whole
+    * groups. The sample is a pure function of the row keys, so DuckDB
+    * replays it exactly: rank by md5-prefix hash, keep rn ≤ k,
+    * `quantile_cont` over the subset. The interpolated quantile of the
+    * sample is computed by Spark's exact `percentile` over the emitted
+    * 64-value arrays — post-aggregation rows, not the raw scan. */
+  private def qEventsValueSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvSketch
+    Tables.events(s, d)
+      .select(col("event_type"), KmvSketch.hash60(col("event_id")).as("h"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(KmvSketch.hashSample(col("h"), col("value"), 64).as("sample"))
+      .select(col("event_type"), explode(col("sample")).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(v, 0.5)"), 6).as("p50_est"),
+        round(expr("percentile(v, 0.9)"), 6).as("p90_est"))
+  }
+
   /** [[graft.functions.KmvDistinct]] composed with Structured Streaming:
     * the per-hour distinct-user KMV estimate computed AS A STREAM — the
     * sketch's k-longs buffer is exactly what the streaming state store
@@ -2208,6 +2232,19 @@ object SparkEntry {
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // hash-sample quantile sketch: rank by hash, keep 64, quantile_cont
+    "events_value_sketch" ->
+      """WITH h AS (SELECT event_type, value,
+        |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |s AS (SELECT event_type, value FROM r WHERE rn <= 64)
+        |SELECT event_type, count(*) AS n_sample,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50_est,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90_est
+        |FROM s GROUP BY 1""".stripMargin,
 
     // streaming KMV == the batch sketch replay (estimate only: a stream
     // cannot COUNT(DISTINCT) at all)

@@ -56,6 +56,12 @@ object GraftFunctions {
         arity("kmv_distinct", args, 2)
         KmvDistinct(args(0), intLit(args(1), "kmv_distinct", "k"))
       }),
+    (FunctionIdentifier("hash_sample"),
+      new ExpressionInfo(classOf[HashSample].getCanonicalName, "hash_sample"),
+      (args: Seq[Expression]) => {
+        arity("hash_sample", args, 3)
+        HashSample(args(0), args(1), intLit(args(2), "hash_sample", "k"))
+      }),
     (FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getCanonicalName, "topk_pairs"),
       (args: Seq[Expression]) => {

@@ -113,6 +113,101 @@ case class KmvDistinct(
     copy(child = newChild)
 }
 
+/** Bounded deterministic uniform sample: keep the payloads of the k rows
+  * with the SMALLEST hash per group — because the hash is uniform and a
+  * pure function of the row key, the k-smallest-hash subset IS a uniform
+  * random sample of the group, chosen identically under any partitioning,
+  * merge order, or engine. The sample-quantile estimator built on it
+  * (`percentile` over the emitted array) is therefore exactly replayable
+  * in SQL (rank by hash, keep rn ≤ k, quantile_cont) — the deterministic
+  * counterpart of reservoir sampling, with KMV's bounded-buffer and
+  * mergeable-partial properties. State: k (hash, value) pairs per group.
+  */
+case class HashSample(
+    hash: Expression,
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Double]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def left: Expression = hash
+  override def right: Expression = value
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hash.dataType == LongType && value.dataType == DoubleType && k >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hash_sample needs (LONG hash, DOUBLE value) and k >= 1, got " +
+        s"${hash.dataType}, ${value.dataType}, k=$k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hash_sample"
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Double] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+
+  private def trim(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Unit =
+    while (buf.size() > k) buf.pollLastEntry()
+
+  override def update(
+      buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val h = hash.eval(input)
+    val v = value.eval(input)
+    if (h != null && v != null) {
+      val hl = h.asInstanceOf[Long]
+      if (buf.size() < k || hl < buf.lastKey()) {
+        buf.put(hl, v.asInstanceOf[Double]); trim(buf)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      other: java.util.TreeMap[java.lang.Long, java.lang.Double]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    buf.putAll(other); trim(buf); buf
+  }
+
+  /** Values ordered by ascending hash (a fixed, partitioning-independent
+    * order). */
+  override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Any = {
+    val out = new Array[Any](buf.size())
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().doubleValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.size() * 16)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); bb.putLong(e.getKey); bb.putDouble(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val buf = createAggregationBuffer()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) buf.put(bb.getLong(), bb.getDouble())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HashSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HashSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashSample =
+    copy(hash = newLeft, value = newRight)
+}
+
 object KmvSketch {
   /** Aggregate Column form: `kmvDistinct(hashCol, k)` — groupBy-able like any
     * built-in aggregate. `hashCol` must already be the engine's 60-bit
@@ -120,6 +215,13 @@ object KmvSketch {
   def kmvDistinct(hash: Column, k: Int): Column =
     GraftColumns.column(
       KmvDistinct(GraftColumns.expression(hash), k).toAggregateExpression())
+
+  /** Aggregate Column form of [[HashSample]]: the payloads of the k
+    * smallest-hash rows per group, hash-ascending. */
+  def hashSample(hash: Column, value: Column, k: Int): Column =
+    GraftColumns.column(
+      HashSample(GraftColumns.expression(hash), GraftColumns.expression(value), k)
+        .toAggregateExpression())
 
   /** The engine's cross-engine-stable 60-bit uniform hash of any column:
     * first 15 hex chars of md5 of the value's canonical string form.

@@ -49,6 +49,37 @@ class SketchSpec extends SparkSpec {
     assert(out("a") === 2.0 && out("b") === 1.0)
   }
 
+  test("hash_sample keeps exactly the k smallest-hash payloads, hash-ordered") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i * 1.5)).toDF("id", "v")
+      .select(KmvSketch.hash60(col("id")).as("h"), col("v"))
+    val sample = df.agg(KmvSketch.hashSample(col("h"), col("v"), 10))
+      .head().getSeq[Double](0)
+    // replay: sort ids by their hash, take 10, map to payloads
+    val expected = (1L to 100L)
+      .map(i => (i, i * 1.5))
+      .map { case (i, v) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.take(15), 16), v)
+      }.sortBy(_._1).take(10).map(_._2)
+    assert(sample === expected)
+  }
+
+  test("hash_sample is partition-invariant and under-full groups emit all rows") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i % 3, i, i * 0.25)).toDF("g", "id", "v")
+      .select(col("g"), KmvSketch.hash60(col("id")).as("h"), col("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(KmvSketch.hashSample(col("h"), col("v"), 16).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(run(df.coalesce(1)) === run(df.repartition(13)))
+    val small = (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .select(KmvSketch.hash60(col("id")).as("h"), col("v"))
+    assert(small.agg(KmvSketch.hashSample(col("h"), col("v"), 16))
+      .head().getSeq[Double](0).size === 5)
+  }
+
   test("hash60 stays inside the 60-bit domain") {
     val mx = hashed((1L to 1000L)).agg(max(col("h")), min(col("h"))).head()
     assert(mx.getLong(0) < 1152921504606846976L && mx.getLong(1) >= 0L)

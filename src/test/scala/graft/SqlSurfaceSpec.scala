@@ -27,6 +27,9 @@ class SqlSurfaceSpec extends SparkSpec {
       .createOrReplaceTempView("sql_hashed")
     val est = spark.sql("SELECT kmv_distinct(h, 16) FROM sql_hashed").head().getDouble(0)
     assert(est > 100.0 && est < 400.0)
+    assert(spark.sql(
+      "SELECT size(hash_sample(h, CAST(id AS DOUBLE), 8)) FROM sql_hashed")
+      .head().getInt(0) === 8)
     // below k distinct → exact
     assert(spark.sql("SELECT kmv_distinct(h, 16) FROM sql_hashed WHERE id < 5")
       .head().getDouble(0) === 5.0)
