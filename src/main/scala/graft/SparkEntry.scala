@@ -41,6 +41,7 @@ object SparkEntry {
     "events_stream_join" -> ((s, d) => qEventsStreamJoin(s, d)),
     "events_kmv_stream"  -> ((s, d) => qEventsKmvStream(s, d)),
     "events_value_sketch" -> ((s, d) => qEventsValueSketch(s, d)),
+    "events_session_window" -> ((s, d) => qSessionWindow(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
     "ts_naive"           -> ((s, d) => qNaive(s, d)),
@@ -1839,6 +1840,24 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Native `session_window` sessionization — the DECLARATIVE twin of the
+    * custom-state sessionizer (`events_sessionize` /
+    * `flatMapGroupsWithState`): when the semantics fit the built-in
+    * operator (gap-merged windows + associative aggs), prefer it — Catalyst
+    * plans the window merge itself, streaming state comes free, and no
+    * user state machine exists to get wrong. The custom-state path remains
+    * for semantics the built-in can't express (session numbering,
+    * mid-session emission). Oracle: the same 30-minute gap rule stated via
+    * lag/cumsum CTEs, keyed by session START instead of session number. */
+  private def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("tts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("tts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        col("n_events"), col("sum_value"))
+
   /** [[graft.functions.HashSample]] declared: per-event-type value
     * quantiles estimated from the deterministic k-smallest-hash sample
     * (k = 64) — bounded-state quantiles where the exact form
@@ -2232,6 +2251,28 @@ object SparkEntry {
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // native session_window == the gap-rule CTEs keyed by session start.
+    // NB session_window's gap is ts < prev + 30min (strict), while the
+    // numbered sessionize splits on ts - prev > 30min — an event exactly
+    // 30min after its predecessor SPLITS here and CONTINUES there; the
+    // oracle states this query's own rule (>=) rather than reusing the
+    // other's.
+    "events_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flag AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sn
+        |  FROM flag)
+        |SELECT user_id, min(ms) AS start_ms, count(*) AS n_events,
+        |  ROUND(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, sn""".stripMargin,
 
     // hash-sample quantile sketch: rank by hash, keep 64, quantile_cont
     "events_value_sketch" ->
