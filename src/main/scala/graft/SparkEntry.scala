@@ -34,6 +34,8 @@ object SparkEntry {
     "mv_build_segments"  -> ((s, d) => SeriesFrame.segmentMonthly(s, d).orderBy(SeriesId, Ds)),
     "ts_build_star"      -> ((s, d) => SeriesFrame.nationMonthly(s, d).orderBy(SeriesId, Ds)),
     "mv_star_fit"        -> ((s, d) => qMvStarFit(s, d)),
+    "ts_build_brand_weekly" -> ((s, d) => qBuildBrandWeekly(s, d)),
+    "sales_inactive_suppliers" -> ((s, d) => qInactiveSuppliers(s, d)),
     "events_kmv_users"   -> ((s, d) => qEventsKmvUsers(s, d)),
     "doc_source_rollup"  -> ((s, d) => qDocSourceRollup(s, d)),
     "emb_centroids"      -> ((s, d) => qEmbCentroids(s, d)),
@@ -1738,6 +1740,40 @@ object SparkEntry {
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("centroid"))
 
+  /** Weekly shipped-quantity series per part brand — the second lake
+    * ingest shape: lineitem ⨝ part (mid-size dim through the size-gated
+    * broadcast), weekly truncation (`weekofyear` frequency feeds the
+    * weekly-naive tier). Quantities are exact integers in the fixture, so
+    * the sum needs no rounding discipline. */
+  private def qBuildBrandWeekly(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_shipdate"), col("l_quantity"))
+      .join(graft.core.Joins.maybeBroadcast(
+          Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as(SeriesId),
+        date_trunc("week", col("l_shipdate")).cast("date").as(Ds))
+      .agg(round(sum("l_quantity"), 2).as(Y))
+      .withColumn(IsFuture, lit(false))
+      .select(SeriesId, Ds, Y, IsFuture)
+      .orderBy(SeriesId, Ds)
+
+  /** Suppliers with no shipments in the fixture's final month — the
+    * anti-join churn/inactivity check over the supplier dimension: one
+    * aggregate for the cutoff (broadcast one-row frame), one left_anti
+    * against the pruned fact columns. */
+  private def qInactiveSuppliers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_shipdate"))
+    val cutoff = li.agg(add_months(date_trunc("month", max("l_shipdate")), 0)
+      .as("m0"))
+    val active = li.join(broadcast(cutoff))
+      .filter(date_trunc("month", col("l_shipdate")) === col("m0"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      .join(active, col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .orderBy("s_suppkey")
+  }
+
   /** Star-schema ingest feeding the per-series model tier end to end:
     * z-score each of the 25 nation series from [[SeriesFrame.nationMonthly]],
     * add (t, ar_1), and fit every per-series OLS equation through ONE
@@ -2176,6 +2212,23 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // weekly (ISO Monday-truncated) brand quantity series off lineitem⨝part
+    "ts_build_brand_weekly" ->
+      """SELECT p_brand AS series_id,
+        |  CAST(date_trunc('week', l_shipdate) AS DATE) AS ds,
+        |  ROUND(SUM(l_quantity), 2) AS y, FALSE AS is_future
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // anti-join inactivity: suppliers without a shipment in the final month
+    "sales_inactive_suppliers" ->
+      """WITH mx AS (SELECT date_trunc('month', max(l_shipdate)) AS m0 FROM lineitem),
+        |a AS (SELECT DISTINCT l_suppkey FROM lineitem, mx
+        |      WHERE date_trunc('month', l_shipdate) = m0)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey NOT IN (SELECT l_suppkey FROM a)
+        |ORDER BY s_suppkey""".stripMargin,
 
     // star join → per-nation z-score → 25 grouped Cholesky OLS solves
     "mv_star_fit" ->
