@@ -36,6 +36,7 @@ object SparkEntry {
     "mv_star_fit"        -> ((s, d) => qMvStarFit(s, d)),
     "ts_build_brand_weekly" -> ((s, d) => qBuildBrandWeekly(s, d)),
     "sales_inactive_suppliers" -> ((s, d) => qInactiveSuppliers(s, d)),
+    "sales_region_share" -> ((s, d) => qRegionShare(s, d)),
     "events_kmv_users"   -> ((s, d) => qEventsKmvUsers(s, d)),
     "doc_source_rollup"  -> ((s, d) => qDocSourceRollup(s, d)),
     "emb_centroids"      -> ((s, d) => qEmbCentroids(s, d)),
@@ -1740,6 +1741,30 @@ object SparkEntry {
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("centroid"))
 
+  /** Revenue share per region — the full dim chain
+    * (orders ⨝ customer ⨝ nation ⨝ region, successively smaller broadcast
+    * dims) plus a broadcast one-row grand total, so the share computation
+    * adds no second fact pass. Cents-quantized totals (the ts_build_star
+    * discipline). */
+  private def qRegionShare(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .join(graft.core.Joins.maybeBroadcast(
+          Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(sum("cents").as("cents"))
+    val total = rev.agg(sum("cents").as("tot"))
+    rev.join(broadcast(total))
+      .select(col("region"), round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("cents") / col("tot"), 6).as("share"))
+  }
+
   /** Weekly shipped-quantity series per part brand — the second lake
     * ingest shape: lineitem ⨝ part (mid-size dim through the size-gated
     * broadcast), weekly truncation (`weekofyear` frequency feeds the
@@ -2220,6 +2245,21 @@ object SparkEntry {
         |  ROUND(SUM(l_quantity), 2) AS y, FALSE AS is_future
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // region revenue share off the full dim chain; integer-cents totals
+    "sales_region_share" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev)
+        |SELECT region, ROUND(cents / 100.0, 2) AS revenue,
+        |  ROUND(cents / tot, 6) AS share
+        |FROM rev, tot""".stripMargin,
 
     // anti-join inactivity: suppliers without a shipment in the final month
     "sales_inactive_suppliers" ->
