@@ -80,6 +80,18 @@ class SketchSpec extends SparkSpec {
       .head().getSeq[Double](0).size === 5)
   }
 
+  test("empty and all-null inputs produce the identity results, not errors") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("id")
+      .select(KmvSketch.hash60(col("id")).as("h"))
+    assert(empty.agg(KmvSketch.kmvDistinct(col("h"), 16)).head().getDouble(0) === 0.0)
+    assert(empty.agg(KmvSketch.hashSample(col("h"),
+      col("h").cast("double"), 4)).head().getSeq[Double](0).isEmpty)
+    val nulls = Seq(Some(1L), None, None).toDF("id")
+      .select(when(col("id").isNotNull, KmvSketch.hash60(col("id"))).as("h"))
+    assert(nulls.agg(KmvSketch.kmvDistinct(col("h"), 16)).head().getDouble(0) === 1.0)
+  }
+
   test("hash60 stays inside the 60-bit domain") {
     val mx = hashed((1L to 1000L)).agg(max(col("h")), min(col("h"))).head()
     assert(mx.getLong(0) < 1152921504606846976L && mx.getLong(1) >= 0L)
