@@ -45,6 +45,7 @@ object SparkEntry {
     "events_kmv_stream"  -> ((s, d) => qEventsKmvStream(s, d)),
     "events_value_sketch" -> ((s, d) => qEventsValueSketch(s, d)),
     "events_session_window" -> ((s, d) => qSessionWindow(s, d)),
+    "events_stream_enrich" -> ((s, d) => qEventsStreamEnrich(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
     "ts_naive"           -> ((s, d) => qNaive(s, d)),
@@ -1901,6 +1902,44 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stream-STATIC enrichment join — the third streaming join class next
+    * to stream-stream (`events_stream_join`) and the stateful ops: a
+    * purchase stream left-joined to a STATIC per-user dimension (first
+    * view time) built batch-side. No watermark or join-state needed — the
+    * static side broadcasts into every micro-batch, the standard
+    * dimension-enrichment shape for continuous ingest (at 100 TB the
+    * static side is the size-gated param-join frame, refreshed by
+    * restarting the query). Oracle: the identical batch left join. */
+  private def qEventsStreamEnrich(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val firstView = Tables.events(s, d).filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("fv"))
+    val schema = Tables.eventsRawSchema(s, d)
+    val linkDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val purchases = Tables.normalizeEventTs(
+        s.readStream.schema(schema).parquet(linkDir.toString))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val enriched = purchases
+      .join(graft.core.Joins.maybeBroadcast(firstView), Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        expr("(ts - fv) div 1000000").as("since_view_ms"))
+    val sink = "events_stream_enrich_sink"
+    s.catalog.dropTempView(sink)
+    withStreamWidth(s, 8) {
+      val q = enriched.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(sink)
+  }
+
   /** Native `session_window` sessionization — the DECLARATIVE twin of the
     * custom-state sessionizer (`events_sessionize` /
     * `flatMapGroupsWithState`): when the semantics fit the built-in
@@ -2344,6 +2383,15 @@ object SparkEntry {
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // stream-static enrichment == the identical batch left join
+    "events_stream_enrich" ->
+      """WITH v AS (SELECT user_id, min(ts) AS fv FROM events
+        |           WHERE event_type = 'view' GROUP BY 1)
+        |SELECT p.user_id, p.event_id,
+        |  (epoch_us(p.ts) - epoch_us(v.fv)) // 1000 AS since_view_ms
+        |FROM events p LEFT JOIN v USING (user_id)
+        |WHERE p.event_type = 'purchase'""".stripMargin,
 
     // native session_window == the gap-rule CTEs keyed by session start.
     // NB session_window's gap is ts < prev + 30min (strict), while the
