@@ -46,6 +46,7 @@ object SparkEntry {
     "events_value_sketch" -> ((s, d) => qEventsValueSketch(s, d)),
     "events_session_window" -> ((s, d) => qSessionWindow(s, d)),
     "events_stream_enrich" -> ((s, d) => qEventsStreamEnrich(s, d)),
+    "events_anomaly"     -> ((s, d) => qEventsAnomaly(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
     "ts_naive"           -> ((s, d) => qNaive(s, d)),
@@ -1902,6 +1903,29 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Trailing-window anomaly flags over hourly event volume: each hour's
+    * count z-scored against the previous 24 hours' mean/std, |z| ≥ 3
+    * flagged — the monitoring shape every event pipeline runs. The sliding
+    * frame operates on the ALREADY-REDUCED hourly frame, whose row count
+    * is calendar-bounded (hours, not events), so the single-partition
+    * window is fine at any fact-table size; the flag thresholds the
+    * ROUNDED z so cross-engine float noise can't flip a boundary hour. */
+  private def qEventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hour_ms").rowsBetween(-24, -1)
+    hourly
+      .withColumn("_mu", avg(col("n")).over(w))
+      .withColumn("_sd", stddev_samp(col("n").cast("double")).over(w))
+      .withColumn("_cnt", count(col("n")).over(w))
+      .filter(col("_cnt") === 24 && col("_sd") > 0)
+      .withColumn("z", round((col("n") - col("_mu")) / col("_sd"), 6))
+      .select(col("hour_ms"), col("n"), col("z"),
+        (abs(col("z")) >= 3.0).as("is_anomaly"))
+  }
+
   /** Stream-STATIC enrichment join — the third streaming join class next
     * to stream-stream (`events_stream_join`) and the stateful ops: a
     * purchase stream left-joined to a STATIC per-user dimension (first
@@ -2383,6 +2407,21 @@ object SparkEntry {
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // trailing-24h z-score anomaly flags on the reduced hourly frame
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |wnd AS (
+        |  SELECT hour_ms, n,
+        |    avg(n) OVER (ORDER BY hour_ms ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
+        |    stddev_samp(CAST(n AS DOUBLE)) OVER (ORDER BY hour_ms ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd,
+        |    count(n) OVER (ORDER BY hour_ms ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS cnt
+        |  FROM hourly)
+        |SELECT hour_ms, n, ROUND((n - mu) / sd, 6) AS z,
+        |  (abs(ROUND((n - mu) / sd, 6)) >= 3.0) AS is_anomaly
+        |FROM wnd WHERE cnt = 24 AND sd > 0""".stripMargin,
 
     // stream-static enrichment == the identical batch left join
     "events_stream_enrich" ->
