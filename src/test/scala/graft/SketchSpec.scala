@@ -92,6 +92,37 @@ class SketchSpec extends SparkSpec {
     assert(nulls.agg(KmvSketch.kmvDistinct(col("h"), 16)).head().getDouble(0) === 1.0)
   }
 
+  test("∀ generated inputs: hash_sample and kmv match brute-force replay") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def md560(i: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val gen = for {
+      n    <- Gen.choose(1, 120)
+      k    <- Gen.choose(2, 32)
+      dups <- Gen.choose(0, 3)
+      lo   <- Gen.choose(0L, 100000L)
+    } yield (((lo until lo + n) ++ (lo until lo + math.min(n, dups))).toSeq, k)
+    (1 to 8).foreach { i =>
+      val (ids, k) = gen(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = ids.map(x => (x, x * 0.5)).toDF("id", "v")
+        .repartition(3)
+        .select(KmvSketch.hash60(col("id")).as("h"), col("v"))
+      val r = df.agg(KmvSketch.kmvDistinct(col("h"), k),
+        KmvSketch.hashSample(col("h"), col("v"), k)).head()
+      val hs = ids.distinct.map(x => (md560(x), x * 0.5)).sortBy(_._1)
+      val expEst =
+        if (hs.length < k) hs.length.toDouble
+        else (k - 1).toDouble / (hs(k - 1)._1.toDouble / 1152921504606846976.0)
+      assert(math.abs(r.getDouble(0) - expEst) < 1e-9, s"kmv case $i")
+      assert(r.getSeq[Double](1) === hs.take(k).map(_._2), s"sample case $i")
+    }
+  }
+
   test("hash60 stays inside the 60-bit domain") {
     val mx = hashed((1L to 1000L)).agg(max(col("h")), min(col("h"))).head()
     assert(mx.getLong(0) < 1152921504606846976L && mx.getLong(1) >= 0L)
