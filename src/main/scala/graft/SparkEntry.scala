@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.{SeriesFrame, Tables}
+import graft.Events
 import graft.core.SeriesFrame._
 import graft.functions.{FeatureOps, Metrics, TextOps}
 import graft.models.Baselines
@@ -1404,20 +1405,8 @@ object SparkEntry {
     graft.functions.Diagnostics.corrMatrix(segmentMonthlyM(s, d))
       .select(col("sid_a"), col("sid_b"), round(col("corr"), 6).as("corr"), col("n"))
 
-  private def qSessionize(s: SparkSession, d: String): DataFrame = {
-    val uw = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(s, d)
-      .withColumn("ms", expr("ts div 1000000")) // ts is epoch-ns LONG; integer div (no double round-trip)
-      .withColumn("prev_ms", lag(col("ms"), 1).over(uw))
-      .withColumn("new_s",
-        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
-      .withColumn("session_num", sum(col("new_s")).over(
-        uw.rowsBetween(Window.unboundedPreceding, 0)))
-    ev.groupBy(col("user_id"), col("session_num"))
-      .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
-        (max(col("ms")) - min(col("ms"))).as("duration_ms"),
-        round(sum(col("value")), 4).as("sum_value"))
-  }
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d)).sessionize()
 
   /** Gopher/C4 repetition gates (Rae et al. 2021 §A1.1): top-2-gram char
     * fraction, duplicate-3-gram char fraction, mean word length, and the
@@ -1660,10 +1649,7 @@ object SparkEntry {
   }
 
   private def qEventsHourly(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d) // ts is epoch-ns LONG; truncate to the hour in ms (integer div)
-      .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+    Events(Tables.events(s, d)).hourly
 
   /** Windowed conversion funnel (view → click → purchase, each next
     * stage within 24h of the previous): each stage is the users whose
@@ -1674,38 +1660,16 @@ object SparkEntry {
     * the parquet scan). The 24h bound makes the ordering genuinely
     * binding on the fixture (~32h mean inter-event gap per user).
     * Output: stage → user count. */
-  private def qEventsFunnel(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val day = 86400L * 1000 * 1000 * 1000 // 24h in epoch-ns
-    val c = e.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + lit(day))
-      .groupBy("user_id").agg(min("ts").as("t2"))
-    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + lit(day))
-      .groupBy("user_id").agg(min("ts").as("t3"))
-    def stage(df: DataFrame, name: String) =
-      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
-    stage(v, "view").union(stage(c, "click")).union(stage(p, "purchase"))
-      .select(col("stage"), col("n_users"))
-  }
+  private def qEventsFunnel(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d))
+      .funnel(Seq("view", "click", "purchase"), 86400L * 1000 * 1000 * 1000)
 
   /** Cohort retention matrix: users grouped by first-seen day, counted on
     * each of their active days in the first week (offset 0–7). One
     * distinct (user, day) reduction, a per-user min, and one aggregation —
     * the user dimension never leaves its shuffle key. */
-  private def qEventsRetention(s: SparkSession, d: String): DataFrame = {
-    val ed = Tables.events(s, d)
-      .select(col("user_id"), expr("(ts div 86400000000000) * 86400000").as("day_ms"))
-      .distinct()
-    val c = ed.groupBy("user_id").agg(min("day_ms").as("c0"))
-    ed.join(c, "user_id")
-      .withColumn("day_offset", expr("(day_ms - c0) div 86400000"))
-      .filter(col("day_offset") <= 7)
-      .groupBy(col("c0").as("cohort_ms"), col("day_offset"))
-      .agg(count(lit(1)).as("n_users"))
-  }
+  private def qEventsRetention(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d)).retention(7)
 
   /** Hourly heavy hitters: top-3 users by event count per hour, rank
     * deterministic on (count desc, user_id asc). Shape: one aggregation
@@ -1716,18 +1680,8 @@ object SparkEntry {
     * sorts nothing — the `row_number() OVER (PARTITION BY hour)` form
     * this replaces shuffles every (hour, user) row and sorts each hour
     * partition only to discard all but 3 (TopKSpec pins equality). */
-  private def qEventsTopkUsers(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TopK
-    Tables.events(s, d)
-      .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"),
-        col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("hour_ms"))
-      .agg(TopK.topkPairs(col("n"), col("user_id"), 3).as("top"))
-      .select(col("hour_ms"), inline(col("top")))
-      .select(col("hour_ms"), col("rank"), col("id").as("user_id"),
-        col("w").as("n"))
-  }
+  private def qEventsTopkUsers(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d)).topUsers(3)
 
   /** Per-label embedding centroids: mean vector per cluster label without
     * ever materializing a per-group vector collection — `posexplode` to
@@ -1877,15 +1831,8 @@ object SparkEntry {
     * set, so DuckDB replays the estimate bit-for-bit (k-th smallest
     * distinct md5-prefix hash). Hours with < 16 users give the exact
     * count; busier hours give the (k−1)/u_k estimate. */
-  private def qEventsKmvUsers(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.KmvSketch
-    Tables.events(s, d)
-      .select(expr("(ts div 3600000000000) * 3600000").as("hour_ms"),
-        KmvSketch.hash60(col("user_id")).as("h"))
-      .groupBy("hour_ms")
-      .agg(countDistinct(col("h")).as("n_exact"),
-        round(KmvSketch.kmvDistinct(col("h"), 16), 6).as("n_est"))
-  }
+  private def qEventsKmvUsers(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d)).distinctUsersByHour(16)
 
   /** Run a STREAMING query body under a narrower shuffle width. Stateful
     * streaming operators allocate one state store per shuffle partition
@@ -1910,21 +1857,8 @@ object SparkEntry {
     * is calendar-bounded (hours, not events), so the single-partition
     * window is fine at any fact-table size; the flag thresholds the
     * ROUNDED z so cross-engine float noise can't flip a boundary hour. */
-  private def qEventsAnomaly(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, d)
-      .groupBy(expr("(ts div 3600000000000) * 3600000").as("hour_ms"))
-      .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy("hour_ms").rowsBetween(-24, -1)
-    hourly
-      .withColumn("_mu", avg(col("n")).over(w))
-      .withColumn("_sd", stddev_samp(col("n").cast("double")).over(w))
-      .withColumn("_cnt", count(col("n")).over(w))
-      .filter(col("_cnt") === 24 && col("_sd") > 0)
-      .withColumn("z", round((col("n") - col("_mu")) / col("_sd"), 6))
-      .select(col("hour_ms"), col("n"), col("z"),
-        (abs(col("z")) >= 3.0).as("is_anomaly"))
-  }
+  private def qEventsAnomaly(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d)).anomalies()
 
   /** Stream-STATIC enrichment join — the third streaming join class next
     * to stream-stream (`events_stream_join`) and the stateful ops: a
@@ -1991,19 +1925,8 @@ object SparkEntry {
     * `quantile_cont` over the subset. The interpolated quantile of the
     * sample is computed by Spark's exact `percentile` over the emitted
     * 64-value arrays — post-aggregation rows, not the raw scan. */
-  private def qEventsValueSketch(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.KmvSketch
-    Tables.events(s, d)
-      .select(col("event_type"), KmvSketch.hash60(col("event_id")).as("h"),
-        col("value"))
-      .groupBy("event_type")
-      .agg(KmvSketch.hashSample(col("h"), col("value"), 64).as("sample"))
-      .select(col("event_type"), explode(col("sample")).as("v"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_sample"),
-        round(expr("percentile(v, 0.5)"), 6).as("p50_est"),
-        round(expr("percentile(v, 0.9)"), 6).as("p90_est"))
-  }
+  private def qEventsValueSketch(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d)).valueQuantileSketch(64)
 
   /** [[graft.functions.KmvDistinct]] composed with Structured Streaming:
     * the per-hour distinct-user KMV estimate computed AS A STREAM — the

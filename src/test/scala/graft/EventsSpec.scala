@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Events facade ([[graft.Events]]): the declared events_* queries pin the
+  * default parameterizations against DuckDB; this spec exercises the
+  * GENERALIZED parameters (custom funnel stages, gap, window, k) on a
+  * hand-computed fixture. */
+class EventsSpec extends SparkSpec {
+
+  /** (event_id, minute-offset, user, type, value) → canonical events frame
+    * with ts in epoch-ns. */
+  private def ev(rows: Seq[(Long, Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    val t0 = 1699999200000000000L // epoch-ns base, hour-aligned (÷3600 s)
+    rows.map { case (id, minute, u, t, v) =>
+      (id, t0 + minute * 60L * 1000 * 1000 * 1000, u, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("two-stage funnel with a custom window binds on the gap") {
+    val e = ev(Seq(
+      (1L, 0L, 1L, "a", 1.0), (2L, 5L, 1L, "b", 1.0),   // within 10 min
+      (3L, 0L, 2L, "a", 1.0), (4L, 30L, 2L, "b", 1.0),  // outside 10 min
+      (5L, 0L, 3L, "b", 1.0)))                          // b with no a
+    val out = Events(e).funnel(Seq("a", "b"), 10L * 60 * 1000 * 1000 * 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("sessionize honors a custom gap") {
+    val e = ev(Seq(
+      (1L, 0L, 1L, "x", 1.0), (2L, 4L, 1L, "x", 2.0), (3L, 20L, 1L, "x", 3.0)))
+    val five = Events(e).sessionize(gapMs = 5L * 60 * 1000).collect()
+    assert(five.length === 2, "5-minute gap splits the 20-minute jump")
+    val hour = Events(e).sessionize(gapMs = 60L * 60 * 1000).collect()
+    assert(hour.length === 1 && hour.head.getAs[Long]("n_events") === 3L)
+  }
+
+  test("topUsers k and anomalies window parameterize correctly") {
+    val e = ev((1L to 20L).map(i => (i, i % 3, i % 4, "x", 1.0)))
+    val top = Events(e).topUsers(2)
+    // per hour (all in one hour here): exactly 2 rows, rank 1..2
+    assert(top.count() === 2 &&
+      top.select("rank").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // anomalies: a 3-hour trailing window over a 5-hour spike fixture
+    val hours = ev((0L until 300L).map { i =>
+      val minute = i / 60 * 60 + i % 60 // one event per minute, 5 hours
+      (i + 1, minute, 1L, "x", 1.0)
+    })
+    val flags = Events(hours).anomalies(windowHours = 3, zThreshold = 3.0)
+    // constant volume → sd = 0 in every full window → no rows survive
+    assert(flags.count() === 0)
+  }
+}
