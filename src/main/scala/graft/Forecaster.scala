@@ -176,6 +176,23 @@ final case class Forecaster(
       case "knn" =>
         val feats = featureCols
         predictWithModel(flagged, KnnRegressor.fit(flagged, feats, p("k", 5.0).toInt))
+      // the reference's TF-Keras recurrent nets (models.py:561-878): native
+      // direct multi-horizon seq2vec — see [[graft.models.RnnNet]]. The net's
+      // output width spans both the horizon and the holdout, so the test
+      // window and the forecast are each ONE direct prediction.
+      case cell @ ("rnn" | "lstm") =>
+        val feats = featureCols
+        require(feats.nonEmpty,
+          s"$cell needs feature columns — addArTerms(n) builds the lag sequence")
+        val h = flagged.filter(col(IsFuture)).groupBy(col(SeriesId)).count()
+          .agg(max("count")).collect().headOption
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0).toInt))
+          .getOrElse(0)
+        val width = math.max(math.max(h, testLength), 1)
+        val m = RnnNet.fit(flagged, feats, cell, width,
+          units = p("units", 8.0).toInt, alpha = p("alpha", 1e-4),
+          maxIter = p("maxiter", 200.0).toInt, seed = p("seed", 42.0).toLong)
+        RnnNet.scoreFrame(flagged, m, feats)
       case algo =>
         val model = MllibTsEstimator(algo, featureCols, params, normalizer).fit(flagged)
         predictWithModel(flagged, model)

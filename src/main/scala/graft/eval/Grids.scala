@@ -62,6 +62,14 @@ object Grids {
     "mlp" -> Grid(Map(
       "hidden_layer_sizes" -> Seq(4, 8, 16),
       "alpha" -> Seq(1e-5, 1e-4, 1e-3))),
+    // the reference's rnn/lstm grids tune layer width, epochs, and lags
+    // (grids/example.py:47-53,86-103); lags are a feature recipe here
+    // (addArTerms), so the default grid spans the native net's width and
+    // optimizer-budget axes (models/RnnNet.scala)
+    "rnn" -> Grid(Map(
+      "units" -> Seq(4, 8, 16), "maxiter" -> Seq(100, 200))),
+    "lstm" -> Grid(Map(
+      "units" -> Seq(4, 8, 16), "maxiter" -> Seq(100, 200))),
     // example.py knn: n_neighbors 2..100 (capped at 20 — the reference's
     // 2..100 over a ≤100-ob series mostly aliases to the same neighbor sets)
     "knn" -> Grid(Map("k" -> (2 to 20).map(_.toDouble))),

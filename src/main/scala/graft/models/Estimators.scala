@@ -103,8 +103,10 @@ final case class MllibTsEstimator(
           "(Box-Cox MLE + trend + multi-period trigonometric seasonality; " +
           "ARMA error correction omitted - compose with 'arima' if needed)")
       case "rnn" | "lstm" => throw new UnsupportedOperationException(
-        s"estimator '$algo' is out of scope (no TF/Keras in a Spark-native " +
-          "engine); nearest supported nonlinear family: gbt/rf")
+        s"estimator '$algo' is a direct multi-horizon net, not a row scorer " +
+          "— it is served natively by graft.models.RnnNet through the " +
+          "Forecaster facade (setEstimator + manualForecast) or " +
+          "RnnNet.fitPredictBySeries")
       case other => throw new IllegalArgumentException(s"unknown algo $other")
     }
   }
