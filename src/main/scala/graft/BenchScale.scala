@@ -114,6 +114,12 @@ object BenchScale {
             hidden = 4, maxIter = 60)
             .write.mode("overwrite").format("noop").save()
         },
+        "rnn_by_series" -> time {
+          val withAr = FeatureOps.addArTerms(frame, 2)
+          graft.models.RnnNet.fitPredictBySeries(withAr, Seq("ar_1", "ar_2"),
+            "rnn", width = 3, units = 4, maxIter = 40)
+            .write.mode("overwrite").format("noop").save()
+        },
         "blockedvar_screen_fit" -> time {
           val block = graft.models.BlockedVar.screenApprox(frame,
             maxSources = 2, minAbsCorr = 0.6, profileWindow = 64)

@@ -98,6 +98,50 @@ object Grids {
       "fourier_order" -> Seq(1, 2, 3), "m2" -> Seq(0, 4, 6)))
   )
 
+  /** `gen_rnn_grid` (/root/reference/src/scalecast/util.py:1272-1360):
+    * seeded random sampler over the recurrent architecture space — random
+    * search for when the cartesian default grid is too wide to sweep.
+    *
+    * The reference draws `layer_tries` Keras layer stacks of
+    * (cell, units, activation, dropout) tuples. The native nets
+    * ([[graft.models.RnnNet]]) are single-cell tanh seq2vec regressors, so
+    * the architecture axes sample onto their counterparts: `layer_cell_pool`
+    * (SimpleRNN|LSTM) → the cell family, which here IS the estimator name
+    * (`rnn`|`lstm`); `units_pool` → the hidden width; `dropout_pool`'s
+    * regularization role → the ridge strength `alphaPool`; the activation
+    * pool collapses (tanh is the cell); the `uniform_*` flags are moot with
+    * one recurrent layer. The reference's epochs/kwargs axes cross every
+    * sampled architecture — `maxiterPool` plays that role. Same seed → same
+    * grid (`np.random.seed` parity); duplicate draws collapse.
+    *
+    * Returns estimator-name → tune rows: feed one entry to
+    * `setEstimator(cell).tune(rows)`, or the whole map to
+    * [[Evaluation.tuneTestForecast]]; cap with
+    * [[AutoSelect.limitGridSize]] (the reference's `limit_grid_size`). */
+  def genRnnGrid(layerTries: Int = 5,
+                 cellPool: Seq[String] = Seq("lstm"),
+                 unitsPool: Seq[Int] = Seq(4, 8, 16, 32),
+                 alphaPool: Seq[Double] = Seq(1e-4),
+                 maxiterPool: Seq[Int] = Seq(100, 200),
+                 seed: Long = 42L): Map[String, Seq[Map[String, Double]]] = {
+    require(layerTries > 0, "layerTries must be positive")
+    val bad = cellPool.filterNot(Set("rnn", "lstm"))
+    require(bad.isEmpty, s"cellPool entries must be rnn|lstm, got: ${bad.mkString(",")}")
+    require(unitsPool.nonEmpty && alphaPool.nonEmpty && maxiterPool.nonEmpty,
+      "every pool needs at least one value")
+    val rng = new scala.util.Random(seed)
+    val draws = IndexedSeq.fill(layerTries)((
+      cellPool(rng.nextInt(cellPool.size)),
+      unitsPool(rng.nextInt(unitsPool.size)).toDouble,
+      alphaPool(rng.nextInt(alphaPool.size)))).distinct
+    val rows = for {
+      (cell, units, alpha) <- draws
+      iters <- maxiterPool
+    } yield (cell, Map("units" -> units, "alpha" -> alpha,
+      "maxiter" -> iters.toDouble))
+    rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+  }
+
   /** User-registered grids (`set_grids_file` / a user's own Grids.py,
     * GridGenerator.py:3-32): overlay the defaults, including shadowing a
     * default grid for a builtin estimator. */

@@ -123,6 +123,63 @@ class RnnSpec extends SparkSpec {
     assert(f.setEstimator("rnn").defaultGrid.nonEmpty)
   }
 
+  test("genRnnGrid: deterministic in the seed, pool-bounded, estimator-keyed") {
+    import graft.eval.Grids
+    val g1 = Grids.genRnnGrid(layerTries = 12, cellPool = Seq("rnn", "lstm"),
+      unitsPool = Seq(4, 8, 16), alphaPool = Seq(1e-4, 1e-3),
+      maxiterPool = Seq(50, 100), seed = 7L)
+    val g2 = Grids.genRnnGrid(layerTries = 12, cellPool = Seq("rnn", "lstm"),
+      unitsPool = Seq(4, 8, 16), alphaPool = Seq(1e-4, 1e-3),
+      maxiterPool = Seq(50, 100), seed = 7L)
+    assert(g1 == g2, "same seed must regenerate the identical grid")
+    val g3 = Grids.genRnnGrid(layerTries = 12, cellPool = Seq("rnn", "lstm"),
+      unitsPool = Seq(4, 8, 16), alphaPool = Seq(1e-4, 1e-3),
+      maxiterPool = Seq(50, 100), seed = 8L)
+    assert(g1 != g3, "a different seed should sample a different grid")
+    assert(g1.keySet.subsetOf(Set("rnn", "lstm")) && g1.nonEmpty)
+    for ((cell, rows) <- g1; row <- rows) {
+      assert(Set("rnn", "lstm")(cell))
+      assert(Set(4.0, 8.0, 16.0)(row("units")), s"units off-pool: $row")
+      assert(Set(1e-4, 1e-3)(row("alpha")), s"alpha off-pool: $row")
+      assert(Set(50.0, 100.0)(row("maxiter")), s"maxiter off-pool: $row")
+    }
+    // every sampled architecture crosses the full maxiter axis, like the
+    // reference's kwargs axes cross every layers_struct try
+    for ((_, rows) <- g1) {
+      val byArch = rows.groupBy(r => (r("units"), r("alpha")))
+      byArch.foreach { case (arch, rs) =>
+        assert(rs.map(_("maxiter")).toSet == Set(50.0, 100.0),
+          s"architecture $arch missing a maxiter cell")
+      }
+      assert(rows.distinct == rows, "duplicate draws must collapse")
+    }
+    // invalid cells are rejected loudly
+    intercept[IllegalArgumentException] {
+      Grids.genRnnGrid(cellPool = Seq("gru"))
+    }
+  }
+
+  test("a generated grid tunes end-to-end through the facade") {
+    import graft.eval.Grids
+    val ys = (0 until 48).map(t => 30 + 6 * math.sin(t / 3.0) + 0.2 * t)
+    val grid = Grids.genRnnGrid(layerTries = 3, cellPool = Seq("rnn"),
+      unitsPool = Seq(2, 3), alphaPool = Seq(1e-3),
+      maxiterPool = Seq(25), seed = 1L)("rnn")
+    val capped = graft.eval.AutoSelect.limitGridSize(grid, 2)
+    assert(capped.size <= 2 && capped.forall(grid.contains))
+    val f = Forecaster(obsSeries(ys))
+      .generateFutureDates(3)
+      .setTestLength(6)
+      .addArTerms(3)
+      .setEstimator("rnn")
+      .tune(capped, k = 2, h = 6)
+      .manualForecast(callMe = "rnn_gen")
+    assert(capped.contains(f.params), "tune must keep one generated cell")
+    val fut = f.results.get.filter(col("is_future") && col("model") === "rnn_gen")
+    assert(fut.count() == 3 &&
+      fut.filter(col("yhat").isNull || isnan(col("yhat"))).count() == 0)
+  }
+
   test("fitPredictBySeries matches the driver fit per series and covers all series") {
     val sA = (0 until 40).map(t => 10 + 3 * math.sin(t / 3.0))
     val sB = (0 until 40).map(t => 50 - 0.5 * t + 2 * math.cos(t / 4.0))
