@@ -498,10 +498,12 @@ object SparkEntry {
     * trend / seasonal / resid component table on the z-scored monthly
     * series; the oracle recomputes the centered even-period MA, the
     * normalized per-phase means, and the residual in plain window SQL. */
-  /** STL decomposition over the monthly series — declared WITHOUT an
-    * oracle entry: the iterative cycle-subseries LOESS has no SQL
-    * equivalent, so the driver records its rows-only check (the contract's
-    * documented weaker tier); STLSpec pins component identities in sbt. */
+  /** STL decomposition over the monthly series. The oracle replays the
+    * full inner loop — cycle-subseries LOWESS, triple-MA low-pass, trend
+    * LOWESS, twice — closed-form (each it=0 LOWESS pass is a window
+    * self-join + 2×2 weighted solve; see the stl* SQL generators), so the
+    * long-standing rows-only tier is gone; StlSpec additionally pins the
+    * distributed path against an independent driver implementation. */
   private def qStl(s: SparkSession, d: String): DataFrame =
     Transforms.stl(zOrdersMonthly(s, d), 12)
       .select(col(SeriesId), col(Ds),
@@ -3284,6 +3286,20 @@ object SparkEntry {
          |       ROUND(tr.y - tr.trend - pn.seasonal, 6) AS resid
          |FROM tr LEFT JOIN pn ON pn.phase = tr.phase""".stripMargin,
 
+    // Full STL replay: two inner iterations of cycle-subseries LOWESS,
+    // triple-MA low-pass, and trend LOWESS, each pass a window self-join +
+    // closed-form weighted local line (the stl* generators above ZS).
+    "ts_stl" ->
+      s"""$ZS,
+         |s0 AS (SELECT series_id, ds, y AS v, row_number() OVER (ORDER BY ds) - 1 AS i FROM series),
+         |nn AS (SELECT count(*) AS n FROM s0),
+         |${stlIteration(1, None)},
+         |${stlIteration(2, Some("tr1"))}
+         |SELECT s0.series_id, s0.ds, ROUND(tr2.fit, 6) AS trend,
+         |       ROUND(seas2.v, 6) AS seasonal,
+         |       ROUND(s0.v - tr2.fit - seas2.v, 6) AS resid
+         |FROM s0 JOIN tr2 ON tr2.i = s0.i JOIN seas2 ON seas2.i = s0.i""".stripMargin,
+
     // Direct-DFT periodogram on the z-scored series: one (freq k) bin per
     // k in 1..n/2, power = (re^2 + im^2)/n over mean-centered values.
     "ts_periodogram" ->
@@ -4709,6 +4725,101 @@ object SparkEntry {
   /** [[ZS]] with RECURSIVE enabled (DuckDB scopes the keyword to the whole
     * WITH clause) for oracles that carry sequential state in a recursive CTE. */
   private val ZSR = ZS.replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  // ---- STL oracle machinery -----------------------------------------------
+  // DuckDB text generators replaying [[graft.operators.Transforms.lowess]] /
+  // [[Transforms.stl]] closed-form. A degree-1 tricube LOWESS pass with zero
+  // robustness iterations is pure arithmetic: a contiguous-window self-join
+  // plus the 2x2 weighted-least-squares solve — so the old "iterative LOESS
+  // has no SQL equivalent" boundary only ever covered the bisquare
+  // reweighting the STL inner loop doesn't use.
+
+  /** Tricube weight of neighbor row `b` around target row `m` over index
+    * `ix`: u = 1 − (|j−i|/dmax)³, w = u³ clamped at 0. dmax ≥ 1 always
+    * (q ≥ 2 and the target sits inside its own window). */
+  private def stlWeight(ix: String): String = {
+    val ad = s"(abs(b.$ix - m.$ix) / CAST(m.dmax AS DOUBLE))"
+    val u = s"(1.0 - $ad * $ad * $ad)"
+    s"CASE WHEN $u <= 0 THEN 0.0 ELSE $u * $u * $u END"
+  }
+
+  /** The closed-form local-line evaluation at the target index from the five
+    * weighted moments, with the singular-window fallback to the weighted
+    * mean (den < 1e-12 — e.g. a q = 2 window whose far point weighs 0). */
+  private def stlFitBranches(ix: String): String =
+    s"""WHEN abs(sw * swxx - swx * swx) < 1e-12 THEN swy / sw
+       |    ELSE (swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx) / sw
+       |         + (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * s.$ix END""".stripMargin
+
+  /** One global LOWESS pass of `src(i, v)` over the 0-based index, series
+    * length from `nn(n)`: emits `name(i, fit)`. q = max(2, min(n,
+    * ceil(frac·n))); the q-point window clamps to the series ends exactly
+    * like the Scala `lo0`. `frac` must CAST to DOUBLE in SQL — DuckDB
+    * decimal literals would make ceil(0.4·80) = 32 where IEEE gives 33. */
+  private def stlGlobalLowess(name: String, src: String, frac: String): String = {
+    val lo0 = "GREATEST(0, LEAST(a.i - (q.q - 1) // 2, q.n - q.q))"
+    s"""${name}_q AS (SELECT GREATEST(2, LEAST(n, CAST(ceil(CAST($frac AS DOUBLE) * n) AS BIGINT))) AS q, n FROM nn),
+       |${name}_m AS (SELECT a.i, $lo0 AS lo0, q.q AS q,
+       |    GREATEST(a.i - $lo0, $lo0 + q.q - 1 - a.i) AS dmax
+       |  FROM $src a, ${name}_q q),
+       |${name}_s AS (SELECT m.i, sum(t.wj) AS sw, sum(t.wj * b.i) AS swx, sum(t.wj * b.v) AS swy,
+       |    sum(t.wj * b.i * b.i) AS swxx, sum(t.wj * b.i * b.v) AS swxy
+       |  FROM ${name}_m m JOIN $src b ON b.i BETWEEN m.lo0 AND m.lo0 + m.q - 1,
+       |  LATERAL (SELECT ${stlWeight("i")} AS wj) t
+       |  GROUP BY 1),
+       |$name AS (SELECT s.i, CASE ${stlFitBranches("i")} AS fit FROM ${name}_s s)""".stripMargin
+  }
+
+  /** The cycle-subseries LOWESS (frac 0.75) of `src(p, r, v)` per phase p
+    * over the sub-index r: emits `name(p, r, fit)`; subseries shorter than
+    * 3 pass through unsmoothed (the Scala `idx.length < 3` guard). */
+  private def stlSubseriesLowess(name: String, src: String): String = {
+    val lo0 = "GREATEST(0, LEAST(a.r - (q.q - 1) // 2, q.ln - q.q))"
+    s"""${name}_q AS (SELECT p, count(*) AS ln,
+       |    GREATEST(2, LEAST(count(*), CAST(ceil(CAST(0.75 AS DOUBLE) * count(*)) AS BIGINT))) AS q
+       |  FROM $src GROUP BY 1),
+       |${name}_m AS (SELECT a.p, a.r, q.ln, q.q, $lo0 AS lo0,
+       |    GREATEST(a.r - $lo0, $lo0 + q.q - 1 - a.r) AS dmax
+       |  FROM $src a JOIN ${name}_q q ON q.p = a.p),
+       |${name}_s AS (SELECT m.p, m.r, any_value(m.ln) AS ln,
+       |    sum(t.wj) AS sw, sum(t.wj * b.r) AS swx, sum(t.wj * b.v) AS swy,
+       |    sum(t.wj * b.r * b.r) AS swxx, sum(t.wj * b.r * b.v) AS swxy
+       |  FROM ${name}_m m JOIN $src b ON b.p = m.p AND b.r BETWEEN m.lo0 AND m.lo0 + m.q - 1,
+       |  LATERAL (SELECT ${stlWeight("r")} AS wj) t
+       |  GROUP BY 1, 2),
+       |$name AS (SELECT s.p, s.r, CASE WHEN s.ln < 3 THEN src0.v
+       |    ${stlFitBranches("r")} AS fit
+       |  FROM ${name}_s s JOIN $src src0 ON src0.p = s.p AND src0.r = s.r)""".stripMargin
+  }
+
+  /** The STL low-pass ma(ma(ma(·, 12), 12), 3) with end-truncated windows —
+    * window-avg frames truncate at partition edges exactly like the Scala
+    * `ma`'s clamped lo..hi mean. `src(i, v)` → `name(i, lp)`. */
+  private def stlLowpass(name: String, src: String): String =
+    s"""${name}_a AS (SELECT i, avg(v) OVER (ORDER BY i ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS v FROM $src),
+       |${name}_b AS (SELECT i, avg(v) OVER (ORDER BY i ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS v FROM ${name}_a),
+       |$name AS (SELECT i, avg(v) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lp FROM ${name}_b)""".stripMargin
+
+  /** One STL inner iteration k over `s0(i, v)`: detrend by the previous
+    * trend (zero on the first pass), cycle-subseries smooth, low-pass,
+    * seasonal = C − L, then the trend LOWESS (frac 0.4) of the
+    * deseasonalized series. Emits `trk(i, fit)` and `seask(i, v)`. */
+  private def stlIteration(k: Int, prevTrend: Option[String]): String = {
+    val det = prevTrend match {
+      case Some(tr) => s"det$k AS (SELECT s.i, s.v - t.fit AS v FROM s0 s JOIN $tr t ON t.i = s.i)"
+      case None     => s"det$k AS (SELECT i, v FROM s0)"
+    }
+    Seq(
+      det,
+      s"sub$k AS (SELECT i % 12 AS p, i // 12 AS r, i, v FROM det$k)",
+      stlSubseriesLowess(s"csm$k", s"sub$k"),
+      s"c$k AS (SELECT sub$k.i, csm$k.fit AS v FROM sub$k JOIN csm$k ON csm$k.p = sub$k.p AND csm$k.r = sub$k.r)",
+      stlLowpass(s"lp$k", s"c$k"),
+      s"seas$k AS (SELECT c$k.i, c$k.v - lp$k.lp AS v FROM c$k JOIN lp$k ON lp$k.i = c$k.i)",
+      s"des$k AS (SELECT s.i, s.v - seas$k.v AS v FROM s0 s JOIN seas$k ON seas$k.i = s.i)",
+      stlGlobalLowess(s"tr$k", s"des$k", "0.4")
+    ).mkString(",\n")
+  }
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles per document. */
   private val SHINGLES =
