@@ -115,8 +115,8 @@ object Grids {
     * grid (`np.random.seed` parity); duplicate draws collapse.
     *
     * Returns estimator-name → tune rows: feed one entry to
-    * `setEstimator(cell).tune(rows)`, or the whole map to
-    * [[Evaluation.tuneTestForecast]]; cap with
+    * `setEstimator(cell).tune(rows)`, or pair each entry with its model
+    * function for [[Evaluation.tuneTestForecast]]; cap with
     * [[AutoSelect.limitGridSize]] (the reference's `limit_grid_size`). */
   def genRnnGrid(layerTries: Int = 5,
                  cellPool: Seq[String] = Seq("lstm"),
@@ -127,8 +127,8 @@ object Grids {
     require(layerTries > 0, "layerTries must be positive")
     val bad = cellPool.filterNot(Set("rnn", "lstm"))
     require(bad.isEmpty, s"cellPool entries must be rnn|lstm, got: ${bad.mkString(",")}")
-    require(unitsPool.nonEmpty && alphaPool.nonEmpty && maxiterPool.nonEmpty,
-      "every pool needs at least one value")
+    require(cellPool.nonEmpty && unitsPool.nonEmpty && alphaPool.nonEmpty &&
+      maxiterPool.nonEmpty, "every pool needs at least one value")
     val rng = new scala.util.Random(seed)
     val draws = IndexedSeq.fill(layerTries)((
       cellPool(rng.nextInt(cellPool.size)),
