@@ -177,8 +177,63 @@ object BenchScale {
       System.err.println(s"[bench_scale] $line")
       line
     }
-    println(s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}]}""")
+    // events tier: the behavioral facade's windowed/stateful shapes at
+    // 10⁶ → 10⁷ events, so the "holds at any fact size" claims for
+    // sessionize/funnel/top-k/KMV are measured like the other two tiers
+    val eventSizes = Seq(1000000L, 10000000L)
+    val eventPoints = eventSizes.map { n =>
+      val ev = syntheticEvents(spark, n).localCheckpoint(true)
+      val facade = graft.Events(ev)
+      val ops = Seq(
+        "hourly" -> time {
+          facade.hourly.write.mode("overwrite").format("noop").save()
+        },
+        "sessionize" -> time {
+          facade.sessionize().write.mode("overwrite").format("noop").save()
+        },
+        "funnel" -> time {
+          facade.funnel(Seq("view", "cart", "purchase"), 86400000000000L)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "topk_users" -> time {
+          facade.topUsers(10).write.mode("overwrite").format("noop").save()
+        },
+        "kmv_distinct_users" -> time {
+          facade.distinctUsersByHour(1024)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "retention" -> time {
+          facade.retention(7).write.mode("overwrite").format("noop").save()
+        })
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val mem = usedMb
+      val opsJson = ops.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val line = s"""{"n_events":$n,"ops":{$opsJson},"driver_used_mb":$mem}"""
+      System.err.println(s"[bench_scale] $line")
+      line
+    }
+    println(s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}],"event_points":[${eventPoints.mkString(",")}]}""")
     spark.stop()
+  }
+
+  /** Synthetic behavioral events: nEvents rows over nEvents/50 users,
+    * hash-spread across 30 days, types drawn from a view-heavy pool with
+    * genuine funnel structure (a user's purchase hashes later than its
+    * views with probability ~1/2 like real traffic — the funnel's
+    * strictly-after join keeps real work at any n). Pure column
+    * arithmetic — no joins, no UDFs. */
+  def syntheticEvents(spark: SparkSession, nEvents: Long): DataFrame = {
+    val base = spark.range(nEvents)
+    def h(tag: String) = xxhash64(concat_ws("_", col("id"), lit(tag)))
+    base.select(
+      col("id").as("event_id"),
+      pmod(h("t"), lit(30L * 86400000000000L)).as("ts"),
+      pmod(h("u"), lit(math.max(nEvents / 50, 1L))).as("user_id"),
+      element_at(array(lit("view"), lit("view"), lit("view"), lit("click"),
+          lit("cart"), lit("purchase")),
+        pmod(h("e"), lit(6L)).cast("int") + 1).as("event_type"),
+      (pmod(h("v"), lit(10000L)).cast("double") / 100.0).as("value"))
   }
 
   /** fitBySeries with its standard feature build (trend + 2 AR lags) —

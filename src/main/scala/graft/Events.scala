@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   * event_type STRING, value DOUBLE); `props` optional.
   */
 final case class Events(events: DataFrame) {
+  {
+    val missing = Seq("event_id", "ts", "user_id", "event_type", "value")
+      .filterNot(events.columns.contains)
+    require(missing.isEmpty,
+      s"Events frame is missing column(s) ${missing.mkString(", ")} — " +
+        "read through graft.core.Tables.events (it canonicalizes ts to " +
+        "epoch-ns LONG) or supply them directly")
+    require(events.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+      "Events.ts must be epoch-ns LONG — Tables.normalizeEventTs converts " +
+        "timestamp/nanos encodings")
+  }
 
   private def hourMs: Column = expr("(ts div 3600000000000) * 3600000")
 
