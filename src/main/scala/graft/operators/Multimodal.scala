@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed partition-wise.
   *
-  * The decode tier is two-level: [[HeaderDecoder]] parses REAL image
-  * container headers (PNG IHDR, JPEG SOFn, GIF logical screen — pure-JVM
-  * byte parsing, no codec library), and [[FakeDecoder]] stands in for the
-  * full pixel/audio decode that would need ffmpeg/imageio (not in this
-  * container). Everything around them is the real Spark shape for the
+  * The decode tier is two-level: [[HeaderDecoder]] parses REAL container
+  * headers (PNG IHDR, JPEG SOFn, GIF logical screen, WAV RIFF chunks —
+  * pure-JVM byte parsing, no codec library), and [[FakeDecoder]] stands in
+  * for the full pixel/sample decode that would need ffmpeg/imageio (not in
+  * this container). Everything around them is the real Spark shape for the
   * operator at 100 TB: a `binary` payload column, `mapPartitions` over an
   * iterator (one codec init per partition, not per row), an explicit output
   * schema, and deterministic feature extraction so results are testable.
@@ -42,6 +42,9 @@ object Multimodal {
       ((b(o) & 0xffL) << 8) | (b(o + 1) & 0xffL)
     private def leU16(b: Array[Byte], o: Int): Long =
       ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def leU32(b: Array[Byte], o: Int): Long =
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
 
     private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte)
@@ -57,6 +60,39 @@ object Multimodal {
       else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
         Some(("gif", leU16(b, 6), leU16(b, 8)))
+      else None
+    }
+
+    /** WAV (RIFF/WAVE, the Microsoft/IBM 1991 multimedia spec): 'RIFF'
+      * u32size 'WAVE', then a little-endian chunk walk — 'fmt ' carries
+      * channels u16 / sampleRate u32 / byteRate u32; the 'data' chunk's
+      * SIZE field alone fixes the duration (dataSize / byteRate), so the
+      * sniff reads ~44 header bytes and never touches sample data —
+      * exactly the audio analogue of the image header decode. Returns
+      * (channels, sample_rate_hz, duration_ms); None on any non-WAV or
+      * truncated/desynced header (→ FakeDecoder fallback). */
+    def decodeWav(b: Array[Byte]): Option[(Long, Long, Long)] = {
+      if (b.length < 12 ||
+          !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+          !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+        return None
+      var i = 12
+      var channels = -1L; var rate = -1L; var byteRate = -1L; var dataSize = -1L
+      while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = leU32(b, i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          channels = leU16(b, i + 10)
+          rate = leU32(b, i + 12)
+          byteRate = leU32(b, i + 16)
+        }
+        if (id == "data") dataSize = size
+        // chunks are word-aligned; the data chunk's bytes need not be
+        // present in the sniffed prefix — the walk steps past the END
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (channels > 0 && rate > 0 && byteRate > 0 && dataSize >= 0)
+        Some((channels, rate, dataSize * 1000L / byteRate))
       else None
     }
 
@@ -115,6 +151,24 @@ object Multimodal {
         .put(0.toByte).put(0.toByte).put(0.toByte)
       out.array()
     }
+
+    /** 16-bit PCM WAV header (44 bytes, no sample data — the sniff only
+      * reads sizes) with a planted (channels, sampleRate, nSamples). */
+    def wavPayload(channels: Long, sampleRate: Long, nSamples: Long): Array[Byte] = {
+      val blockAlign = channels * 2
+      val byteRate = sampleRate * blockAlign
+      val dataSize = nSamples * blockAlign
+      val out = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataSize).toInt)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort).putInt(sampleRate.toInt)
+        .putInt(byteRate.toInt).putShort(blockAlign.toShort).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(dataSize.toInt)
+      out.array()
+    }
   }
 
   /** Deterministic fake decoder: derives pseudo metadata (width, height,
@@ -150,8 +204,9 @@ object Multimodal {
     * Batch shape: iterator-in/iterator-out per partition, so a real decoder
     * initializes once per partition and streams rows. Payloads carrying a
     * recognized image container get REAL header dimensions
-    * ([[HeaderDecoder]]; duration 0 — stills have none); everything else
-    * falls back to the deterministic [[FakeDecoder]] stub. */
+    * ([[HeaderDecoder]]; duration 0 — stills have none); WAV audio gets
+    * its REAL duration from the data-chunk size (width/height 0); anything
+    * else falls back to the deterministic [[FakeDecoder]] stub. */
   def extractFeatures(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -164,9 +219,14 @@ object Multimodal {
             case Some((_, w, h)) =>
               MediaFeatures(id, bytes.length.toLong, FakeDecoder.md5Hex(bytes),
                 w, h, 0L)
-            case None =>
-              val (n, hex, w, h, d) = FakeDecoder.decode(bytes)
-              MediaFeatures(id, n, hex, w, h, d)
+            case None => HeaderDecoder.decodeWav(bytes) match {
+              case Some((_, _, durMs)) =>
+                MediaFeatures(id, bytes.length.toLong, FakeDecoder.md5Hex(bytes),
+                  0L, 0L, durMs)
+              case None =>
+                val (n, hex, w, h, d) = FakeDecoder.decode(bytes)
+                MediaFeatures(id, n, hex, w, h, d)
+            }
           }
         }
       }
@@ -207,8 +267,11 @@ object Multimodal {
     * resample itself belongs in the decode kernel; this is the part the
     * engine owns: computing per-row targets that the codec executes). */
   def withResizeTargets(features: DataFrame, maxDim: Int): DataFrame = {
-    val scale = least(lit(1.0),
-      lit(maxDim.toDouble) / greatest(col("width"), col("height")))
+    // dimensionless rows (audio: width = height = 0) keep scale 1 — ANSI
+    // mode would otherwise throw DIVIDE_BY_ZERO on the aspect ratio
+    val maxSide = greatest(col("width"), col("height"))
+    val scale = when(maxSide > 0,
+      least(lit(1.0), lit(maxDim.toDouble) / maxSide)).otherwise(lit(1.0))
     features
       .withColumn("target_width", floor(col("width") * scale).cast("long"))
       .withColumn("target_height", floor(col("height") * scale).cast("long"))

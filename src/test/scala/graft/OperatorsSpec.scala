@@ -330,18 +330,53 @@ class OperatorsSpec extends SparkSpec {
     assert(HeaderDecoder.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
   }
 
+  test("decodeWav parses a hand-written RIFF chunk walk and rejects non-WAV") {
+    import graft.operators.Multimodal.HeaderDecoder
+    // 1-channel 8000 Hz 16-bit PCM, 4000 samples → 500 ms; bytes by hand
+    // (LITTLE-endian u16/u32 fields) so a mirrored builder/parser bug
+    // cannot hide. data size 8000 = 4000 samples × blockAlign 2.
+    val wav = Array('R', 'I', 'F', 'F',
+      0x44, 0x1f, 0x00, 0x00,                          // riff size 8004 (LE)
+      'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 0x10, 0x00, 0x00, 0x00,      // fmt, len 16
+      0x01, 0x00, 0x01, 0x00,                          // PCM, 1 channel
+      0x40, 0x1f, 0x00, 0x00,                          // rate 8000 (LE u32)
+      0x80, 0x3e, 0x00, 0x00,                          // byteRate 16000
+      0x02, 0x00, 0x10, 0x00,                          // blockAlign 2, bits 16
+      'd', 'a', 't', 'a', 0x40, 0x1f, 0x00, 0x00)      // data size 8000
+      .map(_.toByte)
+    assert(HeaderDecoder.decodeWav(wav).contains((1L, 8000L, 500L)))
+    // an extra chunk before fmt/data is walked over by its size field
+    val withList = wav.take(12) ++
+      Array[Byte]('L', 'I', 'S', 'T', 0x04, 0x00, 0x00, 0x00, 1, 2, 3, 4) ++
+      wav.drop(12)
+    assert(HeaderDecoder.decodeWav(withList).contains((1L, 8000L, 500L)))
+    // builder round-trip: duration = nSamples*1000/rate regardless of channels
+    assert(HeaderDecoder.decodeWav(HeaderDecoder.wavPayload(2L, 44100L, 44100L))
+      .contains((2L, 44100L, 1000L)))
+    assert(HeaderDecoder.decodeWav(HeaderDecoder.wavPayload(1L, 16000L, 24000L))
+      .contains((1L, 16000L, 1500L)))
+    // image payloads, garbage, truncation, and RIFF-but-not-WAVE all miss
+    assert(HeaderDecoder.decodeWav("RIFFxxxxAVI LIST".getBytes("US-ASCII")).isEmpty)
+    assert(HeaderDecoder.decodeWav(wav.take(20)).isEmpty)
+    assert(HeaderDecoder.decodeWav(HeaderDecoder.pngPayload(3, 2)).isEmpty)
+    assert(HeaderDecoder.decode(wav).isEmpty) // and WAV isn't an image
+  }
+
   test("extractFeatures uses real header dims when present, stub otherwise") {
     import spark.implicits._
     import graft.operators.Multimodal
     import graft.operators.Multimodal.HeaderDecoder
     val payloads = Seq(
       (1L, HeaderDecoder.jpegPayload(640L, 480L)),
-      (2L, "plain text payload".getBytes("UTF-8"))).toDF("doc_id", "payload")
+      (2L, "plain text payload".getBytes("UTF-8")),
+      (3L, HeaderDecoder.wavPayload(2L, 16000L, 8000L))).toDF("doc_id", "payload")
     val m = Multimodal.extractFeatures(payloads).collect().map(f => f.doc_id -> f).toMap
     assert(m(1L).width == 640L && m(1L).height == 480L && m(1L).duration_ms == 0L)
     val (n, hex, w, h, d) = Multimodal.FakeDecoder.decode("plain text payload".getBytes("UTF-8"))
     assert(m(2L).width == w && m(2L).height == h && m(2L).duration_ms == d
       && m(2L).checksum == hex && m(2L).n_bytes == n)
+    assert(m(3L).width == 0L && m(3L).height == 0L && m(3L).duration_ms == 500L)
   }
 
   test("text stats: tokens, distinct ratio, stopwords") {
