@@ -1001,14 +1001,17 @@ object SparkEntry {
       .mapPartitions(_.map { id =>
         val w = 16L + (id * 7L) % 2033L
         val h = 16L + (id * 13L) % 1525L
-        val bytes = (id % 4) match {
+        val bytes = (id % 5) match {
           case 0L => HeaderDecoder.pngPayload(w, h)
           case 1L => HeaderDecoder.jpegPayload(w, h)
           case 2L => HeaderDecoder.gifPayload(w, h)
-          case _  => // planted 16-bit PCM WAV: rate pool × 1-5 s + remainder
-            val rate = Seq(8000L, 16000L, 44100L)(((id / 4L) % 3L).toInt)
+          case 3L => // planted 16-bit PCM WAV: rate pool × 1-5 s + remainder
+            val rate = Seq(8000L, 16000L, 44100L)(((id / 5L) % 3L).toInt)
             val n = rate * (1L + id % 5L) + id % 997L
             HeaderDecoder.wavPayload(1L + id % 2L, rate, n)
+          case _  => // planted faststart MP4: timescale pool × 1-7 s + rem
+            val tsc = Seq(600L, 1000L, 90000L)(((id / 5L) % 3L).toInt)
+            HeaderDecoder.mp4Payload(w, h, tsc, tsc * (1L + id % 7L) + id % 331L)
         }
         (id, bytes)
       }).toDF("doc_id", "payload")
@@ -3084,22 +3087,26 @@ object SparkEntry {
     // planted-dimension replay of the real header decode: the Spark side
     // round-trips doc_id → PNG/JPEG/GIF bytes → parsed dims; the oracle
     // recomputes the plant + resize plan arithmetically
-    // Byte-extract replay of the four-format plant: image rows carry the
-    // planted dims; WAV rows carry duration = nSamples*1000 // rate (the
-    // decoder's dataSize*1000/byteRate reduces to exactly this) and zero
-    // dims, so their resize targets are zero without the 512/0 division.
+    // Byte-extract replay of the five-format plant: image + MP4 rows carry
+    // the planted dims; WAV rows duration = nSamples*1000 // rate (the
+    // decoder's dataSize*1000/byteRate reduces to exactly this) with zero
+    // dims, so their resize targets are zero without the 512/0 division;
+    // MP4 rows duration = units*1000 // timescale from the mvhd fields.
     "doc_multimodal_real" ->
-      """WITH plant AS (SELECT doc_id, doc_id % 4 AS fmt,
+      """WITH plant AS (SELECT doc_id, doc_id % 5 AS fmt,
         |  16 + (doc_id * 7) % 2033 AS w0,
         |  16 + (doc_id * 13) % 1525 AS h0,
-        |  CASE (doc_id // 4) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
+        |  CASE (doc_id // 5) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+        |  CASE (doc_id // 5) % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS tsc
         |  FROM documents),
         |dims AS (SELECT doc_id, fmt,
         |  CASE WHEN fmt = 3 THEN 0 ELSE w0 END AS width,
         |  CASE WHEN fmt = 3 THEN 0 ELSE h0 END AS height,
         |  CASE WHEN fmt = 3
         |    THEN ((rate * (1 + doc_id % 5) + doc_id % 997) * 1000) // rate
-        |    ELSE 0 END AS duration_ms
+        |  WHEN fmt = 4
+        |    THEN ((tsc * (1 + doc_id % 7) + doc_id % 331) * 1000) // tsc
+        |  ELSE 0 END AS duration_ms
         |  FROM plant),
         |sc AS (SELECT *, CASE WHEN fmt = 3 THEN 1.0
         |    ELSE least(1.0, CAST(512 AS DOUBLE) / greatest(width, height)) END AS scale

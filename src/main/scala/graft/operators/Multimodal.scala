@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed partition-wise.
   *
   * The decode tier is two-level: [[HeaderDecoder]] parses REAL container
-  * headers (PNG IHDR, JPEG SOFn, GIF logical screen, WAV RIFF chunks —
-  * pure-JVM byte parsing, no codec library), and [[FakeDecoder]] stands in
-  * for the full pixel/sample decode that would need ffmpeg/imageio (not in
-  * this container). Everything around them is the real Spark shape for the
+  * headers across all three modalities (images: PNG IHDR / JPEG SOFn /
+  * GIF logical screen; audio: WAV RIFF chunks; video: MP4 ISO-BMFF
+  * mvhd/tkhd — pure-JVM byte parsing, no codec library), and
+  * [[FakeDecoder]] stands in for the full pixel/sample decode that would
+  * need ffmpeg/imageio (not in this container). Everything around them is the real Spark shape for the
   * operator at 100 TB: a `binary` payload column, `mapPartitions` over an
   * iterator (one codec init per partition, not per row), an explicit output
   * schema, and deterministic feature extraction so results are testable.
@@ -45,6 +46,8 @@ object Multimodal {
     private def leU32(b: Array[Byte], o: Int): Long =
       ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
         ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def beU64(b: Array[Byte], o: Int): Long =
+      (beU32(b, o) << 32) | beU32(b, o + 4)
 
     private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte)
@@ -93,6 +96,64 @@ object Multimodal {
       }
       if (channels > 0 && rate > 0 && byteRate > 0 && dataSize >= 0)
         Some((channels, rate, dataSize * 1000L / byteRate))
+      else None
+    }
+
+    /** MP4 / ISO BMFF (ISO 14496-12 §8.2-8.3): big-endian
+      * [size u32][type 4cc] box walk to `moov`, then its children —
+      * `mvhd` carries timescale + movie duration (v0 u32s / v1 u64s), the
+      * first `trak`'s `tkhd` the 16.16 fixed-point display width/height.
+      * Returns (width, height, duration_ms). Only faststart layouts (moov
+      * in the sniffed prefix) resolve — a trailing-moov file falls back,
+      * exactly what a first-kB header sniff can promise. */
+    def decodeMp4(b: Array[Byte]): Option[(Long, Long, Long)] = {
+      if (b.length < 16 ||
+          !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+      var i = 0
+      var moovStart = -1; var moovEnd = -1
+      while (i + 8 <= b.length && moovStart < 0) {
+        val size = beU32(b, i)
+        if (size < 8 || size > Int.MaxValue) return None
+        if (b(i + 4) == 'm' && b(i + 5) == 'o' && b(i + 6) == 'o' && b(i + 7) == 'v') {
+          moovStart = i + 8
+          moovEnd = math.min(b.length.toLong, i + size).toInt
+        }
+        i += size.toInt
+      }
+      if (moovStart < 0) return None
+      var ts = -1L; var dur = -1L; var w = -1L; var h = -1L
+      var j = moovStart
+      while (j + 8 <= moovEnd) {
+        val size = beU32(b, j)
+        if (size < 8 || size > Int.MaxValue) return None
+        val t = new String(b, j + 4, 4, "US-ASCII")
+        if (t == "mvhd") {
+          val v = b(j + 8) & 0xff
+          if (v == 0 && j + 28 <= moovEnd) {
+            ts = beU32(b, j + 20); dur = beU32(b, j + 24)
+          } else if (v == 1 && j + 40 <= moovEnd) {
+            ts = beU32(b, j + 28); dur = beU64(b, j + 32)
+          }
+        }
+        if (t == "trak" && w < 0) {
+          val trakEnd = math.min(moovEnd.toLong, j + size).toInt
+          var k = j + 8
+          while (k + 8 <= trakEnd && w < 0) {
+            val s2 = beU32(b, k)
+            if (s2 < 8 || s2 > Int.MaxValue) return None
+            if (b(k + 4) == 't' && b(k + 5) == 'k' && b(k + 6) == 'h' && b(k + 7) == 'd') {
+              val off = if ((b(k + 8) & 0xff) == 1) k + 96 else k + 84
+              if (off + 8 <= trakEnd) {
+                w = beU32(b, off) >> 16; h = beU32(b, off + 4) >> 16
+              }
+            }
+            k += s2.toInt
+          }
+        }
+        j += size.toInt
+      }
+      if (ts > 0 && dur >= 0)
+        Some((math.max(w, 0L), math.max(h, 0L), dur * 1000L / ts))
       else None
     }
 
@@ -152,6 +213,43 @@ object Multimodal {
       out.array()
     }
 
+    /** Faststart MP4 skeleton (ftyp + moov[mvhd v0 + trak[tkhd v0]], no
+      * mdat — the sniff only reads the movie/track headers) with planted
+      * display dimensions and (timescale, durationUnits). */
+    def mp4Payload(w: Long, h: Long, timescale: Long, durationUnits: Long): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(20 + 216) // big-endian default
+      def matrix(): Unit = {
+        buf.putInt(0x00010000).putInt(0).putInt(0)
+        buf.putInt(0).putInt(0x00010000).putInt(0)
+        buf.putInt(0).putInt(0).putInt(0x40000000)
+      }
+      buf.putInt(20).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII"))
+      buf.putInt(216).put("moov".getBytes("US-ASCII"))
+      buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0)                                   // version 0 + flags
+        .putInt(0).putInt(0)                         // creation, modification
+        .putInt(timescale.toInt).putInt(durationUnits.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+        .putShort(0).putLong(0L)                     // reserved
+      matrix()
+      buf.putInt(0).putInt(0).putInt(0)              // pre_defined 24 bytes
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(2)                                   // next_track_ID
+      buf.putInt(100).put("trak".getBytes("US-ASCII"))
+      buf.putInt(92).put("tkhd".getBytes("US-ASCII"))
+        .putInt(7)                                   // v0, enabled flags
+        .putInt(0).putInt(0)                         // creation, modification
+        .putInt(1).putInt(0)                         // track_ID, reserved
+        .putInt(durationUnits.toInt).putLong(0L)     // duration, reserved
+        .putShort(0).putShort(0)                     // layer, alternate_group
+        .putShort(0).putShort(0)                     // volume, reserved
+      matrix()
+      buf.putInt((w << 16).toInt).putInt((h << 16).toInt)
+      buf.array()
+    }
+
     /** 16-bit PCM WAV header (44 bytes, no sample data — the sniff only
       * reads sizes) with a planted (channels, sampleRate, nSamples). */
     def wavPayload(channels: Long, sampleRate: Long, nSamples: Long): Array[Byte] = {
@@ -204,7 +302,8 @@ object Multimodal {
     * Batch shape: iterator-in/iterator-out per partition, so a real decoder
     * initializes once per partition and streams rows. Payloads carrying a
     * recognized image container get REAL header dimensions
-    * ([[HeaderDecoder]]; duration 0 — stills have none); WAV audio gets
+    * ([[HeaderDecoder]]; duration 0 — stills have none); faststart MP4
+    * gets REAL display dims + movie duration (mvhd/tkhd); WAV audio gets
     * its REAL duration from the data-chunk size (width/height 0); anything
     * else falls back to the deterministic [[FakeDecoder]] stub. */
   def extractFeatures(df: DataFrame, idCol: String = "doc_id"): Dataset[MediaFeatures] = {
@@ -215,18 +314,18 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init happens here in a real codec
         it.map { case (id, bytes) =>
-          HeaderDecoder.decode(bytes) match {
-            case Some((_, w, h)) =>
+          val real = HeaderDecoder.decode(bytes)
+            .map { case (_, w, h) => (w, h, 0L) }
+            .orElse(HeaderDecoder.decodeMp4(bytes))
+            .orElse(HeaderDecoder.decodeWav(bytes)
+              .map { case (_, _, durMs) => (0L, 0L, durMs) })
+          real match {
+            case Some((w, h, durMs)) =>
               MediaFeatures(id, bytes.length.toLong, FakeDecoder.md5Hex(bytes),
-                w, h, 0L)
-            case None => HeaderDecoder.decodeWav(bytes) match {
-              case Some((_, _, durMs)) =>
-                MediaFeatures(id, bytes.length.toLong, FakeDecoder.md5Hex(bytes),
-                  0L, 0L, durMs)
-              case None =>
-                val (n, hex, w, h, d) = FakeDecoder.decode(bytes)
-                MediaFeatures(id, n, hex, w, h, d)
-            }
+                w, h, durMs)
+            case None =>
+              val (n, hex, w, h, d) = FakeDecoder.decode(bytes)
+              MediaFeatures(id, n, hex, w, h, d)
           }
         }
       }
@@ -252,7 +351,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val (_, hex, _, _, durMs) = FakeDecoder.decode(bytes)
+          val hex = FakeDecoder.md5Hex(bytes)
+          // a recognized faststart MP4 samples its REAL movie duration
+          val durMs = HeaderDecoder.decodeMp4(bytes).map(_._3)
+            .getOrElse(FakeDecoder.decode(bytes)._5)
           val nFrames = math.max(1L, (durMs * fps / 1000.0).toLong)
           (0L until nFrames by everyK.toLong).map { i =>
             SampledFrame(id, i, (i * 1000.0 / fps).toLong,

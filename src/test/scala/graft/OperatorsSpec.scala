@@ -363,6 +363,34 @@ class OperatorsSpec extends SparkSpec {
     assert(HeaderDecoder.decode(wav).isEmpty) // and WAV isn't an image
   }
 
+  test("decodeMp4 walks ftyp/moov boxes for mvhd duration and tkhd dims") {
+    import graft.operators.Multimodal.HeaderDecoder
+    // builder round-trip: 640×360, timescale 1000, 2500 units → 2500 ms
+    assert(HeaderDecoder.decodeMp4(HeaderDecoder.mp4Payload(640L, 360L, 1000L, 2500L))
+      .contains((640L, 360L, 2500L)))
+    // duration floors like the decoder's integer division (90000 ts)
+    assert(HeaderDecoder.decodeMp4(HeaderDecoder.mp4Payload(1920L, 1080L, 90000L, 135001L))
+      .contains((1920L, 1080L, 1500L)))
+    // an unknown box between ftyp and moov is stepped over by its size
+    val base = HeaderDecoder.mp4Payload(320L, 240L, 600L, 600L)
+    val free = java.nio.ByteBuffer.allocate(12)
+      .putInt(12).put("free".getBytes("US-ASCII")).putInt(0).array()
+    val withFree = base.take(20) ++ free ++ base.drop(20)
+    assert(HeaderDecoder.decodeMp4(withFree).contains((320L, 240L, 1000L)))
+    // trailing-moov (moov past the sniffed prefix) falls back, as does junk
+    assert(HeaderDecoder.decodeMp4(base.take(20)).isEmpty)
+    assert(HeaderDecoder.decodeMp4("not a container".getBytes("UTF-8")).isEmpty)
+    assert(HeaderDecoder.decodeMp4(HeaderDecoder.wavPayload(1, 8000, 8000)).isEmpty)
+    // sampleFrames uses the REAL movie duration for a recognized MP4:
+    // 2500 ms at 25 fps = 62 frames, every 25th → 3 sampled
+    import spark.implicits._
+    val payloads = Seq((9L, HeaderDecoder.mp4Payload(640L, 360L, 1000L, 2500L)))
+      .toDF("doc_id", "payload")
+    val frames = graft.operators.Multimodal.sampleFrames(payloads, everyK = 25)
+      .collect()
+    assert(frames.length == 3 && frames.map(_.frame_idx).sorted.toSeq == Seq(0L, 25L, 50L))
+  }
+
   test("extractFeatures uses real header dims when present, stub otherwise") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -370,13 +398,15 @@ class OperatorsSpec extends SparkSpec {
     val payloads = Seq(
       (1L, HeaderDecoder.jpegPayload(640L, 480L)),
       (2L, "plain text payload".getBytes("UTF-8")),
-      (3L, HeaderDecoder.wavPayload(2L, 16000L, 8000L))).toDF("doc_id", "payload")
+      (3L, HeaderDecoder.wavPayload(2L, 16000L, 8000L)),
+      (4L, HeaderDecoder.mp4Payload(854L, 480L, 1000L, 12345L))).toDF("doc_id", "payload")
     val m = Multimodal.extractFeatures(payloads).collect().map(f => f.doc_id -> f).toMap
     assert(m(1L).width == 640L && m(1L).height == 480L && m(1L).duration_ms == 0L)
     val (n, hex, w, h, d) = Multimodal.FakeDecoder.decode("plain text payload".getBytes("UTF-8"))
     assert(m(2L).width == w && m(2L).height == h && m(2L).duration_ms == d
       && m(2L).checksum == hex && m(2L).n_bytes == n)
     assert(m(3L).width == 0L && m(3L).height == 0L && m(3L).duration_ms == 500L)
+    assert(m(4L).width == 854L && m(4L).height == 480L && m(4L).duration_ms == 12345L)
   }
 
   test("text stats: tokens, distinct ratio, stopwords") {
