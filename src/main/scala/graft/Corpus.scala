@@ -225,6 +225,38 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
     copy(docs = Sampling.stratifiedHashSample(docs, idCol, strataCol,
       fractions, default, salt))
 
+  /** Per-doc curation lineage — the "why was my document dropped" audit a
+    * production pipeline must answer (doc_curation_audit). Replays `stages`
+    * sequentially (each stage sees only the previous stage's survivors,
+    * exactly as the real chain runs — a dedup stage's pair graph over
+    * survivors is NOT the pair graph over the raw corpus) and labels every
+    * input doc with the FIRST stage that dropped it. Stages are nested
+    * subsets, so each doc has at most one dropping stage and the lineage
+    * union needs no dedup. Shape: per stage, one ids-only anti-join
+    * (prev ∖ next); the final assembly is one left join keyed by id —
+    * everything stays keyed by the doc id, no stage materializes more than
+    * its id column beyond what the stage itself computes.
+    *
+    * Returns (idCol, keep, dropped_by) over the ORIGINAL corpus, with
+    * `dropped_by = "kept"` for survivors of the whole chain. */
+  def audit(stages: Seq[(String, Corpus => Corpus)]): DataFrame = {
+    require(stages.nonEmpty, "audit needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "stage names must be unique — they become the dropped_by labels")
+    val (_, drops) = stages.foldLeft((this, Seq.empty[DataFrame])) {
+      case ((cur, acc), (name, step)) =>
+        val next = step(cur)
+        val dropped = cur.docs.select(col(idCol))
+          .join(next.docs.select(col(idCol)), Seq(idCol), "left_anti")
+          .withColumn("dropped_by", lit(name))
+        (next, acc :+ dropped)
+    }
+    docs.select(col(idCol))
+      .join(drops.reduce(_ unionByName _), Seq(idCol), "left")
+      .select(col(idCol), col("dropped_by").isNull.as("keep"),
+        coalesce(col("dropped_by"), lit("kept")).as("dropped_by"))
+  }
+
   /** GPT-style concat-and-chunk packing layout at `contextLen` tokens
     * (doc_pack_chunks). Returns the layout frame, not a Corpus — packing
     * is the terminal step before the tokenizer. */

@@ -142,11 +142,13 @@ object SparkEntry {
     "ts_tbats_like"      -> ((s, d) => qTbatsLike(s, d)),
     "doc_gopher_repetition" -> ((s, d) => qGopherRepetition(s, d)),
     "doc_decontaminate"  -> ((s, d) => qDecontaminate(s, d)),
+    "doc_decontaminate_bloom" -> ((s, d) => qDecontaminateBloom(s, d)),
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
     "doc_mixture_temp"   -> ((s, d) => qMixtureTemp(s, d)),
     "doc_corpus_summary" -> ((s, d) =>
       graft.Corpus(Tables.documents(s, d)).summary),
     "doc_curation_chain" -> ((s, d) => qCurationChain(s, d)),
+    "doc_curation_audit" -> ((s, d) => qCurationAudit(s, d)),
     "events_topk_users"  -> ((s, d) => qEventsTopkUsers(s, d)),
     "events_funnel"      -> ((s, d) => qEventsFunnel(s, d)),
     "events_retention"   -> ((s, d) => qEventsRetention(s, d)),
@@ -1466,6 +1468,25 @@ object SparkEntry {
         round(col("overlap_frac"), 6).as("overlap_frac"))
   }
 
+  /** Bloom-prefiltered decontamination
+    * ([[graft.operators.Decontaminate.contaminatedPairsBloom]]): the exact
+    * inverted-index overlap, but non-candidate train shingles are dropped by
+    * a benchmark-shingle Bloom probe BEFORE the equi-join exchange — the
+    * plan a 100 TB run needs (train shingle volume dominates; ~all of it
+    * matches nothing). Different bench slice + threshold than
+    * doc_decontaminate so the two queries pin independent result sets; the
+    * oracle is the plain inverted-index SQL because the Bloom layer is
+    * result-invariant by construction (false positives die in the exact
+    * join; the denominator is unfiltered). */
+  private def qDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.contaminatedPairsBloom(docs,
+        docs.filter(col("doc_id") % 17 === 3), "doc_id", "text",
+        n = 3, minFrac = 0.4)
+      .select(col("doc").as("doc_id"), col("bench_id"),
+        round(col("overlap_frac"), 6).as("overlap_frac"))
+  }
+
   /** Deterministic stratified hash sampling (training-mix quotas): 50% of
     * long documents, 25% of short ones, membership a pure content-hash
     * predicate — reproducible across engines and partitionings, which is
@@ -1518,6 +1539,41 @@ object SparkEntry {
     Sampling.temperatureSample(strat, "doc_id", "stratum", alpha = 0.5,
         targetTotal = 150)
       .select(col("doc_id"), col("stratum"))
+  }
+
+  /** Curation lineage audit ([[graft.Corpus.audit]]): the SAME three-stage
+    * chain as doc_curation_chain, but instead of the survivor set the output
+    * labels EVERY input doc with the first stage that dropped it — the
+    * per-record provenance a production curation run must be able to answer
+    * ("why is doc X missing from the training mix?"). Stage inputs reuse
+    * the session memos exactly as qCurationChain does, so the audited chain
+    * and the declared chain are the same computation. */
+  private def qCurationAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stages = Seq[(String, Corpus => Corpus)](
+      "perplexity" -> { c =>
+        val keep = docPplM(s, d)
+          .filter(round(col("ppl"), 6).between(28.0, 31.0))
+          .select(col("doc").as("doc_id"))
+        c.copy(docs = c.docs.join(keep, Seq("doc_id"), "left_semi"))
+      },
+      "fingerprint" -> { c =>
+        val survFps = docFpsM(s, d).join(
+          c.docs.select(col("doc_id").as("doc")), Seq("doc"), "left_semi")
+        val dupIds = Dedup.fingerprintPairsFrom(survFps, minShared = 50,
+            maxDocFreq = 100)
+          .select(col("doc_b").as("doc_id")).distinct()
+        c.copy(docs = c.docs.join(dupIds, Seq("doc_id"), "left_anti"))
+      },
+      "sample" -> { c =>
+        val strat = c.docs.withColumn("stratum",
+          when(size(TextOps.tokens(col("text"))) >= 60, "long")
+            .otherwise("short"))
+        c.copy(docs = Sampling.temperatureSample(strat, "doc_id", "stratum",
+            alpha = 0.5, targetTotal = 150)
+          .select(c.docs.columns.map(col).toSeq: _*))
+      })
+    Corpus(docs).audit(stages)
   }
 
   /** Blocked cross-lag VAR (the scale path past MvForecast.CoupledSetMax):
@@ -2736,6 +2792,21 @@ object SparkEntry {
          |FROM ov JOIN sz ON ov.doc_id = sz.doc_id
          |WHERE common / CAST(sz AS DOUBLE) >= 0.5""".stripMargin,
 
+    // Bloom-prefiltered decontamination: the Bloom layer is result-invariant
+    // (prefilter + exact join == exact join), so the oracle is the plain
+    // inverted-index overlap at this query's own bench slice / threshold
+    "doc_decontaminate_bloom" ->
+      s"""$SHINGLES
+         |sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY 1),
+         |bs AS (SELECT doc_id AS bench_id, shingle FROM ds WHERE doc_id % 17 = 3),
+         |ov AS (SELECT a.doc_id, b.bench_id, count(*) AS common
+         |       FROM ds a JOIN bs b USING (shingle)
+         |       WHERE a.doc_id <> b.bench_id GROUP BY 1, 2)
+         |SELECT ov.doc_id, bench_id,
+         |  ROUND(common / CAST(sz AS DOUBLE), 6) AS overlap_frac
+         |FROM ov JOIN sz ON ov.doc_id = sz.doc_id
+         |WHERE common / CAST(sz AS DOUBLE) >= CAST(0.4 AS DOUBLE)""".stripMargin,
+
     // stratified hash sampling: the md5-bucket predicate replayed exactly
     // (fractions chosen so fraction * 2^32 is an exact integer — no
     // double->int rounding divergence between engines)
@@ -2855,56 +2926,24 @@ object SparkEntry {
     // The composed curation chain: perplexity band -> fingerprint dedup
     // over survivors -> temperature sample; stage-local dfs and counts
     "doc_curation_chain" ->
-      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t0),
-        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM bi),
-        |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
-        |ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
-        |sc AS (SELECT doc_id, exp(-avg(ln(c_ab / c_a))) AS ppl
-        |       FROM bg JOIN cab USING (a, b) JOIN ca USING (a) GROUP BY 1),
-        |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN sc USING (doc_id)
-        |       WHERE ROUND(ppl, 6) BETWEEN 28.0 AND 31.0),
-        |dd AS (SELECT doc_id, text FROM d1 WHERE length(text) >= 11),
-        |g AS (SELECT doc_id, unnest(range(1, length(text) - 6)) AS p, text FROM dd),
-        |h AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
-        |        (CAST(ascii(substr(text, p, 1)) AS BIGINT) * 27512614111
-        |       + CAST(ascii(substr(text, p + 1, 1)) AS BIGINT) * 887503681
-        |       + CAST(ascii(substr(text, p + 2, 1)) AS BIGINT) * 28629151
-        |       + CAST(ascii(substr(text, p + 3, 1)) AS BIGINT) * 923521
-        |       + CAST(ascii(substr(text, p + 4, 1)) AS BIGINT) * 29791
-        |       + CAST(ascii(substr(text, p + 5, 1)) AS BIGINT) * 961
-        |       + CAST(ascii(substr(text, p + 6, 1)) AS BIGINT) * 31
-        |       + CAST(ascii(substr(text, p + 7, 1)) AS BIGINT)) % 1048576 AS h
-        |      FROM g),
-        |k2 AS (SELECT doc_id, p, h, h * 4294967296 + (4294967295 - p) AS kk FROM h),
-        |w2 AS (SELECT doc_id,
-        |         min(kk) OVER (PARTITION BY doc_id ORDER BY p
-        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
-        |         count(*) OVER (PARTITION BY doc_id ORDER BY p
-        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
-        |       FROM k2),
-        |sel AS (SELECT DISTINCT doc_id, wkey // 4294967296 AS h FROM w2 WHERE cnt = 4),
-        |cap AS (SELECT doc_id, h FROM
-        |          (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfq FROM sel)
-        |        WHERE dfq <= 100),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |       FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        |dup AS (SELECT DISTINCT doc_b AS doc_id FROM pr WHERE n_shared >= 50),
-        |d2 AS (SELECT doc_id, text FROM d1
-        |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
-        |t2 AS (SELECT doc_id,
-        |  CASE WHEN len(string_split(text, ' ')) >= 60 THEN 'long' ELSE 'short' END AS stratum
-        |  FROM d2),
-        |c2 AS (SELECT stratum, CAST(count(*) AS DOUBLE) AS n FROM t2 GROUP BY 1),
-        |s2 AS (SELECT sum(pow(n, 0.5)) AS wsum FROM c2),
-        |f2 AS (SELECT stratum,
-        |  CAST(FLOOR(ROUND(least(1.0, 150.0 * pow(n, 0.5) / wsum / n), 9)
-        |       * 4294967296) AS BIGINT) AS thr FROM c2, s2),
-        |h2 AS (SELECT doc_id, stratum,
-        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
-        |  FROM t2)
-        |SELECT h2.doc_id, h2.stratum FROM h2 JOIN f2 USING (stratum) WHERE b < thr""".stripMargin,
+      s"""$CURATION_CTES
+         |SELECT h2.doc_id, h2.stratum FROM h2 JOIN f2 USING (stratum)
+         |WHERE b < thr""".stripMargin,
+
+    // Curation lineage audit: same chain CTEs, every input doc labeled with
+    // the FIRST stage that dropped it (stages are nested subsets, so the
+    // CASE order IS the chain order); 'kept' = survived the whole chain
+    "doc_curation_audit" ->
+      s"""$CURATION_CTES,
+         |fin AS (SELECT h2.doc_id FROM h2 JOIN f2 USING (stratum) WHERE b < thr)
+         |SELECT d.doc_id,
+         |  (d.doc_id IN (SELECT doc_id FROM fin)) AS keep,
+         |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM d1) THEN 'perplexity'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM dup) THEN 'fingerprint'
+         |       WHEN d.doc_id NOT IN (SELECT doc_id FROM fin) THEN 'sample'
+         |       ELSE 'kept' END AS dropped_by
+         |FROM documents d""".stripMargin,
+
 
     // Winnowing fingerprints: same base-31 mod 2^20 polynomial over char
     // 8-grams, same h*2^32+(2^32-1-p) order-embedding window min, w=4
@@ -4847,6 +4886,57 @@ object SparkEntry {
   }
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles per document. */
+  private val CURATION_CTES =
+    """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t0),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM bi),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
+        |sc AS (SELECT doc_id, exp(-avg(ln(c_ab / c_a))) AS ppl
+        |       FROM bg JOIN cab USING (a, b) JOIN ca USING (a) GROUP BY 1),
+        |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN sc USING (doc_id)
+        |       WHERE ROUND(ppl, 6) BETWEEN 28.0 AND 31.0),
+        |dd AS (SELECT doc_id, text FROM d1 WHERE length(text) >= 11),
+        |g AS (SELECT doc_id, unnest(range(1, length(text) - 6)) AS p, text FROM dd),
+        |h AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |        (CAST(ascii(substr(text, p, 1)) AS BIGINT) * 27512614111
+        |       + CAST(ascii(substr(text, p + 1, 1)) AS BIGINT) * 887503681
+        |       + CAST(ascii(substr(text, p + 2, 1)) AS BIGINT) * 28629151
+        |       + CAST(ascii(substr(text, p + 3, 1)) AS BIGINT) * 923521
+        |       + CAST(ascii(substr(text, p + 4, 1)) AS BIGINT) * 29791
+        |       + CAST(ascii(substr(text, p + 5, 1)) AS BIGINT) * 961
+        |       + CAST(ascii(substr(text, p + 6, 1)) AS BIGINT) * 31
+        |       + CAST(ascii(substr(text, p + 7, 1)) AS BIGINT)) % 1048576 AS h
+        |      FROM g),
+        |k2 AS (SELECT doc_id, p, h, h * 4294967296 + (4294967295 - p) AS kk FROM h),
+        |w2 AS (SELECT doc_id,
+        |         min(kk) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+        |         count(*) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |       FROM k2),
+        |sel AS (SELECT DISTINCT doc_id, wkey // 4294967296 AS h FROM w2 WHERE cnt = 4),
+        |cap AS (SELECT doc_id, h FROM
+        |          (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfq FROM sel)
+        |        WHERE dfq <= 100),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |       FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT doc_b AS doc_id FROM pr WHERE n_shared >= 50),
+        |d2 AS (SELECT doc_id, text FROM d1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+        |t2 AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) >= 60 THEN 'long' ELSE 'short' END AS stratum
+        |  FROM d2),
+        |c2 AS (SELECT stratum, CAST(count(*) AS DOUBLE) AS n FROM t2 GROUP BY 1),
+        |s2 AS (SELECT sum(pow(n, 0.5)) AS wsum FROM c2),
+        |f2 AS (SELECT stratum,
+        |  CAST(FLOOR(ROUND(least(1.0, 150.0 * pow(n, 0.5) / wsum / n), 9)
+        |       * 4294967296) AS BIGINT) AS thr FROM c2, s2),
+        |h2 AS (SELECT doc_id, stratum,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+        |  FROM t2)""".stripMargin
+
   private val SHINGLES =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftColumns}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark decontamination — remove training documents that overlap an
   * evaluation/benchmark corpus (the n-gram-overlap protocol popularized by
@@ -46,5 +49,60 @@ object Decontaminate {
     val bad = contaminatedPairs(train, bench, idCol, textCol, n, minFrac)
       .select(col("doc").as(idCol)).distinct()
     train.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** [[contaminatedPairs]] with a Bloom prefilter on the TRAIN side — the
+    * 100 TB shape. The inverted-index join is exact but shuffles EVERY
+    * distinct train shingle; at real corpus scale ~all of them match
+    * nothing (the benchmark is orders of magnitude smaller), so that
+    * shuffle is almost entirely wasted motion. This path builds a Bloom
+    * filter over the benchmark's shingle hashes with Spark's own
+    * runtime-join-filter machinery (`BloomFilterAggregate` to build,
+    * codegen'd `BloomFilterMightContain` to probe — the same expressions
+    * `InjectRuntimeFilter` plants under
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled`, here as explicit
+    * library surface because the optimizer rule only fires on selective
+    * CREATION-side filters it can see, not on "the whole bench table is
+    * small relative to train") and drops non-candidate train shingles
+    * BEFORE the exchange. The filter blob is bits-bounded (`numBits`,
+    * default 8M bits = 1 MB regardless of row count), so collecting it to
+    * the driver and inlining it as a literal is a size-gated broadcast in
+    * the repo's usual sense. Results are EXACTLY [[contaminatedPairs]]'s:
+    * false positives survive the prefilter only to match nothing in the
+    * exact equi-join, and the overlap denominator |shingles(train)| is
+    * computed on the UNFILTERED shingle set.
+    *
+    * Oracle: doc_decontaminate_bloom — same SQL as the exact path, because
+    * the result set is the same by construction. */
+  def contaminatedPairsBloom(train: DataFrame, bench: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, minFrac: Double = 0.5,
+                             expectedItems: Long = 1000000L,
+                             numBits: Long = 8388608L): DataFrame = {
+    val ts = Dedup.shingles(train, idCol, textCol, n)
+    val bs = Dedup.shingles(bench, idCol, textCol, n)
+      .withColumnRenamed("doc", "bench_id")
+    // denominator BEFORE any prefilter: overlap_frac's |shingles(train)|
+    val sizes = ts.groupBy("doc").agg(count(lit(1)).as("_sz"))
+    val blob = bs.agg(GraftColumns.column(
+        new BloomFilterAggregate(
+          GraftColumns.expression(xxhash64(col("shingle"))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as("_bloom"))
+      .head().getAs[Array[Byte]](0)
+    // empty bench side -> aggregate yields null -> nothing can overlap
+    if (blob == null) return ts.filter(lit(false))
+      .select(col("doc"), col("doc").as("bench_id"),
+        lit(0.0).as("overlap_frac"))
+    val candidates = ts.filter(GraftColumns.column(BloomFilterMightContain(
+      Literal(blob, BinaryType),
+      GraftColumns.expression(xxhash64(col("shingle"))))))
+    candidates.join(bs, Seq("shingle"))
+      .filter(col("doc") =!= col("bench_id"))
+      .groupBy("doc", "bench_id").agg(count(lit(1)).as("_common"))
+      .join(sizes, Seq("doc"))
+      .withColumn("overlap_frac", col("_common") / col("_sz"))
+      .filter(col("overlap_frac") >= minFrac)
+      .select(col("doc"), col("bench_id"), col("overlap_frac"))
   }
 }

@@ -36,6 +36,34 @@ class CorpusSpec extends SparkSpec {
     assert(redacted.contains("<EMAIL>") && !redacted.contains("@"))
   }
 
+  test("audit labels every doc with the FIRST dropping stage; kept set == chained survivors") {
+    import spark.implicits._
+    val stages = Seq[(String, Corpus => Corpus)](
+      "exact" -> (_.dedupExact()),
+      "near" -> (_.dedupNear(0.7)),
+      "pii" -> (_.piiClean()))
+    val audit = Corpus(docs).audit(stages)
+    val byId = audit.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("dropped_by"))).toMap
+    assert(byId.size == 6, "one audit row per INPUT doc, dropped or not")
+    assert(byId(2L) == (false, "exact"), "exact dup drops at stage 1")
+    assert(byId(3L) == (false, "near"), "near dup drops at stage 2")
+    assert(byId(5L) == (false, "pii"), "PII doc survives dedup, drops at stage 3")
+    assert(byId(1L) == (true, "kept") && byId(4L) == (true, "kept"))
+    // first-drop-wins: doc 6 would ALSO fail pii? no — it reaches the end
+    assert(byId(6L) == (true, "kept"))
+    // audit's kept set must equal the same chain run without the audit
+    val chained = stages.foldLeft(Corpus(docs)) { case (c, (_, f)) => f(c) }
+      .docs.select("doc_id").as[Long].collect().toSet
+    assert(byId.filter(_._2._1).keySet == chained,
+      "audit keep flags must replay the chain exactly")
+    // duplicate stage names would make dropped_by ambiguous
+    intercept[IllegalArgumentException] {
+      Corpus(docs).audit(Seq("s" -> identity[Corpus] _, "s" -> identity[Corpus] _))
+    }
+  }
+
   test("cluster dedup keeps one doc per component where the pair policy keeps hub spokes") {
     import spark.implicits._
     // star: 1–3 and 2–3 are near-dups (hub 3 contains both), 1 vs 2 share

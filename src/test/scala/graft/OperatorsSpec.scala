@@ -192,6 +192,41 @@ class OperatorsSpec extends SparkSpec {
     assert(cleaned.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("bloom-prefiltered decontamination == exact path, even under FP pressure") {
+    import spark.implicits._
+    // 120 train docs sharing a vocab pool, 6 bench docs copied verbatim from
+    // train plus one novel bench doc — overlap structure is non-trivial
+    val train = (1 to 120).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = ((1 to 6).map { i =>
+      (1000L + i, (0 until 12).map(j => s"w${(i * 20 * 7 + j * 3) % 40}").mkString(" "))
+    } :+ (2000L, "novel tokens nothing shares qq rr ss tt uu vv ww xx"))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc"), r.getAs[Long]("bench_id"),
+        math.round(r.getAs[Double]("overlap_frac") * 1e9))
+    val exact = graft.operators.Decontaminate
+      .contaminatedPairs(train, bench, "doc_id", "text", 3, 0.3)
+      .collect().map(key).toSet
+    assert(exact.nonEmpty, "fixture must produce overlap pairs")
+    val bloom = graft.operators.Decontaminate
+      .contaminatedPairsBloom(train, bench, "doc_id", "text", 3, 0.3)
+      .collect().map(key).toSet
+    assert(bloom == exact, "bloom path must equal the exact inverted index")
+    // 64-bit filter → near-certain false positives; the exact join must
+    // still discard every one of them (result-invariance under FP pressure)
+    val tiny = graft.operators.Decontaminate
+      .contaminatedPairsBloom(train, bench, "doc_id", "text", 3, 0.3,
+        expectedItems = 4L, numBits = 64L)
+      .collect().map(key).toSet
+    assert(tiny == exact, "false positives must die in the exact join")
+    // empty bench side: no pairs, not a crash
+    assert(graft.operators.Decontaminate
+      .contaminatedPairsBloom(train, bench.filter(lit(false)), "doc_id", "text")
+      .count() == 0L)
+  }
+
   test("hash sampling is deterministic, partition-invariant, and quota-accurate") {
     import spark.implicits._
     val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
