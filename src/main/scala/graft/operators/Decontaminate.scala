@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, GraftColumns}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark decontamination — remove training documents that overlap an
   * evaluation/benchmark corpus (the n-gram-overlap protocol popularized by
@@ -64,13 +63,15 @@ object Decontaminate {
     * library surface because the optimizer rule only fires on selective
     * CREATION-side filters it can see, not on "the whole bench table is
     * small relative to train") and drops non-candidate train shingles
-    * BEFORE the exchange. The filter blob is bits-bounded (`numBits`,
-    * default 8M bits = 1 MB regardless of row count), so collecting it to
-    * the driver and inlining it as a literal is a size-gated broadcast in
-    * the repo's usual sense. Results are EXACTLY [[contaminatedPairs]]'s:
-    * false positives survive the prefilter only to match nothing in the
-    * exact equi-join, and the overlap denominator |shingles(train)| is
-    * computed on the UNFILTERED shingle set.
+    * BEFORE the exchange. The blob rides a scalar subquery exactly as
+    * `InjectRuntimeFilter` plants it — bits-bounded (`numBits`, default
+    * 8M bits = 1 MB regardless of bench row count), never inlined into the
+    * plan text, no driver round-trip, one query DAG. Results are EXACTLY
+    * [[contaminatedPairs]]'s: false positives survive the prefilter only
+    * to match nothing in the exact equi-join, the overlap denominator
+    * |shingles(train)| is computed on the UNFILTERED shingle set, and an
+    * empty bench side yields a null filter whose probe is null → no
+    * candidates → no pairs.
     *
     * Oracle: doc_decontaminate_bloom — same SQL as the exact path, because
     * the result set is the same by construction. */
@@ -84,18 +85,13 @@ object Decontaminate {
       .withColumnRenamed("doc", "bench_id")
     // denominator BEFORE any prefilter: overlap_frac's |shingles(train)|
     val sizes = ts.groupBy("doc").agg(count(lit(1)).as("_sz"))
-    val blob = bs.agg(GraftColumns.column(
-        new BloomFilterAggregate(
-          GraftColumns.expression(xxhash64(col("shingle"))),
-          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-        .as("_bloom"))
-      .head().getAs[Array[Byte]](0)
-    // empty bench side -> aggregate yields null -> nothing can overlap
-    if (blob == null) return ts.filter(lit(false))
-      .select(col("doc"), col("doc").as("bench_id"),
-        lit(0.0).as("overlap_frac"))
+    val bloom = bs.agg(GraftColumns.column(
+      new BloomFilterAggregate(
+        GraftColumns.expression(xxhash64(col("shingle"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      .as("_bloom")).scalar()
     val candidates = ts.filter(GraftColumns.column(BloomFilterMightContain(
-      Literal(blob, BinaryType),
+      GraftColumns.expression(bloom),
       GraftColumns.expression(xxhash64(col("shingle"))))))
     candidates.join(bs, Seq("shingle"))
       .filter(col("doc") =!= col("bench_id"))

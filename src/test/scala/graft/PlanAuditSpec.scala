@@ -70,6 +70,37 @@ class PlanAuditSpec extends SparkSpec {
       "both self-join sides must read ONE materialized exchange")
   }
 
+  test("bloom decontamination probes BEFORE the pair-join exchange") {
+    import graft.operators.Decontaminate
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = Decontaminate.contaminatedPairsBloom(docs,
+      docs.filter(col("doc_id") % 17 === 3), "doc_id", "text", 3, 0.4)
+    df.collect()
+    // the probe must sit on the train-shingle side BELOW the shingle-keyed
+    // join — i.e. the unfiltered train shingle set never reaches the join's
+    // exchange (or, when the tiny fixture lets the bench side broadcast,
+    // never even feeds the streamed side). Applied-after-the-join would be
+    // result-identical but pointless at scale.
+    // walk through AQE wrappers: AdaptiveSparkPlanExec and QueryStageExec
+    // are leaves to TreeNode.collect, so flatten them explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan) // collect() above forced the final plan
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val joins = flatten(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.toString.contains("shingle")) => j
+    }
+    assert(joins.nonEmpty, "expected a shingle-keyed join")
+    assert(joins.map(_.left.toString).exists(_.contains("might_contain")),
+      "the bloom probe must be under the join's train side, " +
+        "upstream of its exchange — not applied after the join")
+  }
+
   test("the series build prunes the fact scan to the referenced columns") {
     val plan = SparkEntry.queries("ts_build_monthly")(spark, sfDir)
       .queryExecution.executedPlan.toString
