@@ -168,6 +168,21 @@ object BenchScale {
             Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100)
               .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
             .write.mode("overwrite").format("noop").save()
+        },
+        // decontamination vs a ~1% benchmark slice: the exact inverted
+        // index shuffles EVERY train shingle; the bloom path must show the
+        // prefilter paying for itself as train volume grows
+        "decontam_exact" -> time {
+          graft.operators.Decontaminate.contaminatedPairs(docs,
+            docs.filter(pmod(col("doc_id"), lit(101L)) === 7),
+            "doc_id", "text", 3, 0.5)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "decontam_bloom" -> time {
+          graft.operators.Decontaminate.contaminatedPairsBloom(docs,
+            docs.filter(pmod(col("doc_id"), lit(101L)) === 7),
+            "doc_id", "text", 3, 0.5)
+            .write.mode("overwrite").format("noop").save()
         })
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

@@ -67,6 +67,7 @@ object SparkEntry {
     "events_hourly_stream" -> ((s, d) => qEventsHourlyStream(s, d)),
     "events_sessionize_stream" -> ((s, d) => qSessionizeStream(s, d)),
     "events_dedup_stream" -> ((s, d) => qDedupStream(s, d)),
+    "doc_stream_curate"  -> ((s, d) => qDocStreamCurate(s, d)),
     "doc_text_stats"     -> ((s, d) => qTextStats(s, d)),
     "doc_langid"         -> ((s, d) => qLangId(s, d)),
     "doc_dedup_exact"    -> ((s, d) => qDedupExact(s, d)),
@@ -1963,6 +1964,44 @@ object SparkEntry {
     s.table(sink)
   }
 
+  /** Streaming corpus curation — continuous document ingest as a
+    * Structured Streaming query: row-local quality gate (every
+    * [[graft.functions.TextOps.withTextStats]] column is a pure expression,
+    * so the gate rides the stream with NO state) feeding an exact-dedup
+    * aggregation (digest → canonical min-id + multiplicity, the
+    * doc_dedup_exact shape) whose state store holds one row per distinct
+    * surviving digest. This is the continuous-ingest twin of the batch
+    * curation entry points: a crawler drops parquet files into the lake and
+    * the curation ledger stays current without re-scanning the corpus.
+    * Oracle: the identical gate + GROUP BY over the batch table (one file =
+    * one micro-batch under `Trigger.AvailableNow`; aggregation state is
+    * order-insensitive, so stream == batch exactly). */
+  private def qDocStreamCurate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.documents(s, d).schema
+    val linkDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_docs_" + Integer.toHexString(d.hashCode))
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val stream = s.readStream.schema(schema).parquet(linkDir.toString)
+    val agg = TextOps.withTextStats(stream)
+      .filter(col("quality") >= 0.7)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_docs"))
+    val sink = "doc_stream_curate_sink"
+    s.catalog.dropTempView(sink)
+    withStreamWidth(s, 8) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(sink)
+  }
+
   /** Native `session_window` sessionization — the DECLARATIVE twin of the
     * custom-state sessionizer (`events_sessionize` /
     * `flatMapGroupsWithState`): when the semantics fit the built-in
@@ -2695,6 +2734,18 @@ object SparkEntry {
     // streaming exact dedup over one micro-batch == the batch DISTINCT
     "events_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // streaming curation ledger == the batch gate + digest rollup (the
+    // quality formula is doc_text_stats'; the gate is doc_pipeline's 0.7)
+    "doc_stream_curate" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id, text,
+        |  0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |  + 0.4 * (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) / CAST(len(toks) AS DOUBLE))
+        |  + 0.2 * least(len(toks) / 100.0, 1.0) AS quality FROM t)
+        |SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM q WHERE quality >= CAST(0.7 AS DOUBLE) GROUP BY 1""".stripMargin,
 
     // as-of semantics pinned against DuckDB's NATIVE ASOF JOIN: greatest
     // right time <= left time per key, null when no prior right row
