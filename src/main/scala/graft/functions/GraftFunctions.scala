@@ -67,6 +67,34 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("topk_pairs", args, 3)
         TopKPairs(args(0), args(1), intLit(args(2), "topk_pairs", "k"))
+      }),
+    // Spark's runtime-join-filter Bloom expressions, surfaced to SQL: the
+    // engine-internal pair (`BloomFilterAggregate` build over LONG hashes,
+    // `BloomFilterMightContain` probe) has no public SQL names upstream —
+    // registering them lets plain SQL build the semi-join prefilter that
+    // Decontaminate.contaminatedPairsBloom plans from the DataFrame side:
+    //   SELECT bloom_build(xxhash64(key), 1000000, 8388608) FROM bench
+    //   ... WHERE bloom_probe((SELECT ...), xxhash64(key))
+    (FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getCanonicalName, "bloom_build"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 3,
+          s"bloom_build takes (hash) or (hash, expectedItems, numBits), got ${args.length}")
+        if (args.length == 1)
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(args(0))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "bloom_probe"),
+      (args: Seq[Expression]) => {
+        arity("bloom_probe", args, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
       }))
 
   /** Register every graft function into a LIVE session's registry. */

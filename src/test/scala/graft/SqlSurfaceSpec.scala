@@ -35,6 +35,25 @@ class SqlSurfaceSpec extends SparkSpec {
       .head().getDouble(0) === 5.0)
   }
 
+  test("bloom_build / bloom_probe run the semi-join prefilter from plain SQL") {
+    GraftFunctions.register(spark)
+    spark.range(1000).selectExpr("id", "xxhash64(CAST(id AS STRING)) AS h")
+      .createOrReplaceTempView("sql_bloom_all")
+    // bench side = multiples of 100; the probe must pass all 10 of them and
+    // (with 8M bits over 10 items) essentially nothing else
+    val kept = spark.sql(
+      """SELECT count(*) FROM sql_bloom_all
+        |WHERE bloom_probe(
+        |  (SELECT bloom_build(h, 1000000L, 8388608L) FROM sql_bloom_all
+        |   WHERE id % 100 = 0),
+        |  h)""".stripMargin).head().getLong(0)
+    assert(kept >= 10 && kept <= 15,
+      s"expected the 10 planted members plus at most a few FPs, got $kept")
+    // 1-arg build form analyzes and runs too (conf-default sizing)
+    assert(spark.sql(
+      "SELECT bloom_build(h) IS NOT NULL FROM sql_bloom_all").head().getBoolean(0))
+  }
+
   test("non-literal k is rejected loudly") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
