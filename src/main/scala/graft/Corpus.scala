@@ -245,7 +245,12 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
       "stage names must be unique — they become the dropped_by labels")
     val (_, drops) = stages.foldLeft((this, Seq.empty[DataFrame])) {
       case ((cur, acc), (name, step)) =>
-        val next = step(cur)
+        // each stage output feeds BOTH the next stage and this stage's
+        // lineage anti-join: a lazy localCheckpoint makes the two branches
+        // share one materialization instead of recomputing the stage
+        // subtree (no extra job — blocks write when the audit executes)
+        val stepped = step(cur)
+        val next = stepped.copy(docs = stepped.docs.localCheckpoint(false))
         val dropped = cur.docs.select(col(idCol))
           .join(next.docs.select(col(idCol)), Seq(idCol), "left_anti")
           .withColumn("dropped_by", lit(name))
