@@ -166,9 +166,16 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
   }
 
   /** Benchmark decontamination: drop docs whose distinct n-gram overlap
-    * with any benchmark doc reaches minFrac (doc_decontaminate). */
-  def decontaminate(bench: DataFrame, n: Int = 3, minFrac: Double = 0.5): Corpus =
-    copy(docs = Decontaminate.clean(docs, bench, idCol, textCol, n, minFrac))
+    * with any benchmark doc reaches minFrac (doc_decontaminate).
+    * `bloom = true` routes through the Bloom-prefiltered pair path
+    * (doc_decontaminate_bloom) — identical results, and the train shingle
+    * shuffle shrinks to the bench-overlapping slice: the right setting
+    * whenever the corpus dwarfs the benchmark, i.e. production. */
+  def decontaminate(bench: DataFrame, n: Int = 3, minFrac: Double = 0.5,
+                    bloom: Boolean = false): Corpus =
+    copy(docs =
+      if (bloom) Decontaminate.cleanBloom(docs, bench, idCol, textCol, n, minFrac)
+      else Decontaminate.clean(docs, bench, idCol, textCol, n, minFrac))
 
   /** Embedding-space decontamination: drop docs within trigram-cosine tau
     * of any benchmark doc (doc_cross_decontaminate). */

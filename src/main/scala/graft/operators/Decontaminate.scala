@@ -101,4 +101,16 @@ object Decontaminate {
       .filter(col("overlap_frac") >= minFrac)
       .select(col("doc"), col("bench_id"), col("overlap_frac"))
   }
+
+  /** [[clean]] through the Bloom-prefiltered pair path — same result set
+    * (the prefilter is result-invariant), the 100 TB plan. */
+  def cleanBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                 textCol: String, n: Int = 3, minFrac: Double = 0.5,
+                 expectedItems: Long = 1000000L,
+                 numBits: Long = 8388608L): DataFrame = {
+    val bad = contaminatedPairsBloom(train, bench, idCol, textCol, n, minFrac,
+        expectedItems, numBits)
+      .select(col("doc").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
 }

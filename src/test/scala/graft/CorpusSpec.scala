@@ -93,6 +93,11 @@ class CorpusSpec extends SparkSpec {
     assert(layout.count() == cleaned.count(),
       "every surviving doc gets a packing row")
     assert(layout.select("shard").distinct().count() <= 2)
+    // the bloom-routed facade must keep exactly the same docs
+    val viaBloom = Corpus(docs).dedupExact()
+      .decontaminate(bench, 3, 0.5, bloom = true)
+      .docs.select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == cleaned.docs.select("doc_id").as[Long].collect().toSet)
   }
 
   test("topTerms ranks distinctive terms above ubiquitous ones") {
