@@ -76,7 +76,13 @@ object Bench {
     val failed = results.count(_._3.isDefined)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val errPart = if (failed > 0) s""","errors":$errs""" else ""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart,"queries":$qs,"sf":"$sfDir"}""")
+    // post-run driver heap (after a GC): catches any operator accumulating
+    // driver-side state across the 138-query sweep — the number should stay
+    // flat as queries are added (BenchScale reports the same per scale point)
+    System.gc()
+    val rt = Runtime.getRuntime
+    val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart,"driver_used_mb":$usedMb,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
