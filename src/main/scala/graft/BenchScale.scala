@@ -163,6 +163,17 @@ object BenchScale {
             minShared = 20, maxDocFreq = 100)
             .write.mode("overwrite").format("noop").save()
         },
+        // substring-level dedup: the count-window + islands shape must stay
+        // linear in token volume (docs here share 50-token bodies, so the
+        // planted copies carry genuine long duplicated runs)
+        "dup_spans" -> time {
+          Dedup.dupSpans(docs, "doc_id", "text", 8)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "strip_spans" -> time {
+          Dedup.stripDupSpans(docs, "doc_id", "text", 8)
+            .write.mode("overwrite").format("noop").save()
+        },
         "cc_clusters" -> time {
           graft.operators.Graph.connectedComponents(
             Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100)

@@ -156,6 +156,16 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
     copy(docs = keepComponentMin(
       Dedup.fingerprintPairs(docs, idCol, textCol, k, w, minShared, maxDocFreq)))
 
+  /** Substring-level dedup (the "deduplicating training data makes LMs
+    * better" operation, distinct from doc- and passage-PAIR removal):
+    * every maximal duplicated run of ≥ `minTokens` tokens keeps exactly its
+    * first corpus occurrence; later occurrences are cut out of their docs'
+    * texts in place — no doc is dropped, so unique content in a
+    * partially-duplicated doc survives. doc_strip_spans semantics;
+    * [[Dedup.dupSpans]] is the matching inventory (doc_dup_spans). */
+  def stripDupSpans(minTokens: Int = 8): Corpus =
+    copy(docs = Dedup.stripDupSpans(docs, idCol, textCol, minTokens))
+
   /** Drop every pair-graph vertex except its component's least id; docs
     * touching no pair are untouched (they are absent from the labeling). */
   private def keepComponentMin(pairs: DataFrame): DataFrame = {

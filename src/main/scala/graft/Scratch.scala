@@ -116,6 +116,24 @@ object Scratch {
         graft.models.BlockedVar.dynamicForecastWith(base, fits, block,
           maxLag = 1, maxSources = 3).count()
       }
+    } else if (args.headOption.contains("spans")) {
+      import graft.operators.Dedup
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.core.Tables.documents(spark, dir)
+      val st = Dedup.spanStarts(docs, "doc_id", "text", 8)
+      time("spanStarts")(println("  rows=" + st.count()))
+      val dup = st.withColumn("_cnt", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("_cnt") >= 2)
+      time("  + h-window count")(println("  rows=" + dup.count()))
+      val isl = dup.withColumn("_grp",
+        col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))
+      time("  + doc islands")(println("  rows=" + isl.count()))
+      def mat(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      time("full dupSpans")(mat(Dedup.dupSpans(docs, "doc_id", "text", 8)))
+      time("full dupSpans (2nd)")(mat(Dedup.dupSpans(docs, "doc_id", "text", 8)))
+      time("full stripDupSpans")(mat(Dedup.stripDupSpans(docs, "doc_id", "text", 8)))
+      time("full stripDupSpans (2nd)")(mat(Dedup.stripDupSpans(docs, "doc_id", "text", 8)))
     } else if (args.headOption.contains("fpplan")) {
       import graft.operators.Dedup
       val docs = graft.core.Tables.documents(spark, dir)

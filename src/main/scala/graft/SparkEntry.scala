@@ -73,6 +73,8 @@ object SparkEntry {
     "doc_dedup_exact"    -> ((s, d) => qDedupExact(s, d)),
     "doc_jaccard_pairs"  -> ((s, d) => qJaccardPairs(s, d)),
     "doc_dedup_clusters" -> ((s, d) => qDedupClusters(s, d)),
+    "doc_dup_spans"      -> ((s, d) => qDupSpans(s, d)),
+    "doc_strip_spans"    -> ((s, d) => qStripSpans(s, d)),
     "doc_minhash_lsh"    -> ((s, d) => qMinhashLsh(s, d)),
     "doc_simhash"        -> ((s, d) => qSimhash(s, d)),
     "doc_simhash_pairs"  -> ((s, d) => qSimhashPairs(s, d)),
@@ -973,6 +975,27 @@ object SparkEntry {
     graft.operators.Graph.connectedComponents(jaccardM(s, d), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
         (col("id") === col("comp")).as("kept"))
+
+  /** Minimum duplicated-run length (tokens) for the exact-substring dedup
+    * queries — every length-8 token window occurring twice anywhere in the
+    * corpus marks its run duplicated. */
+  private val SpanMinTokens = 8
+
+  /** Exact duplicated-span inventory (substring-level dedup, the level
+    * below doc/passage pairs): maximal runs of token positions whose
+    * 8-token windows repeat corpus-wide. */
+  private def qDupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", SpanMinTokens)
+      .select(col("doc").as("doc_id"), col("span_start"), col("span_len"))
+
+  /** Duplicated spans stripped in place, first corpus occurrence kept:
+    * per-doc token count and digest of the rebuilt text (both computed ON
+    * the final string on both engines, so an empty rebuild hashes alike). */
+  private def qStripSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.stripDupSpans(Tables.documents(s, d), "doc_id", "text", SpanMinTokens)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("digest"))
 
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
@@ -3104,6 +3127,37 @@ object SparkEntry {
     "doc_dedup_exact" ->
       "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS canonical_id FROM documents GROUP BY 1",
 
+    "doc_dup_spans" ->
+      s"""$SPAN_STARTS
+         |dup AS (SELECT doc_id, pos FROM
+         |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM sh)
+         |  WHERE cnt >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) - min(pos) + $SpanMinTokens AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    "doc_strip_spans" ->
+      s"""$SPAN_STARTS
+         |nc AS (SELECT doc_id, pos FROM
+         |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt,
+         |     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM sh)
+         |  WHERE cnt >= 2 AND rn > 1),
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM nc),
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${SpanMinTokens - 1} AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |kept AS (SELECT t.doc_id, t.pos, t.w FROM toks t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)),
+         |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text2
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(coalesce(r.text2, ''), ' ')) AS BIGINT) AS n_tokens,
+         |  md5(coalesce(r.text2, '')) AS digest
+         |FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin,
+
     "doc_jaccard_pairs" ->
       s"""$SHINGLES
          |dsc AS (SELECT * FROM ds
@@ -4998,6 +5052,26 @@ object SparkEntry {
       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
       |  QUALIFY lead(w, 2) OVER win IS NOT NULL),
       |ds AS (SELECT DISTINCT doc_id, shingle FROM tri),""".stripMargin
+
+  /** Shared DuckDB CTE: every 8-token window start `(doc_id, pos, h)` with
+    * h = the 60-bit md5-prefix fingerprint of the window joined by `_` —
+    * the oracle twin of [[graft.operators.Dedup.spanStarts]] (positional,
+    * NOT distinct; same fingerprint recipe, so even collision classes
+    * agree across engines). */
+  private val SPAN_STARTS = {
+    val chain = (0 until SpanMinTokens)
+      .map(i => if (i == 0) "w" else s"lead(w, $i) OVER win")
+      .mkString(" || '_' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, pos,
+       |    CAST(concat('0x', substr(md5($chain), 1, 15)) AS BIGINT) AS h
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(w, ${SpanMinTokens - 1}) OVER win IS NOT NULL),""".stripMargin
+  }
 
   /** Shared DuckDB CTE: 32-bit simhash per document. */
   private val SIMHASH =

@@ -51,6 +51,23 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(apply(spark, dir, "events"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  /** The documents table, spread to shuffle width when the source
+    * under-splits. Driver fixtures are a single parquet row group, so the
+    * scan yields ONE split and every downstream per-row text kernel
+    * (window fingerprints, shingles, trigram vectors — the expensive part
+    * of the corpus tier) runs on one core. A hash repartition on doc_id
+    * right after the scan spreads that work to cluster width for the cost
+    * of shuffling the raw doc bytes — worth it exactly when the input is
+    * small, hence the 64 MB gate: a production corpus scan has thousands
+    * of row-group splits and skips this entirely. Filters still push to
+    * the scan (Catalyst pushes through repartition), and results are
+    * partition-invariant. */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "documents")
+    val f = new java.io.File(s"$dir/documents.parquet")
+    if (f.isFile && f.length < 64L * 1024 * 1024)
+      df.repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+    else df
+  }
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -234,6 +234,91 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Every length-`minTokens` token window start per document:
+    * `(doc, pos, h)` with 1-based `pos` and `h` = 60-bit md5-prefix
+    * fingerprint ([[TextOps.fingerprint64]]) of the window's tokens joined
+    * by `_`. NOT distinct — the same window text occurring at two positions
+    * yields two rows, because span semantics are positional. A LONG key
+    * (not the md5 hex) keeps the downstream shuffle sorts on 8-byte values;
+    * since both engines derive the same fingerprint, its (negligible)
+    * collision classes are identical on both sides, so oracle hashes still
+    * match exactly. The window build is a pure array expression (one scan,
+    * codegen); rows are ~one per token, the inherent cost of
+    * substring-level dedup. */
+  private[graft] def spanStarts(df: DataFrame, idCol: String,
+                                textCol: String, minTokens: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val starts = when(size(toks) >= minTokens,
+      transform(sequence(lit(1), size(toks) - (minTokens - 1)),
+        p => struct(p.as("pos"),
+          TextOps.fingerprint64(concat_ws("_", slice(toks, p, lit(minTokens)))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    df.select(col(idCol).as("doc"), explode(starts).as("s"))
+      .select(col("doc"), col("s.pos").as("pos"), col("s.h").as("h"))
+  }
+
+  /** Maximal duplicated token spans (exact-substring dedup, the
+    * "deduplicating training data" diagnostic): every maximal run of token
+    * positions whose length-`minTokens` windows each occur ≥ `minOccurrences`
+    * times corpus-wide (with multiplicity — a within-doc repeat counts).
+    * Output `(doc, span_start, span_len)`, 1-based token positions.
+    *
+    * Shape: one shuffle keyed by window hash (a count window — no self-join,
+    * so a hot window costs a count, never a pair fan-out), then one shuffle
+    * keyed by doc for the gaps-and-islands merge of consecutive duplicated
+    * starts into maximal spans. Both linear in token count — the scale
+    * contrast with suffix-array constructions that need global sorts. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               minTokens: Int, minOccurrences: Int = 2): DataFrame = {
+    val st = spanStarts(df, idCol, textCol, minTokens)
+    val dup = st
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("_cnt") >= minOccurrences)
+    val isl = dup.withColumn("_grp",
+      col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))
+    isl.groupBy(col("doc"), col("_grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + minTokens).cast("long").as("span_len"))
+      .select(col("doc"), col("span_start"), col("span_len"))
+  }
+
+  /** Remove duplicated spans, keeping each span's FIRST corpus occurrence
+    * (ordered by (doc, pos)): every non-canonical duplicated window start
+    * marks its `minTokens` positions covered; covered tokens are dropped and
+    * the text rebuilt from the survivors. Docs shorter than `minTokens`
+    * tokens — and the canonical occurrence of every duplicated span — pass
+    * through untouched, so each duplicated substring survives exactly once.
+    *
+    * The coverage spans collapse to a tiny per-doc array (maximal merged
+    * intervals), so the rebuild is a doc-level join + one array expression —
+    * token rows never shuffle a second time. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int): DataFrame = {
+    val wH = Window.partitionBy("h")
+    val ncs = spanStarts(df, idCol, textCol, minTokens)
+      .withColumn("_cnt", count(lit(1)).over(wH))
+      .withColumn("_rn", row_number().over(wH.orderBy("doc", "pos")))
+      .filter(col("_cnt") >= 2 && col("_rn") > 1)
+    val spans = ncs
+      .withColumn("_grp",
+        col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))
+      .groupBy(col("doc"), col("_grp"))
+      .agg(min("pos").as("s"), (max("pos") + lit(minTokens - 1)).as("e"))
+      .groupBy("doc")
+      .agg(collect_list(struct(col("s"), col("e"))).as("_spans"))
+    // tokens materialize into a column first: referencing the split
+    // EXPRESSION inside the rebuild lambda would re-split the text once per
+    // element (O(n²) chars/row); a bound column is an O(1) array read
+    val kept = filter(col("_toks"), (t, i) =>
+      !exists(col("_spans"), sp => i + 1 >= sp("s") && i + 1 <= sp("e")))
+    df.join(spans, df(idCol) === spans("doc"), "left")
+      .withColumn("_toks", TextOps.tokens(col(textCol)))
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)))
+      .drop("doc", "_spans", "_toks")
+  }
+
   /** 32-bit SimHash: per bit j, sum ±1 over token hashes (with multiplicity);
     * bit set iff the sum is positive. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

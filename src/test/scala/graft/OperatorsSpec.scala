@@ -452,4 +452,51 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_distinct_tokens") === 4L)
     assert(r.getAs[Long]("n_stopwords") === 2L) // 'the' twice
   }
+
+  test("dupSpans merges overlapping duplicated windows into maximal spans") {
+    import spark.implicits._
+    // docs 1 and 2 share the 10-token run a..j (three overlapping 8-windows
+    // each → one maximal span per doc); doc 3 shares nothing
+    val df = Seq(
+      (1L, "a b c d e f g h i j u1 u2"),
+      (2L, "x y a b c d e f g h i j"),
+      (3L, "p q r s t u v w z1 z2 z3 z4")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 1, 10L), (2L, 3, 10L)))
+  }
+
+  test("dupSpans counts a within-doc repeat (periodic text, two spans)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s t u v w p q r s t u v w")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    // only the period-aligned window repeats → two disjoint 8-token spans
+    assert(spans === Set((1, 8L), (9, 8L)))
+  }
+
+  test("stripDupSpans keeps the first corpus occurrence, cuts the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j u1 u2"),
+      (2L, "x y a b c d e f g h i j"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(df, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b c d e f g h i j u1 u2") // canonical survives whole
+    assert(out(2L) === "x y")                       // span cut, unique prefix kept
+    assert(out(3L) === "short doc")                 // below minTokens: untouched
+  }
+
+  test("stripDupSpans empties a fully-duplicated doc and is Corpus-chainable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = Corpus(df).stripDupSpans(8).docs
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b c d e f g h")
+    assert(out(2L) === "")
+  }
 }
