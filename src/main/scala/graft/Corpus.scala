@@ -156,6 +156,26 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
     copy(docs = keepComponentMin(
       Dedup.fingerprintPairs(docs, idCol, textCol, k, w, minShared, maxDocFreq)))
 
+  /** Per-stratum duplication profile (doc_span_profile): how much of each
+    * source's/lang's token volume sits inside corpus-wide duplicated runs
+    * ([[Dedup.dupSpans]] coverage) — the corpus-health number that decides
+    * whether a source needs [[stripDupSpans]] before mixing. One extra
+    * doc-keyed aggregation over the span inventory; the strata aggregate
+    * is a 20-row frame. */
+  def spanDupProfile(strataCol: String, minTokens: Int = 8): DataFrame = {
+    val perDoc = Dedup.dupSpans(docs, idCol, textCol, minTokens)
+      .groupBy(col("doc").as(idCol))
+      .agg(sum("span_len").as("_dup_toks"))
+    docs.select(col(idCol), col(strataCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("_nt"))
+      .join(perDoc, Seq(idCol), "left")
+      .groupBy(strataCol)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+        sum("_nt").as("n_tokens"),
+        coalesce(sum("_dup_toks"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio", round(col("dup_tokens") / col("n_tokens"), 6))
+  }
+
   /** Substring-level dedup (the "deduplicating training data makes LMs
     * better" operation, distinct from doc- and passage-PAIR removal):
     * every maximal duplicated run of ≥ `minTokens` tokens keeps exactly its

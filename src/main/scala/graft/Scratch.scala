@@ -122,9 +122,10 @@ object Scratch {
       val docs = graft.core.Tables.documents(spark, dir)
       val st = Dedup.spanStarts(docs, "doc_id", "text", 8)
       time("spanStarts")(println("  rows=" + st.count()))
-      val dup = st.withColumn("_cnt", count(lit(1)).over(Window.partitionBy("h")))
-        .filter(col("_cnt") >= 2)
-      time("  + h-window count")(println("  rows=" + dup.count()))
+      val dupH = st.groupBy("h").agg(count(lit(1)).as("_cnt"))
+        .filter(col("_cnt") >= 2).select("h")
+      val dup = st.join(graft.core.Joins.maybeBroadcast(dupH), Seq("h"), "left_semi")
+      time("  + dup-h semi join")(println("  rows=" + dup.count()))
       val isl = dup.withColumn("_grp",
         col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))
       time("  + doc islands")(println("  rows=" + isl.count()))

@@ -75,6 +75,7 @@ object SparkEntry {
     "doc_dedup_clusters" -> ((s, d) => qDedupClusters(s, d)),
     "doc_dup_spans"      -> ((s, d) => qDupSpans(s, d)),
     "doc_strip_spans"    -> ((s, d) => qStripSpans(s, d)),
+    "doc_span_profile"   -> ((s, d) => qSpanProfile(s, d)),
     "doc_minhash_lsh"    -> ((s, d) => qMinhashLsh(s, d)),
     "doc_simhash"        -> ((s, d) => qSimhash(s, d)),
     "doc_simhash_pairs"  -> ((s, d) => qSimhashPairs(s, d)),
@@ -996,6 +997,12 @@ object SparkEntry {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         md5(col("text")).as("digest"))
+
+  /** Per-source duplication profile: the corpus-health read over
+    * [[qDupSpans]]'s inventory — which sources need span-stripping before
+    * they enter a training mixture. */
+  private def qSpanProfile(s: SparkSession, d: String): DataFrame =
+    Corpus(Tables.documents(s, d)).spanDupProfile("source", SpanMinTokens)
 
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
@@ -3157,6 +3164,23 @@ object SparkEntry {
          |  CAST(len(string_split(coalesce(r.text2, ''), ' ')) AS BIGINT) AS n_tokens,
          |  md5(coalesce(r.text2, '')) AS digest
          |FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin,
+
+    "doc_span_profile" ->
+      s"""$SPAN_STARTS
+         |dup AS (SELECT doc_id, pos FROM
+         |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM sh)
+         |  WHERE cnt >= 2),
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+         |sp AS (SELECT doc_id, max(pos) - min(pos) + $SpanMinTokens AS span_len
+         |  FROM isl GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, SUM(span_len) AS dup_toks FROM sp GROUP BY doc_id),
+         |base AS (SELECT doc_id, source,
+         |  len(string_split(text, ' ')) AS nt FROM documents)
+         |SELECT source, count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(SUM(dup_toks), 0) AS BIGINT) AS dup_tokens,
+         |  ROUND(COALESCE(SUM(dup_toks), 0) / CAST(SUM(nt) AS DOUBLE), 6) AS dup_ratio
+         |FROM base LEFT JOIN agg USING (doc_id) GROUP BY source""".stripMargin,
 
     "doc_jaccard_pairs" ->
       s"""$SHINGLES

@@ -62,12 +62,27 @@ object Tables {
     * of row-group splits and skips this entirely. Filters still push to
     * the scan (Catalyst pushes through repartition), and results are
     * partition-invariant. */
-  def documents(spark: SparkSession, dir: String): DataFrame = {
-    val df = apply(spark, dir, "documents")
-    val f = new java.io.File(s"$dir/documents.parquet")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spreadIfUnderSplit(spark, dir, "documents", "doc_id")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spreadIfUnderSplit(spark, dir, "embeddings", "vec_id")
+
+  /** Read `name`, hash-repartitioned to shuffle width when the source file
+    * is a single small file (<64 MB): such files are one parquet row group,
+    * so the scan yields ONE split and every per-row kernel downstream
+    * (window fingerprints, shingles, trigram vectors, embedding dot
+    * products) runs on one core. The spread costs one shuffle of the raw
+    * rows — worth it exactly when the input is small; a production scan
+    * has thousands of row-group splits and skips the gate entirely.
+    * Filters still push to the scan (Catalyst pushes through repartition),
+    * and results are partition-invariant. */
+  private def spreadIfUnderSplit(spark: SparkSession, dir: String,
+                                 name: String, keyCol: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val f = new java.io.File(s"$dir/$name.parquet")
     if (f.isFile && f.length < 64L * 1024 * 1024)
-      df.repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      df.repartition(spark.sessionState.conf.numShufflePartitions, col(keyCol))
     else df
   }
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

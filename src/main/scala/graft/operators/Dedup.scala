@@ -271,9 +271,17 @@ object Dedup {
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                minTokens: Int, minOccurrences: Int = 2): DataFrame = {
     val st = spanStarts(df, idCol, textCol, minTokens)
-    val dup = st
-      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("_cnt") >= minOccurrences)
+    // Duplicated-window set via ONE hash aggregate keyed by h: map-side
+    // combine collapses a hot window's occurrences inside each task, so an
+    // adversarial corpus (one window repeated 10⁶×) costs a counter, not a
+    // buffered hot partition — the reason this is an aggregate + semi-join
+    // rather than a count WINDOW (which shuffles every row uncombined and
+    // sorts the hot key into one task). The set is tiny for real corpora →
+    // size-gated broadcast makes the probe shuffle-free; past the gate AQE
+    // plans the join from runtime sizes.
+    val dupH = st.groupBy("h").agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minOccurrences).select("h")
+    val dup = st.join(graft.core.Joins.maybeBroadcast(dupH), Seq("h"), "left_semi")
     val isl = dup.withColumn("_grp",
       col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))
     isl.groupBy(col("doc"), col("_grp"))
@@ -294,11 +302,17 @@ object Dedup {
     * token rows never shuffle a second time. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
                     minTokens: Int): DataFrame = {
-    val wH = Window.partitionBy("h")
-    val ncs = spanStarts(df, idCol, textCol, minTokens)
-      .withColumn("_cnt", count(lit(1)).over(wH))
-      .withColumn("_rn", row_number().over(wH.orderBy("doc", "pos")))
-      .filter(col("_cnt") >= 2 && col("_rn") > 1)
+    val st = spanStarts(df, idCol, textCol, minTokens)
+    // per duplicated window: its canonical (first) occurrence — the same
+    // hot-key-immune aggregate + gated-broadcast shape as [[dupSpans]];
+    // struct min is lexicographic (doc, pos), i.e. corpus order
+    val canon = st.groupBy("h")
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("doc"), col("pos"))).as("_c"))
+      .filter(col("_cnt") >= 2)
+      .select(col("h"), col("_c.doc").as("_cdoc"), col("_c.pos").as("_cpos"))
+    val ncs = st.join(graft.core.Joins.maybeBroadcast(canon), Seq("h"))
+      .filter(!(col("doc") === col("_cdoc") && col("pos") === col("_cpos")))
     val spans = ncs
       .withColumn("_grp",
         col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))

@@ -180,6 +180,20 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(1L), s"band [1.2,10] keeps only the ambiguous-context doc, got $kept")
   }
 
+  test("spanDupProfile attributes duplicated-run coverage per stratum") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j u1 u2", "A"),   // 12 tokens, 10 in the dup run
+      (2L, "x y a b c d e f g h i j", "B"),     // 12 tokens, 10 in the dup run
+      (3L, "short doc", "B")                    // below minTokens, no spans
+    ).toDF("doc_id", "text", "source")
+    val p = Corpus(d).spanDupProfile("source", 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(p("A") === ((1L, 12L, 10L, math.rint(10.0 / 12 * 1e6) / 1e6)))
+    assert(p("B") === ((2L, 14L, 10L, math.rint(10.0 / 14 * 1e6) / 1e6)))
+  }
+
   test("deterministic sampling is a pure membership predicate") {
     val s1 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val s2 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
