@@ -156,6 +156,25 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
     copy(docs = keepComponentMin(
       Dedup.fingerprintPairs(docs, idCol, textCol, k, w, minShared, maxDocFreq)))
 
+  /** Incremental-ingestion dedup (doc_dedup_incremental): drop THIS
+    * corpus's docs that duplicate an already-curated reference — exactly
+    * (identical digest) or nearly (capped cross-corpus jaccard ≥ minJ,
+    * [[Dedup.crossJaccardPairs]]). The continuous-crawl shape: the
+    * reference never re-processes; only batch×reference cross pairs are
+    * generated, never the reference's own pair volume. Batch-internal
+    * duplicates are a separate [[dedupNear]]/[[dedupExact]] pass. */
+  def dedupAgainst(reference: DataFrame, minJ: Double = 0.5, n: Int = 3,
+                   maxDocFreq: Int = 100): Corpus = {
+    val refDigests = reference.select(md5(col(textCol)).as("_d")).distinct()
+    val exactIds = docs.select(col(idCol), md5(col(textCol)).as("_d"))
+      .join(refDigests, Seq("_d"), "left_semi").select(col(idCol))
+    val nearIds = Dedup.crossJaccardPairs(docs, reference, idCol, textCol,
+        n, minJ, maxDocFreq)
+      .select(col("doc_l").as(idCol)).distinct()
+    copy(docs = docs.join(exactIds.unionByName(nearIds).distinct(),
+      Seq(idCol), "left_anti"))
+  }
+
   /** Per-stratum duplication profile (doc_span_profile): how much of each
     * source's/lang's token volume sits inside corpus-wide duplicated runs
     * ([[Dedup.dupSpans]] coverage) — the corpus-health number that decides

@@ -76,6 +76,7 @@ object SparkEntry {
     "doc_dup_spans"      -> ((s, d) => qDupSpans(s, d)),
     "doc_strip_spans"    -> ((s, d) => qStripSpans(s, d)),
     "doc_span_profile"   -> ((s, d) => qSpanProfile(s, d)),
+    "doc_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
     "doc_minhash_lsh"    -> ((s, d) => qMinhashLsh(s, d)),
     "doc_simhash"        -> ((s, d) => qSimhash(s, d)),
     "doc_simhash_pairs"  -> ((s, d) => qSimhashPairs(s, d)),
@@ -1003,6 +1004,30 @@ object SparkEntry {
     * they enter a training mixture. */
   private def qSpanProfile(s: SparkSession, d: String): DataFrame =
     Corpus(Tables.documents(s, d)).spanDupProfile("source", SpanMinTokens)
+
+  /** Incremental-ingestion dedup verdicts: a 10% hash-slice of documents
+    * plays the incoming BATCH, the rest the curated REFERENCE; every batch
+    * doc gets 'exact' (digest match in reference), 'near' (capped
+    * cross-jaccard ≥ 0.5, [[graft.operators.Dedup.crossJaccardPairs]]), or
+    * 'kept' — exact precedence first, the [[graft.Corpus.dedupAgainst]]
+    * drop set being exactly the non-kept rows. */
+  private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val batch = all.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    val ref = all.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+    val ex = batch.select(col("doc_id"), md5(col("text")).as("_d"))
+      .join(ref.select(md5(col("text")).as("_d")).distinct(), Seq("_d"), "left_semi")
+      .select(col("doc_id")).withColumn("_ex", lit(1))
+    val near = Dedup.crossJaccardPairs(batch, ref, "doc_id", "text",
+        3, 0.5, JaccardDfCap)
+      .select(col("doc_l").as("doc_id")).distinct().withColumn("_nr", lit(1))
+    batch.select("doc_id")
+      .join(ex, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_ex") === 1, "exact").when(col("_nr") === 1, "near")
+          .otherwise("kept").as("verdict"))
+  }
 
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
@@ -3181,6 +3206,31 @@ object SparkEntry {
          |  CAST(COALESCE(SUM(dup_toks), 0) AS BIGINT) AS dup_tokens,
          |  ROUND(COALESCE(SUM(dup_toks), 0) / CAST(SUM(nt) AS DOUBLE), 6) AS dup_ratio
          |FROM base LEFT JOIN agg USING (doc_id) GROUP BY source""".stripMargin,
+
+    "doc_dedup_incremental" ->
+      s"""$SHINGLES
+         |capped AS (SELECT * FROM ds
+         |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $JaccardDfCap),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+         |l AS (SELECT * FROM capped WHERE doc_id % 10 = 0),
+         |r AS (SELECT * FROM capped WHERE doc_id % 10 <> 0),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
+         |  FROM l JOIN r ON l.shingle = r.shingle GROUP BY 1, 2),
+         |near AS (SELECT DISTINCT a AS doc_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |  WHERE c / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5),
+         |ex AS (SELECT DISTINCT b.doc_id
+         |  FROM documents b JOIN documents r2
+         |    ON md5(b.text) = md5(r2.text)
+         |   AND b.doc_id % 10 = 0 AND r2.doc_id % 10 <> 0)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+         |       WHEN near.doc_id IS NOT NULL THEN 'near'
+         |       ELSE 'kept' END AS verdict
+         |FROM documents d
+         |LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |LEFT JOIN near ON near.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
 
     "doc_jaccard_pairs" ->
       s"""$SHINGLES

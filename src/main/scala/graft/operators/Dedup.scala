@@ -88,6 +88,45 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** Cross-corpus exact n-gram Jaccard (the incremental-ingestion tier:
+    * a new BATCH against an already-curated REFERENCE corpus): every
+    * `(doc_l, doc_r)` pair with one doc per side sharing ≥1 capped shingle
+    * and jaccard ≥ minJ. Only CROSS pairs are generated — batch-internal
+    * duplicates are [[jaccardPairs]]' job, and the reference is assumed
+    * deduped — so the join cost is |batch| × matches, not the reference's
+    * self-pair volume. The document-frequency cap counts across BOTH
+    * corpora (a stop-phrase is global), and per-doc sizes use the capped
+    * set, exactly as in [[jaccardPairs]]. One shuffle keyed by shingle;
+    * both join sides and the size aggregate read the same exchange. */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame, idCol: String,
+                        textCol: String, n: Int, minJ: Double,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val nPart = left.sparkSession.sessionState.conf.numShufflePartitions
+    val uni = shingles(left, idCol, textCol, n).withColumn("_side", lit("l"))
+      .unionByName(shingles(right, idCol, textCol, n).withColumn("_side", lit("r")))
+    val capped =
+      if (maxDocFreq == Int.MaxValue) uni
+      else uni
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("_df") <= maxDocFreq).drop("_df")
+    val sh = capped.repartition(nPart, col("shingle"))
+    val sizes = sh.groupBy("_side", "doc").agg(count(lit(1)).as("sz"))
+    val inter = sh.filter(col("_side") === "l").as("a")
+      .hint("shuffle_hash")
+      .join(sh.filter(col("_side") === "r").as("b"),
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc").as("doc_l"), col("b.doc").as("doc_r"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.filter(col("_side") === "l")
+        .select(col("doc").as("doc_l"), col("sz").as("sz_l")), "doc_l")
+      .join(sizes.filter(col("_side") === "r")
+        .select(col("doc").as("doc_r"), col("sz").as("sz_r")), "doc_r")
+      .withColumn("jaccard",
+        col("n_common") / (col("sz_l") + col("sz_r") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+  }
+
   /** MOSS-style copy-detection pairs over winnowing fingerprints
     * ([[graft.functions.TextOps.winnowFingerprints]]): two docs are a
     * candidate pair when their selected rolling-hash fingerprint SETS share

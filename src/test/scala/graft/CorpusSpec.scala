@@ -194,6 +194,25 @@ class CorpusSpec extends SparkSpec {
     assert(p("B") === ((2L, 14L, 10L, math.rint(10.0 / 14 * 1e6) / 1e6)))
   }
 
+  test("dedupAgainst drops exact and near reference duplicates, keeps fresh docs") {
+    import spark.implicits._
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // exact copy of 100
+      (2L, "one two three four five seven"),             // near copy of 101
+      (3L, "wholly new content nothing shared here")     // fresh
+    ).toDF("doc_id", "text")
+    val kept = Corpus(batch).dedupAgainst(ref, minJ = 0.3)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+    // raising the near bar keeps the near-copy, exact still drops
+    val keptStrict = Corpus(batch).dedupAgainst(ref, minJ = 0.99)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptStrict === Set(2L, 3L))
+  }
+
   test("deterministic sampling is a pure membership predicate") {
     val s1 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val s2 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
