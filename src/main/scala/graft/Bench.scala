@@ -2,18 +2,35 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
-  /** Time each query through the noop sink. A failing query records the
-    * error class instead of masquerading as a fast success (BenchSpec pins
-    * this with a deliberately-broken query). */
+  /** Cumulative shuffle write bytes across the session, fed by a task-end
+    * listener. Listener delivery is asynchronous, so a per-query read can
+    * attribute a few straggler tasks to the next query — at second-scale
+    * queries the skew is noise, and the TOTAL is exact once the bus drains
+    * at shutdown. */
+  private val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+  private def installShuffleProbe(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+  /** Time each query through the noop sink, recording shuffle write volume
+    * alongside wall time — the number that survives a 100× scale-up is the
+    * bytes a query moves, not its local[32] seconds. A failing query records
+    * the error class instead of masquerading as a fast success
+    * (RobustnessSpec pins this with a deliberately-broken query). */
   def runQueries(spark: SparkSession, sfDir: String,
                  queries: Map[String, (SparkSession, String) => DataFrame])
-      : Seq[(String, Double, Option[String])] =
+      : Seq[(String, Double, Option[String], Long)] =
     queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, (System.nanoTime() - t0) / 1e9, err, shuffleBytes.get() - b0)
     }
 
   def main(args: Array[String]): Unit = {
@@ -25,6 +42,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installShuffleProbe(spark)
     // JVM/session warmup so the first measured query doesn't absorb startup:
     // exercise the operators every query touches (parquet scan, shuffle agg,
     // broadcast join, window) so codegen/classloading costs land here, not
@@ -69,20 +87,27 @@ object Bench {
     // 3 decimals = ms precision, ample for second-scale timings.
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, Some(e), _) =>
       s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val failed = results.count(_._3.isDefined)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val errPart = if (failed > 0) s""","errors":$errs""" else ""
+    // per-query shuffle volume goes to STDERR (the stdout JSON line must
+    // stay under the driver's bounded tail — round 6 lost a bench artifact
+    // to an over-long line); the compact total rides the JSON line below
+    val shuffleTotalMb = results.map(_._4).sum >> 20
+    System.err.println(results.filter(_._4 > 0)
+      .map { case (k, _, _, b) => s"\"" + k + "\":" + (b >> 10) }
+      .mkString("""{"metric":"shuffle_kb","queries":{""", ",", "}}"))
     // post-run driver heap (after a GC): catches any operator accumulating
     // driver-side state across the 138-query sweep — the number should stay
     // flat as queries are added (BenchScale reports the same per scale point)
     System.gc()
     val rt = Runtime.getRuntime
     val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart,"driver_used_mb":$usedMb,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart,"driver_used_mb":$usedMb,"shuffle_total_mb":$shuffleTotalMb,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
