@@ -126,6 +126,7 @@ object SparkEntry {
     "ts_export_fitted"   -> ((s, d) => qExportFitted(s, d)),
     "doc_token_counts"   -> ((s, d) => qDocTokenCounts(s, d)),
     "emb_knn_ivf"        -> ((s, d) => qEmbKnnIvf(s, d)),
+    "emb_knn_pq"         -> ((s, d) => qEmbKnnPq(s, d)),
     "ts_stat_transform"  -> ((s, d) => qStatTransform(s, d)),
     "ts_best_length"     -> ((s, d) => qBestLength(s, d)),
     "ts_auto_arima"      -> ((s, d) => qAutoArma(s, d)),
@@ -1194,6 +1195,22 @@ object SparkEntry {
   private def qEmbKnnIvf(s: SparkSession, d: String): DataFrame =
     graft.operators.Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
         3, nCells = 8, nProbe = 8, queryFilter = col("vid") < 50)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+
+  /** PQ ANN at FULL candidate pool (nCand ≥ corpus size at the verify SF)
+    * — the emb_knn_ivf full-probe pattern: the exact re-rank then equals
+    * brute force, making the all-pairs SQL a valid hash oracle for the
+    * whole PQ machinery (subspace codebooks, code assignment, LUT ADC
+    * scan, bounded-heap cut, exact re-rank). Partial-pool recall is
+    * data-dependent — this fixture's embeddings are clusterless random
+    * vectors, PQ's worst case (measured: a true top-3 neighbor can sit at
+    * ADC rank ~356 of 500) — so the speed path's pool sizing is a
+    * data-quality decision, pinned by ExactPropertySpec, not by this
+    * oracle. */
+  private def qEmbKnnPq(s: SparkSession, d: String): DataFrame =
+    Similarity.pqKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        3, nCand = 512, queryFilter = col("vid") < 50)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
 
@@ -3859,6 +3876,24 @@ object SparkEntry {
 
     // full-probe IVF == brute force (ExactPropertySpec), so the all-pairs
     // definition is the oracle; query side bounded like emb_knn
+    // PQ at a fixture-covering candidate pool re-ranks exactly, so brute
+    // force is its oracle too (same argument as emb_knn_ivf below)
+    "emb_knn_pq" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |ed AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ed GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.v * b.v) AS d
+        |  FROM ed a JOIN ed b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50 GROUP BY 1, 2),
+        |sims AS (SELECT qa, qb, d / (na.n * nb.n) AS sim
+        |  FROM dots JOIN nrm na ON na.vec_id = qa JOIN nrm nb ON nb.vec_id = qb),
+        |ranked AS (SELECT qa AS query_id, qb AS neighbor_id, ROUND(sim, 6) AS sim,
+        |    row_number() OVER (PARTITION BY qa ORDER BY ROUND(sim, 6) DESC, qb) AS rank
+        |  FROM sims)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
     "emb_knn_ivf" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
         |    generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -218,6 +218,140 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Product-quantization index: each UNIT vector splits into `m`
+    * subvectors; per subspace a small KMeans learns `kStar` centroids and
+    * the vector's code is its nearest-centroid id per subspace —
+    * m·log₂(kStar) bits per vector (8×16 → 8 B against 256 B of float32 at
+    * d=64, the 32× memory cut that keeps a billion-vector scan
+    * RAM-resident on a cluster). Quantizing the normalized vectors makes
+    * squared-L2 ADC a monotone proxy for cosine (‖a−b‖² = 2−2·cos on unit
+    * vectors). Returns the coded frame `(vid, v, nrm, u, code)` and the
+    * codebook tensor (m × kStar × d/m doubles — driver-bounded like IVF's
+    * centroid matrix). Codebook quality depends on partitioning the way
+    * IVF's does; search correctness doesn't (exact re-rank), which
+    * ExactPropertySpec pins. */
+  def pqIndex(df: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, kStar: Int = 16, seed: Long = 42L)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+    val p = prepared(df, idCol, vecCol)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .localCheckpoint(true)
+    val dims = p.select(size(col("u"))).head().getInt(0)
+    require(dims % m == 0, s"embedding dim $dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val books: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      val sv = p.select(array_to_vector(slice(col("u"), s * sub + 1, sub)).as("_fv"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(kStar).setSeed(seed + s).setMaxIter(8).setInitMode("random")
+        .setFeaturesCol("_fv").setPredictionCol("_c")
+        .fit(sv).clusterCenters.map(_.toArray)
+    }.toArray
+    val outSchema = StructType(p.schema.fields :+
+      StructField("code", ArrayType(IntegerType, containsNull = false)))
+    val uIdx = p.schema.fieldIndex("u")
+    val codes = p.map({ r =>
+      val u = r.getSeq[Double](uIdx).toArray
+      val code = Array.tabulate(m) { s =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < kStar) {
+          val c = books(s)(j); var d2 = 0.0; var i = 0
+          while (i < sub) { val d = u(s * sub + i) - c(i); d2 += d * d; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
+        }
+        best
+      }
+      Row.fromSeq(r.toSeq :+ code.toSeq)
+    })(Encoders.row(outSchema)).toDF()
+    (codes, books)
+  }
+
+  /** PQ ANN top-k: asymmetric-distance (ADC) scan over the 8-byte codes
+    * generates `nCand` candidates per query, then the true vectors re-rank
+    * exactly — so precision is exact and, with `nCand` covering the true
+    * neighborhood (ExactPropertySpec pins nCand = n−1 == brute force), the
+    * output equals exact kNN while the scan reads codes, not vectors. The
+    * scan is a typed per-partition kernel with the query LUTs
+    * (queries × m × kStar distances) in the closure and a bounded heap per
+    * query — no all-pairs join in the plan, partial results are
+    * heap-pruned INSIDE each partition, and only partitions × queries ×
+    * nCand candidate rows ever shuffle. The probe set is collected and
+    * must be bounded (≤ 4096 — it is the user's query batch, like IVF's
+    * centroid matrix; larger batches belong on [[cosineKnnLsh]] /
+    * [[ivfKnn]]). */
+  def pqKnn(df: DataFrame, idCol: String, vecCol: String, k: Int,
+            m: Int = 8, kStar: Int = 16, nCand: Int = 64, seed: Long = 42L,
+            queryFilter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val (codes0, books) = pqIndex(df, idCol, vecCol, m, kStar, seed)
+    val codes = codes0.localCheckpoint(true)
+    val sub = books(0)(0).length
+    val qRows = codes.filter(queryFilter).select(col("vid"), col("u")).collect()
+    require(qRows.length <= 4096,
+      s"pqKnn probe batch ${qRows.length} > 4096; use cosineKnnLsh/ivfKnn for bulk all-to-all")
+    // per-query lookup table: lut(s)(j) = ||q_s − c_sj||²; ADC of a coded
+    // vector is then m array reads + adds
+    val luts = qRows.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      val lut = Array.tabulate(m, kStar) { (s, j) =>
+        val c = books(s)(j); var d2 = 0.0; var i = 0
+        while (i < sub) { val d = q(s * sub + i) - c(i); d2 += d * d; i += 1 }
+        d2
+      }
+      (r.get(0), lut)
+    }
+    val vidField = codes.schema.fields(codes.schema.fieldIndex("vid"))
+    val candSchema = StructType(Seq(vidField.copy(name = "qvid"),
+      vidField.copy(name = "nid"), StructField("adc", DoubleType)))
+    val mLocal = m
+    val cands = codes.select(col("vid"), col("code")).mapPartitions({ it =>
+      // bounded max-heap per query: keeps the nCand SMALLEST ADC rows seen
+      // in this partition
+      val heaps = luts.map(q => (q._1,
+        scala.collection.mutable.PriorityQueue.empty[(Double, Any)](
+          Ordering.by[(Double, Any), Double](_._1))))
+      it.foreach { r =>
+        val nid = r.get(0)
+        val code = r.getSeq[Int](1)
+        var qi = 0
+        while (qi < luts.length) {
+          val (qvid, lut) = luts(qi)
+          if (qvid != nid) {
+            var adc = 0.0; var s = 0
+            while (s < mLocal) { adc += lut(s)(code(s)); s += 1 }
+            val h = heaps(qi)._2
+            if (h.size < nCand) h.enqueue((adc, nid))
+            else if (adc < h.head._1) { h.dequeue(); h.enqueue((adc, nid)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qvid, h) =>
+        h.iterator.map { case (adc, nid) => Row(qvid, nid, adc) } }
+    })(Encoders.row(candSchema)).toDF()
+    // global nCand cut across partitions, then EXACT re-rank on true vectors
+    val globalCand = cands
+      .withColumn("_rk", row_number().over(Window.partitionBy("qvid")
+        .orderBy(col("adc"), col("nid"))))
+      .filter(col("_rk") <= nCand).select("qvid", "nid")
+    val vecs = codes.select(col("vid"), col("v"), col("nrm"))
+    val scored = globalCand
+      .join(vecs.select(col("vid").as("nid"), col("v").as("_nv"), col("nrm").as("_nn")), Seq("nid"))
+      .join(vecs.select(col("vid").as("qvid"), col("v").as("_qv"), col("nrm").as("_qn")), Seq("qvid"))
+      .select(col("qvid").as("query_id"), col("nid").as("neighbor_id"),
+        (dotFast(col("_qv"), col("_nv")) / (col("_qn") * col("_nn"))).as("sim"))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Cross-corpus contamination matches: every (corpus, probe) pair with
     * cosine ≥ tau — the embedding-space twin of
     * [[graft.operators.Decontaminate]]'s n-gram gate (decontaminate a

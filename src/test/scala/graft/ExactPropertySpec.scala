@@ -88,6 +88,39 @@ class ExactPropertySpec extends SparkSpec {
     assert(recall > 0.9, s"1-probe recall $recall")
   }
 
+  test("PQ kNN at full candidate pool equals brute force; clustered data keeps partial-pool recall") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    // 4 well-separated clusters — the data shape PQ codebooks are FOR
+    // (clusterless random vectors are its measured worst case)
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat * 10))
+    val vecs = (0 until 40).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.cosineKnn(df, "vec_id", "embedding", 3))
+    val full = rows(Similarity.pqKnn(df, "vec_id", "embedding", 3,
+      m = 4, kStar = 8, nCand = 39))
+    assert(full == brute, "full candidate pool must equal brute force")
+    // a narrow pool on CLUSTERED data: ADC confines candidates to the
+    // query's own cluster (within a tight cluster the codes coincide, so
+    // ADC ties and exact top-3 identity is decided by the re-rank — the
+    // meaningful partial-pool guarantee is the REGION, not the tie order)
+    val narrow = rows(Similarity.pqKnn(df, "vec_id", "embedding", 3,
+      m = 4, kStar = 8, nCand = 5))
+    assert(narrow.nonEmpty && narrow.forall { case (q, _, n) => n % 4 == q % 4 },
+      s"narrow-pool neighbors must stay in the query's cluster")
+    // deterministic across repeated builds (hash-free seeded codebooks)
+    assert(rows(Similarity.pqKnn(df, "vec_id", "embedding", 3,
+      m = 4, kStar = 8, nCand = 39)) == full)
+  }
+
   test("banded cosineNearDupPairs equals the brute-force all-pairs definition") {
     import graft.operators.Similarity
     import spark.implicits._
