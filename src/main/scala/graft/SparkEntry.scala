@@ -35,6 +35,7 @@ object SparkEntry {
     "mv_build_segments"  -> ((s, d) => SeriesFrame.segmentMonthly(s, d).orderBy(SeriesId, Ds)),
     "ts_build_star"      -> ((s, d) => SeriesFrame.nationMonthly(s, d).orderBy(SeriesId, Ds)),
     "mv_star_fit"        -> ((s, d) => qMvStarFit(s, d)),
+    "ts_reconcile"       -> ((s, d) => qReconcile(s, d)),
     "ts_build_brand_weekly" -> ((s, d) => qBuildBrandWeekly(s, d)),
     "sales_inactive_suppliers" -> ((s, d) => qInactiveSuppliers(s, d)),
     "sales_region_share" -> ((s, d) => qRegionShare(s, d)),
@@ -1911,6 +1912,24 @@ object SparkEntry {
         round(element_at(col("beta"), 3), 6).as("b_ar1"))
   }
 
+  /** Hierarchical forecast reconciliation over the star schema's
+    * nation → region → total tree ([[graft.operators.Hierarchy]]):
+    * seasonal-naive base forecasts at every level, bottom-up roll-ups, and
+    * top-down historical-proportion disaggregation, h = 6 months past the
+    * fixture's last observed month. The oracle replays the cents-space
+    * history, the snaive spine, both reconciliation paths, and the share
+    * arithmetic term for term. */
+  private def qReconcile(s: SparkSession, d: String): DataFrame = {
+    val bottom = SeriesFrame.nationMonthly(s, d).filter(!col(IsFuture))
+    val mapping = Tables.nation(s, d)
+      .select(col("n_name").as("series_id"), col("n_regionkey"))
+      .join(broadcast(Tables.region(s, d)
+        .select(col("r_regionkey"), col("r_name").as("parent"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("series_id", "parent")
+    graft.operators.Hierarchy.reconcileSnaive(bottom, mapping, 12, 6)
+  }
+
   /** Cluster-prototypical semantic prune over the embedding table — the
     * cheap first pass of SemDeDup-style curation: per cluster label, score
     * every vector's cosine against the CLUSTER CENTROID and drop all but
@@ -2457,6 +2476,59 @@ object SparkEntry {
          |SELECT series_id, ROUND(beta_0, 6) AS b0, ROUND(beta_1, 6) AS b_t,
          |  ROUND(beta_2, 6) AS b_ar1
          |FROM sf_fit""".stripMargin,
+
+    // hierarchical reconciliation: cents-space history, snaive spine, both
+    // reconciliation paths, and the share arithmetic replayed term for term
+    "ts_reconcile" ->
+      """WITH base AS (
+        |  SELECT n_name AS series_id,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+        |    ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS y
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |map AS (SELECT n_name AS series_id, r_name AS parent
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |bh AS (SELECT b.series_id, m.parent, ds, CAST(ROUND(y * 100) AS BIGINT) AS yc
+        |  FROM base b JOIN map m USING (series_id)),
+        |ph AS (SELECT parent AS series_id, ds, SUM(yc) AS yc FROM bh GROUP BY 1, 2),
+        |th AS (SELECT ds, SUM(yc) AS yc FROM bh GROUP BY 1),
+        |mx AS (SELECT max(ds) AS d0 FROM bh),
+        |fut AS (SELECT CAST(d0 + INTERVAL (k) MONTH AS DATE) AS ds
+        |  FROM mx, generate_series(1, 6) g(k)),
+        |fb AS (SELECT s.series_id, s.parent, f.ds, h.yc AS fc
+        |  FROM (SELECT DISTINCT series_id, parent FROM bh) s CROSS JOIN fut f
+        |  LEFT JOIN bh h ON h.series_id = s.series_id
+        |    AND h.ds = CAST(f.ds - INTERVAL 12 MONTH AS DATE)),
+        |fp AS (SELECT s.series_id, f.ds, h.yc AS fc
+        |  FROM (SELECT DISTINCT parent AS series_id FROM bh) s CROSS JOIN fut f
+        |  LEFT JOIN ph h ON h.series_id = s.series_id
+        |    AND h.ds = CAST(f.ds - INTERVAL 12 MONTH AS DATE)),
+        |ft AS (SELECT f.ds, h.yc AS fc FROM fut f
+        |  LEFT JOIN th h ON h.ds = CAST(f.ds - INTERVAL 12 MONTH AS DATE)),
+        |ns AS (SELECT series_id, SUM(yc) AS s FROM bh GROUP BY 1),
+        |ps AS (SELECT parent, SUM(yc) AS s FROM bh GROUP BY 1),
+        |tsum AS (SELECT SUM(yc) AS st FROM bh),
+        |bu_p AS (SELECT parent, ds, SUM(fc) AS bu FROM fb GROUP BY 1, 2),
+        |bu_t AS (SELECT ds, SUM(fc) AS bu FROM fb GROUP BY 1)
+        |SELECT 'nation' AS level, fb.series_id, fb.ds,
+        |  ROUND(fb.fc / 100.0, 2) AS fcst_base,
+        |  ROUND(fb.fc / 100.0, 2) AS fcst_bu,
+        |  ROUND((ft.fc / 100.0) * (ns.s / tsum.st), 2) AS fcst_td
+        |FROM fb JOIN ft USING (ds) JOIN ns ON ns.series_id = fb.series_id, tsum
+        |UNION ALL
+        |SELECT 'region', fp.series_id, fp.ds,
+        |  ROUND(fp.fc / 100.0, 2), ROUND(bu_p.bu / 100.0, 2),
+        |  ROUND((ft.fc / 100.0) * (ps.s / tsum.st), 2)
+        |FROM fp JOIN ft USING (ds)
+        |JOIN bu_p ON bu_p.parent = fp.series_id AND bu_p.ds = fp.ds
+        |JOIN ps ON ps.parent = fp.series_id, tsum
+        |UNION ALL
+        |SELECT 'total', 'TOTAL', ft.ds, ROUND(ft.fc / 100.0, 2),
+        |  ROUND(bu_t.bu / 100.0, 2), ROUND(ft.fc / 100.0, 2)
+        |FROM ft JOIN bu_t USING (ds)""".stripMargin,
 
     // KMV distinct sketch: k-th smallest distinct 60-bit md5-prefix hash;
     // exact count below k=16 distinct, (k-1)/u_k estimate above

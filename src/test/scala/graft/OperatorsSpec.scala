@@ -453,6 +453,37 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_stopwords") === 2L) // 'the' twice
   }
 
+  test("hierarchical reconciliation: snaive base, coherent bottom-up, proportional top-down") {
+    import graft.operators.Hierarchy
+    import spark.implicits._
+    def d(m: Int) = java.sql.Date.valueOf(f"2020-$m%02d-01")
+    // parents A={a1,a2}, B={b1}; 6 months history, period 3, horizon 2
+    val hist = for {
+      (sid, base) <- Seq(("a1", 100.0), ("a2", 50.0), ("b1", 10.0))
+      m <- 1 to 6
+    } yield (sid, d(m), base + m)
+    val mapping = Seq(("a1", "A"), ("a2", "A"), ("b1", "B")).toDF("series_id", "parent")
+    val out = Hierarchy.reconcileSnaive(hist.toDF("series_id", "ds", "y"),
+        mapping, period = 3, h = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDate(2).toString) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // snaive: July forecast replays April (m=4)
+    assert(out(("nation", "a1", "2020-07-01"))._1 === 104.0)
+    assert(out(("nation", "b1", "2020-08-01"))._1 === 15.0) // May
+    // bottom-up region = sum of child bases; total coherent
+    assert(out(("region", "A", "2020-07-01"))._2 === 104.0 + 54.0)
+    assert(out(("total", "TOTAL", "2020-07-01"))._2 === 104.0 + 54.0 + 14.0)
+    // top-down: total base disaggregated by train share, preserved in sum
+    val tdSum = Seq("a1", "a2", "b1")
+      .map(sid => out(("nation", sid, "2020-07-01"))._3).sum
+    val totalBase = out(("total", "TOTAL", "2020-07-01"))._1
+    assert(math.abs(tdSum - totalBase) < 0.03, s"td sum $tdSum vs $totalBase")
+    assert(out(("total", "TOTAL", "2020-08-01"))._3 === out(("total", "TOTAL", "2020-08-01"))._1)
+    // a1's td share exceeds b1's by roughly their volume ratio
+    assert(out(("nation", "a1", "2020-07-01"))._3 >
+      5 * out(("nation", "b1", "2020-07-01"))._3)
+  }
+
   test("dupSpans merges overlapping duplicated windows into maximal spans") {
     import spark.implicits._
     // docs 1 and 2 share the 10-token run a..j (three overlapping 8-windows
