@@ -53,6 +53,41 @@ final case class Events(events: DataFrame) {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Top length-`n` event-type paths within sessions (events_top_paths):
+    * sessions numbered by the [[sessionize]] gap rule, every contiguous
+    * n-event subsequence counted corpus-wide, top `k` by count (ties on
+    * the path string). The path build is a lead-window over the session
+    * partition — no per-session collect; the count aggregate's key space
+    * is bounded by |event_type|ⁿ, so the final rank runs over a tiny
+    * frame. The monitoring view behind "what do users do right before
+    * purchase/error". */
+  def topPaths(n: Int = 3, k: Int = 10, gapMs: Long = 1800000L): DataFrame = {
+    require(n >= 2, "a path needs at least 2 steps")
+    val uw = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = events
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(uw))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_num", sum(col("new_s")).over(
+        uw.rowsBetween(Window.unboundedPreceding, 0)))
+    val sw = Window.partitionBy("user_id", "session_num")
+      .orderBy(col("ms"), col("event_id"))
+    val steps = col("event_type") +:
+      (1 until n).map(i => lead(col("event_type"), i).over(sw))
+    val paths = ev
+      .withColumn("_pN", lead(col("event_type"), n - 1).over(sw))
+      .withColumn("path", concat_ws(">", steps: _*))
+      .filter(col("_pN").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+    paths.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("path"))))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"), col("path"),
+        col("n_occurrences"))
+  }
+
   /** Windowed conversion funnel (events_funnel): each next stage's earliest
     * qualifying event strictly after the previous stage's time and within
     * `windowNs` of it. Output: (stage, n_users). */

@@ -64,6 +64,7 @@ object SparkEntry {
     "mv_coint_rank"      -> ((s, d) => qMvCointRank(s, d)),
     "mv_vecm"            -> ((s, d) => qMvVecm(s, d)),
     "events_sessionize"  -> ((s, d) => qSessionize(s, d)),
+    "events_top_paths"   -> ((s, d) => qTopPaths(s, d)),
     "events_hourly"      -> ((s, d) => qEventsHourly(s, d)),
     "events_hourly_stream" -> ((s, d) => qEventsHourlyStream(s, d)),
     "events_sessionize_stream" -> ((s, d) => qSessionizeStream(s, d)),
@@ -1493,6 +1494,11 @@ object SparkEntry {
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     Events(Tables.events(s, d)).sessionize()
 
+  /** Top 3-step within-session event paths (the "what happens before X"
+    * monitoring view): [[graft.Events.topPaths]] over the gap sessions. */
+  private def qTopPaths(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d)).topPaths(n = 3, k = 10)
+
   /** Gopher/C4 repetition gates (Rae et al. 2021 §A1.1): top-2-gram char
     * fraction, duplicate-3-gram char fraction, mean word length, and the
     * composite keep flag — all statistics AND the decision hash-checked. */
@@ -2811,6 +2817,30 @@ object SparkEntry {
         |SELECT user_id, session_num, count(*) AS n_events, min(ms) AS start_ms,
         |  max(ms) - min(ms) AS duration_ms, ROUND(sum(value), 4) AS sum_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // top within-session 3-step paths: the sessionize CTEs plus two leads
+    // over the session partition; ties on (count desc, path)
+    "events_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flag AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        |  FROM flag),
+        |p AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER sw
+        |      || '>' || lead(event_type, 2) OVER sw AS path
+        |  FROM sess WINDOW sw AS (PARTITION BY user_id, session_num ORDER BY ms, event_id)
+        |  QUALIFY lead(event_type, 2) OVER sw IS NOT NULL),
+        |c AS (SELECT path, count(*) AS n_occurrences FROM p GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, path) AS BIGINT) AS rank,
+        |  path, n_occurrences
+        |FROM c QUALIFY rank <= 10""".stripMargin,
 
     // Cohort retention: distinct user-days, first-seen cohort, day offsets
     "events_retention" ->

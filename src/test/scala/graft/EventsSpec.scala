@@ -38,6 +38,23 @@ class EventsSpec extends SparkSpec {
     assert(hour.length === 1 && hour.head.getAs[Long]("n_events") === 3L)
   }
 
+  test("topPaths counts within-session n-grams and never crosses a session gap") {
+    val e = ev(Seq(
+      (1L, 0L, 1L, "a", 1.0), (2L, 1L, 1L, "b", 1.0), (3L, 2L, 1L, "c", 1.0),
+      // 40-minute gap: new session — c>d must NOT appear
+      (4L, 42L, 1L, "d", 1.0), (5L, 43L, 1L, "e", 1.0),
+      (6L, 0L, 2L, "a", 1.0), (7L, 1L, 2L, "b", 1.0)))
+    val p2 = Events(e).topPaths(n = 2, k = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(p2 === Map("a>b" -> 2L, "b>c" -> 1L, "d>e" -> 1L))
+    val p3 = Events(e).topPaths(n = 3, k = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(p3 === Map("a>b>c" -> 1L))
+    // rank 1 is the modal path
+    val r1 = Events(e).topPaths(n = 2, k = 1).collect().head
+    assert(r1.getLong(0) === 1L && r1.getString(1) === "a>b")
+  }
+
   test("topUsers k and anomalies window parameterize correctly") {
     val e = ev((1L to 20L).map(i => (i, i % 3, i % 4, "x", 1.0)))
     val top = Events(e).topUsers(2)
