@@ -230,6 +230,9 @@ object BenchScale {
         },
         "retention" -> time {
           facade.retention(7).write.mode("overwrite").format("noop").save()
+        },
+        "top_paths" -> time {
+          facade.topPaths(3, 10).write.mode("overwrite").format("noop").save()
         })
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

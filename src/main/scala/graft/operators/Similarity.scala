@@ -242,13 +242,18 @@ object Similarity {
     val dims = p.select(size(col("u"))).head().getInt(0)
     require(dims % m == 0, s"embedding dim $dims not divisible by m=$m subspaces")
     val sub = dims / m
-    val books: Array[Array[Array[Double]]] = (0 until m).map { s =>
-      val sv = p.select(array_to_vector(slice(col("u"), s * sub + 1, sub)).as("_fv"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(kStar).setSeed(seed + s).setMaxIter(8).setInitMode("random")
-        .setFeaturesCol("_fv").setPredictionCol("_c")
-        .fit(sv).clusterCenters.map(_.toArray)
-    }.toArray
+    // the m subspace fits are independent Spark jobs over the SAME
+    // checkpointed frame — fan them out concurrently (the memo-build
+    // pattern): wall ≈ one fit instead of m, and a coarse codebook needs
+    // few Lloyd passes, not convergence
+    val books: Array[Array[Array[Double]]] =
+      graft.eval.Evaluation.fanOut(0 until m, parallelism = math.min(m, 8)) { s =>
+        val sv = p.select(array_to_vector(slice(col("u"), s * sub + 1, sub)).as("_fv"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(kStar).setSeed(seed + s).setMaxIter(5).setInitMode("random")
+          .setFeaturesCol("_fv").setPredictionCol("_c")
+          .fit(sv).clusterCenters.map(_.toArray)
+      }.toArray
     val outSchema = StructType(p.schema.fields :+
       StructField("code", ArrayType(IntegerType, containsNull = false)))
     val uIdx = p.schema.fieldIndex("u")
