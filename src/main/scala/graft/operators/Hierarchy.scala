@@ -28,6 +28,53 @@ import org.apache.spark.sql.functions._
   */
 object Hierarchy {
 
+  /** Generic reconciliation from caller-supplied BASE forecasts — the
+    * model-based entry ([[reconcileSnaive]] is the history-replay special
+    * case): any per-level forecast frames (per-nation OLS, hwes, rnn — the
+    * engine's whole estimator registry) slot in unchanged. `bottomHist`
+    * supplies the top-down proportions; `baseBottom`/`baseParent` are
+    * `(series_id, ds, fcst)`, `baseTotal` is `(ds, fcst)` (dollars).
+    * Output matches [[reconcileSnaive]]'s shape. Bottom-up parents/total
+    * are double sums of the base frame — exact coherence is at double
+    * precision here, where the snaive path's cents-space longs are
+    * bit-exact. */
+  def reconcile(bottomHist: DataFrame, mapping: DataFrame,
+                baseBottom: DataFrame, baseParent: DataFrame,
+                baseTotal: DataFrame): DataFrame = {
+    val bh = bottomHist.select(col("series_id"), col("ds"),
+        round(col("y") * 100).cast("long").as("yc"))
+      .join(Joins.maybeBroadcast(mapping), Seq("series_id"))
+    val ns = bh.groupBy("series_id").agg(sum("yc").as("s"))
+    val ps = bh.groupBy(col("parent").as("series_id")).agg(sum("yc").as("s"))
+    val ts = bh.agg(sum("yc").as("st"))
+    val fb = baseBottom.join(Joins.maybeBroadcast(mapping), Seq("series_id"))
+    val ft = baseTotal.select(col("ds"), col("fcst").as("tf"))
+    val buP = fb.groupBy(col("parent").as("series_id"), col("ds"))
+      .agg(sum("fcst").as("bu"))
+    val buT = fb.groupBy("ds").agg(sum("fcst").as("bu"))
+    def td(tf: Column, s: Column, st: Column): Column =
+      round(tf * (s.cast("double") / st), 2)
+    val nation = fb.join(ft, Seq("ds")).join(ns, Seq("series_id"))
+      .crossJoin(broadcast(ts))
+      .select(lit("nation").as("level"), col("series_id"), col("ds"),
+        round(col("fcst"), 2).as("fcst_base"),
+        round(col("fcst"), 2).as("fcst_bu"),
+        td(col("tf"), col("s"), col("st")).as("fcst_td"))
+    val region = baseParent.join(ft, Seq("ds"))
+      .join(buP, Seq("series_id", "ds")).join(ps, Seq("series_id"))
+      .crossJoin(broadcast(ts))
+      .select(lit("region").as("level"), col("series_id"), col("ds"),
+        round(col("fcst"), 2).as("fcst_base"),
+        round(col("bu"), 2).as("fcst_bu"),
+        td(col("tf"), col("s"), col("st")).as("fcst_td"))
+    val total = ft.join(buT, Seq("ds"))
+      .select(lit("total").as("level"), lit("TOTAL").as("series_id"), col("ds"),
+        round(col("tf"), 2).as("fcst_base"),
+        round(col("bu"), 2).as("fcst_bu"),
+        round(col("tf"), 2).as("fcst_td"))
+    nation.unionByName(region).unionByName(total)
+  }
+
   /** `bottom`: child history `(series_id, ds DATE, y)`; `mapping`:
     * `(series_id, parent)` (small dimension frame — size-gated broadcast).
     * Returns `(level, series_id, ds, fcst_base, fcst_bu, fcst_td)` for h

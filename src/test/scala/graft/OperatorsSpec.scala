@@ -484,6 +484,33 @@ class OperatorsSpec extends SparkSpec {
       5 * out(("nation", "b1", "2020-07-01"))._3)
   }
 
+  test("generic reconcile accepts model-based base forecasts (frame swap)") {
+    import graft.operators.Hierarchy
+    import spark.implicits._
+    def d(m: Int) = java.sql.Date.valueOf(f"2020-$m%02d-01")
+    val hist = for {
+      (sid, base) <- Seq(("a1", 100.0), ("a2", 50.0), ("b1", 10.0))
+      m <- 1 to 6
+    } yield (sid, d(m), base + m)
+    val mapping = Seq(("a1", "A"), ("a2", "A"), ("b1", "B")).toDF("series_id", "parent")
+    // "model" base forecasts: per-series history mean (a mean model) at July
+    val fb = Seq(("a1", d(7), 103.5), ("a2", d(7), 53.5), ("b1", d(7), 13.5))
+      .toDF("series_id", "ds", "fcst")
+    val fp = Seq(("A", d(7), 160.0), ("B", d(7), 14.0)).toDF("series_id", "ds", "fcst")
+    val ftot = Seq((d(7), 171.0)).toDF("ds", "fcst")
+    val out = Hierarchy.reconcile(hist.toDF("series_id", "ds", "y"),
+        mapping, fb, fp, ftot)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(("nation", "a1"))._1 === 103.5)
+    assert(out(("region", "A"))._2 === 103.5 + 53.5)   // bu = sum of child bases
+    assert(out(("region", "A"))._1 === 160.0)           // base passes through
+    assert(out(("total", "TOTAL"))._2 === 103.5 + 53.5 + 13.5)
+    // td disaggregates the TOTAL base by train share, preserved in sum
+    val tdSum = Seq("a1", "a2", "b1").map(s => out(("nation", s))._3).sum
+    assert(math.abs(tdSum - 171.0) < 0.03, s"td sum $tdSum")
+  }
+
   test("dupSpans merges overlapping duplicated windows into maximal spans") {
     import spark.implicits._
     // docs 1 and 2 share the 10-token run a..j (three overlapping 8-windows
