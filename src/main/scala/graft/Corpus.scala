@@ -35,6 +35,19 @@ import org.apache.spark.sql.functions._
   */
 final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text") {
+  {
+    // loud construction-time contract (the Events pattern): a mis-named
+    // id/text column should fail HERE, not deep inside a chained stage's
+    // analysis error
+    val missing = Seq(idCol, textCol).filterNot(docs.columns.contains)
+    require(missing.isEmpty,
+      s"Corpus frame is missing column(s) ${missing.mkString(", ")} — " +
+        s"expected id '$idCol' and text '$textCol' (pass idCol/textCol " +
+        "for differently-named frames)")
+    require(docs.schema(textCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"Corpus.$textCol must be STRING, got ${docs.schema(textCol).dataType}")
+  }
 
   /** Text statistics + composite quality per doc. */
   def stats: DataFrame = TextOps.withTextStats(docs, textCol)

@@ -213,6 +213,17 @@ class CorpusSpec extends SparkSpec {
     assert(keptStrict === Set(2L, 3L))
   }
 
+  test("constructor validates id/text columns loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, 2.0)).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](Corpus(Seq((1L, "x")).toDF("id", "text")))
+    assert(e1.getMessage.contains("doc_id"))
+    val e2 = intercept[IllegalArgumentException](Corpus(bad))
+    assert(e2.getMessage.contains("STRING"))
+    // custom column names pass
+    Corpus(Seq((1L, "x")).toDF("k", "body"), idCol = "k", textCol = "body")
+  }
+
   test("deterministic sampling is a pure membership predicate") {
     val s1 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val s2 = Corpus(docs).sample(0.5).docs.select("doc_id").collect().map(_.getLong(0)).toSet
