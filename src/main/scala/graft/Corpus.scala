@@ -208,6 +208,26 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
       .withColumn("dup_ratio", round(col("dup_tokens") / col("n_tokens"), 6))
   }
 
+  /** Cross-stratum leakage matrix (doc_span_leakage): for every pair of
+    * strata (sources), how many DISTINCT duplicated windows they share —
+    * which upstream feeds are copying from each other, the question
+    * [[spanDupProfile]]'s per-source ratios can't answer. The join key is
+    * the window fingerprint over the DISTINCT (stratum, window) frame, so
+    * a window's fan-out is bounded by the stratum count (not document
+    * frequency) — |strata|² pairs worst case per key, typically 1. One
+    * shuffle keyed by fingerprint. */
+  def spanLeakageMatrix(strataCol: String, minTokens: Int = 8): DataFrame = {
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val srcw = Dedup.spanStarts(docs, idCol, textCol, minTokens)
+      .join(docs.select(col(idCol).as("doc"), col(strataCol).as("_src")), Seq("doc"))
+      .select(col("_src"), col("h")).distinct()
+      .repartition(nPart, col("h"))
+    srcw.as("a").join(srcw.as("b"),
+        col("a.h") === col("b.h") && col("a._src") < col("b._src"))
+      .groupBy(col("a._src").as("source_a"), col("b._src").as("source_b"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_shared_windows"))
+  }
+
   /** Substring-level dedup (the "deduplicating training data makes LMs
     * better" operation, distinct from doc- and passage-PAIR removal):
     * every maximal duplicated run of ≥ `minTokens` tokens keeps exactly its

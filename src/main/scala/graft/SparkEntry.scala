@@ -78,6 +78,7 @@ object SparkEntry {
     "doc_dup_spans"      -> ((s, d) => qDupSpans(s, d)),
     "doc_strip_spans"    -> ((s, d) => qStripSpans(s, d)),
     "doc_span_profile"   -> ((s, d) => qSpanProfile(s, d)),
+    "doc_span_leakage"   -> ((s, d) => qSpanLeakage(s, d)),
     "doc_dedup_incremental" -> ((s, d) => qDedupIncremental(s, d)),
     "doc_minhash_lsh"    -> ((s, d) => qMinhashLsh(s, d)),
     "doc_simhash"        -> ((s, d) => qSimhash(s, d)),
@@ -1007,6 +1008,11 @@ object SparkEntry {
     * they enter a training mixture. */
   private def qSpanProfile(s: SparkSession, d: String): DataFrame =
     Corpus(Tables.documents(s, d)).spanDupProfile("source", SpanMinTokens)
+
+  /** Which source feeds copy from each other: distinct shared duplicated
+    * windows per source pair ([[graft.Corpus.spanLeakageMatrix]]). */
+  private def qSpanLeakage(s: SparkSession, d: String): DataFrame =
+    Corpus(Tables.documents(s, d)).spanLeakageMatrix("source", SpanMinTokens)
 
   /** Incremental-ingestion dedup verdicts: a 10% hash-slice of documents
     * plays the incoming BATCH, the rest the curated REFERENCE; every batch
@@ -3350,6 +3356,15 @@ object SparkEntry {
          |LEFT JOIN ex ON ex.doc_id = d.doc_id
          |LEFT JOIN near ON near.doc_id = d.doc_id
          |WHERE d.doc_id % 10 = 0""".stripMargin,
+
+    "doc_span_leakage" ->
+      s"""$SPAN_STARTS
+         |srcw AS (SELECT DISTINCT d.source AS src, s.h
+         |  FROM sh s JOIN documents d USING (doc_id))
+         |SELECT a.src AS source_a, b.src AS source_b,
+         |  count(*) AS n_shared_windows
+         |FROM srcw a JOIN srcw b ON a.h = b.h AND a.src < b.src
+         |GROUP BY 1, 2""".stripMargin,
 
     "doc_jaccard_pairs" ->
       s"""$SHINGLES

@@ -213,6 +213,18 @@ class CorpusSpec extends SparkSpec {
     assert(keptStrict === Set(2L, 3L))
   }
 
+  test("spanLeakageMatrix pairs only strata that share a duplicated window") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h tail1", "X"),  // run a..h shared with Y's doc 2
+      (2L, "a b c d e f g h tail2", "Y"),
+      (3L, "p q r s t u v w tail3", "Z")   // Z shares nothing
+    ).toDF("doc_id", "text", "source")
+    val m = Corpus(d).spanLeakageMatrix("source", 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(("X", "Y") -> 1L))
+  }
+
   test("constructor validates id/text columns loudly") {
     import spark.implicits._
     val bad = Seq((1L, 2.0)).toDF("doc_id", "text")
