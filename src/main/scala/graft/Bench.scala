@@ -107,7 +107,14 @@ object Bench {
     System.gc()
     val rt = Runtime.getRuntime
     val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart,"driver_used_mb":$usedMb,"shuffle_total_mb":$shuffleTotalMb,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart,"driver_used_mb":$usedMb,"shuffle_total_mb":$shuffleTotalMb,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // truncation-proof record: the driver captures a bounded tail of stdout
+    // and has twice lost the per-query map to it — the full line also lands
+    // in a file the tail can't clip
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -242,7 +242,12 @@ object BenchScale {
       System.err.println(s"[bench_scale] $line")
       line
     }
-    println(s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}],"event_points":[${eventPoints.mkString(",")}]}""")
+    val out = s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}],"event_points":[${eventPoints.mkString(",")}]}"""
+    println(out)
+    // same truncation-proof file record as graft.Bench
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_scale_last.json"), (out + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 

@@ -191,9 +191,11 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
   /** Per-stratum duplication profile (doc_span_profile): how much of each
     * source's/lang's token volume sits inside corpus-wide duplicated runs
     * ([[Dedup.dupSpans]] coverage) — the corpus-health number that decides
-    * whether a source needs [[stripDupSpans]] before mixing. One extra
-    * doc-keyed aggregation over the span inventory; the strata aggregate
-    * is a 20-row frame. */
+    * whether a source needs [[stripDupSpans]] before mixing. dupSpans'
+    * spans are disjoint maximal coverage intervals, so the span_len sum IS
+    * the distinct covered-token count and dup_ratio ≤ 1 by construction.
+    * One extra doc-keyed aggregation over the span inventory; the strata
+    * aggregate is a 20-row frame. */
   def spanDupProfile(strataCol: String, minTokens: Int = 8): DataFrame = {
     val perDoc = Dedup.dupSpans(docs, idCol, textCol, minTokens)
       .groupBy(col("doc").as(idCol))

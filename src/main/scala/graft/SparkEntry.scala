@@ -3289,8 +3289,11 @@ object SparkEntry {
          |dup AS (SELECT doc_id, pos FROM
          |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM sh)
          |  WHERE cnt >= 2),
+         |brk AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |       >= $SpanMinTokens THEN 1 ELSE 0 END AS b FROM dup),
          |isl AS (SELECT doc_id, pos,
-         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup)
+         |  SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM brk)
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          |  CAST(max(pos) - min(pos) + $SpanMinTokens AS BIGINT) AS span_len
          |FROM isl GROUP BY doc_id, grp""".stripMargin,
@@ -3320,8 +3323,11 @@ object SparkEntry {
          |dup AS (SELECT doc_id, pos FROM
          |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM sh)
          |  WHERE cnt >= 2),
+         |brk AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |       >= $SpanMinTokens THEN 1 ELSE 0 END AS b FROM dup),
          |isl AS (SELECT doc_id, pos,
-         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+         |  SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM brk),
          |sp AS (SELECT doc_id, max(pos) - min(pos) + $SpanMinTokens AS span_len
          |  FROM isl GROUP BY doc_id, grp),
          |agg AS (SELECT doc_id, SUM(span_len) AS dup_toks FROM sp GROUP BY doc_id),

@@ -80,8 +80,16 @@ object Tables {
   private def spreadIfUnderSplit(spark: SparkSession, dir: String,
                                  name: String, keyCol: String): DataFrame = {
     val df = apply(spark, dir, name)
-    val f = new java.io.File(s"$dir/$name.parquet")
-    if (f.isFile && f.length < 64L * 1024 * 1024)
+    // size via the Hadoop FileSystem API, so the gate sees single-file AND
+    // directory-shaped datasets (the standard Spark write layout) on any
+    // filesystem; getContentSummary sums part files recursively. Unsizeable
+    // paths skip the spread (the production default).
+    val bytes = scala.util.Try {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      path.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(path).getLength
+    }.getOrElse(Long.MaxValue)
+    if (bytes < 64L * 1024 * 1024)
       df.repartition(spark.sessionState.conf.numShufflePartitions, col(keyCol))
     else df
   }

@@ -297,16 +297,22 @@ object Dedup {
   }
 
   /** Maximal duplicated token spans (exact-substring dedup, the
-    * "deduplicating training data" diagnostic): every maximal run of token
-    * positions whose length-`minTokens` windows each occur ≥ `minOccurrences`
-    * times corpus-wide (with multiplicity — a within-doc repeat counts).
-    * Output `(doc, span_start, span_len)`, 1-based token positions.
+    * "deduplicating training data" diagnostic): every maximal CONTIGUOUS run
+    * of token positions covered by some length-`minTokens` window occurring
+    * ≥ `minOccurrences` times corpus-wide (with multiplicity — a within-doc
+    * repeat counts). Output `(doc, span_start, span_len)`, 1-based token
+    * positions. Duplicated starts merge into one span whenever their
+    * coverage intervals OVERLAP (start gap < `minTokens`), so spans never
+    * overlap and `span_len` sums are exactly the distinct covered-token
+    * count — what [[graft.Corpus.spanDupProfile]]'s `dup_tokens` relies
+    * on. Exactly-adjacent coverage (gap = `minTokens`, the period-aligned
+    * repeat) stays two spans: disjoint, so sums remain exact.
     *
     * Shape: one shuffle keyed by window hash (a count window — no self-join,
     * so a hot window costs a count, never a pair fan-out), then one shuffle
-    * keyed by doc for the gaps-and-islands merge of consecutive duplicated
-    * starts into maximal spans. Both linear in token count — the scale
-    * contrast with suffix-array constructions that need global sorts. */
+    * keyed by doc for the gaps-and-islands merge of duplicated starts into
+    * maximal spans. Both linear in token count — the scale contrast with
+    * suffix-array constructions that need global sorts. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                minTokens: Int, minOccurrences: Int = 2): DataFrame = {
     val st = spanStarts(df, idCol, textCol, minTokens)
@@ -321,8 +327,14 @@ object Dedup {
     val dupH = st.groupBy("h").agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= minOccurrences).select("h")
     val dup = st.join(graft.core.Joins.maybeBroadcast(dupH), Seq("h"), "left_semi")
-    val isl = dup.withColumn("_grp",
-      col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))
+    // gaps-and-islands on COVERAGE: a start at pos covers [pos, pos+m−1], so
+    // starts p, q (p<q) overlap iff q − p < m. Both window functions use the
+    // same (doc, pos) spec → one shuffle + sort.
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val isl = dup
+      .withColumn("_brk",
+        when(col("pos") - lag("pos", 1).over(w) >= minTokens, 1).otherwise(0))
+      .withColumn("_grp", sum("_brk").over(w))
     isl.groupBy(col("doc"), col("_grp"))
       .agg(min("pos").as("span_start"),
         (max("pos") - min("pos") + minTokens).cast("long").as("span_len"))
@@ -333,43 +345,51 @@ object Dedup {
     * (ordered by (doc, pos)): every non-canonical duplicated window start
     * marks its `minTokens` positions covered; covered tokens are dropped and
     * the text rebuilt from the survivors. Docs shorter than `minTokens`
-    * tokens — and the canonical occurrence of every duplicated span — pass
-    * through untouched, so each duplicated substring survives exactly once.
+    * tokens pass through untouched. The cut is GREEDY per position: a
+    * window's canonical occurrence is exempt from its OWN coverage, but when
+    * it happens to sit inside the non-canonical coverage span of a different
+    * duplicated window in the same doc, those positions are still cut — in
+    * that (rare, nested-duplication) shape a window can end with zero
+    * surviving copies corpus-wide. Ordinary duplication keeps exactly one.
     *
     * The coverage spans collapse to a tiny per-doc array (maximal merged
     * intervals), so the rebuild is a doc-level join + one array expression —
     * token rows never shuffle a second time. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
                     minTokens: Int): DataFrame = {
+    // spans-side rows carry an underscore-prefixed doc key so the final
+    // drop can never collide with a caller column literally named "doc"
+    // (DataFrame.drop-by-name removes EVERY column with that name)
     val st = spanStarts(df, idCol, textCol, minTokens)
+      .withColumnRenamed("doc", "_sds_doc")
     // per duplicated window: its canonical (first) occurrence — the same
     // hot-key-immune aggregate + gated-broadcast shape as [[dupSpans]];
     // struct min is lexicographic (doc, pos), i.e. corpus order
     val canon = st.groupBy("h")
       .agg(count(lit(1)).as("_cnt"),
-        min(struct(col("doc"), col("pos"))).as("_c"))
+        min(struct(col("_sds_doc"), col("pos"))).as("_c"))
       .filter(col("_cnt") >= 2)
-      .select(col("h"), col("_c.doc").as("_cdoc"), col("_c.pos").as("_cpos"))
+      .select(col("h"), col("_c._sds_doc").as("_cdoc"), col("_c.pos").as("_cpos"))
     val ncs = st.join(graft.core.Joins.maybeBroadcast(canon), Seq("h"))
-      .filter(!(col("doc") === col("_cdoc") && col("pos") === col("_cpos")))
+      .filter(!(col("_sds_doc") === col("_cdoc") && col("pos") === col("_cpos")))
     val spans = ncs
       .withColumn("_grp",
-        col("pos") - row_number().over(Window.partitionBy("doc").orderBy("pos")))
-      .groupBy(col("doc"), col("_grp"))
+        col("pos") - row_number().over(Window.partitionBy("_sds_doc").orderBy("pos")))
+      .groupBy(col("_sds_doc"), col("_grp"))
       .agg(min("pos").as("s"), (max("pos") + lit(minTokens - 1)).as("e"))
-      .groupBy("doc")
+      .groupBy("_sds_doc")
       .agg(collect_list(struct(col("s"), col("e"))).as("_spans"))
     // tokens materialize into a column first: referencing the split
     // EXPRESSION inside the rebuild lambda would re-split the text once per
     // element (O(n²) chars/row); a bound column is an O(1) array read
     val kept = filter(col("_toks"), (t, i) =>
       !exists(col("_spans"), sp => i + 1 >= sp("s") && i + 1 <= sp("e")))
-    df.join(spans, df(idCol) === spans("doc"), "left")
+    df.join(spans, df(idCol) === spans("_sds_doc"), "left")
       .withColumn("_toks", TextOps.tokens(col(textCol)))
       .withColumn(textCol,
         when(col("_spans").isNull, col(textCol))
           .otherwise(concat_ws(" ", kept)))
-      .drop("doc", "_spans", "_toks")
+      .drop("_sds_doc", "_spans", "_toks")
   }
 
   /** 32-bit SimHash: per bit j, sum ±1 over token hashes (with multiplicity);

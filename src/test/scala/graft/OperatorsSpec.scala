@@ -534,6 +534,29 @@ class OperatorsSpec extends SparkSpec {
     assert(spans === Set((1, 8L), (9, 8L)))
   }
 
+  test("dupSpans merges non-consecutive overlapping starts (no double-counted coverage)") {
+    import spark.implicits._
+    // doc 1's windows at starts 1 (a..h) and 3 (c..j) are duplicated in
+    // doc 2, but start 2 (b..i) is NOT — gapped duplicated starts whose
+    // coverage overlaps by 6 tokens. One merged span of exactly the 10
+    // covered tokens, not two 8-token spans summing to 16.
+    val df = Seq(
+      (1L, "a b c d e f g h i j", "A"),
+      (2L, "a b c d e f g h Z c d e f g h i j", "B"))
+      .toDF("doc_id", "text", "source")
+    val spans = Dedup.dupSpans(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // doc 2's two duplicated starts (1 and 10) are 9 apart — disjoint spans
+    assert(spans === Set((1L, 1, 10L), (2L, 1, 8L), (2L, 10, 8L)))
+    // coverage sums can therefore never exceed the stratum's token count:
+    // doc 1 is FULLY covered (ratio exactly 1.0; the old consecutive-starts
+    // islands double-counted it to 1.6)
+    val prof = Corpus(df).spanDupProfile("source", 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(prof("A") === 1.0)
+    assert(prof("B") === math.rint(16.0 / 17 * 1e6) / 1e6)
+  }
+
   test("stripDupSpans keeps the first corpus occurrence, cuts the rest") {
     import spark.implicits._
     val df = Seq(
