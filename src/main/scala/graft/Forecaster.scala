@@ -169,6 +169,18 @@ final case class Forecaster(
         // multiple seasonal periods via m, m2, m3 params (0 = unused)
         val periods = Seq(p("m", 12.0), p("m2", 0.0), p("m3", 0.0)).filter(_ > 0)
         TbatsLike.forecast(flagged, periods, p("fourier_order", 2.0).toInt)
+      case "prophet_like" =>
+        // prophet builds its own trend/changepoint/Fourier structure; user
+        // features ride along as extra regressors (prophet's holidays /
+        // add_regressor), EXCLUDING generated-name collisions and AR lags
+        // (prophet has no AR channel, and lag columns are NULL on the
+        // horizon — they'd null the vectorized prediction)
+        val fo = p("fourier_order", 2.0).toInt
+        val gen = Set("t") ++ (1 to fo).flatMap(k => Seq(s"p${k}sin", s"p${k}cos"))
+        val extra = featureCols.filterNot(c => gen.contains(c) ||
+          c.matches("cp\\d+") || c.startsWith(FeatureOps.ArPrefix))
+        ProphetLike.forecast(flagged, p("m", 12.0), fo, extra,
+          p("n_changepoints", 0.0).toInt)
       case "combo"  =>
         require(comboModels.nonEmpty && results.isDefined,
           "combo needs setComboModels(...) over already-banked models")

@@ -113,6 +113,7 @@ object SparkEntry {
     "emb_norms"          -> ((s, d) => qEmbNorms(s, d)),
     "doc_neardup_cosine" -> ((s, d) => qDocNearDupCosine(s, d)),
     "ts_prophet_like"    -> ((s, d) => qProphetLike(s, d)),
+    "ts_prophet_cp"      -> ((s, d) => qProphetCp(s, d)),
     "ts_backtest_metrics" -> ((s, d) => qBacktestMetrics(s, d)),
     "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d)),
     "mv_dynamic"         -> ((s, d) => qMvDynamic(s, d)),
@@ -733,6 +734,22 @@ object SparkEntry {
     graft.models.ProphetLike.forecast(withMonthlyHorizon(zOrdersMonthly(s, d), 12))
       .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
         round(col("yhat"), 6).as("yhat"), col(IsFuture))
+
+  /** prophet_like with the piecewise-linear changepoint trend (the
+    * reference prophet's g(t), models.py:1275-1401): a slope break planted
+    * at month 36 of the z-scored series, fit with a 4-knot hinge basis
+    * (knots at integer quantiles of the training span — ProphetLike
+    * .changepoints). Oracle replays the knot arithmetic and the 9-feature
+    * Cholesky OLS. */
+  private def qProphetCp(s: SparkSession, d: String): DataFrame = {
+    val base = withMonthlyHorizon(zOrdersMonthly(s, d), 12)
+    val planted = FeatureOps.addTimeTrend(base, "_tb")
+      .withColumn(Y, col(Y) + lit(0.08) * greatest(lit(0.0), col("_tb") - lit(36.0)))
+      .drop("_tb")
+    graft.models.ProphetLike.forecast(planted, 12.0, 2, Nil, nChangepoints = 4)
+      .select(col(SeriesId), col(Ds), round(col(Y), 6).as("y"),
+        round(col("yhat"), 6).as("yhat"), col(IsFuture))
+  }
 
   private def qSes(s: SparkSession, d: String): DataFrame =
     graft.models.Smoothing.ses(withMonthlyHorizon(zOrdersMonthly(s, d), 6), 0.3)
@@ -4184,6 +4201,39 @@ object SparkEntry {
          |        CAST(NULL AS DOUBLE) AS y, ROUND($pred, 6) AS yhat, TRUE AS is_future
          |        FROM nn, pl_fit, LATERAL (SELECT i, CAST(n + i AS DOUBLE) AS t
          |                                  FROM generate_series(1, 12) g(i)))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
+    },
+
+    // prophet_like changepoint trend: replay the planted slope break, the
+    // integer-quantile knots c_j = (8nj)//(10(nCp+1)), the hinge basis, and
+    // the 9-feature Cholesky OLS
+    "ts_prophet_cp" -> {
+      val w1 = graft.models.ProphetLike.omega(1, 12.0)
+      val w2 = graft.models.ProphetLike.omega(2, 12.0)
+      val hinges = (1 to 4).map(j => s"greatest(0.0, t - c$j)")
+      val xs = Seq("t") ++ hinges ++
+        Seq(s"sin($w1 * t)", s"cos($w1 * t)", s"sin($w2 * t)", s"cos($w2 * t)")
+      val pred = "beta_0 + beta_1*t + " +
+        (1 to 4).map(j => s"beta_${j + 1}*greatest(0.0, t - c$j)").mkString(" + ") +
+        s" + beta_6*sin($w1 * t) + beta_7*cos($w1 * t)" +
+        s" + beta_8*sin($w2 * t) + beta_9*cos($w2 * t)"
+      s"""$ZS,
+         |s1 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |s2 AS (SELECT series_id, ds,
+         |       y + 0.08 * greatest(0.0, t - 36.0) AS y, t FROM s1),
+         |nn AS (SELECT count(*) AS n, max(ds) AS ld FROM s2),
+         |cp AS (SELECT ${(1 to 4).map(j =>
+                  s"CAST((8*n*$j)//(10*5) AS DOUBLE) AS c$j").mkString(", ")} FROM nn),
+         |s3 AS (SELECT s2.*, ${(1 to 4).map(j => s"c$j").mkString(", ")} FROM s2, cp),
+         |${OracleGen.momentsCte("pc", xs, "s3")},
+         |${OracleGen.solveCtes("pc", 9)},
+         |obs AS (SELECT series_id, ds, ROUND(y, 6) AS y, ROUND($pred, 6) AS yhat,
+         |        FALSE AS is_future FROM s3, pc_fit),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y, ROUND($pred, 6) AS yhat, TRUE AS is_future
+         |        FROM nn, cp, pc_fit, LATERAL (SELECT i, CAST(n + i AS DOUBLE) AS t
+         |                                      FROM generate_series(1, 12) g(i)))
          |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
     },
 

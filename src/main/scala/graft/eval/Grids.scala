@@ -95,7 +95,12 @@ object Grids {
     "vecm" -> Grid(Map("k_ar_diff" -> Seq(1, 2, 3, 4, 5, 6, 7))),
     // tbats_like: Fourier depth x optional second seasonal period (0 = off)
     "tbats_like" -> Grid(Map(
-      "fourier_order" -> Seq(1, 2, 3), "m2" -> Seq(0, 4, 6)))
+      "fourier_order" -> Seq(1, 2, 3), "m2" -> Seq(0, 4, 6))),
+    // prophet_like: changepoint count (piecewise-linear hinge trend —
+    // prophet's n_changepoints knob) x Fourier depth; the seasonal period m
+    // is a data property, not tuned
+    "prophet_like" -> Grid(Map(
+      "n_changepoints" -> Seq(0, 3, 5, 10), "fourier_order" -> Seq(2, 3)))
   )
 
   /** `gen_rnn_grid` (/root/reference/src/scalecast/util.py:1272-1360):

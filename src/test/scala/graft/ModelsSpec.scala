@@ -145,6 +145,45 @@ class ModelsSpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-6, s"prophet_like horizon: $g vs $e") }
   }
 
+  test("prophet_like changepoint trend recovers a planted break exactly") {
+    // 60 training rows, 4 changepoints → integer-quantile knots
+    // (8·60·j)//50 = 9, 19, 28, 38 (ProphetLike.changepoints); plant the
+    // slope break AT knot 19 so the hinge basis can represent the curve
+    // exactly and OLS must recover it — horizon included
+    assert(graft.models.ProphetLike.changepoints(60, 4) === Seq(9L, 19L, 28L, 38L))
+    def curve(t: Int): Double = 10.0 + 0.5 * t + 2.0 * math.max(0, t - 19) +
+      3 * math.sin(2 * math.Pi * t / 12.0)
+    val ys = (1 to 60).map(curve)
+    val out = graft.models.ProphetLike.forecast(
+      SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6), nChangepoints = 4)
+    val fut = col1(out.filter(col("is_future")), "yhat")
+    val expect = (61 to 66).map(curve)
+    fut.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"prophet_cp horizon: $g vs $e") }
+    // without changepoints the single-trend fit CANNOT follow the break
+    val flat = graft.models.ProphetLike.forecast(
+      SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6))
+    val flatErr = col1(flat.filter(col("is_future")), "yhat")
+      .zip(expect).map { case (g, e) => math.abs(g - e) }.max
+    assert(flatErr > 1.0, s"single-trend fit should miss the break: $flatErr")
+    // knot clipping: degenerate short series collapse rather than error
+    assert(graft.models.ProphetLike.changepoints(3, 5).forall(c => c >= 1 && c < 3))
+  }
+
+  test("facade routes prophet_like natively with n_changepoints") {
+    def curve(t: Int): Double = 5.0 + 0.3 * t + 1.5 * math.max(0, t - 19)
+    val ys = (1 to 60).map(curve)
+    val f = Forecaster(obsSeries(ys))
+      .generateFutureDates(6)
+      .setEstimator("prophet_like", Map("n_changepoints" -> 4.0, "fourier_order" -> 1.0))
+      .manualForecast(callMe = "pcp")
+    val fc = col1(f.exportForecasts().orderBy("ds"), "pcp")
+    assert(fc.length == 6 && fc.forall(v => !v.isNaN))
+    val expect = (61 to 66).map(curve)
+    fc.toSeq.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-5, s"facade prophet_cp: $g vs $e") }
+  }
+
   test("tbats_like: multi-period trig seasonality on the Box-Cox scale, exact recovery") {
     // y = exp(linear trend + two incommensurate sinusoids): λ MLE → ~0 (log),
     // and on the log scale the OLS recovers the curve exactly — horizon too
