@@ -166,9 +166,13 @@ final case class Forecaster(
         val fit = Arima.fitArma(flagged, p("p", 1.0).toInt, p("q", 1.0).toInt)
         Arima.forecast(fit)
       case "tbats_like" =>
-        // multiple seasonal periods via m, m2, m3 params (0 = unused)
+        // multiple seasonal periods via m, m2, m3 params (0 = unused);
+        // arma_p/arma_q > 0 switch on the ARMA error correction
         val periods = Seq(p("m", 12.0), p("m2", 0.0), p("m3", 0.0)).filter(_ > 0)
-        TbatsLike.forecast(flagged, periods, p("fourier_order", 2.0).toInt)
+        val (ap, aq) = (p("arma_p", 0.0).toInt, p("arma_q", 0.0).toInt)
+        if (ap > 0 || aq > 0)
+          TbatsLike.forecastArma(flagged, periods, p("fourier_order", 2.0).toInt, ap, aq)
+        else TbatsLike.forecast(flagged, periods, p("fourier_order", 2.0).toInt)
       case "prophet_like" =>
         // prophet builds its own trend/changepoint/Fourier structure; user
         // features ride along as extra regressors (prophet's holidays /

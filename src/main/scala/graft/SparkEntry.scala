@@ -114,6 +114,7 @@ object SparkEntry {
     "doc_neardup_cosine" -> ((s, d) => qDocNearDupCosine(s, d)),
     "ts_prophet_like"    -> ((s, d) => qProphetLike(s, d)),
     "ts_prophet_cp"      -> ((s, d) => qProphetCp(s, d)),
+    "ts_tbats_arma"      -> ((s, d) => qTbatsArma(s, d)),
     "ts_backtest_metrics" -> ((s, d) => qBacktestMetrics(s, d)),
     "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d)),
     "mv_dynamic"         -> ((s, d) => qMvDynamic(s, d)),
@@ -727,6 +728,17 @@ object SparkEntry {
     * (~1e-4 absolute at 1e8 scale) can't show. */
   private def qTbatsLike(s: SparkSession, d: String): DataFrame =
     graft.models.TbatsLike.forecast(withMonthlyHorizon(ordersMonthlyM(s, d), 12))
+      .select(col(SeriesId), col(Ds), col(Y).as("y"),
+        round(col("yhat"), 0).as("yhat"), col(IsFuture))
+
+  /** tbats_like + ARMA(1,1) error correction (TbatsLike.forecastArma) — the
+    * reference TBATS's error channel composed for real, as the scaladoc
+    * promises. Oracle replays the λ-grid argmax, the 5-feature curve OLS,
+    * the two-stage Hannan–Rissanen ARMA on the curve's transformed-scale
+    * residuals, and the flat-innovation horizon recursion — three Cholesky
+    * chains in one WITH. Integer rounding like ts_tbats_like. */
+  private def qTbatsArma(s: SparkSession, d: String): DataFrame =
+    graft.models.TbatsLike.forecastArma(withMonthlyHorizon(ordersMonthlyM(s, d), 12))
       .select(col(SeriesId), col(Ds), col(Y).as("y"),
         round(col("yhat"), 0).as("yhat"), col(IsFuture))
 
@@ -4180,6 +4192,71 @@ object SparkEntry {
          |        CAST(NULL AS DOUBLE) AS y, ROUND($inv, 0) AS yhat, TRUE AS is_future
          |        FROM nn, tb_fit, best b, LATERAL (SELECT i, CAST(n + i AS DOUBLE) AS t
          |                                          FROM generate_series(1, 12) g(i)))
+         |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
+    },
+
+    // tbats_like ∘ ARMA(1,1): the ts_tbats_like oracle extended with the
+    // two-stage Hannan–Rissanen replay (ts_arma's shape) on the curve's
+    // Box-Cox-scale residuals; per-fit beta aliases (tb*/a*) keep the three
+    // solve chains from colliding
+    "ts_tbats_arma" -> {
+      val w1 = graft.models.ProphetLike.omega(1, 12.0)
+      val w2 = graft.models.ProphetLike.omega(2, 12.0)
+      val xs = Seq("t", s"sin($w1 * t)", s"cos($w1 * t)", s"sin($w2 * t)", s"cos($w2 * t)")
+      val tbp = s"tb0 + tb1*t + tb2*sin($w1 * t) + tb3*cos($w1 * t) " +
+        s"+ tb4*sin($w2 * t) + tb5*cos($w2 * t)"
+      def inv(x: String) = s"CASE WHEN b.l = 0.0 THEN exp($x) " +
+        s"ELSE pow(($x) * b.l + 1, 1.0 / b.l) END"
+      val corrObs = "COALESCE(CASE WHEN e2.ar1 IS NOT NULL AND e2.elag IS NOT NULL " +
+        "THEN a0 + a1*e2.ar1 + a2*e2.elag END, 0.0)"
+      val corrFut = "CASE WHEN i = 1 THEN r1 " +
+        "ELSE a0 * (1 - pow(a1, i - 1)) / (1 - a1) + pow(a1, i - 1) * r1 END"
+      s"""$S,
+         |cands AS (SELECT i / 10.0 AS l FROM generate_series(-20, 20) g(i)),
+         |bcp AS (SELECT c.l,
+         |  CASE WHEN c.l = 0.0 THEN ln(s.y) ELSE (pow(s.y, c.l) - 1) / c.l END AS p
+         |  FROM series s CROSS JOIN cands c),
+         |slog AS (SELECT sum(ln(y)) AS sl, CAST(count(*) AS DOUBLE) AS n FROM series),
+         |vv AS (SELECT l, sum(p*p)/count(*) - pow(sum(p)/count(*), 2) AS v
+         |       FROM bcp GROUP BY l),
+         |ll AS (SELECT l, CASE WHEN v <= 0 THEN -1e308
+         |       ELSE -(n/2.0) * ln(v) + (l - 1.0) * sl END AS ll FROM vv, slog),
+         |best AS (SELECT l FROM ll ORDER BY ll DESC, l ASC LIMIT 1),
+         |s2 AS (SELECT s.series_id, s.ds, s.y,
+         |  CASE WHEN b.l = 0.0 THEN ln(s.y) ELSE (pow(s.y, b.l) - 1) / b.l END AS yb,
+         |  CAST(row_number() OVER (ORDER BY s.ds) AS DOUBLE) AS t
+         |  FROM series s, best b),
+         |nn AS (SELECT count(*) AS n, max(ds) AS ld FROM s2),
+         |${OracleGen.momentsCte("tb", xs, "s2", yExpr = "yb")},
+         |${OracleGen.solveCtes("tb", 5)},
+         |tbf AS (SELECT beta_0 AS tb0, beta_1 AS tb1, beta_2 AS tb2,
+         |        beta_3 AS tb3, beta_4 AS tb4, beta_5 AS tb5 FROM tb_fit),
+         |cur AS (SELECT s2.series_id, s2.ds, s2.y, s2.yb, s2.t, $tbp AS fb
+         |        FROM s2, tbf),
+         |lagd AS (SELECT series_id, ds, yb - fb AS y,
+         |  ${(1 to 6).map(i => s"lag(yb - fb, $i) OVER (ORDER BY ds) AS x$i").mkString(", ")}
+         |  FROM cur),
+         |${OracleGen.momentsCte("ta1", (1 to 6).map(i => s"x$i"), "lagd WHERE x6 IS NOT NULL")},
+         |${OracleGen.solveCtes("ta1", 6)},
+         |er AS (SELECT lagd.*, CASE WHEN x6 IS NOT NULL THEN y -
+         |  (beta_0 + beta_1*x1 + beta_2*x2 + beta_3*x3 + beta_4*x4 + beta_5*x5 + beta_6*x6)
+         |  END AS e FROM lagd, ta1_fit),
+         |e2 AS (SELECT series_id, ds, y, x1 AS ar1,
+         |       lag(e, 1) OVER (ORDER BY ds) AS elag FROM er),
+         |${OracleGen.momentsCte("ta2", Seq("ar1", "elag"), "e2 WHERE elag IS NOT NULL")},
+         |${OracleGen.solveCtes("ta2", 2)},
+         |af AS (SELECT beta_0 AS a0, beta_1 AS a1, beta_2 AS a2 FROM ta2_fit),
+         |obs AS (SELECT c.series_id, c.ds, c.y,
+         |        ROUND(${inv(s"c.fb + $corrObs")}, 0) AS yhat,
+         |        FALSE AS is_future FROM cur c JOIN e2 ON e2.ds = c.ds, af, best b),
+         |lastrow AS (SELECT y AS rT, e AS eT FROM er ORDER BY ds DESC LIMIT 1),
+         |h1 AS (SELECT a0 + a1*rT + a2*eT AS r1 FROM af, lastrow),
+         |fut AS (SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |        CAST(NULL AS DOUBLE) AS y,
+         |        ROUND(${inv(s"($tbp) + ($corrFut)")}, 0) AS yhat, TRUE AS is_future
+         |        FROM nn, tbf, af, h1, best b,
+         |             LATERAL (SELECT i, CAST(n + i AS DOUBLE) AS t
+         |                      FROM generate_series(1, 12) g(i)))
          |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
     },
 

@@ -184,6 +184,32 @@ class ModelsSpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-5, s"facade prophet_cp: $g vs $e") }
   }
 
+  test("tbats_like ARMA error correction models autocorrelated residuals") {
+    // log-scale curve + a deterministic AR(1)-ish residual wave the
+    // trend+Fourier basis cannot express (period 5 ≠ the m=12 harmonics):
+    // the ARMA channel must capture part of it → strictly lower in-sample
+    // SSE than the curve-only fit, and a complete horizon
+    val ys = (1 to 72).map { t =>
+      math.exp(3.0 + 0.02 * t + 0.3 * math.sin(2 * math.Pi * t / 12.0)
+        + 0.1 * math.sin(2 * math.Pi * t / 5.0))
+    }
+    val frame = SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6)
+    def sse(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(!col("is_future") && col("yhat").isNotNull)
+        .agg(sum(pow(col("y") - col("yhat"), 2))).first().getDouble(0)
+    val plain = graft.models.TbatsLike.forecast(frame)
+    val arma = graft.models.TbatsLike.forecastArma(frame)
+    val fut = col1(arma.filter(col("is_future")), "yhat")
+    assert(fut.size == 6 && fut.forall(v => !v.isNaN && v > 0))
+    assert(sse(arma) < sse(plain),
+      s"ARMA correction should cut in-sample SSE: ${sse(arma)} vs ${sse(plain)}")
+    // facade routing: arma_p/arma_q switch the correction on
+    val f = Forecaster(obsSeries(ys)).generateFutureDates(6)
+      .setEstimator("tbats_like", Map("arma_p" -> 1.0, "arma_q" -> 1.0))
+      .manualForecast(callMe = "tba")
+    assert(col1(f.exportForecasts().orderBy("ds"), "tba").forall(v => !v.isNaN))
+  }
+
   test("tbats_like: multi-period trig seasonality on the Box-Cox scale, exact recovery") {
     // y = exp(linear trend + two incommensurate sinusoids): λ MLE → ~0 (log),
     // and on the log scale the OLS recovers the curve exactly — horizon too
