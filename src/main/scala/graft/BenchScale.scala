@@ -108,6 +108,15 @@ object BenchScale {
           graft.models.Svr.fitPredictBySeries(withT, Seq("t"), maxSweeps = 100)
             .write.mode("overwrite").format("noop").save()
         },
+        // the reference's CI contract at the by-series tier: grouped OLS
+        // point forecasts + one exact-percentile width per series
+        "conformal_by_series" -> time {
+          val flagged = graft.core.SeriesFrame.withTestFlag(
+            graft.functions.FeatureOps.addTimeTrend(frame), 12)
+          graft.operators.Conformal.attachBySeries(flagged,
+              graft.models.GroupedOls.fitPredictBySeries(flagged, Seq("t")))
+            .write.mode("overwrite").format("noop").save()
+        },
         "mlp_by_series" -> time {
           val withT = graft.functions.FeatureOps.addTimeTrend(frame)
           graft.models.MlpNet.fitPredictBySeries(withT, Seq("t"),

@@ -60,6 +60,7 @@ object SparkEntry {
     "ts_deseason"        -> ((s, d) => qDeseason(s, d)),
     "ts_trend_seasonal"  -> ((s, d) => qTrendSeasonal(s, d)),
     "ts_conformal"       -> ((s, d) => qConformal(s, d)),
+    "ts_conformal_by_series" -> ((s, d) => qConformalBySeries(s, d)),
     "mv_corr"            -> ((s, d) => qMvCorr(s, d)),
     "mv_coint_rank"      -> ((s, d) => qMvCointRank(s, d)),
     "mv_vecm"            -> ((s, d) => qMvVecm(s, d)),
@@ -1373,6 +1374,28 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col("yhat"), 0).as("yhat"),
         round(col("lower"), 0).as("lower"), round(col("upper"), 0).as("upper"),
         round(col("ci_width"), 0).as("ci_width"))
+  }
+
+  /** Grouped conformal intervals on the by-series tier: per-series OLS
+    * (trend + one Fourier pair) over the 5 z-scored segment series via
+    * GroupedOls.fitPredictBySeries — the (series_id, ds, yhat)-only shape
+    * every by-series path shares — then Conformal.attachBySeries re-joins
+    * the holdout metadata and computes ONE exact-percentile width per
+    * series. Oracle replays the grouped Cholesky chain (one fit per series
+    * in one solve CTE chain) + quantile_cont per series. */
+  private def qConformalBySeries(s: SparkSession, d: String): DataFrame = {
+    val w1 = graft.models.ProphetLike.omega(1, 12.0)
+    val base = withTestFlag(withMonthlyHorizon(zSegmentsMonthly(s, d), 12), 12)
+    val withF = FeatureOps.addTimeTrend(base)
+      .withColumn("s1", sin(lit(w1) * col("t")))
+      .withColumn("c1", cos(lit(w1) * col("t")))
+    val feats = Seq("t", "s1", "c1")
+    val scored = graft.models.GroupedOls.fitPredictBySeries(withF, feats)
+    Conformal.attachBySeries(withF, scored)
+      .filter(col(IsFuture))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"),
+        round(col("lower"), 6).as("lower"), round(col("upper"), 6).as("upper"),
+        round(col("ci_width"), 6).as("ci_width"))
   }
 
   /** Johansen trace test on two segment series (k = 2 — the oracle solves
@@ -2830,6 +2853,38 @@ object SparkEntry {
         |  ROUND(s.yhat - w.ci_width, 0) AS lower, ROUND(s.yhat + w.ci_width, 0) AS upper,
         |  ROUND(w.ci_width, 0) AS ci_width
         |FROM scored s JOIN width w ON s.series_id = w.series_id WHERE s.is_future""".stripMargin),
+
+    // grouped conformal: one OLS fit per series via the KEYED moments +
+    // solve chain (one CTE chain solves all 5 systems), then one
+    // quantile_cont width per series over its own holdout
+    "ts_conformal_by_series" -> {
+      val w1 = graft.models.ProphetLike.omega(1, 12.0)
+      val xs = Seq("t", s"sin($w1 * t)", s"cos($w1 * t)")
+      val pred = s"beta_0 + beta_1*t + beta_2*sin($w1 * t) + beta_3*cos($w1 * t)"
+      s"""$ZSEG,
+         |s2 AS (SELECT series_id, ds, y, CAST(row_number() OVER
+         |  (PARTITION BY series_id ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |nn AS (SELECT series_id, count(*) AS n, max(ds) AS ld FROM s2 GROUP BY 1),
+         |s3 AS (SELECT s2.*, s2.t > nn.n - 12 AS is_test
+         |       FROM s2 JOIN nn USING (series_id)),
+         |${OracleGen.momentsCte("gc", xs, "s3 WHERE NOT is_test",
+                                 keys = Seq("series_id"))},
+         |${OracleGen.solveCtes("gc", 3)},
+         |sc AS (SELECT s3.series_id, s3.ds, s3.y, s3.is_test, $pred AS yhat
+         |       FROM s3 JOIN gc_fit USING (series_id)),
+         |w AS (SELECT series_id, quantile_cont(abs(y - yhat), 0.95) AS ci_width
+         |      FROM sc WHERE is_test GROUP BY 1),
+         |fut AS (SELECT gc_fit.series_id,
+         |        CAST(nn.ld + to_months(i::INT) AS DATE) AS ds, $pred AS yhat
+         |        FROM gc_fit JOIN nn USING (series_id),
+         |             LATERAL (SELECT i, CAST(nn.n + i AS DOUBLE) AS t
+         |                      FROM generate_series(1, 12) g(i)))
+         |SELECT f.series_id, f.ds, ROUND(f.yhat, 6) AS yhat,
+         |  ROUND(f.yhat - w.ci_width, 6) AS lower,
+         |  ROUND(f.yhat + w.ci_width, 6) AS upper,
+         |  ROUND(w.ci_width, 6) AS ci_width
+         |FROM fut f JOIN w USING (series_id)""".stripMargin
+    },
 
     "mv_corr" ->
       s"""$SEG SELECT a.series_id AS sid_a, b.series_id AS sid_b,

@@ -51,6 +51,16 @@ object GroupedOls {
       case (acc, (c, i)) => acc + col(c).cast("double") * element_at(col("beta"), i + 2)
     }
 
+  /** Per-series fit + vectorized score in the common by-series output shape
+    * (series_id, ds, yhat) — [[graft.models.Svr.fitPredictBySeries]]'s
+    * contract for the closed-form family. Conformal bounds attach via
+    * [[graft.operators.Conformal.attachBySeries]] (the reference's CI
+    * contract at any series count). */
+  def fitPredictBySeries(frame: DataFrame, feats: Seq[String]): DataFrame =
+    frame.join(fitBySeries(frame, feats), Seq(SeriesId), "left")
+      .withColumn("yhat", predictExpr(feats))
+      .select(col(SeriesId), col(Ds), col("yhat"))
+
   /** Per-series validation RMSE of the per-series OLS — the grouped
     * [[graft.eval.AutoSelect.scoreFeatures]]: last-h holdout per series,
     * vectorized prediction, one metrics row per series. A series whose fit

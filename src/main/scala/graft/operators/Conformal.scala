@@ -30,6 +30,25 @@ object Conformal {
 
   def minTestLength(cilevel: Double): Int = math.ceil(1.0 / (1.0 - cilevel)).toInt
 
+  /** Grouped conformal attachment for the by-series POINT-forecast paths —
+    * [[graft.models.GroupedOls]], [[graft.models.Svr.fitPredictBySeries]],
+    * [[graft.models.MlpNet.fitPredictBySeries]],
+    * [[graft.models.RnnNet.fitPredictBySeries]] all return
+    * (series_id, ds, yhat) with no holdout metadata, so the reference's CI
+    * contract (Forecaster.py:188-208) couldn't attach at the 10⁶-series
+    * tier. This re-joins `y`/`is_test`/`is_future` from the flagged input
+    * frame (one join keyed by (series, ds)), then runs the SAME
+    * one-aggregation-per-series percentile as [[withIntervals]] — widths
+    * join back size-gated. Series whose holdout is empty get null bounds
+    * (the per-series skip policy), never a cross-series width. */
+  def attachBySeries(flagged: DataFrame, scored: DataFrame,
+                     yhat: String = "yhat", cilevel: Double = 0.95): DataFrame = {
+    val meta = flagged.select(col(SeriesId), col(Ds), col(Y), col(IsFuture),
+      (if (flagged.columns.contains("is_test")) col("is_test") else lit(false))
+        .as("is_test"))
+    withIntervals(scored.join(meta, Seq(SeriesId, Ds), "left"), yhat, cilevel)
+  }
+
   /** Extract the per-series CI widths of a scored frame (for reuse). */
   def widthsOf(df: DataFrame, yhat: String = "yhat", cilevel: Double = 0.95): DataFrame =
     df.filter(col("is_test") && col(yhat).isNotNull && col(Y).isNotNull)

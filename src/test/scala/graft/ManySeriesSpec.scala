@@ -336,6 +336,25 @@ class ManySeriesSpec extends SparkSpec {
     assert(fut.filter(col("yhat").isNull).count() == 0)
   }
 
+  test("grouped conformal attaches one per-series width to by-series point forecasts") {
+    val flagged = SeriesFrame.withTestFlag(
+      FeatureOps.addTimeTrend(SeriesFrame.withMonthlyHorizon(manySeries(), 4)), 12)
+    val scored = graft.models.GroupedOls.fitPredictBySeries(flagged, Seq("t"))
+    val out = graft.operators.Conformal.attachBySeries(flagged, scored)
+    val fut = out.filter(col("is_future"))
+    assert(fut.count() == nSeries * 4L)
+    assert(fut.filter(col("lower").isNull || col("upper").isNull ||
+      col("ci_width").isNull).count() == 0, "every series' horizon gets bounds")
+    // widths are genuinely per-series (the sin((t+s)/3) phase shifts the
+    // trend-only residuals differently per series), not one pooled number
+    val widths = out.select("series_id", "ci_width").distinct()
+    assert(widths.count() == nSeries.toLong)
+    assert(widths.select(countDistinct("ci_width")).first().getLong(0) > 1)
+    // bounds bracket the point forecast symmetrically (to fp rounding)
+    assert(fut.filter(abs((col("upper") - col("yhat")) - (col("yhat") - col("lower")))
+      > lit(1e-9)).count() == 0)
+  }
+
   test("inferFreq and withTestFlag stay per-series on a shared frame") {
     val df = manySeries()
     assert(SeriesFrame.inferFreq(df) == "MS")

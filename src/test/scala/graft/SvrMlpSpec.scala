@@ -102,6 +102,22 @@ class SvrMlpSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-9, s"mlp s5: $a vs $b") }
   }
 
+  test("conformal bounds attach to the svr by-series path per series") {
+    val frames = (0 until 8).map { s =>
+      val ys = (0 until 40).map(t => 10.0 + s + 0.2 * t + math.sin((t + s) / 3.0))
+      graft.functions.FeatureOps.addTimeTrend(
+        graft.core.SeriesFrame.withMonthlyHorizon(obsSeries(ys, s"s$s"), 3))
+    }
+    val flagged = graft.core.SeriesFrame.withTestFlag(
+      frames.reduce(_ unionByName _), 12)
+    val scored = Svr.fitPredictBySeries(flagged, Seq("t"), maxSweeps = 100)
+    val out = graft.operators.Conformal.attachBySeries(flagged, scored)
+    val fut = out.filter(col("is_future"))
+    assert(fut.count() === 8L * 3)
+    assert(fut.filter(col("lower").isNull || col("upper").isNull).count() === 0)
+    assert(out.select("series_id", "ci_width").distinct().count() === 8L)
+  }
+
   test("registry fit() routes svr/mlp and the facade banks a dynamic forecast") {
     val ys = (0 until 48).map(t => 10 + 0.3 * t + math.sin(t / 2.0))
     val base = SeriesFrame.withMonthlyHorizon(obsSeries(ys), 6)
