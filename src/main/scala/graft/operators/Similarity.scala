@@ -219,21 +219,22 @@ object Similarity {
   }
 
   /** Product-quantization index: each UNIT vector splits into `m`
-    * subvectors; per subspace a small KMeans learns `kStar` centroids and
-    * the vector's code is its nearest-centroid id per subspace —
-    * m·log₂(kStar) bits per vector (8×16 → 8 B against 256 B of float32 at
-    * d=64, the 32× memory cut that keeps a billion-vector scan
-    * RAM-resident on a cluster). Quantizing the normalized vectors makes
-    * squared-L2 ADC a monotone proxy for cosine (‖a−b‖² = 2−2·cos on unit
-    * vectors). Returns the coded frame `(vid, v, nrm, u, code)` and the
-    * codebook tensor (m × kStar × d/m doubles — driver-bounded like IVF's
-    * centroid matrix). Codebook quality depends on partitioning the way
-    * IVF's does; search correctness doesn't (exact re-rank), which
+    * subvectors; per subspace a seeded sample-trained k-means codebook
+    * learns `kStar` centroids and the vector's code is its
+    * nearest-centroid id per subspace — m·log₂(kStar) bits per vector
+    * (8×16 → 8 B against 256 B of float32 at d=64, the 32× memory cut
+    * that keeps a billion-vector scan RAM-resident on a cluster).
+    * Quantizing the normalized vectors makes squared-L2 ADC a monotone
+    * proxy for cosine (‖a−b‖² = 2−2·cos on unit vectors). Returns the
+    * coded frame `(vid, v, nrm, u, code)` and the codebook tensor
+    * (m × kStar × d/m doubles — driver-bounded like IVF's centroid
+    * matrix). Codebooks are deterministic AND partitioning-invariant
+    * (hash-ordered sample + seeded fixed-budget Lloyd); search
+    * correctness never depended on them (exact re-rank), which
     * ExactPropertySpec pins. */
   def pqIndex(df: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, kStar: Int = 16, seed: Long = 42L)
       : (DataFrame, Array[Array[Array[Double]]]) = {
-    import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
     val p = prepared(df, idCol, vecCol)
@@ -242,18 +243,24 @@ object Similarity {
     val dims = p.select(size(col("u"))).head().getInt(0)
     require(dims % m == 0, s"embedding dim $dims not divisible by m=$m subspaces")
     val sub = dims / m
-    // the m subspace fits are independent Spark jobs over the SAME
-    // checkpointed frame — fan them out concurrently (the memo-build
-    // pattern): wall ≈ one fit instead of m, and a coarse codebook needs
-    // few Lloyd passes, not convergence
+    // codebooks train on a BOUNDED deterministic sample: PQ codebooks are
+    // a coarse kStar-level quantizer, so a few thousand vectors bound
+    // their quality as well as a full pass (how billion-scale IVF/PQ
+    // indexes train in practice) — and the whole train step becomes ONE
+    // small collect + driver-local seeded k-means++/Lloyd per subspace
+    // instead of m distributed KMeans fits (the former 8-fit fan-out
+    // dominated emb_knn_pq's bench time at fixture scale). Hash-ordered
+    // sampling makes the books partitioning-invariant; search correctness
+    // never depended on them (exact re-rank, ExactPropertySpec).
+    val sampleN = 2048
+    val sample: Array[Array[Double]] = p
+      .select(col("u"), xxhash64(col("vid").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vid"))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqIndex needs at least one vector")
     val books: Array[Array[Array[Double]]] =
-      graft.eval.Evaluation.fanOut(0 until m, parallelism = math.min(m, 8)) { s =>
-        val sv = p.select(array_to_vector(slice(col("u"), s * sub + 1, sub)).as("_fv"))
-        new org.apache.spark.ml.clustering.KMeans()
-          .setK(kStar).setSeed(seed + s).setMaxIter(5).setInitMode("random")
-          .setFeaturesCol("_fv").setPredictionCol("_c")
-          .fit(sv).clusterCenters.map(_.toArray)
-      }.toArray
+      Array.tabulate(m)(s => fitCodebook(sample, s * sub, sub, kStar, seed + s))
     val outSchema = StructType(p.schema.fields :+
       StructField("code", ArrayType(IntegerType, containsNull = false)))
     val uIdx = p.schema.fieldIndex("u")
@@ -273,6 +280,55 @@ object Similarity {
       Row.fromSeq(r.toSeq :+ code.toSeq)
     })(Encoders.row(outSchema)).toDF()
     (codes, books)
+  }
+
+  /** Driver-local seeded codebook fit for ONE PQ subspace: k-means++ init
+    * + a fixed Lloyd iteration budget over the sampled subvectors — fully
+    * deterministic from `seed` (the svr/mlp/rnn determinism pattern: fixed
+    * iteration count, no convergence race). Empty clusters keep their
+    * previous center. */
+  private def fitCodebook(sample: Array[Array[Double]], off: Int, sub: Int,
+                          kStar: Int, seed: Long): Array[Array[Double]] = {
+    val xs = sample.map(u => java.util.Arrays.copyOfRange(u, off, off + sub))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < sub) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rng = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer(xs(rng.nextInt(xs.length)).clone)
+    while (centers.size < kStar) {
+      val dist = xs.map(x => centers.iterator.map(c => d2(x, c)).min)
+      val tot = dist.sum
+      if (tot <= 0) centers += xs(rng.nextInt(xs.length)).clone
+      else {
+        var r = rng.nextDouble() * tot; var i = 0
+        while (i < xs.length - 1 && r > dist(i)) { r -= dist(i); i += 1 }
+        centers += xs(i).clone
+      }
+    }
+    var books = centers.toArray
+    var it = 0
+    while (it < 10) {
+      val sums = Array.fill(kStar)(new Array[Double](sub))
+      val cnts = new Array[Int](kStar)
+      var i = 0
+      while (i < xs.length) {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < kStar) {
+          val d = d2(xs(i), books(j)); if (d < bd) { bd = d; best = j }; j += 1
+        }
+        cnts(best) += 1
+        var t = 0
+        while (t < sub) { sums(best)(t) += xs(i)(t); t += 1 }
+        i += 1
+      }
+      books = Array.tabulate(kStar)(j =>
+        if (cnts(j) == 0) books(j)
+        else { val c = sums(j); var t = 0; while (t < sub) { c(t) /= cnts(j); t += 1 }; c })
+      it += 1
+    }
+    books
   }
 
   /** PQ ANN top-k: asymmetric-distance (ADC) scan over the 8-byte codes
