@@ -175,6 +175,31 @@ final case class Events(events: DataFrame) {
         (abs(col("z")) >= zThreshold).as("is_anomaly"))
   }
 
+  /** Rolling-median level-shift detection (events_level_shift) — the
+    * monitoring twin of [[anomalies]]: a z-score flags single spiky hours,
+    * this flags SUSTAINED level changes. Per hour: median hourly volume
+    * over the trailing `windowHours` vs over the window starting at the
+    * current hour; a shift fires when the relative change of the (robust)
+    * medians reaches `minRel`. Pure window SQL over the reduced hourly
+    * frame — calendar-bounded state, exactly replayable by the DuckDB
+    * oracle (quantile_cont twin). Edge hours without both full windows are
+    * excluded (no partial-window false fires). */
+  def levelShifts(windowHours: Int = 24, minRel: Double = 0.25): DataFrame = {
+    val hourly = events.groupBy(hourMs.as("hour_ms")).agg(count(lit(1)).as("n"))
+    val pre = Window.orderBy("hour_ms").rowsBetween(-windowHours, -1)
+    val post = Window.orderBy("hour_ms").rowsBetween(0, windowHours - 1)
+    hourly
+      .withColumn("pre_med", expr("percentile(n, 0.5)").over(pre))
+      .withColumn("post_med", expr("percentile(n, 0.5)").over(post))
+      .withColumn("_nc", count(col("n")).over(pre) + count(col("n")).over(post))
+      .filter(col("_nc") === 2 * windowHours && col("pre_med") > 0)
+      .withColumn("shift_score",
+        round((col("post_med") - col("pre_med")) / col("pre_med"), 6))
+      .select(col("hour_ms"), col("n"), round(col("pre_med"), 6).as("pre_med"),
+        round(col("post_med"), 6).as("post_med"), col("shift_score"),
+        (abs(col("shift_score")) >= minRel).as("is_shift"))
+  }
+
   /** Most recent at-or-before right-side row per key (events_asof_view
     * shape) — [[graft.operators.AsOf.asofJoin]] on this frame. */
   def asofJoin(right: DataFrame, keys: Seq[String], leftTs: String,

@@ -49,6 +49,7 @@ object SparkEntry {
     "events_session_window" -> ((s, d) => qSessionWindow(s, d)),
     "events_stream_enrich" -> ((s, d) => qEventsStreamEnrich(s, d)),
     "events_anomaly"     -> ((s, d) => qEventsAnomaly(s, d)),
+    "events_level_shift" -> ((s, d) => qEventsLevelShift(s, d)),
     "ts_ar_terms"        -> ((s, d) => qArTerms(s, d)),
     "ts_calendar"        -> ((s, d) => qCalendar(s, d)),
     "ts_naive"           -> ((s, d) => qNaive(s, d)),
@@ -2081,6 +2082,13 @@ object SparkEntry {
   private def qEventsAnomaly(s: SparkSession, d: String): DataFrame =
     Events(Tables.events(s, d)).anomalies()
 
+  /** Rolling-median level-shift detector over the reduced hourly frame
+    * (Events.levelShifts) — sustained-change monitoring next to
+    * events_anomaly's spike z-scores. The shift flag thresholds the
+    * ROUNDED score like anomalies' z. */
+  private def qEventsLevelShift(s: SparkSession, d: String): DataFrame =
+    Events(Tables.events(s, d)).levelShifts()
+
   /** Stream-STATIC enrichment join — the third streaming join class next
     * to stream-stream (`events_stream_join`) and the stateful ops: a
     * purchase stream left-joined to a STATIC per-user dimension (first
@@ -2657,6 +2665,24 @@ object SparkEntry {
         |SELECT hour_ms, n, ROUND((n - mu) / sd, 6) AS z,
         |  (abs(ROUND((n - mu) / sd, 6)) >= 3.0) AS is_anomaly
         |FROM wnd WHERE cnt = 24 AND sd > 0""".stripMargin,
+
+    // rolling-median level shift: trailing vs current+forward medians over
+    // the hourly frame, quantile_cont = Spark's exact percentile
+    "events_level_shift" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |wnd AS (
+        |  SELECT hour_ms, n,
+        |    quantile_cont(n, 0.5) OVER (ORDER BY hour_ms ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS pre_med,
+        |    quantile_cont(n, 0.5) OVER (ORDER BY hour_ms ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS post_med,
+        |    count(n) OVER (ORDER BY hour_ms ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |      + count(n) OVER (ORDER BY hour_ms ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS nc
+        |  FROM hourly)
+        |SELECT hour_ms, n, ROUND(pre_med, 6) AS pre_med, ROUND(post_med, 6) AS post_med,
+        |  ROUND((post_med - pre_med) / pre_med, 6) AS shift_score,
+        |  (abs(ROUND((post_med - pre_med) / pre_med, 6)) >= 0.25) AS is_shift
+        |FROM wnd WHERE nc = 48 AND pre_med > 0""".stripMargin,
 
     // stream-static enrichment == the identical batch left join
     "events_stream_enrich" ->

@@ -70,4 +70,26 @@ class EventsSpec extends SparkSpec {
     // constant volume → sd = 0 in every full window → no rows survive
     assert(flags.count() === 0)
   }
+
+  test("levelShifts flags a sustained volume step, not a single spike") {
+    // 12 hours: 6 at 10 events/hour, then 6 at 20 — a 2× sustained step.
+    // window=3: the step hour sees pre_med=10, post_med=20 → score 1.0
+    val step = ev((0L until 180L).map { i =>
+      val hour = i / 15; val within = i % 15
+      val reps = if (hour >= 6) 2L else 1L
+      (i + 1, hour * 60 + within * (4 / reps), 1L, "x", 1.0)
+    } ++ (0L until 90L).map { i => // the extra 15/hour for hours 6..11
+      val hour = 6 + i / 15
+      (1000L + i, hour * 60 + (i % 15) * 2 + 1, 2L, "x", 1.0)
+    })
+    val out = Events(step).levelShifts(windowHours = 3, minRel = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(4), r.getBoolean(5)))
+    assert(out.nonEmpty, "interior hours must have both full windows")
+    val fired = out.filter(_._3)
+    assert(fired.nonEmpty, "the sustained step must fire")
+    // the maximal score is exactly the 2× step seen from the boundary hour
+    assert(math.abs(out.map(_._2).max - 1.0) < 1e-9)
+    // flat stretch far from the boundary: no fire
+    assert(out.minBy(_._1)._3 === false)
+  }
 }
