@@ -117,6 +117,7 @@ object SparkEntry {
     "ts_prophet_like"    -> ((s, d) => qProphetLike(s, d)),
     "ts_prophet_cp"      -> ((s, d) => qProphetCp(s, d)),
     "ts_tbats_arma"      -> ((s, d) => qTbatsArma(s, d)),
+    "ts_sql_surface"     -> ((s, d) => qSqlSurface(s, d)),
     "ts_backtest_metrics" -> ((s, d) => qBacktestMetrics(s, d)),
     "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d)),
     "mv_dynamic"         -> ((s, d) => qMvDynamic(s, d)),
@@ -743,6 +744,36 @@ object SparkEntry {
     graft.models.TbatsLike.forecastArma(withMonthlyHorizon(ordersMonthlyM(s, d), 12))
       .select(col(SeriesId), col(Ds), col(Y).as("y"),
         round(col("yhat"), 0).as("yhat"), col(IsFuture))
+
+  /** The series tier driven from PLAIN SQL: snaive, the OLS fit/predict
+    * pair, and the §2.6 metric aggregates all run as registered SQL
+    * functions (GraftFunctions) — one metrics row per model computed
+    * without touching the Scala API, proving the forecasting primitives
+    * are a real SQL surface, not Scala-only. Oracle replays snaive as
+    * lag(12), the fit as the k=1 Cholesky chain, and the metrics as plain
+    * aggregates. */
+  private def qSqlSurface(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    zOrdersMonthly(s, d).createOrReplaceTempView("graft_sql_series")
+    s.sql(
+      """WITH s2 AS (SELECT series_id, ds, y,
+        |    CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t
+        |  FROM graft_sql_series),
+        |fit AS (SELECT graft_ols_fit(y, array(t)) AS beta FROM s2),
+        |sc AS (SELECT s2.*,
+        |    graft_snaive(y, 12) OVER (ORDER BY ds) AS f_sn,
+        |    graft_ols_predict(beta, array(t)) AS f_ols
+        |  FROM s2, fit)
+        |SELECT 'snaive' AS model,
+        |  ROUND(graft_rmse(y, f_sn), 6) AS rmse, ROUND(graft_mae(y, f_sn), 6) AS mae,
+        |  ROUND(graft_smape(y, f_sn), 6) AS smape, ROUND(graft_r2(y, f_sn), 6) AS r2
+        |FROM sc WHERE f_sn IS NOT NULL
+        |UNION ALL
+        |SELECT 'ols_trend' AS model,
+        |  ROUND(graft_rmse(y, f_ols), 6), ROUND(graft_mae(y, f_ols), 6),
+        |  ROUND(graft_smape(y, f_ols), 6), ROUND(graft_r2(y, f_ols), 6)
+        |FROM sc""".stripMargin)
+  }
 
   private def qProphetLike(s: SparkSession, d: String): DataFrame =
     graft.models.ProphetLike.forecast(withMonthlyHorizon(zOrdersMonthly(s, d), 12))
@@ -4339,6 +4370,28 @@ object SparkEntry {
          |             LATERAL (SELECT i, CAST(n + i AS DOUBLE) AS t
          |                      FROM generate_series(1, 12) g(i)))
          |SELECT * FROM obs UNION ALL SELECT * FROM fut""".stripMargin
+    },
+
+    // the SQL-surface twin: snaive = lag(12), OLS = k=1 Cholesky chain,
+    // metrics = plain aggregates — one row per model
+    "ts_sql_surface" -> {
+      def met(f: String, filter: String) =
+        s"""SELECT ROUND(sqrt(avg(pow($f - y, 2))), 6) AS rmse,
+           |  ROUND(avg(abs($f - y)), 6) AS mae,
+           |  ROUND(avg(2 * abs($f - y) / (abs(y) + abs($f))), 6) AS smape,
+           |  ROUND(1 - sum(pow($f - y, 2)) /
+           |    (sum(pow(y, 2)) - pow(sum(y), 2) / count(y)), 6) AS r2
+           |FROM sc $filter""".stripMargin
+      s"""$ZS,
+         |s2 AS (SELECT series_id, ds, y,
+         |       CAST(row_number() OVER (ORDER BY ds) AS DOUBLE) AS t FROM series),
+         |${OracleGen.momentsCte("sf", Seq("t"), "s2")},
+         |${OracleGen.solveCtes("sf", 1)},
+         |sc AS (SELECT s2.*, lag(y, 12) OVER (ORDER BY ds) AS f_sn,
+         |       beta_0 + beta_1*t AS f_ols FROM s2, sf_fit)
+         |SELECT 'snaive' AS model, m.* FROM (${met("f_sn", "WHERE f_sn IS NOT NULL")}) m
+         |UNION ALL
+         |SELECT 'ols_trend' AS model, m.* FROM (${met("f_ols", "")}) m""".stripMargin
     },
 
     "ts_prophet_like" -> {

@@ -95,7 +95,84 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("bloom_probe", args, 2)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
-      }))
+      }),
+    // ---- forecasting primitives (the series tier's SQL surface) ----------
+    // exact pooled/grouped OLS as an aggregate: beta array, intercept first
+    (FunctionIdentifier("graft_ols_fit"),
+      new ExpressionInfo(classOf[OlsFit].getCanonicalName, "graft_ols_fit"),
+      (args: Seq[Expression]) => {
+        arity("graft_ols_fit", args, 2); OlsFit(args(0), args(1))
+      }),
+    // scalar twin: beta[1] + ⟨beta[2..], x⟩ via the native DotProduct —
+    // raw Catalyst composition (builders must return resolvable
+    // expressions, not Column-API node wrappers)
+    (FunctionIdentifier("graft_ols_predict"),
+      new ExpressionInfo(classOf[OlsFit].getCanonicalName, "graft_ols_predict"),
+      (args: Seq[Expression]) => {
+        arity("graft_ols_predict", args, 2)
+        import org.apache.spark.sql.catalyst.expressions._
+        val beta = args(0)
+        Add(ElementAt(beta, Literal(1)),
+          DotProduct(Slice(beta, Literal(2), Subtract(Size(beta), Literal(1))),
+            args(1)))
+      }),
+    // seasonal naive as a window function: graft_snaive(y, m) OVER (...) —
+    // the m-back actual, the reference's snaive fitted/1-cycle-horizon value
+    (FunctionIdentifier("graft_snaive"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.Lag].getCanonicalName,
+        "graft_snaive"),
+      (args: Seq[Expression]) => {
+        arity("graft_snaive", args, 2)
+        org.apache.spark.sql.catalyst.expressions.Lag(
+          args(0), args(1), Literal(null), ignoreNulls = false)
+      })) ++ metricFns
+
+  /** The §2.6 metric aggregates as SQL functions (graft_rmse(y, yhat), ...):
+    * each builder composes the [[Metrics]] definition from raw Catalyst
+    * nodes (Column-API wrappers don't resolve through the function
+    * registry), so `SELECT graft_rmse(y, yhat) ... GROUP BY model` scores
+    * models from plain SQL with the identical single-pass math. */
+  private def metricFns: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.types.DoubleType
+    def ag(f: AggregateFunction): Expression = f.toAggregateExpression()
+    val ms: Seq[(String, (Expression, Expression) => Expression)] = Seq(
+      "bias" -> ((a, f) => ag(Sum(Subtract(f, a)))),
+      "abias" -> ((a, f) => Abs(ag(Sum(Subtract(f, a))))),
+      "mse" -> ((a, f) => ag(Average(Pow(Subtract(f, a), Literal(2.0))))),
+      "rmse" -> ((a, f) => Sqrt(ag(Average(Pow(Subtract(f, a), Literal(2.0)))))),
+      "mae" -> ((a, f) => ag(Average(Abs(Subtract(f, a))))),
+      "smape" -> ((a, f) => ag(Average(Divide(
+        Multiply(Literal(2.0), Abs(Subtract(f, a))), Add(Abs(a), Abs(f)))))),
+      "r2" -> { (a, f) =>
+        val sse = ag(Sum(Pow(Subtract(f, a), Literal(2.0))))
+        val sst = Subtract(ag(Sum(Pow(a, Literal(2.0)))),
+          Divide(Pow(ag(Sum(a)), Literal(2.0)),
+            Cast(ag(Count(Seq(a))), DoubleType)))
+        Subtract(Literal(1.0), Divide(sse, sst))
+      },
+      // NULL when any actual is 0 (the reference's NaN), else mean |f−a|/|a|
+      // with the division guarded per row — Metrics.mape's exact shape
+      "mape" -> { (a, f) =>
+        val anyZero = EqualTo(
+          ag(Max(CaseWhen(Seq((EqualTo(a, Literal(0.0)), Literal(1))), Literal(0)))),
+          Literal(1))
+        val safeAvg = ag(Average(CaseWhen(
+          Seq((Not(EqualTo(a, Literal(0.0))), Abs(Divide(Subtract(f, a), a)))), None)))
+        CaseWhen(Seq((anyZero, Cast(Literal(null), DoubleType))), Some(safeAvg))
+      })
+    ms.map { case (name, f) =>
+      (FunctionIdentifier(s"graft_$name"),
+        new ExpressionInfo(Metrics.getClass.getCanonicalName, s"graft_$name"),
+        (args: Seq[Expression]) => {
+          arity(s"graft_$name", args, 2)
+          f(args(0), args(1))
+        })
+    }
+  }
 
   /** Register every graft function into a LIVE session's registry. */
   def register(spark: SparkSession): Unit =

@@ -74,6 +74,10 @@ object GroupedOls {
     graft.eval.Evaluation.metricsOverTest(scored, Seq("rmse"))
   }
 
+  /** [[solve]] for callers outside the models package — the SQL aggregate
+    * [[graft.functions.OlsFit]] shares the exact executor-side kernel. */
+  def sqlSolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = solve(a, b)
+
   /** Gaussian elimination with partial pivoting — the executor-side solver
     * shared by every grouped closed-form fit (here and [[BlockedVar]]). */
   private[models] def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {

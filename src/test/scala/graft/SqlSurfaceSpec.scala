@@ -54,6 +54,63 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT bloom_build(h) IS NOT NULL FROM sql_bloom_all").head().getBoolean(0))
   }
 
+  test("forecasting primitives run from plain SQL and match the Scala API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // y = 3 + 2t exactly → the SQL fit must recover (3, 2) and predict
+    // exactly; snaive(12) is the 12-back actual
+    val rows = (1 to 36).map(t => (java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusMonths(t - 1)), t.toDouble, 3.0 + 2 * t))
+    rows.toDF("ds", "t", "y").createOrReplaceTempView("sql_series")
+    val beta = spark.sql(
+      "SELECT graft_ols_fit(y, array(t)) FROM sql_series")
+      .head().getSeq[Double](0)
+    assert(math.abs(beta(0) - 3.0) < 1e-9 && math.abs(beta(1) - 2.0) < 1e-9)
+    val pred = spark.sql(
+      """WITH f AS (SELECT graft_ols_fit(y, array(t)) AS beta FROM sql_series)
+        |SELECT max(abs(graft_ols_predict(beta, array(t)) - y))
+        |FROM sql_series, f""".stripMargin).head().getDouble(0)
+    assert(pred < 1e-9)
+    val sn = spark.sql(
+      """SELECT y, graft_snaive(y, 12) OVER (ORDER BY ds) AS f
+        |FROM sql_series ORDER BY ds""".stripMargin)
+      .collect()
+    assert(sn.take(12).forall(_.isNullAt(1)))
+    assert(sn.drop(12).forall(r => r.getDouble(1) === r.getDouble(0) - 24.0))
+    // metric aggregates: SQL result equals the Metrics Column combinator
+    val dfm = Seq((1.0, 2.0), (2.0, 2.5), (4.0, 3.0)).toDF("y", "f")
+    dfm.createOrReplaceTempView("sql_metrics")
+    for (m <- Seq("rmse", "mae", "smape", "r2", "mse", "bias", "abias", "mape")) {
+      val viaSql = spark.sql(s"SELECT graft_$m(y, f) FROM sql_metrics").head().getDouble(0)
+      val fn = m match {
+        case "rmse" => graft.functions.Metrics.rmse _
+        case "mae" => graft.functions.Metrics.mae _
+        case "smape" => graft.functions.Metrics.smape _
+        case "r2" => graft.functions.Metrics.r2 _
+        case "mse" => graft.functions.Metrics.mse _
+        case "bias" => graft.functions.Metrics.bias _
+        case "abias" => graft.functions.Metrics.abias _
+        case "mape" => graft.functions.Metrics.mape _
+      }
+      val viaApi = dfm.agg(fn(org.apache.spark.sql.functions.col("y"),
+        org.apache.spark.sql.functions.col("f"))).head().getDouble(0)
+      assert(math.abs(viaSql - viaApi) < 1e-12, s"$m: $viaSql vs $viaApi")
+    }
+    // grouped fit: one beta per series in one aggregation (the
+    // GroupedOls.fitBySeries plan from SQL)
+    val many = (0 until 5).flatMap(s => (1 to 20).map(t =>
+      (s"s$s", t.toDouble, 1.0 * s + 0.5 * s * t)))
+      .toDF("series_id", "t", "y")
+    many.createOrReplaceTempView("sql_many")
+    val fits = spark.sql(
+      """SELECT series_id, graft_ols_fit(y, array(t)) AS beta
+        |FROM sql_many GROUP BY series_id""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(fits.size === 5)
+    for (s <- 0 until 5)
+      assert(math.abs(fits(s"s$s")(1) - 0.5 * s) < 1e-9, s"slope of s$s")
+  }
+
   test("non-literal k is rejected loudly") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
