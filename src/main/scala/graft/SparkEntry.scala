@@ -612,8 +612,32 @@ object SparkEntry {
     * they ARE the build queries, and PlanAuditSpec pins their scan shape. */
   private val seriesMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Opt-in bucketed-lake memo mode (`SPARK_GRAFT_BUCKETED=1`, or the
+    * sysprop `graft.bucketedMemo=1` for in-process A/B): derived series
+    * tables materialize as BUCKETED, bucket-sorted catalog tables
+    * ([[graft.sources.LakeLayout.writeBucketed]] keyed by series_id)
+    * instead of checkpointed blocks — the §8 lake layout actually
+    * CONSUMED by the query tier, so every downstream groupBy/window on
+    * series_id plans with no exchange on the memo side (LakeLayoutSpec
+    * pins the plan; graft.BenchBucketed measures the saving). */
+  def bucketedMemo: Boolean =
+    sys.props.get("graft.bucketedMemo")
+      .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).contains("1")
+
   private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
-    seriesMemo.getOrElseUpdate((s, d, key), build.localCheckpoint(true))
+    seriesMemo.getOrElseUpdate((s, d, key), {
+      val built = build
+      // bucketing keys on series_id — corpus-tier memos (doc vectors, pair
+      // frames) keep the checkpoint path; their lake layout is the
+      // documents table's own bucketing, not the memo's
+      if (bucketedMemo && built.columns.contains(SeriesFrame.SeriesId)) {
+        val table = s"graft_memo_$key"
+        graft.sources.LakeLayout.freshTable(s, table)
+        graft.sources.LakeLayout.writeBucketed(built, table, buckets = 4)
+        s.table(table)
+      } else built.localCheckpoint(true)
+    })
 
   /** Release the session memos for a long-lived driver: dropping the map
     * entries unreferences the checkpointed frames, and the ContextCleaner

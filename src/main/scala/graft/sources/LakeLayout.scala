@@ -38,6 +38,20 @@ object LakeLayout {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Drop `table` from the catalog AND delete its warehouse directory: the
+    * default in-memory catalog forgets tables between sessions, leaving
+    * orphan directories that block a fresh `saveAsTable`. */
+  def freshTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Hive-style partitioned parquet write — the time axis of the lake
     * layout. Where bucketing kills the recurring shuffle, directory
     * partitioning kills the recurring SCAN: a predicate on the partition

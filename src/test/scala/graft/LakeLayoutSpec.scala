@@ -18,19 +18,7 @@ class LakeLayoutSpec extends SparkSpec {
       .findAllIn(df.queryExecution.executedPlan.toString).length
   }
 
-  /** Drop the table AND its warehouse location: the default in-memory
-    * catalog forgets tables between sessions, leaving orphan directories
-    * that block a fresh `saveAsTable`. */
-  private def freshTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  private def freshTable(name: String): Unit = LakeLayout.freshTable(spark, name)
 
   private def frame(): DataFrame = {
     import spark.implicits._
@@ -54,6 +42,39 @@ class LakeLayoutSpec extends SparkSpec {
     val a = bucketed.collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100))).toSet
     val b = plain.collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100))).toSet
     assert(a === b)
+  }
+
+  test("bucketed memo mode: query-tier memos become bucketed scans, same results") {
+    val sfDir = "/root/testdata/sf0.001"
+    // checkpoint-mode reference
+    SparkEntry.clearMemos()
+    val ref = SparkEntry.queries("ts_diff")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    // bucketed mode: the memo table materializes via LakeLayout and the
+    // per-series window consumes the bucketed scan
+    System.setProperty("graft.bucketedMemo", "1")
+    try {
+      SparkEntry.clearMemos()
+      assert(SparkEntry.bucketedMemo)
+      val df = SparkEntry.queries("ts_diff")(spark, sfDir)
+      val out = df.collect().map(_.toString).sorted
+      assert(out.toSeq === ref.toSeq, "results must be layout-invariant")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"memo scan must report a bucketed read:\n$plan")
+      // the frame built directly on the memo pays no exchange for a
+      // series-keyed window (the exchange the checkpoint path pays)
+      val memoFrame = LakeLayout.readBucketed(spark, "graft_memo_orders")
+      val win = memoFrame.withColumn("d",
+        col("y") - org.apache.spark.sql.functions.lag("y", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("series_id").orderBy("ds")))
+      assert(exchanges(win) === 0,
+        "series-keyed window over the bucketed memo must plan no exchange")
+    } finally {
+      System.clearProperty("graft.bucketedMemo")
+      SparkEntry.clearMemos()
+    }
   }
 
   test("self-join on the bucket key plans no exchange on either side") {
