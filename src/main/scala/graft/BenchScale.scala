@@ -87,56 +87,73 @@ object BenchScale {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_SCALE_OPS=a,b,c narrows the series tier to named ops and
+    // skips the corpus/events tiers — how the steepest curves get their
+    // extra decade (10⁶ series) without re-running the whole battery
+    val onlyOps: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSet)
     val points = sizes.map { n =>
       // materialize the input once so op timings exclude generation
       val frame = syntheticFrame(spark, n, nObs).localCheckpoint(true)
       import graft.functions.FeatureOps
-      val ops = Seq(
-        "fit_by_series" -> time {
+      val allOps = Seq(
+        "fit_by_series" -> (() => {
           GroupedOlsRun.run(frame)
-        },
-        "seasonal_length_by_series" -> time {
+        }),
+        "seasonal_length_by_series" -> (() => {
           graft.eval.AutoSelect.findSeasonalLengthBySeries(frame)
             .write.mode("overwrite").format("noop").save()
-        },
-        "auto_xvar_by_series" -> time {
+        }),
+        "auto_xvar_by_series" -> (() => {
           graft.eval.AutoSelect.autoXvarSelectBySeries(frame)
             .write.mode("overwrite").format("noop").save()
-        },
-        "svr_by_series" -> time {
+        }),
+        "svr_by_series" -> (() => {
           val withT = graft.functions.FeatureOps.addTimeTrend(frame)
           graft.models.Svr.fitPredictBySeries(withT, Seq("t"), maxSweeps = 100)
             .write.mode("overwrite").format("noop").save()
-        },
+        }),
         // the reference's CI contract at the by-series tier: grouped OLS
         // point forecasts + one exact-percentile width per series
-        "conformal_by_series" -> time {
+        "conformal_by_series" -> (() => {
           val flagged = graft.core.SeriesFrame.withTestFlag(
             graft.functions.FeatureOps.addTimeTrend(frame), 12)
           graft.operators.Conformal.attachBySeries(flagged,
               graft.models.GroupedOls.fitPredictBySeries(flagged, Seq("t")))
             .write.mode("overwrite").format("noop").save()
-        },
-        "mlp_by_series" -> time {
+        }),
+        "mlp_by_series" -> (() => {
           val withT = graft.functions.FeatureOps.addTimeTrend(frame)
           graft.models.MlpNet.fitPredictBySeries(withT, Seq("t"),
             hidden = 4, maxIter = 60)
             .write.mode("overwrite").format("noop").save()
-        },
-        "rnn_by_series" -> time {
+        }),
+        "rnn_by_series" -> (() => {
           val withAr = FeatureOps.addArTerms(frame, 2)
           graft.models.RnnNet.fitPredictBySeries(withAr, Seq("ar_1", "ar_2"),
             "rnn", width = 3, units = 4, maxIter = 40)
             .write.mode("overwrite").format("noop").save()
-        },
-        "blockedvar_screen_fit" -> time {
+        }),
+        "blockedvar_screen_fit" -> (() => {
           val block = graft.models.BlockedVar.screenApprox(frame,
             maxSources = 2, minAbsCorr = 0.6, profileWindow = 64)
             .localCheckpoint(true)
           val (fits, _) = graft.models.BlockedVar.fitWithBlock(frame, block,
             maxLag = 1, maxSources = 2)
           fits.write.mode("overwrite").format("noop").save()
-        })
+        }))
+      val ops = allOps
+        .filter { case (k, _) => onlyOps.forall(_.contains(k)) }
+        .map { case (k, f) =>
+          val s = time(f())
+          // incremental record (a later op dying — e.g. disk-full at the
+          // 10⁶ tier — must not lose completed timings), plus a GC nudge so
+          // the ContextCleaner frees the finished op's dereferenced shuffle
+          // files before the next op's spill peak
+          System.err.println(s"[bench_scale] op $k n_series=$n ${s}s")
+          System.gc()
+          k -> s
+        }
       // local[n] hosts the executor block store in the same JVM, so heap
       // after the ops is dominated by the (deliberately) checkpointed input
       // and operator checkpoints — executor-side storage on a real cluster.
@@ -150,7 +167,8 @@ object BenchScale {
       line
     }
     // corpus tier: same 10× growth discipline over the dedup operators
-    val docSizes = Seq(20000L, 200000L)
+    // (skipped entirely when SPARK_GRAFT_SCALE_OPS narrows the run)
+    val docSizes = if (onlyOps.isDefined) Seq.empty[Long] else Seq(20000L, 200000L)
     val corpusPoints = docSizes.map { n =>
       val docs = syntheticDocs(spark, n).localCheckpoint(true)
       import graft.operators.Dedup
@@ -215,7 +233,7 @@ object BenchScale {
     // events tier: the behavioral facade's windowed/stateful shapes at
     // 10⁶ → 10⁷ events, so the "holds at any fact size" claims for
     // sessionize/funnel/top-k/KMV are measured like the other two tiers
-    val eventSizes = Seq(1000000L, 10000000L)
+    val eventSizes = if (onlyOps.isDefined) Seq.empty[Long] else Seq(1000000L, 10000000L)
     val eventPoints = eventSizes.map { n =>
       val ev = syntheticEvents(spark, n).localCheckpoint(true)
       val facade = graft.Events(ev)

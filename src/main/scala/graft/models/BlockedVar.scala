@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *     source id) — every equation's width is now the CONSTANT
   *     k = maxSources·maxLag + 1.
   *  3. **Fit**: the normal-equation moments of EVERY equation come from one
-  *     long-format self-join keyed by (target, ds) + one grouped
-  *     aggregation pivoted over the k² bounded feature-index pairs; the
-  *     k×k solves map over the per-target stats rows ON THE EXECUTORS
+  *     grouped pivot of the long design rows into wide (target, ds) feature
+  *     rows + one grouped aggregation over the k² bounded column products
+  *     (no self-join — each observation is shuffled twice, never k² times);
+  *     the k×k solves map over the per-target stats rows ON THE EXECUTORS
   *     (same pattern as [[graft.functions.Diagnostics.adfT]]) — no
   *     observation row, moment row, or fit ever reaches the driver.
   *  4. **Score**: fitted values are a join + grouped dot product.
@@ -104,7 +105,22 @@ object BlockedVar {
     *
     * `minAbsCorr` must be positive: it is both the noise-edge gate and the
     * candidate cosine threshold (a zero threshold would re-admit every
-    * pair and with it the quadratic cost this tier exists to avoid). */
+    * pair and with it the quadratic cost this tier exists to avoid).
+    *
+    * `bitsPerBand` and `bands` are FLOORS — the effective LSH geometry is
+    * auto-tuned to the series count (classic E2LSH sizing), because fixed
+    * parameters turn quadratic again one decade past wherever they were
+    * tuned (measured: 8-bit bands filled 80 GB of shuffle spill at 10⁶
+    * series). Expected noise collisions per band are ~n²·2^(−bits) for
+    * near-orthogonal profiles, so width grows as ⌈log₂ n⌉ + 5 — pinning
+    * the noise-candidate budget at O(bands·n/2⁵) at ANY series count —
+    * and the band COUNT grows to hold ~95% candidate recall at the
+    * ρ = 0.9 design correlation (bands = ln 20 / −ln(1 − p_band) with
+    * p_band = (1 − arccos(ρ)/π)^bits). Near-perfect couplings
+    * (|corr| ≥ 0.95) stay at recall ≈ 1 under any tuned geometry; recall
+    * below ρ* decays — the cost lands on weak edges a maxSources-bounded
+    * block rarely keeps, and the exact re-check means every SURVIVING
+    * edge carries the same full-history statistic as [[screen]]. */
   def screenApprox(frame: DataFrame, maxSources: Int, minAbsCorr: Double,
                    profileWindow: Int = 64, bands: Int = 16,
                    bitsPerBand: Int = 8): DataFrame = {
@@ -115,7 +131,15 @@ object BlockedVar {
     val obs = trainObs(frame).localCheckpoint(false)
     val withT = obs.select(col(SeriesId), col(Y),
       row_number().over(w).as("_t"))
-    val tMax = withT.agg(max("_t")).first().getInt(0)
+    val head = withT.agg(max("_t"),
+      approx_count_distinct(SeriesId)).first()
+    val tMax = head.getInt(0)
+    val nSeries = math.max(head.getLong(1), 1L)
+    val effBits = math.max(bitsPerBand,
+      math.ceil(math.log(nSeries.toDouble) / math.log(2.0)).toInt + 5)
+    val pBand = math.pow(1.0 - math.acos(0.9) / math.Pi, effBits.toDouble)
+    val effBands = math.max(bands,
+      math.ceil(math.log(20.0) / -math.log1p(-pBand)).toInt)
     val lo = math.max(2, tMax - profileWindow + 1)
     // positions lo..tMax: target profile = y_t, source profile = y_{t−1};
     // centering makes cosine == Pearson on the window
@@ -132,7 +156,7 @@ object BlockedVar {
     val tgtProf = profile(0)
     import graft.operators.Similarity
     val cands = Similarity.crossCosineMatches(srcProf, tgtProf, "vid", "vec",
-        minAbsCorr, bands, bitsPerBand, absolute = true)
+        minAbsCorr, effBands, effBits, absolute = true)
       .select(col("probe_id").as("target"), col("corpus_id").as("src"))
       .filter(col("target") =!= col("src")).distinct()
     // exact full-history lag-1 correlation, candidates only — the same
@@ -165,31 +189,33 @@ object BlockedVar {
     val obs = trainObs(frame)
     val k = maxSources * maxLag + 1
     val design = designRows(obs, block, maxLag, k)
+    val nsrc = block.groupBy("target").agg(count(lit(1)).cast("int").as("_nsrc"))
+    // pivot each (target, ds)'s ≤ k design rows into ONE wide row (each fi
+    // appears at most once there, so max(when) is exact) — the k² moment
+    // products then come from plain column products over the wide rows.
+    // The former shape (a (target, ds)-keyed SELF-join expanding fi × fj
+    // rows) shuffled k(k+1)/2 slim rows per observation — measured as the
+    // second spill amplifier at 10⁶ series; this one shuffles each
+    // observation once into the pivot and once into the moments.
+    val wide = design.groupBy(col("target"), col(Ds))
+      .agg(count(lit(1)).as("_nf"),
+        (0 until k).map(i => max(when(col("fi") === i, col("x"))).as(s"x_$i")): _*)
     // complete (target, ds) rows: all of the TARGET'S OWN features present
     // and y known — a minAbsCorr screen can keep fewer than maxSources
     // sources, so each equation's width is nsrc·maxLag + 1, not k
-    val nsrc = block.groupBy("target").agg(count(lit(1)).cast("int").as("_nsrc"))
-    val complete = design.groupBy("target", Ds)
-      .agg(count(lit(1)).as("_nf"))
-      .join(nsrc, Seq("target"))
+    val rows = wide.join(nsrc, Seq("target"))
       .filter(col("_nf") === col("_nsrc") * maxLag + 1)
-      .select("target", Ds)
-    val rows = design.join(complete, Seq("target", Ds.toString))
       .join(obs.select(col(SeriesId).as("target"), col(Ds), col(Y).as("_yt")),
         Seq("target", Ds.toString))
-    // ONE self-join keyed by (target, ds) expands the k² moment products;
-    // ONE grouped aggregation pivots them into sa_i_j / sb_i columns
-    val prods = rows.as("a").join(
-        rows.select(col("target"), col(Ds), col("fi").as("fj"), col("x").as("xj")).as("b"),
-        Seq("target", Ds.toString))
-      .filter(col("fi") >= col("fj"))
+    // unscreened slots are null on every row, so their sums are null — the
+    // solve below never reads them (it indexes the screened sub-block only)
     val aggs =
       (for (i <- 0 until k; j <- 0 to i) yield
-        sum(when(col("fi") === i && col("fj") === j, col("x") * col("xj"))).as(s"sa_${i}_$j")) ++
+        sum(col(s"x_$i") * col(s"x_$j")).as(s"sa_${i}_$j")) ++
       (0 until k).map(i =>
-        sum(when(col("fi") === i && col("fj") === i, col("x") * col("_yt"))).as(s"sb_$i"))
-    val stats = prods.groupBy("target").agg(aggs.head, aggs.tail: _*)
-      .join(nsrc, Seq("target"))
+        sum(col(s"x_$i") * col("_yt")).as(s"sb_$i")) :+
+      max(col("_nsrc")).as("_nsrc")
+    val stats = rows.groupBy("target").agg(aggs.head, aggs.tail: _*)
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructField, StructType}
     val outSchema = StructType(Seq(StructField("target", StringType),
