@@ -625,6 +625,13 @@ object SparkEntry {
     sys.props.get("graft.bucketedMemo")
       .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).contains("1")
 
+  /** Catalog name of a bucketed memo table — distinct per DATASET DIR, not
+    * just per key: the memo map is keyed (session, dir, key), so a second
+    * dir in the same session would otherwise DROP+rewrite the first dir's
+    * table underneath its still-cached lazy `s.table(...)` frame. */
+  def memoTableName(d: String, key: String): String =
+    f"graft_memo_${key}_${d.hashCode & 0x7fffffff}%x"
+
   private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     seriesMemo.getOrElseUpdate((s, d, key), {
       val built = build
@@ -632,7 +639,7 @@ object SparkEntry {
       // frames) keep the checkpoint path; their lake layout is the
       // documents table's own bucketing, not the memo's
       if (bucketedMemo && built.columns.contains(SeriesFrame.SeriesId)) {
-        val table = s"graft_memo_$key"
+        val table = memoTableName(d, key)
         graft.sources.LakeLayout.freshTable(s, table)
         graft.sources.LakeLayout.writeBucketed(built, table, buckets = 4)
         s.table(table)

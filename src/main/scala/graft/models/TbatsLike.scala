@@ -2,7 +2,7 @@ package graft.models
 
 import graft.core.SeriesFrame._
 import graft.functions.FeatureOps
-import graft.operators.Transforms
+import graft.operators.{FittedTransform, Transforms}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,11 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object TbatsLike {
 
-  def forecast(frame: DataFrame, periods: Seq[Double] = Seq(12.0),
-               fourierOrder: Int = 2,
-               lambdaCandidates: Seq[Double] = (-20 to 20).map(_ / 10.0)): DataFrame = {
+  /** The shared Box-Cox + trend + Fourier curve: transform, feature build,
+    * exact-OLS fit, and the scored curve column `scoredAs` — ONE
+    * implementation consumed by both entry points so the curve policy
+    * (λ grid, train slice, feature naming) can never diverge between them. */
+  private def curve(frame: DataFrame, periods: Seq[Double], fourierOrder: Int,
+                    lambdaCandidates: Seq[Double], scoredAs: String)
+      : (FittedTransform, DataFrame) = {
     require(periods.nonEmpty, "tbats_like needs at least one seasonal period")
-    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
     val t = Transforms.boxcoxMleT(frame, lambdaCandidates)
     val bc = t.transform(frame)
     val withT = FeatureOps.addTimeTrend(bc)
@@ -48,7 +51,14 @@ object TbatsLike {
     val feats = "t" +: periods.indices.flatMap(pi =>
       (1 to fourierOrder).flatMap(k => Seq(s"tb${pi}s$k", s"tb${pi}c$k")))
     val fit = Ols.fit(withF, feats)
-    val scored = withF.withColumn("yhat", fit.predictExpr)
+    (t, withF.withColumn(scoredAs, fit.predictExpr))
+  }
+
+  def forecast(frame: DataFrame, periods: Seq[Double] = Seq(12.0),
+               fourierOrder: Int = 2,
+               lambdaCandidates: Seq[Double] = (-20 to 20).map(_ / 10.0)): DataFrame = {
+    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
+    val (t, scored) = curve(frame, periods, fourierOrder, lambdaCandidates, "yhat")
     t.revert(scored, Seq(Y, "yhat")).select(outCols: _*)
   }
 
@@ -65,27 +75,20 @@ object TbatsLike {
   def forecastArma(frame: DataFrame, periods: Seq[Double] = Seq(12.0),
                    fourierOrder: Int = 2, p: Int = 1, q: Int = 1,
                    lambdaCandidates: Seq[Double] = (-20 to 20).map(_ / 10.0)): DataFrame = {
-    require(periods.nonEmpty, "tbats_like needs at least one seasonal period")
     val outCols = (frame.columns :+ "yhat").toSeq.map(col)
-    val t = Transforms.boxcoxMleT(frame, lambdaCandidates)
-    val bc = t.transform(frame)
-    val withT = FeatureOps.addTimeTrend(bc)
-    val withF = periods.zipWithIndex.foldLeft(withT) { case (f, (m, pi)) =>
-      (1 to fourierOrder).foldLeft(f)((g, k) =>
-        g.withColumn(s"tb${pi}s$k", sin(lit(ProphetLike.omega(k, m)) * col("t")))
-          .withColumn(s"tb${pi}c$k", cos(lit(ProphetLike.omega(k, m)) * col("t"))))
-    }
-    val feats = "t" +: periods.indices.flatMap(pi =>
-      (1 to fourierOrder).flatMap(k => Seq(s"tb${pi}s$k", s"tb${pi}c$k")))
-    val fit = Ols.fit(withF, feats)
-    val curve = withF.withColumn("_fb", fit.predictExpr)
+    val (t, curveDf) = curve(frame, periods, fourierOrder, lambdaCandidates, "_fb")
     // residual series on the transformed scale; horizon rows stay null-y so
-    // the ARMA horizon recursion forecasts them
-    val resid = curve.select(col(SeriesId), col(Ds),
-      (col(Y) - col("_fb")).as(Y), col(IsFuture))
+    // the ARMA horizon recursion forecasts them. is_test (when present)
+    // rides along: Arima's two training stages must exclude the holdout
+    // exactly like the curve fit did, or the error model leaks test rows
+    // into test-slice metrics and conformal widths.
+    val residCols = Seq(col(SeriesId), col(Ds),
+      (col(Y) - col("_fb")).as(Y), col(IsFuture)) ++
+      (if (curveDf.columns.contains("is_test")) Seq(col("is_test")) else Nil)
+    val resid = curveDf.select(residCols: _*)
     val corr = Arima.forecast(Arima.fitArma(resid, p, q))
       .select(col(SeriesId), col(Ds), col("yhat").as("_rhat"))
-    val scored = curve.join(corr, Seq(SeriesId, Ds), "left")
+    val scored = curveDf.join(corr, Seq(SeriesId, Ds), "left")
       .withColumn("yhat", col("_fb") + coalesce(
         when(isnan(col("_rhat")), lit(null)).otherwise(col("_rhat")), lit(0.0)))
       .drop("_fb", "_rhat")

@@ -64,7 +64,8 @@ class LakeLayoutSpec extends SparkSpec {
         s"memo scan must report a bucketed read:\n$plan")
       // the frame built directly on the memo pays no exchange for a
       // series-keyed window (the exchange the checkpoint path pays)
-      val memoFrame = LakeLayout.readBucketed(spark, "graft_memo_orders")
+      val memoFrame = LakeLayout.readBucketed(spark,
+        SparkEntry.memoTableName(sfDir, "orders"))
       val win = memoFrame.withColumn("d",
         col("y") - org.apache.spark.sql.functions.lag("y", 1).over(
           org.apache.spark.sql.expressions.Window
