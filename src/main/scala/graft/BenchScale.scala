@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * Near-linear wall growth 10⁴→10⁵ + flat driver memory = the plans carry
   * no per-series driver state and no nSeries² stage.
   *
+  * Narrowing knobs (how single curves get their extra decades without
+  * re-running the whole battery): `SPARK_GRAFT_SCALE_OPS=a,b,c` keeps only
+  * the named ops — a tier whose ops are all filtered out is skipped
+  * entirely, input generation included; series sizes come from args,
+  * corpus/events sizes from `SPARK_GRAFT_SCALE_DOCS` /
+  * `SPARK_GRAFT_SCALE_EVENTS` (comma-separated counts).
+  *
   * The fixture is generated, not salted from the 5 segment series: exact
   * copies of one segment would make every pair of the 10⁵ series a genuine
   * near-perfect correlation, turning the BlockedVar screen's output itself
@@ -87,73 +94,26 @@ object BenchScale {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // SPARK_GRAFT_SCALE_OPS=a,b,c narrows the series tier to named ops and
-    // skips the corpus/events tiers — how the steepest curves get their
-    // extra decade (10⁶ series) without re-running the whole battery
     val onlyOps: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSet)
-    val points = sizes.map { n =>
-      // materialize the input once so op timings exclude generation
-      val frame = syntheticFrame(spark, n, nObs).localCheckpoint(true)
-      import graft.functions.FeatureOps
-      val allOps = Seq(
-        "fit_by_series" -> (() => {
-          GroupedOlsRun.run(frame)
-        }),
-        "seasonal_length_by_series" -> (() => {
-          graft.eval.AutoSelect.findSeasonalLengthBySeries(frame)
-            .write.mode("overwrite").format("noop").save()
-        }),
-        "auto_xvar_by_series" -> (() => {
-          graft.eval.AutoSelect.autoXvarSelectBySeries(frame)
-            .write.mode("overwrite").format("noop").save()
-        }),
-        "svr_by_series" -> (() => {
-          val withT = graft.functions.FeatureOps.addTimeTrend(frame)
-          graft.models.Svr.fitPredictBySeries(withT, Seq("t"), maxSweeps = 100)
-            .write.mode("overwrite").format("noop").save()
-        }),
-        // the reference's CI contract at the by-series tier: grouped OLS
-        // point forecasts + one exact-percentile width per series
-        "conformal_by_series" -> (() => {
-          val flagged = graft.core.SeriesFrame.withTestFlag(
-            graft.functions.FeatureOps.addTimeTrend(frame), 12)
-          graft.operators.Conformal.attachBySeries(flagged,
-              graft.models.GroupedOls.fitPredictBySeries(flagged, Seq("t")))
-            .write.mode("overwrite").format("noop").save()
-        }),
-        "mlp_by_series" -> (() => {
-          val withT = graft.functions.FeatureOps.addTimeTrend(frame)
-          graft.models.MlpNet.fitPredictBySeries(withT, Seq("t"),
-            hidden = 4, maxIter = 60)
-            .write.mode("overwrite").format("noop").save()
-        }),
-        "rnn_by_series" -> (() => {
-          val withAr = FeatureOps.addArTerms(frame, 2)
-          graft.models.RnnNet.fitPredictBySeries(withAr, Seq("ar_1", "ar_2"),
-            "rnn", width = 3, units = 4, maxIter = 40)
-            .write.mode("overwrite").format("noop").save()
-        }),
-        "blockedvar_screen_fit" -> (() => {
-          val block = graft.models.BlockedVar.screenApprox(frame,
-            maxSources = 2, minAbsCorr = 0.6, profileWindow = 64)
-            .localCheckpoint(true)
-          val (fits, _) = graft.models.BlockedVar.fitWithBlock(frame, block,
-            maxLag = 1, maxSources = 2)
-          fits.write.mode("overwrite").format("noop").save()
-        }))
-      val ops = allOps
-        .filter { case (k, _) => onlyOps.forall(_.contains(k)) }
-        .map { case (k, f) =>
-          val s = time(f())
-          // incremental record (a later op dying — e.g. disk-full at the
-          // 10⁶ tier — must not lose completed timings), plus a GC nudge so
-          // the ContextCleaner frees the finished op's dereferenced shuffle
-          // files before the next op's spill peak
-          System.err.println(s"[bench_scale] op $k n_series=$n ${s}s")
-          System.gc()
-          k -> s
-        }
+    def keep(ops: Seq[(String, DataFrame => Unit)]) =
+      ops.filter { case (k, _) => onlyOps.forall(_.contains(k)) }
+    def envSizes(name: String, dflt: Seq[Long], active: Boolean): Seq[Long] =
+      if (!active) Seq.empty
+      else sys.env.get(name).map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(dflt)
+    /** Time each kept op; incremental stderr record per op (a later op
+      * dying — e.g. disk-full at the 10⁶ tier — must not lose completed
+      * timings), plus a GC nudge so the ContextCleaner frees the finished
+      * op's dereferenced shuffle files before the next op's spill peak. */
+    def measure(ops: Seq[(String, DataFrame => Unit)], frame: DataFrame,
+                tag: String, n: Long): Seq[(String, Double)] =
+      ops.map { case (k, f) =>
+        val s = time(f(frame))
+        System.err.println(s"[bench_scale] op $k $tag=$n ${s}s")
+        System.gc()
+        k -> s
+      }
+    def jsonLine(head: String, ops: Seq[(String, Double)]): String = {
       // local[n] hosts the executor block store in the same JVM, so heap
       // after the ops is dominated by the (deliberately) checkpointed input
       // and operator checkpoints — executor-side storage on a real cluster.
@@ -162,112 +122,137 @@ object BenchScale {
         .foreach(_.unpersist(blocking = true))
       val mem = usedMb
       val opsJson = ops.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      val line = s"""{"n_series":$n,"rows":${n * nObs},"ops":{$opsJson},"driver_used_mb":$mem}"""
+      val line = s"""{$head,"ops":{$opsJson},"driver_used_mb":$mem}"""
       System.err.println(s"[bench_scale] $line")
       line
     }
+
+    import graft.functions.FeatureOps
+    val seriesOps: Seq[(String, DataFrame => Unit)] = Seq(
+      "fit_by_series" -> (frame => GroupedOlsRun.run(frame)),
+      "seasonal_length_by_series" -> (frame =>
+        graft.eval.AutoSelect.findSeasonalLengthBySeries(frame)
+          .write.mode("overwrite").format("noop").save()),
+      "auto_xvar_by_series" -> (frame =>
+        graft.eval.AutoSelect.autoXvarSelectBySeries(frame)
+          .write.mode("overwrite").format("noop").save()),
+      "svr_by_series" -> (frame =>
+        graft.models.Svr.fitPredictBySeries(
+            FeatureOps.addTimeTrend(frame), Seq("t"), maxSweeps = 100)
+          .write.mode("overwrite").format("noop").save()),
+      // the reference's CI contract at the by-series tier: grouped OLS
+      // point forecasts + one exact-percentile width per series
+      "conformal_by_series" -> { frame =>
+        val flagged = graft.core.SeriesFrame.withTestFlag(
+          FeatureOps.addTimeTrend(frame), 12)
+        graft.operators.Conformal.attachBySeries(flagged,
+            graft.models.GroupedOls.fitPredictBySeries(flagged, Seq("t")))
+          .write.mode("overwrite").format("noop").save()
+      },
+      "mlp_by_series" -> (frame =>
+        graft.models.MlpNet.fitPredictBySeries(
+            FeatureOps.addTimeTrend(frame), Seq("t"), hidden = 4, maxIter = 60)
+          .write.mode("overwrite").format("noop").save()),
+      "rnn_by_series" -> (frame =>
+        graft.models.RnnNet.fitPredictBySeries(
+            FeatureOps.addArTerms(frame, 2), Seq("ar_1", "ar_2"),
+            "rnn", width = 3, units = 4, maxIter = 40)
+          .write.mode("overwrite").format("noop").save()),
+      "blockedvar_screen_fit" -> { frame =>
+        val block = graft.models.BlockedVar.screenApprox(frame,
+          maxSources = 2, minAbsCorr = 0.6, profileWindow = 64)
+          .localCheckpoint(true)
+        val (fits, _) = graft.models.BlockedVar.fitWithBlock(frame, block,
+          maxLag = 1, maxSources = 2)
+        fits.write.mode("overwrite").format("noop").save()
+      })
+
     // corpus tier: same 10× growth discipline over the dedup operators
-    // (skipped entirely when SPARK_GRAFT_SCALE_OPS narrows the run)
-    val docSizes = if (onlyOps.isDefined) Seq.empty[Long] else Seq(20000L, 200000L)
-    val corpusPoints = docSizes.map { n =>
-      val docs = syntheticDocs(spark, n).localCheckpoint(true)
+    val corpusOps: Seq[(String, DataFrame => Unit)] = {
       import graft.operators.Dedup
-      val ops = Seq(
-        "dedup_exact" -> time {
+      Seq(
+        "dedup_exact" -> (docs =>
           Dedup.exactGroups(docs, "doc_id", "text")
-            .write.mode("overwrite").format("noop").save()
-        },
-        "jaccard_pairs" -> time {
+            .write.mode("overwrite").format("noop").save()),
+        "jaccard_pairs" -> (docs =>
           Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100)
-            .write.mode("overwrite").format("noop").save()
-        },
-        "minhash_lsh" -> time {
+            .write.mode("overwrite").format("noop").save()),
+        "minhash_lsh" -> (docs =>
           Dedup.minhashCandidates(docs, "doc_id", "text")
-            .write.mode("overwrite").format("noop").save()
-        },
-        "fingerprint_pairs" -> time {
+            .write.mode("overwrite").format("noop").save()),
+        "fingerprint_pairs" -> (docs =>
           Dedup.fingerprintPairs(docs, "doc_id", "text",
             minShared = 20, maxDocFreq = 100)
-            .write.mode("overwrite").format("noop").save()
-        },
+            .write.mode("overwrite").format("noop").save()),
         // substring-level dedup: the count-window + islands shape must stay
         // linear in token volume (docs here share 50-token bodies, so the
         // planted copies carry genuine long duplicated runs)
-        "dup_spans" -> time {
+        "dup_spans" -> (docs =>
           Dedup.dupSpans(docs, "doc_id", "text", 8)
-            .write.mode("overwrite").format("noop").save()
-        },
-        "strip_spans" -> time {
+            .write.mode("overwrite").format("noop").save()),
+        "strip_spans" -> (docs =>
           Dedup.stripDupSpans(docs, "doc_id", "text", 8)
-            .write.mode("overwrite").format("noop").save()
-        },
-        "cc_clusters" -> time {
+            .write.mode("overwrite").format("noop").save()),
+        "cc_clusters" -> (docs =>
           graft.operators.Graph.connectedComponents(
             Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100)
               .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
-            .write.mode("overwrite").format("noop").save()
-        },
+            .write.mode("overwrite").format("noop").save()),
         // decontamination vs a ~1% benchmark slice: the exact inverted
         // index shuffles EVERY train shingle; the bloom path must show the
         // prefilter paying for itself as train volume grows
-        "decontam_exact" -> time {
+        "decontam_exact" -> (docs =>
           graft.operators.Decontaminate.contaminatedPairs(docs,
             docs.filter(pmod(col("doc_id"), lit(101L)) === 7),
             "doc_id", "text", 3, 0.5)
-            .write.mode("overwrite").format("noop").save()
-        },
-        "decontam_bloom" -> time {
+            .write.mode("overwrite").format("noop").save()),
+        "decontam_bloom" -> (docs =>
           graft.operators.Decontaminate.contaminatedPairsBloom(docs,
             docs.filter(pmod(col("doc_id"), lit(101L)) === 7),
             "doc_id", "text", 3, 0.5)
-            .write.mode("overwrite").format("noop").save()
-        })
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      val mem = usedMb
-      val opsJson = ops.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      val line = s"""{"n_docs":$n,"ops":{$opsJson},"driver_used_mb":$mem}"""
-      System.err.println(s"[bench_scale] $line")
-      line
+            .write.mode("overwrite").format("noop").save()))
     }
-    // events tier: the behavioral facade's windowed/stateful shapes at
-    // 10⁶ → 10⁷ events, so the "holds at any fact size" claims for
-    // sessionize/funnel/top-k/KMV are measured like the other two tiers
-    val eventSizes = if (onlyOps.isDefined) Seq.empty[Long] else Seq(1000000L, 10000000L)
+
+    // events tier: the behavioral facade's windowed/stateful shapes, so the
+    // "holds at any fact size" claims for sessionize/funnel/top-k/KMV are
+    // measured like the other two tiers
+    val eventOps: Seq[(String, DataFrame => Unit)] = Seq(
+      "hourly" -> (ev => Events(ev).hourly
+        .write.mode("overwrite").format("noop").save()),
+      "sessionize" -> (ev => Events(ev).sessionize()
+        .write.mode("overwrite").format("noop").save()),
+      "funnel" -> (ev => Events(ev).funnel(Seq("view", "cart", "purchase"),
+          86400000000000L)
+        .write.mode("overwrite").format("noop").save()),
+      "topk_users" -> (ev => Events(ev).topUsers(10)
+        .write.mode("overwrite").format("noop").save()),
+      "kmv_distinct_users" -> (ev => Events(ev).distinctUsersByHour(1024)
+        .write.mode("overwrite").format("noop").save()),
+      "retention" -> (ev => Events(ev).retention(7)
+        .write.mode("overwrite").format("noop").save()),
+      "top_paths" -> (ev => Events(ev).topPaths(3, 10)
+        .write.mode("overwrite").format("noop").save()))
+
+    val seriesKept = keep(seriesOps)
+    val points = (if (seriesKept.isEmpty) Seq.empty[Long] else sizes).map { n =>
+      // materialize the input once so op timings exclude generation
+      val frame = syntheticFrame(spark, n, nObs).localCheckpoint(true)
+      jsonLine(s""""n_series":$n,"rows":${n * nObs}""",
+        measure(seriesKept, frame, "n_series", n))
+    }
+    val corpusKept = keep(corpusOps)
+    val docSizes = envSizes("SPARK_GRAFT_SCALE_DOCS",
+      Seq(20000L, 200000L), corpusKept.nonEmpty)
+    val corpusPoints = docSizes.map { n =>
+      val docs = syntheticDocs(spark, n).localCheckpoint(true)
+      jsonLine(s""""n_docs":$n""", measure(corpusKept, docs, "n_docs", n))
+    }
+    val eventKept = keep(eventOps)
+    val eventSizes = envSizes("SPARK_GRAFT_SCALE_EVENTS",
+      Seq(1000000L, 10000000L), eventKept.nonEmpty)
     val eventPoints = eventSizes.map { n =>
       val ev = syntheticEvents(spark, n).localCheckpoint(true)
-      val facade = graft.Events(ev)
-      val ops = Seq(
-        "hourly" -> time {
-          facade.hourly.write.mode("overwrite").format("noop").save()
-        },
-        "sessionize" -> time {
-          facade.sessionize().write.mode("overwrite").format("noop").save()
-        },
-        "funnel" -> time {
-          facade.funnel(Seq("view", "cart", "purchase"), 86400000000000L)
-            .write.mode("overwrite").format("noop").save()
-        },
-        "topk_users" -> time {
-          facade.topUsers(10).write.mode("overwrite").format("noop").save()
-        },
-        "kmv_distinct_users" -> time {
-          facade.distinctUsersByHour(1024)
-            .write.mode("overwrite").format("noop").save()
-        },
-        "retention" -> time {
-          facade.retention(7).write.mode("overwrite").format("noop").save()
-        },
-        "top_paths" -> time {
-          facade.topPaths(3, 10).write.mode("overwrite").format("noop").save()
-        })
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      val mem = usedMb
-      val opsJson = ops.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      val line = s"""{"n_events":$n,"ops":{$opsJson},"driver_used_mb":$mem}"""
-      System.err.println(s"[bench_scale] $line")
-      line
+      jsonLine(s""""n_events":$n""", measure(eventKept, ev, "n_events", n))
     }
     val out = s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}],"event_points":[${eventPoints.mkString(",")}]}"""
     println(out)
