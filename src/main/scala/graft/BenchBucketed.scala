@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** A/B bench of the bucketed-lake memo layout (SURVEY §8, consumed for
-  * real via `SPARK_GRAFT_BUCKETED=1` / sysprop `graft.bucketedMemo`):
-  * runs a window-heavy slice of the series tier twice in one session —
+/** A/B bench of the bucketed-lake memo layout (SURVEY §8 — the DEFAULT
+  * memo mode since round 9; `graft.bucketedMemo=0` is the checkpoint
+  * escape hatch): runs the FULL ts_* tier twice in one session —
   * checkpoint memos, then bucketed-table memos — and reports per-query
   * seconds, result equality, and the exchange counts of a representative
   * series-keyed window plan in both modes. Writes the JSON line to
@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchBucketed {
 
-  private val Queries = Seq("ts_diff", "ts_decompose", "ts_ses",
-    "ts_ar3_dynamic", "ts_cv_rolling", "ts_backtest")
+  /** The whole series tier: every declared ts_* query (the round-8 A/B ran
+    * six window-heavy ones; the default flip wants the full-tier proof). */
+  private val Queries = SparkEntry.queries.keys.filter(_.startsWith("ts_"))
+    .toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,13 +57,12 @@ object BenchBucketed {
         .findAllIn(base.queryExecution.executedPlan.toString).length
     }
 
-    System.clearProperty("graft.bucketedMemo")
+    System.setProperty("graft.bucketedMemo", "0") // checkpoint arm
     val (baseT, baseR) = runAll()
     val baseEx = windowExchanges()
-    System.setProperty("graft.bucketedMemo", "1")
+    System.clearProperty("graft.bucketedMemo") // bucketed arm = the default
     val (buckT, buckR) = runAll()
     val buckEx = windowExchanges()
-    System.clearProperty("graft.bucketedMemo")
     SparkEntry.clearMemos()
 
     val equal = Queries.forall(q => baseR(q).sameElements(buckR(q)))

@@ -181,8 +181,13 @@ final case class Events(events: DataFrame) {
     * over the trailing `windowHours` vs over the window starting at the
     * current hour; a shift fires when the relative change of the (robust)
     * medians reaches `minRel`. Pure window SQL over the reduced hourly
-    * frame — calendar-bounded state, exactly replayable by the DuckDB
-    * oracle (quantile_cont twin). Edge hours without both full windows are
+    * frame — bounded state, exactly replayable by the DuckDB oracle
+    * (quantile_cont twin). Windows are ROW windows over OBSERVED hours
+    * (like [[anomalies]]): hours with zero events are absent from the
+    * hourly frame, so across a quiet gap a "trailing windowHours" window
+    * spans a longer calendar range, and a drop TO zero volume can only be
+    * seen from the surviving hours around it — densify upstream if true
+    * calendar windows are needed. Edge hours without both full windows are
     * excluded (no partial-window false fires). */
   def levelShifts(windowHours: Int = 24, minRel: Double = 0.25): DataFrame = {
     val hourly = events.groupBy(hourMs.as("hour_ms")).agg(count(lit(1)).as("n"))

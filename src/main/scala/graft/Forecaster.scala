@@ -180,8 +180,12 @@ final case class Forecaster(
         // (prophet has no AR channel, and lag columns are NULL on the
         // horizon — they'd null the vectorized prediction)
         val fo = p("fourier_order", 2.0).toInt
-        val gen = Set("t") ++ (1 to fo).flatMap(k => Seq(s"p${k}sin", s"p${k}cos"))
-        val extra = featureCols.filterNot(c => gen.contains(c) ||
+        // generated-name collisions match the NAME PATTERN, not just the
+        // names reachable at the current fourier_order: a user feature
+        // called e.g. p3sin would otherwise be clobbered by ProphetLike's
+        // withColumn when fourier_order >= 3 instead of excluded
+        val extra = featureCols.filterNot(c => c == "t" ||
+          c.matches("p\\d+(sin|cos)") ||
           c.matches("cp\\d+") || c.startsWith(FeatureOps.ArPrefix))
         ProphetLike.forecast(flagged, p("m", 12.0), fo, extra,
           p("n_changepoints", 0.0).toInt)

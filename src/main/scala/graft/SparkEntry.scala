@@ -103,6 +103,7 @@ object SparkEntry {
     "ts_detrend_poly"    -> ((s, d) => qDetrendPoly(s, d)),
     "ts_theta"           -> ((s, d) => qTheta(s, d)),
     "ts_dynamic_ci"      -> ((s, d) => qDynamicCi(s, d)),
+    "ts_dynamic_ci_by_series" -> ((s, d) => qDynamicCiBySeries(s, d)),
     "ts_history_ops"     -> ((s, d) => qHistoryOps(s, d)),
     "ts_yeojohnson"      -> ((s, d) => qYeoJohnson(s, d)),
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
@@ -613,38 +614,69 @@ object SparkEntry {
   private val seriesMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  /** Opt-in bucketed-lake memo mode (`SPARK_GRAFT_BUCKETED=1`, or the
-    * sysprop `graft.bucketedMemo=1` for in-process A/B): derived series
-    * tables materialize as BUCKETED, bucket-sorted catalog tables
+  /** Bucketed-lake memo mode — ON BY DEFAULT since the round-8 A/B showed
+    * identical results with strictly better plans (`bench_bucketed.json`:
+    * every query ≤, ts_diff 4→0 exchanges): derived series tables
+    * materialize as BUCKETED, bucket-sorted catalog tables
     * ([[graft.sources.LakeLayout.writeBucketed]] keyed by series_id)
     * instead of checkpointed blocks — the §8 lake layout actually
     * CONSUMED by the query tier, so every downstream groupBy/window on
     * series_id plans with no exchange on the memo side (LakeLayoutSpec
-    * pins the plan; graft.BenchBucketed measures the saving). */
+    * pins the plan; graft.BenchBucketed measures the saving, both modes).
+    * Escape hatch: `SPARK_GRAFT_BUCKETED=0` or sysprop
+    * `graft.bucketedMemo=0` restores checkpoint memos (for a session that
+    * must not touch the catalog/warehouse, or the in-process A/B). */
   def bucketedMemo: Boolean =
-    sys.props.get("graft.bucketedMemo")
-      .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).contains("1")
+    !sys.props.get("graft.bucketedMemo")
+      .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).contains("0")
 
-  /** Catalog name of a bucketed memo table — distinct per DATASET DIR, not
-    * just per key: the memo map is keyed (session, dir, key), so a second
-    * dir in the same session would otherwise DROP+rewrite the first dir's
-    * table underneath its still-cached lazy `s.table(...)` frame. */
-  def memoTableName(d: String, key: String): String =
-    f"graft_memo_${key}_${d.hashCode & 0x7fffffff}%x"
+  /** Catalog name of a bucketed memo table — distinct per DATASET DIR (the
+    * memo map is keyed (session, dir, key), so a second dir in the same
+    * session must not DROP+rewrite the first dir's table underneath its
+    * still-cached lazy `s.table(...)` frame) AND per JVM: two graft
+    * processes sharing one warehouse (verify + bench side by side) would
+    * otherwise freshTable-delete the parquet files under each other's live
+    * frames mid-query — the default-on flip makes that a real deployment
+    * shape, and the warehouse is shared state no in-process lock covers.
+    * The dir suffix is a 128-bit MD5 digest, not String.hashCode (the
+    * suffix only prevents aliasing if it cannot collide); the pid suffix
+    * makes the name unique among live processes. Memo tables are a few
+    * hundred rows, so orphaned dirs from ended sessions cost ~nothing and
+    * the next same-name session's freshTable still clears its own. */
+  def memoTableName(d: String, key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_memo_${key}_${hex}_p${ProcessHandle.current().pid()}"
+  }
 
-  private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
-    seriesMemo.getOrElseUpdate((s, d, key), {
-      val built = build
-      // bucketing keys on series_id — corpus-tier memos (doc vectors, pair
-      // frames) keep the checkpoint path; their lake layout is the
-      // documents table's own bucketing, not the memo's
-      if (bucketedMemo && built.columns.contains(SeriesFrame.SeriesId)) {
-        val table = memoTableName(d, key)
-        graft.sources.LakeLayout.freshTable(s, table)
-        graft.sources.LakeLayout.writeBucketed(built, table, buckets = 4)
-        s.table(table)
-      } else built.localCheckpoint(true)
-    })
+  /** Per-key build locks: a racing double-build was harmless when memos
+    * were checkpoints, but the (default) bucketed path DROPs + rewrites a
+    * catalog table — two threads doing that to the same table could fail
+    * each other. Distinct keys still build fully concurrently (what
+    * [[prewarmMemos]] fans out). TrieMap.getOrElseUpdate may evaluate the
+    * Object twice under a race but both callers get the stored winner. */
+  private val memoLocks =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Object]
+
+  private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s, d, key)
+    seriesMemo.get(k).getOrElse {
+      memoLocks.getOrElseUpdate(k, new Object).synchronized {
+        seriesMemo.getOrElseUpdate(k, {
+          val built = build
+          // bucketing keys on series_id — corpus-tier memos (doc vectors,
+          // pair frames) keep the checkpoint path; their lake layout is the
+          // documents table's own bucketing, not the memo's
+          if (bucketedMemo && built.columns.contains(SeriesFrame.SeriesId)) {
+            val table = memoTableName(d, key)
+            graft.sources.LakeLayout.freshTable(s, table)
+            graft.sources.LakeLayout.writeBucketed(built, table, buckets = 4)
+            s.table(table)
+          } else built.localCheckpoint(true)
+        })
+      }
+    }
+  }
 
   /** Release the session memos for a long-lived driver: dropping the map
     * entries unreferences the checkpointed frames, and the ContextCleaner
@@ -653,7 +685,30 @@ object SparkEntry {
     * queries in a resident service does.) */
   def clearMemos(): Unit = {
     seriesMemo.clear(); xvarSelMemo.clear(); blockedFitMemo.clear()
+    tbatsCurveMemo.clear()
   }
+
+  /** ts_tbats_like and ts_tbats_arma fit the IDENTICAL Box-Cox + trend +
+    * Fourier curve on the identical frame — fit it once per (session, dir)
+    * and checkpoint both the scored curve and the λ params frame (the
+    * transform's revert re-reads the params on every consumer otherwise).
+    * [[graft.models.TbatsLike.curveFit]] is the single implementation, so
+    * the memo can never drift from the unmemoized path. */
+  private val tbatsCurveMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+           (graft.operators.FittedTransform, DataFrame, Seq[String])]
+  private def tbatsCurveM(s: SparkSession, d: String)
+      : (graft.operators.FittedTransform, DataFrame, Seq[String]) =
+    tbatsCurveMemo.getOrElseUpdate((s, d), {
+      val frame = withMonthlyHorizon(ordersMonthlyM(s, d), 12)
+      val (t, curveDf) = graft.models.TbatsLike.curveFit(frame)
+      val tChk = t match {
+        case e: graft.operators.ExprTransform =>
+          e.copy(params = e.params.localCheckpoint(true))
+        case other => other
+      }
+      (tChk, curveDf.localCheckpoint(true), frame.columns.toSeq)
+    })
 
   /** ts_auto_xvar and ts_xvar_replay share the SAME search on the same
     * frame; memoize the selection like the series frames. */
@@ -689,7 +744,7 @@ object SparkEntry {
     // scheduling + single-stage tail latency. TrieMap.getOrElseUpdate keeps
     // racing rebuilds harmless (disjoint keys here anyway).
     val chains: Seq[() => Unit] = Seq(
-      () => { ordersMonthlyM(s, d); zOrdersMonthly(s, d) },
+      () => { ordersMonthlyM(s, d); zOrdersMonthly(s, d); tbatsCurveM(s, d) },
       () => { segmentMonthlyM(s, d); zSegBuilding(s, d) },
       () => { docVecsM(s, d); () },
       () => { docFpsM(s, d); () },
@@ -760,10 +815,12 @@ object SparkEntry {
     * Runs on the RAW revenue series (Box-Cox wants positive y); yhat rounds
     * to integers so the pow(·, 1/λ) amplification of cross-engine OLS noise
     * (~1e-4 absolute at 1e8 scale) can't show. */
-  private def qTbatsLike(s: SparkSession, d: String): DataFrame =
-    graft.models.TbatsLike.forecast(withMonthlyHorizon(ordersMonthlyM(s, d), 12))
+  private def qTbatsLike(s: SparkSession, d: String): DataFrame = {
+    val (t, curveDf, origCols) = tbatsCurveM(s, d)
+    graft.models.TbatsLike.forecastFromCurve(t, curveDf, origCols)
       .select(col(SeriesId), col(Ds), col(Y).as("y"),
         round(col("yhat"), 0).as("yhat"), col(IsFuture))
+  }
 
   /** tbats_like + ARMA(1,1) error correction (TbatsLike.forecastArma) — the
     * reference TBATS's error channel composed for real, as the scaladoc
@@ -771,10 +828,12 @@ object SparkEntry {
     * the two-stage Hannan–Rissanen ARMA on the curve's transformed-scale
     * residuals, and the flat-innovation horizon recursion — three Cholesky
     * chains in one WITH. Integer rounding like ts_tbats_like. */
-  private def qTbatsArma(s: SparkSession, d: String): DataFrame =
-    graft.models.TbatsLike.forecastArma(withMonthlyHorizon(ordersMonthlyM(s, d), 12))
+  private def qTbatsArma(s: SparkSession, d: String): DataFrame = {
+    val (t, curveDf, origCols) = tbatsCurveM(s, d)
+    graft.models.TbatsLike.forecastArmaFromCurve(t, curveDf, origCols)
       .select(col(SeriesId), col(Ds), col(Y).as("y"),
         round(col("yhat"), 0).as("yhat"), col(IsFuture))
+  }
 
   /** The series tier driven from PLAIN SQL: snaive, the OLS fit/predict
     * pair, and the §2.6 metric aggregates all run as registered SQL
@@ -1459,6 +1518,31 @@ object SparkEntry {
       .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"),
         round(col("lower"), 6).as("lower"), round(col("upper"), 6).as("upper"),
         round(col("ci_width"), 6).as("ci_width"))
+  }
+
+  /** Per-step dynamic conformal intervals ON THE BY-SERIES TIER
+    * (`backtest_for_resid_matrix` → `overwrite_forecast_intervals`,
+    * util.py:1157-1270, applied per series): the same 3-iteration
+    * seasonal-naive backtest as ts_dynamic_ci, but over the 5-segment
+    * fixture — [[Conformal.dynamicIntervals]] groups its residual
+    * percentile by (series, step), so each segment gets its own
+    * step-widening width profile from its own backtest residuals (grouped
+    * conformal gave ONE width per series; this is the per-step form the
+    * facade path had and the by-series tier lacked). One aggregation per
+    * ~anything: widths = one groupBy(series, step) percentile; everything
+    * else is windows + a broadcast join back. Oracle replays the grouped
+    * window/quantile_cont chain per segment. */
+  private def qDynamicCiBySeries(s: SparkSession, d: String): DataFrame = {
+    val z = zSegmentsMonthly(s, d)
+    val scored = (0 until 3).map { i =>
+      val chopped = if (i == 0) z else chopFromFront(z, i * 6)
+      Baselines.naiveFitted(withTestFlag(chopped, 6), 12)
+    }
+    val fc = Baselines.naiveForecast(withMonthlyHorizon(z, 6), 12)
+    Conformal.dynamicIntervals(scored, fc)
+      .filter(col(IsFuture))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"),
+        round(col("lower"), 6).as("lower"), round(col("upper"), 6).as("upper"))
   }
 
   /** Johansen trace test on two segment series (k = 2 — the oracle solves
@@ -5030,6 +5114,33 @@ object SparkEntry {
          |SELECT 'orders' AS series_id, fut.ds, ROUND(yhat, 6) AS yhat,
          |  ROUND(yhat - wd, 6) AS lower, ROUND(yhat + wd, 6) AS upper
          |FROM fut JOIN w ON w.s = fut.s""".stripMargin,
+
+    // The by-series twin of ts_dynamic_ci: the identical 3-iteration
+    // seasonal-naive backtest and per-step 95th quantile_cont, GROUPED by
+    // segment — every window, count, and residual join keys on series_id.
+    "ts_dynamic_ci_by_series" ->
+      s"""$ZSEG,
+         |s2 AS (SELECT series_id, ds, y,
+         |  CAST(row_number() OVER (PARTITION BY series_id ORDER BY ds) AS INT) AS t
+         |  FROM series),
+         |nn AS (SELECT series_id, CAST(count(*) AS INT) AS n, max(ds) AS ld
+         |       FROM s2 GROUP BY 1),
+         |resid AS (SELECT a.series_id, g.i AS iter,
+         |    a.t - (n - 6*g.i - 6) AS s, abs(a.y - b.y) AS r
+         |  FROM generate_series(0, 2) g(i)
+         |  CROSS JOIN nn
+         |  JOIN s2 a ON a.series_id = nn.series_id
+         |            AND a.t > n - 6*g.i - 6 AND a.t <= n - 6*g.i
+         |  JOIN s2 b ON b.series_id = a.series_id AND b.t = a.t - 12),
+         |w AS (SELECT series_id, s, quantile_cont(r, 0.95) AS wd
+         |      FROM resid GROUP BY 1, 2),
+         |fut AS (SELECT nn.series_id, CAST(ld + to_months(k::INT) AS DATE) AS ds,
+         |        b.y AS yhat, k AS s
+         |        FROM nn CROSS JOIN generate_series(1, 6) g(k)
+         |        JOIN s2 b ON b.series_id = nn.series_id AND b.t = n - 12 + k)
+         |SELECT fut.series_id, fut.ds, ROUND(yhat, 6) AS yhat,
+         |  ROUND(yhat - wd, 6) AS lower, ROUND(yhat + wd, 6) AS upper
+         |FROM fut JOIN w ON w.series_id = fut.series_id AND w.s = fut.s""".stripMargin,
 
     // VECM per-equation OLS (k=2, one Δ-lag): per-series z-scoring, Δy
     // target with own-row lag, level/Δ-lag features over the union calendar

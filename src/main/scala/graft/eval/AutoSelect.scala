@@ -97,13 +97,15 @@ object AutoSelect {
   /** Grouped `auto_Xvar_select` (Forecaster.py:658-1163 applied PER SERIES):
     * the same staged greedy walk — trend rep → seasonal rep → AR order —
     * but every decision falls independently for each series. All 12
-    * reachable candidate feature sets score through
-    * [[graft.models.GroupedOls.scoreFeaturesBySeries]] (one grouped job
-    * each, over ONE checkpointed feature frame), and the greedy decision
-    * tree is a pure row-wise expression over the joined per-series score
-    * table — so the search holds at any series count. NaN/missing scores
-    * lose every comparison (Spark orders NaN greatest), the per-series
-    * twin of the scalar path's nanSafe policy.
+    * reachable candidate feature sets share ONE feature pool, so they score
+    * through [[graft.models.GroupedOls.scoreFeatureSetsBySeries]] — one
+    * grouped-moments pass + one grouped-RMSE pass TOTAL (the round-8 shape
+    * was one fit + one metrics job PER candidate: 24 full-frame scans and
+    * 11 score-table joins; at 10⁶ series the candidate count stops scaling
+    * the search). The greedy decision tree is a pure row-wise expression
+    * over the per-series score table — so the search holds at any series
+    * count. NaN/missing scores lose every comparison (Spark orders NaN
+    * greatest), the per-series twin of the scalar path's nanSafe policy.
     * Returns (series_id, trend, seasonal, ar_order, rmse). */
   def autoXvarSelectBySeries(frame: DataFrame, h: Int = 12): DataFrame = {
     import graft.models.GroupedOls
@@ -113,19 +115,13 @@ object AutoSelect {
       FeatureOps.addCalendar(base1, Seq("month")), col("month"), 12.0, "month")
     val withAr = FeatureOps.addArTerms(base2, 2).localCheckpoint(true)
     val trendSets = Seq("a" -> Seq("t"), "b" -> Seq("t", "t2"))
-    val combos = for ((tk, txs) <- trendSets; sk <- 0 to 1; ak <- 0 to 2)
-      yield (tk, txs, sk, ak)
-    // the 12 scoring jobs are independent over the one checkpointed frame —
-    // fan them out (each is checkpointed so the join below is 12 tiny
-    // per-series score tables, not 12 live plans)
-    val scoreCols = Evaluation.fanOut(combos, parallelism = 4) { case (tk, txs, sk, ak) =>
-      val feats = txs ++ (if (sk == 1) Seq("monthsin", "monthcos") else Nil) ++
-        (1 to ak).map(i => s"ar_$i")
-      GroupedOls.scoreFeaturesBySeries(withAr, feats, h)
-        .withColumnRenamed("rmse", s"r_$tk$sk$ak")
-        .localCheckpoint(true)
-    }
-    val wide = scoreCols.reduce((l, r) => l.join(r, Seq(SeriesId), "full"))
+    val candidates = for ((tk, txs) <- trendSets; sk <- 0 to 1; ak <- 0 to 2)
+      yield s"$tk$sk$ak" -> (txs ++
+        (if (sk == 1) Seq("monthsin", "monthcos") else Nil) ++
+        (1 to ak).map(i => s"ar_$i"))
+    val wide = GroupedOls.scoreFeatureSetsBySeries(withAr,
+      alwaysPool = Seq("t", "t2", "monthsin", "monthcos"),
+      lagPool = Seq("ar_1", "ar_2"), candidates, h)
     // the scalar path's greedy walk as row-wise expressions (ties: first wins)
     val dt = when(col("r_a00") <= col("r_b00"), 0).otherwise(1)
     val dsn = when(dt === 0,

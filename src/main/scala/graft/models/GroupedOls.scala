@@ -78,6 +78,115 @@ object GroupedOls {
     * [[graft.functions.OlsFit]] shares the exact executor-side kernel. */
   def sqlSolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = solve(a, b)
 
+  /** Score MANY candidate feature subsets per series in TWO full-frame
+    * passes — the batched [[scoreFeaturesBySeries]] for searches whose
+    * candidates all draw from one shared feature pool (auto_Xvar_select's
+    * 12 reachable sets). One fit pass + one metrics pass PER CANDIDATE
+    * (what the naive loop pays) becomes one grouped-moments pass + one
+    * grouped-RMSE pass TOTAL: at 10⁶ series the search cost stops scaling
+    * with the candidate count.
+    *
+    * Contract: every candidate's features ⊆ `alwaysPool ++ lagPool`, where
+    * `alwaysPool` columns are non-null on observed rows and `lagPool`
+    * columns have NESTED null sets — null(lagPool(0)) ⊆ null(lagPool(1)) ⊆
+    * … (the AR-lag series-head shape) — and a candidate uses a PREFIX of
+    * `lagPool`. Pass 1 groups the FULL pool's normal-equation moments by
+    * (series, depth) where depth = number of leading non-null lag columns;
+    * a candidate using the first a lag columns sums the depth ≥ a strata,
+    * which is exactly its non-null-feature train slice ([[fitBySeries]]'s
+    * filter). Lag nulls are zero-filled inside the aggregation — a stratum
+    * where lag_k is null never reaches a candidate that reads lag_k's
+    * moments, so the fill is unobservable. The per-candidate sub-matrix
+    * solves run in `mapGroups` over the ≤(lagPool.size+1) tiny stats rows
+    * per series — [[solve]] on the candidate's own feature order, like the
+    * per-candidate fit would. Pass 2 broadcasts the per-series beta rows
+    * back and computes every candidate's holdout RMSE in one conditional
+    * aggregation, reproducing [[graft.eval.Evaluation.metricsOverTest]]'s
+    * filter (is_test ∧ yhat non-null ∧ non-NaN) and
+    * sqrt(avg((yhat−y)²)) per candidate.
+    *
+    * Returns one row per series: (series_id, r_<key> DOUBLE per candidate,
+    * null where the candidate has no scorable holdout rows — the same null
+    * a full outer join of per-candidate score frames would carry). */
+  def scoreFeatureSetsBySeries(frame: DataFrame, alwaysPool: Seq[String],
+                               lagPool: Seq[String],
+                               candidates: Seq[(String, Seq[String])],
+                               h: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructField, StructType}
+    val pool = alwaysPool ++ lagPool
+    candidates.foreach { case (key, feats) =>
+      val lagUsed = feats.filter(lagPool.contains)
+      require(feats.forall(pool.contains) && lagUsed == lagPool.take(lagUsed.size),
+        s"candidate $key must draw from the pool and use a lagPool prefix")
+    }
+    val flagged = withTestFlag(frame, h)
+    val train = flagged.filter(!col(IsFuture) && col(Y).isNotNull && !col("is_test"))
+    // depth = leading non-null lag count; nested nulls make this the row's
+    // full null signature over the pool
+    val depth = lagPool.zipWithIndex.foldRight(lit(lagPool.size)) {
+      case ((c, i), rest) => when(col(c).isNull, lit(i)).otherwise(rest)
+    }
+    val xs: Seq[Column] = lit(1.0) +:
+      (alwaysPool.map(c => col(c).cast("double")) ++
+        lagPool.map(c => coalesce(col(c).cast("double"), lit(0.0))))
+    val k = xs.size
+    val aggs = (for (i <- 0 until k; j <- 0 to i) yield
+      sum(xs(i) * xs(j)).as(s"sa_${i}_$j")) ++
+      (0 until k).map(i => sum(xs(i) * col(Y).cast("double")).as(s"sb_$i"))
+    val stats = train.withColumn("_depth", depth)
+      .groupBy(col(SeriesId), col("_depth")).agg(aggs.head, aggs.tail: _*)
+    // candidate feature → pool index (+1 for the intercept at 0), in the
+    // candidate's own order so the pivoting path matches a direct fit
+    val candIdx: Seq[(String, Array[Int], Int)] = candidates.map { case (key, feats) =>
+      val lagCount = feats.count(lagPool.contains)
+      (key, (0 +: feats.map(f => pool.indexOf(f) + 1)).toArray, lagCount)
+    }
+    val betaSchema = StructType(StructField(SeriesId, StringType) +:
+      candidates.map { case (key, _) =>
+        StructField(s"_beta_$key", ArrayType(DoubleType, containsNull = false)) })
+    val nMom = k * (k + 1) / 2
+    val betas = stats
+      .groupByKey(r => r.getString(r.fieldIndex(SeriesId)))(Encoders.STRING)
+      .mapGroups { (sid, it) =>
+        // depth → (a-moments, b-moments); ≤ lagPool.size+1 rows per series
+        val byDepth = it.map { r =>
+          val a = Array.tabulate(nMom)(m => r.getDouble(2 + m))
+          val b = Array.tabulate(k)(i => r.getDouble(2 + nMom + i))
+          (r.getInt(r.fieldIndex("_depth")), (a, b))
+        }.toMap
+        val cells = candIdx.map { case (_, idx, lagCount) =>
+          val strata = byDepth.filter(_._1 >= lagCount).values
+          if (strata.isEmpty) Array(Double.NaN)
+          else {
+            val kk = idx.length
+            val a = Array.ofDim[Double](kk, kk)
+            val b = new Array[Double](kk)
+            for (((sa, sb), _) <- strata.zipWithIndex; i <- 0 until kk; j <- 0 until kk) {
+              val (hi, lo) = (math.max(idx(i), idx(j)), math.min(idx(i), idx(j)))
+              a(i)(j) += sa(hi * (hi + 1) / 2 + lo)
+              if (j == 0) b(i) += sb(idx(i))
+            }
+            solve(a, b)
+          }
+        }
+        Row.fromSeq(sid +: cells.map(_.toSeq))
+      }(Encoders.row(betaSchema)).toDF()
+    val scoredBase = flagged.join(graft.core.Joins.maybeBroadcast(betas),
+      Seq(SeriesId), "left")
+    val rmseAggs = candidates.flatMap { case (key, feats) =>
+      val yhat = feats.zipWithIndex.foldLeft(element_at(col(s"_beta_$key"), 1)) {
+        case (acc, (c, i)) => acc + col(c).cast("double") * element_at(col(s"_beta_$key"), i + 2)
+      }
+      val ok = col("is_test") && col(Y).isNotNull && yhat.isNotNull && !isnan(yhat)
+      Seq(sum(when(ok, pow(yhat - col(Y), 2))).as(s"_ss_$key"),
+        count(when(ok, lit(1))).as(s"_n_$key"))
+    }
+    scoredBase.groupBy(SeriesId).agg(rmseAggs.head, rmseAggs.tail: _*)
+      .select(col(SeriesId) +: candidates.map { case (key, _) =>
+        sqrt(col(s"_ss_$key") / col(s"_n_$key")).as(s"r_$key") }: _*)
+  }
+
   /** Gaussian elimination with partial pivoting — the executor-side solver
     * shared by every grouped closed-form fit (here and [[BlockedVar]]). */
   private[models] def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {

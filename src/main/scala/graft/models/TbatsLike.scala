@@ -54,12 +54,34 @@ object TbatsLike {
     (t, withF.withColumn(scoredAs, fit.predictExpr))
   }
 
+  /** The scored-curve column name [[curveFit]] emits. */
+  val CurveCol = "_fb"
+
+  /** [[curve]] exposed for SESSION-LEVEL MEMOIZATION: [[forecast]] and
+    * [[forecastArma]] fit the IDENTICAL Box-Cox + trend + Fourier curve, so
+    * a caller running both on the same frame (the bench session does) can
+    * fit once, checkpoint, and feed [[forecastFromCurve]] /
+    * [[forecastArmaFromCurve]]. Returns the fitted λ transform and the
+    * feature frame with the scored curve in [[CurveCol]]. */
+  def curveFit(frame: DataFrame, periods: Seq[Double] = Seq(12.0),
+               fourierOrder: Int = 2,
+               lambdaCandidates: Seq[Double] = (-20 to 20).map(_ / 10.0))
+      : (FittedTransform, DataFrame) =
+    curve(frame, periods, fourierOrder, lambdaCandidates, CurveCol)
+
   def forecast(frame: DataFrame, periods: Seq[Double] = Seq(12.0),
                fourierOrder: Int = 2,
                lambdaCandidates: Seq[Double] = (-20 to 20).map(_ / 10.0)): DataFrame = {
-    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
-    val (t, scored) = curve(frame, periods, fourierOrder, lambdaCandidates, "yhat")
-    t.revert(scored, Seq(Y, "yhat")).select(outCols: _*)
+    val (t, curveDf) = curveFit(frame, periods, fourierOrder, lambdaCandidates)
+    forecastFromCurve(t, curveDf, frame.columns.toSeq)
+  }
+
+  /** Curve-only forecast from a precomputed [[curveFit]] result. */
+  def forecastFromCurve(t: FittedTransform, curveDf: DataFrame,
+                        origCols: Seq[String]): DataFrame = {
+    val outCols = (origCols :+ "yhat").map(col)
+    t.revert(curveDf.withColumnRenamed(CurveCol, "yhat"), Seq(Y, "yhat"))
+      .select(outCols: _*)
   }
 
   /** [[forecast]] + ARMA(p, q) error correction on the Box-Cox scale (the
@@ -75,8 +97,14 @@ object TbatsLike {
   def forecastArma(frame: DataFrame, periods: Seq[Double] = Seq(12.0),
                    fourierOrder: Int = 2, p: Int = 1, q: Int = 1,
                    lambdaCandidates: Seq[Double] = (-20 to 20).map(_ / 10.0)): DataFrame = {
-    val outCols = (frame.columns :+ "yhat").toSeq.map(col)
-    val (t, curveDf) = curve(frame, periods, fourierOrder, lambdaCandidates, "_fb")
+    val (t, curveDf) = curveFit(frame, periods, fourierOrder, lambdaCandidates)
+    forecastArmaFromCurve(t, curveDf, frame.columns.toSeq, p, q)
+  }
+
+  /** [[forecastArma]] from a precomputed [[curveFit]] result. */
+  def forecastArmaFromCurve(t: FittedTransform, curveDf: DataFrame,
+                            origCols: Seq[String], p: Int = 1, q: Int = 1): DataFrame = {
+    val outCols = (origCols :+ "yhat").map(col)
     // residual series on the transformed scale; horizon rows stay null-y so
     // the ARMA horizon recursion forecasts them. is_test (when present)
     // rides along: Arima's two training stages must exclude the holdout

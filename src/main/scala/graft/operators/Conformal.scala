@@ -43,9 +43,15 @@ object Conformal {
     * (the per-series skip policy), never a cross-series width. */
   def attachBySeries(flagged: DataFrame, scored: DataFrame,
                      yhat: String = "yhat", cilevel: Double = 0.95): DataFrame = {
+    // fail loudly, not with all-null bounds: without the holdout flag there
+    // are no calibration residuals, so every width would be silently null —
+    // a caller who forgot withTestFlag should hear about it here
+    require(flagged.columns.contains("is_test"),
+      "attachBySeries needs an is_test column on the flagged frame " +
+        "(apply SeriesFrame.withTestFlag first) — without a holdout slice " +
+        "every conformal width would be null")
     val meta = flagged.select(col(SeriesId), col(Ds), col(Y), col(IsFuture),
-      (if (flagged.columns.contains("is_test")) col("is_test") else lit(false))
-        .as("is_test"))
+      col("is_test"))
     withIntervals(scored.join(meta, Seq(SeriesId, Ds), "left"), yhat, cilevel)
   }
 

@@ -40,16 +40,17 @@ object LakeLayout {
 
   /** Drop `table` from the catalog AND delete its warehouse directory: the
     * default in-memory catalog forgets tables between sessions, leaving
-    * orphan directories that block a fresh `saveAsTable`. */
+    * orphan directories that block a fresh `saveAsTable`. The directory is
+    * resolved and deleted through the Hadoop FileSystem API so a non-local
+    * warehouse (hdfs:/s3a:) cleans up the same way a file: one does —
+    * java.nio on a stripped URI would silently no-op there and leave the
+    * orphan this method exists to remove. */
   def freshTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Hive-style partitioned parquet write — the time axis of the lake

@@ -46,7 +46,8 @@ class LakeLayoutSpec extends SparkSpec {
 
   test("bucketed memo mode: query-tier memos become bucketed scans, same results") {
     val sfDir = "/root/testdata/sf0.001"
-    // checkpoint-mode reference
+    // checkpoint-mode reference (the escape hatch — bucketed is the default)
+    System.setProperty("graft.bucketedMemo", "0")
     SparkEntry.clearMemos()
     val ref = SparkEntry.queries("ts_diff")(spark, sfDir)
       .collect().map(_.toString).sorted
