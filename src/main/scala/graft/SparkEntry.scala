@@ -104,6 +104,7 @@ object SparkEntry {
     "ts_theta"           -> ((s, d) => qTheta(s, d)),
     "ts_dynamic_ci"      -> ((s, d) => qDynamicCi(s, d)),
     "ts_dynamic_ci_by_series" -> ((s, d) => qDynamicCiBySeries(s, d)),
+    "ts_stream_forecast" -> ((s, d) => qStreamForecast(s, d)),
     "ts_history_ops"     -> ((s, d) => qHistoryOps(s, d)),
     "ts_yeojohnson"      -> ((s, d) => qYeoJohnson(s, d)),
     "ts_acf"             -> ((s, d) => qAcf(s, d)),
@@ -119,6 +120,7 @@ object SparkEntry {
     "ts_prophet_cp"      -> ((s, d) => qProphetCp(s, d)),
     "ts_tbats_arma"      -> ((s, d) => qTbatsArma(s, d)),
     "ts_sql_surface"     -> ((s, d) => qSqlSurface(s, d)),
+    "ts_sql_forecast"    -> ((s, d) => qSqlForecast(s, d)),
     "ts_backtest_metrics" -> ((s, d) => qBacktestMetrics(s, d)),
     "ts_hw_opt"          -> ((s, d) => qHwOpt(s, d)),
     "mv_dynamic"         -> ((s, d) => qMvDynamic(s, d)),
@@ -863,6 +865,36 @@ object SparkEntry {
         |  ROUND(graft_rmse(y, f_ols), 6), ROUND(graft_mae(y, f_ols), 6),
         |  ROUND(graft_smape(y, f_ols), 6), ROUND(graft_r2(y, f_ols), 6)
         |FROM sc""".stripMargin)
+  }
+
+  /** The h-step RECURSIVE dynamic forecast driven from PLAIN SQL — the one
+    * scalecast primitive the round-8 SQL surface still lacked (each step
+    * consumes the walk's own predictions, so fit/predict/snaive aggregates
+    * couldn't express it): `graft_ols_fit` fits AR(3) per series,
+    * `LATERAL VIEW graft_forecast(...)` (the native [[graft.functions
+    * .GraftForecast]] Generator) runs the 12-step walk per series on the
+    * executors. Same recursion, fixture, and rounding as ts_ar3_dynamic's
+    * future slice (SqlSurfaceSpec pins the SQL twin == Scala twin at 6dp);
+    * oracle = the identical Cholesky + recursive-CTE replay. */
+  private def qSqlForecast(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    zOrdersMonthly(s, d).createOrReplaceTempView("graft_sqlf_series")
+    s.sql(
+      """WITH s2 AS (SELECT series_id, ds, y,
+        |    lag(y, 1) OVER (PARTITION BY series_id ORDER BY ds) AS ar_1,
+        |    lag(y, 2) OVER (PARTITION BY series_id ORDER BY ds) AS ar_2,
+        |    lag(y, 3) OVER (PARTITION BY series_id ORDER BY ds) AS ar_3
+        |  FROM graft_sqlf_series),
+        |fit AS (SELECT series_id, graft_ols_fit(y, array(ar_1, ar_2, ar_3)) AS beta
+        |  FROM s2 WHERE ar_3 IS NOT NULL GROUP BY series_id),
+        |hist AS (SELECT series_id, max(ds) AS ld,
+        |    transform(array_sort(collect_list(struct(ds, y))), r -> r.y) AS ys
+        |  FROM graft_sqlf_series GROUP BY series_id)
+        |SELECT h.series_id, add_months(h.ld, f.step) AS ds,
+        |       ROUND(f.yhat, 6) AS yhat
+        |FROM hist h JOIN fit USING (series_id)
+        |LATERAL VIEW graft_forecast(slice(h.ys, -3, 3), beta, 3, 12) f AS step, yhat
+        |""".stripMargin)
   }
 
   private def qProphetLike(s: SparkSession, d: String): DataFrame =
@@ -2309,6 +2341,58 @@ object SparkEntry {
       q.awaitTermination()
     }
     s.table(sink)
+  }
+
+  /** STREAMING per-series forecasting — the model stays current as the
+    * lake ingests: [[graft.functions.OlsFit]] is a mergeable
+    * `TypedImperativeAggregate` (normal-equation moments, elementwise-add
+    * merge), which is exactly the state shape Structured Streaming
+    * aggregations keep per group — so `readStream → groupBy(series_id) →
+    * graft_ols_fit(y, array(t, sin, cos))` maintains one bounded fit
+    * state per series across micro-batches, at any series count, with NO
+    * refit-from-scratch. Feature columns are row-local (calendar-anchored
+    * trend + Fourier — a stream can't rank rows), the sink holds one beta
+    * row per series, and the 6-month horizon scores as pure expressions
+    * over the streamed state. New files landing in the directory would
+    * fold into the same state on the next trigger — `Trigger.AvailableNow`
+    * drains what's there so the run is bounded and exactly replayable.
+    * Oracle: the identical fit as a grouped Cholesky chain over the batch
+    * table (aggregation state is order-insensitive up to float-sum
+    * reordering, absorbed by 6dp rounding on O(1) z-scored values). */
+  private def qStreamForecast(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(s)
+    val w1 = graft.models.ProphetLike.omega(1, 12.0)
+    // one-time per dataset dir: materialize the z-scored segment series as
+    // a parquet directory the file-stream source can ingest (the session
+    // memo is in-memory; a stream needs files arriving in a dir)
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_series_v1_" + Integer.toHexString(d.hashCode))
+    if (!java.nio.file.Files.exists(dir))
+      zSegmentsMonthly(s, d).select(col(SeriesId), col(Ds), col(Y))
+        .write.mode("overwrite").parquet(dir.toString)
+    val schema = s.read.parquet(dir.toString).schema
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("t", months_between(col(Ds), lit("1992-01-01").cast("date")))
+    val betas = stream.groupBy(col(SeriesId)).agg(
+      expr(s"graft_ols_fit(y, array(t, sin($w1 * t), cos($w1 * t)))").as("beta"),
+      max(col(Ds)).as("_ld"))
+    val sink = "ts_stream_forecast_sink"
+    s.catalog.dropTempView(sink)
+    withStreamWidth(s, 8) {
+      val q = betas.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(sink)
+      .withColumn("_k", explode(sequence(lit(1), lit(6))))
+      .withColumn(Ds, add_months(col("_ld"), col("_k")))
+      .withColumn("t", months_between(col(Ds), lit("1992-01-01").cast("date")))
+      .withColumn("yhat",
+        element_at(col("beta"), 1) + element_at(col("beta"), 2) * col("t")
+          + element_at(col("beta"), 3) * sin(lit(w1) * col("t"))
+          + element_at(col("beta"), 4) * cos(lit(w1) * col("t")))
+      .select(col(SeriesId), col(Ds), round(col("yhat"), 6).as("yhat"))
   }
 
   /** Native `session_window` sessionization — the DECLARATIVE twin of the
@@ -5067,6 +5151,30 @@ object SparkEntry {
          |       ROUND(p1, 6) AS yhat
          |FROM rec, nn WHERE i >= 1""".stripMargin,
 
+    // The SQL-surface twin (graft_ols_fit + LATERAL VIEW graft_forecast)
+    // replays with the IDENTICAL chain as ts_ar3_dynamic: same AR(3) fit
+    // rows, same 12-step recursive CTE carrying the last three predictions.
+    "ts_sql_forecast" ->
+      s"""$ZSR,
+         |lagd AS (SELECT series_id, ds, y, lag(y, 1) OVER win AS x1,
+         |         lag(y, 2) OVER win AS x2, lag(y, 3) OVER win AS x3
+         |         FROM series WINDOW win AS (ORDER BY ds)),
+         |${OracleGen.momentsCte("sq", Seq("x1", "x2", "x3"), "lagd WHERE x3 IS NOT NULL")},
+         |${OracleGen.solveCtes("sq", 3)},
+         |f AS (SELECT beta_0, beta_1, beta_2, beta_3 FROM sq_fit),
+         |tl AS (SELECT list(y ORDER BY ds DESC) AS t3
+         |       FROM (SELECT y, ds FROM series ORDER BY ds DESC LIMIT 3)),
+         |nn AS (SELECT max(ds) AS ld FROM series),
+         |rec AS (
+         |  SELECT 0 AS i, t3[1] AS p1, t3[2] AS p2, t3[3] AS p3 FROM tl
+         |  UNION ALL
+         |  SELECT rec.i + 1, beta_0 + beta_1*rec.p1 + beta_2*rec.p2 + beta_3*rec.p3,
+         |         rec.p1, rec.p2
+         |  FROM rec, f WHERE rec.i < 12)
+         |SELECT 'orders' AS series_id, CAST(ld + to_months(i::INT) AS DATE) AS ds,
+         |       ROUND(p1, 6) AS yhat
+         |FROM rec, nn WHERE i >= 1""".stripMargin,
+
     // dynamic_testing=4: AR(1) OLS fit on train; each 4-step test chunk
     // recurses from the actual value preceding the chunk (closed form).
     "ts_mlr_dynk4" ->
@@ -5141,6 +5249,30 @@ object SparkEntry {
          |SELECT fut.series_id, fut.ds, ROUND(yhat, 6) AS yhat,
          |  ROUND(yhat - wd, 6) AS lower, ROUND(yhat + wd, 6) AS upper
          |FROM fut JOIN w ON w.series_id = fut.series_id AND w.s = fut.s""".stripMargin,
+
+    // Streaming per-series fit (graft_ols_fit state over the series
+    // stream) == the batch fit: grouped Cholesky chain on the identical
+    // calendar-anchored trend + Fourier features, 6-month horizon.
+    "ts_stream_forecast" -> {
+      val w1 = graft.models.ProphetLike.omega(1, 12.0)
+      val xs = Seq("t", s"sin($w1 * t)", s"cos($w1 * t)")
+      val pred = s"beta_0 + beta_1*t + beta_2*sin($w1 * t) + beta_3*cos($w1 * t)"
+      s"""$ZSEG,
+         |s2 AS (SELECT series_id, ds, y,
+         |  CAST(datediff('month', DATE '1992-01-01', ds) AS DOUBLE) AS t
+         |  FROM series),
+         |nn AS (SELECT series_id, max(ds) AS ld FROM s2 GROUP BY 1),
+         |${OracleGen.momentsCte("sf", xs, "s2", keys = Seq("series_id"))},
+         |${OracleGen.solveCtes("sf", 3)},
+         |fut AS (SELECT sf_fit.series_id,
+         |        CAST(nn.ld + to_months(k::INT) AS DATE) AS ds,
+         |        CAST(datediff('month', DATE '1992-01-01',
+         |             CAST(nn.ld + to_months(k::INT) AS DATE)) AS DOUBLE) AS t
+         |        FROM sf_fit JOIN nn USING (series_id)
+         |        CROSS JOIN generate_series(1, 6) g(k))
+         |SELECT f.series_id, f.ds, ROUND($pred, 6) AS yhat
+         |FROM fut f JOIN sf_fit USING (series_id)""".stripMargin
+    },
 
     // VECM per-equation OLS (k=2, one Δ-lag): per-series z-scoring, Δy
     // target with own-row lag, level/Δ-lag features over the union calendar

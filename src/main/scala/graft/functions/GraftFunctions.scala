@@ -116,6 +116,18 @@ object GraftFunctions {
           DotProduct(Slice(beta, Literal(2), Subtract(Size(beta), Literal(1))),
             args(1)))
       }),
+    // the h-step recursive dynamic AR forecast as a TABLE function:
+    //   LATERAL VIEW graft_forecast(hist, beta, 3, 12) f AS step, yhat
+    // (the Generator tier — each step consumes the walk's own predictions,
+    // so no scalar/aggregate can express it; see [[GraftForecast]])
+    (FunctionIdentifier("graft_forecast"),
+      new ExpressionInfo(classOf[GraftForecast].getCanonicalName, "graft_forecast"),
+      (args: Seq[Expression]) => {
+        arity("graft_forecast", args, 4)
+        GraftForecast(args(0), args(1),
+          intLit(args(2), "graft_forecast", "lags"),
+          intLit(args(3), "graft_forecast", "h"))
+      }),
     // seasonal naive as a window function: graft_snaive(y, m) OVER (...) —
     // the m-back actual, the reference's snaive fitted/1-cycle-horizon value
     (FunctionIdentifier("graft_snaive"),

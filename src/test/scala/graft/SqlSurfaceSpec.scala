@@ -111,6 +111,36 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(math.abs(fits(s"s$s")(1) - 0.5 * s) < 1e-9, s"slope of s$s")
   }
 
+  test("graft_forecast drives the recursive walk from SQL == the Scala twin") {
+    GraftFunctions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    // the declared SQL query vs the Scala-API recursion it twins
+    // (ts_ar3_dynamic = AR(3) OLS + Recursive.dynamicForecast, future slice);
+    // both round to 6dp — solver noise between the MLlib normal path and
+    // graft_ols_fit's elimination is ~1e-12 on betas, far inside rounding
+    val viaSql = SparkEntry.queries("ts_sql_forecast")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val viaApi = SparkEntry.queries("ts_ar3_dynamic")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(viaSql.length === 12)
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // the generator itself: exact walk on a hand-checkable AR(1)
+    // y_{t+1} = 1 + 0.5*y_t from y=8 → 5, 3.5, 2.75
+    val walk = spark.sql(
+      """SELECT f.step, f.yhat
+        |FROM (SELECT array(2.0d, 8.0d) AS h, array(1.0d, 0.5d) AS b)
+        |LATERAL VIEW graft_forecast(h, b, 1, 3) f AS step, yhat""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(walk.toSeq === Seq((1, 5.0), (2, 3.5), (3, 2.75)))
+    // skip policy: short history / null element → zero rows, loudly nothing
+    assert(spark.sql(
+      """SELECT f.step FROM (SELECT array(1.0d) AS h, array(0.0d, 1.0d, 1.0d) AS b)
+        |LATERAL VIEW graft_forecast(h, b, 2, 3) f AS step, yhat""".stripMargin)
+      .count() === 0)
+  }
+
   test("non-literal k is rejected loudly") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
