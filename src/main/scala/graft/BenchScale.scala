@@ -101,19 +101,56 @@ object BenchScale {
     def envSizes(name: String, dflt: Seq[Long], active: Boolean): Seq[Long] =
       if (!active) Seq.empty
       else sys.env.get(name).map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(dflt)
+    /** Per-op executor-side attribution: a task-end listener accumulates
+      * task time, shuffle read/write, and MEMORY/DISK SPILL while the op
+      * runs — super-linear wall growth then names its bottleneck from the
+      * record (task_sec ≫ wall·cores ⇒ core saturation; spill_disk ≫ 0 ⇒
+      * the shuffle outgrew executor memory; neither ⇒ scheduler/plan).
+      * Listener delivery is async, so waitUntilEmpty before reading. */
+    final class OpMetrics extends org.apache.spark.scheduler.SparkListener {
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong
+      val shufRead = new java.util.concurrent.atomic.AtomicLong
+      val spillMem = new java.util.concurrent.atomic.AtomicLong
+      val spillDisk = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskMs.addAndGet(m.executorRunTime)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+      def json(sec: Double): String = {
+        def mb(l: Long): Long = l >> 20
+        s"""{"sec":$sec,"task_sec":${taskMs.get / 1000},""" +
+          s""""shuffle_write_mb":${mb(shufWrite.get)},"shuffle_read_mb":${mb(shufRead.get)},""" +
+          s""""spill_mem_mb":${mb(spillMem.get)},"spill_disk_mb":${mb(spillDisk.get)}}"""
+      }
+    }
     /** Time each kept op; incremental stderr record per op (a later op
       * dying — e.g. disk-full at the 10⁶ tier — must not lose completed
       * timings), plus a GC nudge so the ContextCleaner frees the finished
       * op's dereferenced shuffle files before the next op's spill peak. */
     def measure(ops: Seq[(String, DataFrame => Unit)], frame: DataFrame,
-                tag: String, n: Long): Seq[(String, Double)] =
+                tag: String, n: Long): Seq[(String, Double, String)] =
       ops.map { case (k, f) =>
+        val lst = new OpMetrics
+        spark.sparkContext.addSparkListener(lst)
         val s = time(f(frame))
-        System.err.println(s"[bench_scale] op $k $tag=$n ${s}s")
+        // listener delivery is async and the bus has no public drain hook —
+        // a short settle keeps the attribution within a straggler task of
+        // exact (same caveat as graft.Bench's shuffle_kb listener)
+        Thread.sleep(1000)
+        spark.sparkContext.removeSparkListener(lst)
+        val mj = lst.json(s)
+        System.err.println(s"[bench_scale] op $k $tag=$n ${s}s $mj")
         System.gc()
-        k -> s
+        (k, s, mj)
       }
-    def jsonLine(head: String, ops: Seq[(String, Double)]): String = {
+    def jsonLine(head: String, ops: Seq[(String, Double, String)]): String = {
       // local[n] hosts the executor block store in the same JVM, so heap
       // after the ops is dominated by the (deliberately) checkpointed input
       // and operator checkpoints — executor-side storage on a real cluster.
@@ -121,8 +158,12 @@ object BenchScale {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       val mem = usedMb
-      val opsJson = ops.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      val line = s"""{$head,"ops":{$opsJson},"driver_used_mb":$mem}"""
+      val opsJson = ops.map { case (k, v, _) => s""""$k":$v""" }.mkString(",")
+      // per-op attribution rides in a parallel object so the plain "ops"
+      // second-per-op shape every prior BENCH_SCALE point uses stays stable
+      val detJson = ops.map { case (k, _, mj) => s""""$k":$mj""" }.mkString(",")
+      val line =
+        s"""{$head,"ops":{$opsJson},"ops_metrics":{$detJson},"driver_used_mb":$mem}"""
       System.err.println(s"[bench_scale] $line")
       line
     }

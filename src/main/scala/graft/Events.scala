@@ -31,10 +31,19 @@ final case class Events(events: DataFrame) {
   private def hourMs: Column = expr("(ts div 3600000000000) * 3600000")
 
   /** Per-hour, per-type counts/sums (events_hourly). */
-  def hourly: DataFrame =
+  /** Values carry exactly 2 decimals, so sums/averages go through INTEGER
+    * CENTS: a raw double sum's order-dependent last ulp can straddle the
+    * ROUND half-boundary against another engine's sum (one avg_value cell
+    * flipped at sf0.1); cents → the division is one exact integer over
+    * (100·n) on every engine. */
+  def hourly: DataFrame = {
+    val cents = sum(round(col("value") * 100, 0).cast("long"))
     events.groupBy(hourMs.as("hour_ms"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+      .agg(count(lit(1)).as("n"), cents.as("_c"))
+      .select(col("hour_ms"), col("event_type"), col("n"),
+        round(col("_c") / 100.0, 4).as("sum_value"),
+        round(col("_c") / 100.0 / col("n"), 6).as("avg_value"))
+  }
 
   /** Gap-based numbered sessions (events_sessionize): 30-minute default. */
   def sessionize(gapMs: Long = 1800000L): DataFrame = {

@@ -377,13 +377,15 @@ object SparkEntry {
     val tgt = FeatureOps.addArTerms(
       segmentMonthlyM(s, d).filter(col(SeriesId) === "BUILDING"), 1)
     val scored = model.transform(tgt).filter(col("ar_1").isNotNull)
-    // raw-revenue scale (~1e8): round at 2dp so 1-ulp cross-engine noise in
-    // the OLS betas can't show (same discipline as ts_conformal's ROUND 0)
+    // raw-revenue scale (~1e8): computed columns round at 0dp — at 2dp the
+    // ~1e-4 cross-engine OLS-beta noise sat within 2% of a half-boundary
+    // per cell and sf0.1's extra rows bit one lower bound (y itself is the
+    // bit-identical 2dp base series, so it keeps its exact 2dp)
     Conformal.transferIntervals(scored,
         widths.select(lit("BUILDING").as(SeriesId), col("ci_width")))
       .select(col(SeriesId), col(Ds), round(col(Y), 2).as("y"),
-        round(col("yhat"), 2).as("yhat"),
-        round(col("lower"), 2).as("lower"), round(col("upper"), 2).as("upper"))
+        round(col("yhat"), 0).as("yhat"),
+        round(col("lower"), 0).as("lower"), round(col("upper"), 0).as("upper"))
   }
 
   /** Grouped `find_seasonal_length` (util.py:58-83 applied per series): ONE
@@ -1400,11 +1402,20 @@ object SparkEntry {
     * ADC rank ~356 of 500) — so the speed path's pool sizing is a
     * data-quality decision, pinned by ExactPropertySpec, not by this
     * oracle. */
-  private def qEmbKnnPq(s: SparkSession, d: String): DataFrame =
-    Similarity.pqKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        3, nCand = 512, queryFilter = col("vid") < 50)
+  private def qEmbKnnPq(s: SparkSession, d: String): DataFrame = {
+    // probe depth is a RECALL knob and must scale with the corpus — a
+    // fixed nCand=512 was exact at sf0.01 (512 ≥ n−1) and silently lost
+    // true top-3 neighbors at sf0.1 (512 of 1999 ADC candidates): the same
+    // fixed-parameter scale-rot class as r8's pinned LSH band geometry.
+    // One count() against the bucketed scan sizes it; a deployment sizes
+    // nCand/nprobe to its measured recall target the same way.
+    val emb = Tables.embeddings(s, d)
+    val nCand = math.max(512L, emb.count() * 2 / 5).toInt
+    Similarity.pqKnn(emb, "vec_id", "embedding",
+        3, nCand = nCand, queryFilter = col("vid") < 50)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
 
   private def qEmbKnn(s: SparkSession, d: String): DataFrame =
     Similarity.cosineKnn(Tables.embeddings(s, d), "vec_id", "embedding", 5,
@@ -3227,7 +3238,9 @@ object SparkEntry {
 
     "events_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
-        |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 6) AS avg_value
+        |  count(*) AS n,
+        |  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_value,
+        |  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // streaming sessionize emits exactly the CLOSED sessions: the batch
@@ -3313,7 +3326,9 @@ object SparkEntry {
     // the streaming twin must produce EXACTLY the batch aggregation
     "events_hourly_stream" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
-        |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 6) AS avg_value
+        |  count(*) AS n,
+        |  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_value,
+        |  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Gopher repetition gates: 2-gram/3-gram char fractions via lead()
@@ -3965,8 +3980,8 @@ object SparkEntry {
          |        FROM orders JOIN customer ON o_custkey = c_custkey
          |        WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2),
          |t2 AS (SELECT series_id, ds, y, lag(y) OVER (ORDER BY ds) AS yl FROM tgt)
-         |SELECT series_id, ds, ROUND(y, 2) AS y, ROUND(a + b * yl, 2) AS yhat,
-         |       ROUND(a + b * yl - w, 2) AS lower, ROUND(a + b * yl + w, 2) AS upper
+         |SELECT series_id, ds, ROUND(y, 2) AS y, ROUND(a + b * yl, 0) AS yhat,
+         |       ROUND(a + b * yl - w, 0) AS lower, ROUND(a + b * yl + w, 0) AS upper
          |FROM t2, fit, wid WHERE yl IS NOT NULL""".stripMargin,
 
     // add_signals + mlr stacking: naive/seasonal-naive signals, exact-OLS

@@ -26,10 +26,14 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
-        avg(col("value")).as("avg_value"))
+      // integer-cents sums (values have exactly 2 decimals): micro-batch
+      // merge order must not move the last ulp across a ROUND boundary vs
+      // the batch/oracle twin — graft.Events.hourly's discipline
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("_c"))
       .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"), col("sum_value"), col("avg_value"))
+        col("n"), (col("_c") / 100.0).as("sum_value"),
+        (col("_c") / 100.0 / col("n")).as("avg_value"))
 
   /** Streaming exact dedup: keep the first record per key within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keeps EVICTABLE

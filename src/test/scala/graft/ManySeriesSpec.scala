@@ -163,6 +163,54 @@ class ManySeriesSpec extends SparkSpec {
       s"decision rates must separate the constructions: $seasOdd/$nOdd vs $seasEven/$nEven")
   }
 
+  test("scoreFeatureSetsBySeries == one scoreFeaturesBySeries per candidate") {
+    import graft.functions.FeatureOps
+    import graft.models.GroupedOls
+    // 6 series with mixed trend/seasonal structure; candidates spanning the
+    // full auto_Xvar pool, including the empty-lag and full-lag extremes
+    val n = 6; val obs = 48
+    val base = spark.range(n.toLong * obs).select(
+      format_string("s%02d", (col("id") / obs).cast("int")).as("series_id"),
+      expr(s"add_months(date '2020-01-01', cast(id % $obs as int))")
+        .cast("date").as("ds"),
+      ((col("id") % obs).cast("double") * 0.3 +
+        sin((col("id") % obs).cast("double") * (2 * math.Pi / 12)) * 2.0 +
+        sin(col("id").cast("double") * 2.39)).as("y"),
+      lit(false).as("is_future"))
+    val withF = FeatureOps.addArTerms(
+      FeatureOps.addFourier(
+        FeatureOps.addCalendar(
+          FeatureOps.addTimeTrend(base).withColumn("t2", col("t") * col("t")),
+          Seq("month")),
+        col("month"), 12.0, "month"), 2)
+    val candidates = Seq(
+      "c0" -> Seq("t"),
+      "c1" -> Seq("t", "t2"),
+      "c2" -> Seq("t", "monthsin", "monthcos"),
+      "c3" -> Seq("t", "ar_1"),
+      "c4" -> Seq("t", "t2", "monthsin", "monthcos", "ar_1", "ar_2"))
+    val batched = GroupedOls.scoreFeatureSetsBySeries(withF,
+      alwaysPool = Seq("t", "t2", "monthsin", "monthcos"),
+      lagPool = Seq("ar_1", "ar_2"), candidates, h = 12)
+      .collect().map(r => r.getString(0) ->
+        candidates.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(batched.size === n)
+    candidates.zipWithIndex.foreach { case ((key, feats), i) =>
+      val solo = GroupedOls.scoreFeaturesBySeries(withF, feats, 12)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      batched.foreach { case (sid, rs) =>
+        assert(math.abs(rs(i) - solo(sid)) < 1e-9,
+          s"$key/$sid: batched ${rs(i)} vs solo ${solo(sid)}")
+      }
+    }
+    // a lagPool-order violation is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      GroupedOls.scoreFeatureSetsBySeries(withF, Seq("t"), Seq("ar_1", "ar_2"),
+        Seq("bad" -> Seq("t", "ar_2")), h = 12)
+    }
+    assert(e.getMessage.contains("lagPool prefix"))
+  }
+
   test("GroupedOls matches per-series Ols.fit exactly") {
     val f = manySeries()
     val withFeats = graft.functions.FeatureOps.addArTerms(
