@@ -172,13 +172,20 @@ object GroupedOls {
         }
         Row.fromSeq(sid +: cells.map(_.toSeq))
       }(Encoders.row(betaSchema)).toDF()
-    val scoredBase = flagged.join(graft.core.Joins.maybeBroadcast(betas),
+    // pass 2 touches ONLY the holdout slice (h of the obs rows per series)
+    // and only the pool columns — joining betas onto the full feature
+    // frame instead cost an 8× bigger shuffle join + aggregation input
+    // and 24 GB of aggregation spill at 10⁶ series
+    val testRows = flagged.filter(col("is_test") && col(Y).isNotNull)
+      .select((col(SeriesId) +: col(Y).cast("double").as(Y) +:
+        pool.map(c => col(c).cast("double"))): _*)
+    val scoredBase = testRows.join(graft.core.Joins.maybeBroadcast(betas),
       Seq(SeriesId), "left")
     val rmseAggs = candidates.flatMap { case (key, feats) =>
       val yhat = feats.zipWithIndex.foldLeft(element_at(col(s"_beta_$key"), 1)) {
-        case (acc, (c, i)) => acc + col(c).cast("double") * element_at(col(s"_beta_$key"), i + 2)
+        case (acc, (c, i)) => acc + col(c) * element_at(col(s"_beta_$key"), i + 2)
       }
-      val ok = col("is_test") && col(Y).isNotNull && yhat.isNotNull && !isnan(yhat)
+      val ok = yhat.isNotNull && !isnan(yhat)
       Seq(sum(when(ok, pow(yhat - col(Y), 2))).as(s"_ss_$key"),
         count(when(ok, lit(1))).as(s"_n_$key"))
     }
