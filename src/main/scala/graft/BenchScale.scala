@@ -78,6 +78,16 @@ object BenchScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // sizePartitions can push shuffles past the 200-partition bypass
+      // threshold, where the map side starts SORTING by partition id and
+      // spilling; local[32] has no file-handle pressure, so keep the
+      // bypass (hash) writer through the full sized range
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1056")
+      // the checkpointed input frames exceed memory at the big points
+      // regardless — don't let the block store pin half the unified pool
+      // while window sorts starve (storage evicts to disk, which is where
+      // those blocks would live anyway)
+      .config("spark.memory.storageFraction", "0.2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -113,6 +123,16 @@ object BenchScale {
       val shufRead = new java.util.concurrent.atomic.AtomicLong
       val spillMem = new java.util.concurrent.atomic.AtomicLong
       val spillDisk = new java.util.concurrent.atomic.AtomicLong
+      // SPARK_GRAFT_STAGE_METRICS=1: per-STAGE attribution on stderr — when
+      // an op's aggregate record says "spill", this names the exact plan
+      // node family (the stage's callsite) that spilled
+      private val perStage = sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("1")
+      private val stages =
+        new java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Long])]()
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (perStage) stages.putIfAbsent(ss.stageInfo.stageId,
+          (ss.stageInfo.name, new Array[Long](5)))
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
@@ -121,6 +141,24 @@ object BenchScale {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           spillMem.addAndGet(m.memoryBytesSpilled)
           spillDisk.addAndGet(m.diskBytesSpilled)
+          if (perStage) {
+            val e = stages.get(te.stageId)
+            if (e != null) e._2.synchronized {
+              e._2(0) += m.executorRunTime
+              e._2(1) += m.shuffleWriteMetrics.bytesWritten
+              e._2(2) += m.shuffleReadMetrics.totalBytesRead
+              e._2(3) += m.memoryBytesSpilled
+              e._2(4) += m.diskBytesSpilled
+            }
+          }
+        }
+      }
+      def dumpStages(op: String): Unit = if (perStage) {
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(_._1).foreach { case (sid, (name, a)) =>
+          System.err.println(f"[stage] op=$op stage=$sid task_sec=${a(0) / 1000}%d " +
+            f"sw_mb=${a(1) >> 20}%d sr_mb=${a(2) >> 20}%d spill_mem_mb=${a(3) >> 20}%d " +
+            f"spill_disk_mb=${a(4) >> 20}%d  $name")
         }
       }
       def json(sec: Double): String = {
@@ -145,6 +183,7 @@ object BenchScale {
         // exact (same caveat as graft.Bench's shuffle_kb listener)
         Thread.sleep(1000)
         spark.sparkContext.removeSparkListener(lst)
+        lst.dumpStages(k)
         val mj = lst.json(s)
         System.err.println(s"[bench_scale] op $k $tag=$n ${s}s $mj")
         System.gc()
@@ -274,8 +313,21 @@ object BenchScale {
       "top_paths" -> (ev => Events(ev).topPaths(3, 10)
         .write.mode("overwrite").format("noop").save()))
 
+    // Size shuffle partitions to the point's data volume — the knob a real
+    // cluster job sets per input scale. Fixed cpus(=32) partitions were the
+    // tuned-for-10⁵ value: at 10⁶ series the window sorts held ~450 MB
+    // in-mem per task against ~150 MB of task execution memory and spilled
+    // 23 GB (the same fixed-parameter scale-rot class as round 8's LSH band
+    // geometry). ~500K rows per partition keeps every sort/agg in memory;
+    // small points stay at cpus so the measured floor doesn't move.
+    // ~500K rows/partition keeps big-point sorts near the per-task
+    // execution share 32 concurrent tasks get from an 8 GB heap.
+    def sizePartitions(rows: Long): Unit = spark.conf.set(
+      "spark.sql.shuffle.partitions",
+      math.max(cpus.toLong, math.min(1024L, rows / 500000L)).toString)
     val seriesKept = keep(seriesOps)
     val points = (if (seriesKept.isEmpty) Seq.empty[Long] else sizes).map { n =>
+      sizePartitions(n * nObs)
       // materialize the input once so op timings exclude generation
       val frame = syntheticFrame(spark, n, nObs).localCheckpoint(true)
       jsonLine(s""""n_series":$n,"rows":${n * nObs}""",
@@ -285,6 +337,7 @@ object BenchScale {
     val docSizes = envSizes("SPARK_GRAFT_SCALE_DOCS",
       Seq(20000L, 200000L), corpusKept.nonEmpty)
     val corpusPoints = docSizes.map { n =>
+      sizePartitions(n) // ~300 B/doc: the same rule holds an extra decade
       val docs = syntheticDocs(spark, n).localCheckpoint(true)
       jsonLine(s""""n_docs":$n""", measure(corpusKept, docs, "n_docs", n))
     }
@@ -292,6 +345,7 @@ object BenchScale {
     val eventSizes = envSizes("SPARK_GRAFT_SCALE_EVENTS",
       Seq(1000000L, 10000000L), eventKept.nonEmpty)
     val eventPoints = eventSizes.map { n =>
+      sizePartitions(n / 8) // ~60 B/event
       val ev = syntheticEvents(spark, n).localCheckpoint(true)
       jsonLine(s""""n_events":$n""", measure(eventKept, ev, "n_events", n))
     }

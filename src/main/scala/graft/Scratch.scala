@@ -142,6 +142,31 @@ object Scratch {
       val ep = q.queryExecution.executedPlan
       ep.execute().count() // finalize the adaptive plan before printing
       println(ep.toString)
+    } else if (args.headOption.contains("xvarscale")) {
+      // per-NODE spill attribution for the 10⁶-series auto-xvar search:
+      // which exact operator inside the one compute stage spills
+      val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(32L, n * 96 / 500000L).toString)
+      val frame = BenchScale.syntheticFrame(spark, n, 96).localCheckpoint(true)
+      val q = graft.eval.AutoSelect.autoXvarSelectBySeries(frame)
+      val ep = q.queryExecution.executedPlan
+      time("auto_xvar") { ep.execute().count() }
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+        val ms = p.metrics.filter { case (k, m) => m.value > 0 &&
+          (k.contains("spill") || k.contains("Time") || k.contains("sort") ||
+            k.contains("peak") || k == "numOutputRows") }
+          .map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
+        println(("  " * d) + p.nodeName + (if (ms.nonEmpty) s"  [$ms]" else ""))
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan, d + 1)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(s.plan, d + 1)
+          case _ => p.children.foreach(walk(_, d + 1))
+        }
+      }
+      walk(ep, 0)
     } else {
       val names = if (args.nonEmpty) args.toSeq else Seq("doc_neardup_cosine")
       names.foreach { n =>

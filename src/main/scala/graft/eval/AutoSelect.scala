@@ -113,7 +113,10 @@ object AutoSelect {
     val base1 = base0.withColumn("t2", col("t") * col("t"))
     val base2 = FeatureOps.addFourier(
       FeatureOps.addCalendar(base1, Seq("month")), col("month"), 12.0, "month")
-    val withAr = FeatureOps.addArTerms(base2, 2).localCheckpoint(true)
+    // no checkpoint: the one-pass scorer consumes the windowed feature
+    // lineage exactly once, and its aggregation rides the window exchange's
+    // hash(series) partitioning — the whole search is ONE shuffle
+    val withAr = FeatureOps.addArTerms(base2, 2)
     val trendSets = Seq("a" -> Seq("t"), "b" -> Seq("t", "t2"))
     val candidates = for ((tk, txs) <- trendSets; sk <- 0 to 1; ak <- 0 to 2)
       yield s"$tk$sk$ak" -> (txs ++

@@ -78,32 +78,42 @@ object GroupedOls {
     * [[graft.functions.OlsFit]] shares the exact executor-side kernel. */
   def sqlSolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = solve(a, b)
 
-  /** Score MANY candidate feature subsets per series in TWO full-frame
-    * passes — the batched [[scoreFeaturesBySeries]] for searches whose
+  /** Score MANY candidate feature subsets per series in ONE full-frame
+    * pass — the batched [[scoreFeaturesBySeries]] for searches whose
     * candidates all draw from one shared feature pool (auto_Xvar_select's
     * 12 reachable sets). One fit pass + one metrics pass PER CANDIDATE
-    * (what the naive loop pays) becomes one grouped-moments pass + one
-    * grouped-RMSE pass TOTAL: at 10⁶ series the search cost stops scaling
-    * with the candidate count.
+    * (what the naive loop pays) becomes a single fixed-width grouped
+    * aggregation TOTAL: at 10⁶ series the search cost scales with neither
+    * the candidate count nor anything super-linear in the series count.
     *
     * Contract: every candidate's features ⊆ `alwaysPool ++ lagPool`, where
     * `alwaysPool` columns are non-null on observed rows and `lagPool`
     * columns have NESTED null sets — null(lagPool(0)) ⊆ null(lagPool(1)) ⊆
     * … (the AR-lag series-head shape) — and a candidate uses a PREFIX of
-    * `lagPool`. Pass 1 groups the FULL pool's normal-equation moments by
-    * (series, depth) where depth = number of leading non-null lag columns;
-    * a candidate using the first a lag columns sums the depth ≥ a strata,
-    * which is exactly its non-null-feature train slice ([[fitBySeries]]'s
-    * filter). Lag nulls are zero-filled inside the aggregation — a stratum
-    * where lag_k is null never reaches a candidate that reads lag_k's
-    * moments, so the fill is unobservable. The per-candidate sub-matrix
-    * solves run in `mapGroups` over the ≤(lagPool.size+1) tiny stats rows
-    * per series — [[solve]] on the candidate's own feature order, like the
-    * per-candidate fit would. Pass 2 broadcasts the per-series beta rows
-    * back and computes every candidate's holdout RMSE in one conditional
-    * aggregation, reproducing [[graft.eval.Evaluation.metricsOverTest]]'s
-    * filter (is_test ∧ yhat non-null ∧ non-NaN) and
-    * sqrt(avg((yhat−y)²)) per candidate.
+    * `lagPool`.
+    *
+    * Shape: one `groupBy(series_id)` aggregation accumulates, per distinct
+    * candidate lag depth ℓ, the normal-equation moments of the first
+    * (1+|always|+ℓ) pool columns over train rows with ≥ ℓ leading non-null
+    * lags (exactly the candidate's non-null-feature train slice,
+    * [[fitBySeries]]'s filter; lag nulls are zero-filled inside the
+    * aggregation — a row with depth < ℓ never reaches a candidate that
+    * reads lag ℓ, so the fill is unobservable) — AND the h holdout rows
+    * pivoted into step-indexed sum columns (step s = position from the
+    * series end, the [[withTestFlag]] count; one row matches each (series,
+    * step), so `sum(when(step=s, v))` IS that row's value). Everything is
+    * a fixed-width `sum(when(...))` — whole-stage-codegen HashAggregate,
+    * no collect_list object buffers, no second pass, no beta join, no
+    * mapGroups re-sort. The per-candidate sub-matrix [[solve]]s and the
+    * holdout RMSE (reproducing [[graft.eval.Evaluation.metricsOverTest]]'s
+    * filter: is_test ∧ yhat non-null ∧ non-NaN, summed in ds order) run in
+    * a plain `.map` over the one aggregated row per series. When the
+    * caller's frame already carries a per-series window lineage (the
+    * auto_Xvar feature build), the whole score is ONE shuffle: the window
+    * exchange's hash(series) partitioning satisfies the aggregation, so no
+    * further exchange, checkpoint, or join exists at any series count —
+    * the round-8 two-pass shape spilled 23 GB at 10⁶ series in the
+    * checkpoint + mapGroups + join stages this fusion deletes.
     *
     * Returns one row per series: (series_id, r_<key> DOUBLE per candidate,
     * null where the candidate has no scorable holdout rows — the same null
@@ -113,15 +123,22 @@ object GroupedOls {
                                candidates: Seq[(String, Seq[String])],
                                h: Int): DataFrame = {
     import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructField, StructType}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
     val pool = alwaysPool ++ lagPool
     candidates.foreach { case (key, feats) =>
       val lagUsed = feats.filter(lagPool.contains)
       require(feats.forall(pool.contains) && lagUsed == lagPool.take(lagUsed.size),
         s"candidate $key must draw from the pool and use a lagPool prefix")
     }
-    val flagged = withTestFlag(frame, h)
-    val train = flagged.filter(!col(IsFuture) && col(Y).isNotNull && !col("is_test"))
+    // [[withTestFlag]]'s count, kept as a STEP index (h at the series end)
+    // so holdout rows pivot into fixed-width per-step columns
+    val after = count(when(!col(IsFuture), lit(1)))
+      .over(Window.partitionBy(SeriesId).orderBy(Ds)
+        .rowsBetween(1, Window.unboundedFollowing))
+    val obs = frame.withColumn("_step", lit(h) - after)
+      .filter(!col(IsFuture) && col(Y).isNotNull)
+      .withColumn("is_test", col("_step") > 0)
     // depth = leading non-null lag count; nested nulls make this the row's
     // full null signature over the pool
     val depth = lagPool.zipWithIndex.foldRight(lit(lagPool.size)) {
@@ -130,68 +147,78 @@ object GroupedOls {
     val xs: Seq[Column] = lit(1.0) +:
       (alwaysPool.map(c => col(c).cast("double")) ++
         lagPool.map(c => coalesce(col(c).cast("double"), lit(0.0))))
-    val k = xs.size
-    val aggs = (for (i <- 0 until k; j <- 0 to i) yield
-      sum(xs(i) * xs(j)).as(s"sa_${i}_$j")) ++
-      (0 until k).map(i => sum(xs(i) * col(Y).cast("double")).as(s"sb_$i"))
-    val stats = train.withColumn("_depth", depth)
-      .groupBy(col(SeriesId), col("_depth")).agg(aggs.head, aggs.tail: _*)
+    val yD = col(Y).cast("double")
     // candidate feature → pool index (+1 for the intercept at 0), in the
     // candidate's own order so the pivoting path matches a direct fit
     val candIdx: Seq[(String, Array[Int], Int)] = candidates.map { case (key, feats) =>
       val lagCount = feats.count(lagPool.contains)
       (key, (0 +: feats.map(f => pool.indexOf(f) + 1)).toArray, lagCount)
     }
-    val betaSchema = StructType(StructField(SeriesId, StringType) +:
-      candidates.map { case (key, _) =>
-        StructField(s"_beta_$key", ArrayType(DoubleType, containsNull = false)) })
-    val nMom = k * (k + 1) / 2
-    val betas = stats
-      .groupByKey(r => r.getString(r.fieldIndex(SeriesId)))(Encoders.STRING)
-      .mapGroups { (sid, it) =>
-        // depth → (a-moments, b-moments); ≤ lagPool.size+1 rows per series
-        val byDepth = it.map { r =>
-          val a = Array.tabulate(nMom)(m => r.getDouble(2 + m))
-          val b = Array.tabulate(k)(i => r.getDouble(2 + nMom + i))
-          (r.getInt(r.fieldIndex("_depth")), (a, b))
-        }.toMap
-        val cells = candIdx.map { case (_, idx, lagCount) =>
-          val strata = byDepth.filter(_._1 >= lagCount).values
-          if (strata.isEmpty) Array(Double.NaN)
-          else {
-            val kk = idx.length
-            val a = Array.ofDim[Double](kk, kk)
-            val b = new Array[Double](kk)
-            for (((sa, sb), _) <- strata.zipWithIndex; i <- 0 until kk; j <- 0 until kk) {
-              val (hi, lo) = (math.max(idx(i), idx(j)), math.min(idx(i), idx(j)))
-              a(i)(j) += sa(hi * (hi + 1) / 2 + lo)
-              if (j == 0) b(i) += sb(idx(i))
-            }
-            solve(a, b)
-          }
-        }
-        Row.fromSeq(sid +: cells.map(_.toSeq))
-      }(Encoders.row(betaSchema)).toDF()
-    // pass 2 touches ONLY the holdout slice (h of the obs rows per series)
-    // and only the pool columns — joining betas onto the full feature
-    // frame instead cost an 8× bigger shuffle join + aggregation input
-    // and 24 GB of aggregation spill at 10⁶ series
-    val testRows = flagged.filter(col("is_test") && col(Y).isNotNull)
-      .select((col(SeriesId) +: col(Y).cast("double").as(Y) +:
-        pool.map(c => col(c).cast("double"))): _*)
-    val scoredBase = testRows.join(graft.core.Joins.maybeBroadcast(betas),
-      Seq(SeriesId), "left")
-    val rmseAggs = candidates.flatMap { case (key, feats) =>
-      val yhat = feats.zipWithIndex.foldLeft(element_at(col(s"_beta_$key"), 1)) {
-        case (acc, (c, i)) => acc + col(c) * element_at(col(s"_beta_$key"), i + 2)
-      }
-      val ok = yhat.isNotNull && !isnan(yhat)
-      Seq(sum(when(ok, pow(yhat - col(Y), 2))).as(s"_ss_$key"),
-        count(when(ok, lit(1))).as(s"_n_$key"))
+    val lagCounts: Seq[Int] = candIdx.map(_._3).distinct.sorted
+    def kOf(l: Int) = 1 + alwaysPool.size + l
+    // train moments per depth tier ℓ, truncated to the columns a depth-ℓ
+    // candidate can reach
+    val momAggs = lagCounts.flatMap { l =>
+      val kL = kOf(l)
+      val cond = !col("is_test") && depth >= l
+      (for (i <- 0 until kL; j <- 0 to i) yield
+        sum(when(cond, xs(i) * xs(j))).as(s"sa_${l}_${i}_$j")) ++
+        (0 until kL).map(i => sum(when(cond, xs(i) * yD)).as(s"sb_${l}_$i"))
     }
-    scoredBase.groupBy(SeriesId).agg(rmseAggs.head, rmseAggs.tail: _*)
-      .select(col(SeriesId) +: candidates.map { case (key, _) =>
-        sqrt(col(s"_ss_$key") / col(s"_n_$key")).as(s"r_$key") }: _*)
+    // holdout pivot: per step, the row's y, lag depth, and pool values
+    val stepAggs = (1 to h).flatMap { s =>
+      val cond = col("is_test") && col("_step") === s
+      sum(when(cond, yD)).as(s"ty_$s") +:
+        sum(when(cond, depth.cast("double"))).as(s"td_$s") +:
+        pool.indices.map(p => sum(when(cond, xs(p + 1))).as(s"tx_${s}_$p"))
+    }
+    val aggs = momAggs ++ stepAggs
+    val agged = obs.groupBy(SeriesId).agg(aggs.head, aggs.tail: _*)
+    // field offsets in the aggregated row (0 = series_id)
+    val momOff: Map[Int, Int] = {
+      var off = 1
+      lagCounts.map { l =>
+        val o = l -> off; off += kOf(l) * (kOf(l) + 1) / 2 + kOf(l); o
+      }.toMap
+    }
+    val stepBase = 1 + lagCounts.map(l => kOf(l) * (kOf(l) + 1) / 2 + kOf(l)).sum
+    val stepW = 2 + pool.size
+    val outSchema = StructType(StructField(SeriesId, StringType) +:
+      candidates.map { case (key, _) => StructField(s"r_$key", DoubleType) })
+    agged.map { r =>
+      val cells: Seq[Any] = candIdx.map { case (_, idx, lagCount) =>
+        val o = momOff(lagCount)
+        val kL = kOf(lagCount)
+        val beta = if (r.isNullAt(o)) Array(Double.NaN)
+        else {
+          val kk = idx.length
+          val a = Array.ofDim[Double](kk, kk)
+          val b = new Array[Double](kk)
+          for (i <- 0 until kk; j <- 0 until kk) {
+            val (hi, lo) = (math.max(idx(i), idx(j)), math.min(idx(i), idx(j)))
+            a(i)(j) = r.getDouble(o + hi * (hi + 1) / 2 + lo)
+            if (j == 0) b(i) = r.getDouble(o + kL * (kL + 1) / 2 + idx(i))
+          }
+          solve(a, b)
+        }
+        var sse = 0.0; var n = 0L
+        var s = 0
+        while (s < h) {
+          val base = stepBase + s * stepW
+          if (!r.isNullAt(base) && r.getDouble(base + 1).toInt >= lagCount) {
+            var yhat = if (beta.length == idx.length) beta(0) else Double.NaN
+            var i = 1
+            while (i < idx.length) {
+              yhat += beta(i) * r.getDouble(base + 1 + idx(i)); i += 1
+            }
+            if (!yhat.isNaN) { sse += { val e = yhat - r.getDouble(base); e * e }; n += 1 }
+          }
+          s += 1
+        }
+        if (n > 0) java.lang.Double.valueOf(math.sqrt(sse / n)) else null
+      }
+      Row.fromSeq(r.getString(0) +: cells)
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** Gaussian elimination with partial pivoting — the executor-side solver
