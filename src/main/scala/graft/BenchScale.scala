@@ -78,16 +78,23 @@ object BenchScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // sizePartitions can push shuffles past the 200-partition bypass
-      // threshold, where the map side starts SORTING by partition id and
-      // spilling; local[32] has no file-handle pressure, so keep the
-      // bypass (hash) writer through the full sized range
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1056")
-      // the checkpointed input frames exceed memory at the big points
-      // regardless — don't let the block store pin half the unified pool
-      // while window sorts starve (storage evicts to disk, which is where
-      // those blocks would live anyway)
+      // past the 200-partition bypass threshold the map side switches to
+      // the serialized sort writer — at ≤125K rows/task that in-memory
+      // sort is a few MB, while the bypass (hash) writer would open
+      // numPartitions files PER concurrent task (768×32 ≈ 25K > the 20K
+      // fd ulimit). Keep the default threshold: small points stay bypass,
+      // sized big points stay under the fd limit.
+      // inputs are persisted DISK_ONLY (below), so the storage pool is
+      // idle — keep its protected share minimal and hand the unified
+      // pool to the sorts/aggs that actually need it
       .config("spark.memory.storageFraction", "0.2")
+      // sizePartitions (below) is the experiment's independent variable:
+      // AQE's coalescer re-merges the sized shuffles back to its 64 MB
+      // advisory chunks (64 MB COMPRESSED ≈ 400 MB in a window sort —
+      // ~20 effective partitions at the 10⁶ point, which is where the
+      // run-to-run spill/OOM came from), silently overriding the knob.
+      // Skew handling stays on; only the coalescer is pinned off.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -318,36 +325,63 @@ object BenchScale {
     // tuned-for-10⁵ value: at 10⁶ series the window sorts held ~450 MB
     // in-mem per task against ~150 MB of task execution memory and spilled
     // 23 GB (the same fixed-parameter scale-rot class as round 8's LSH band
-    // geometry). ~500K rows per partition keeps every sort/agg in memory;
-    // small points stay at cpus so the measured floor doesn't move.
-    // ~500K rows/partition keeps big-point sorts near the per-task
-    // execution share 32 concurrent tasks get from an 8 GB heap.
+    // geometry). ~125K rows/partition: the big-point window-sort +
+    // fused-agg stage carries wide feature rows (~400 B), so 250-500K
+    // rows/task sat AT the ~60 MB minimum execution share 32 concurrent
+    // tasks split out of an 8 GB heap — run-to-run it spilled 5 GB,
+    // OOM'd, or passed depending on eviction timing. 125K rows/task
+    // (~50 MB peak sort) leaves slack under the guarantee, so the
+    // measurement is reproducible; small points stay at cpus so the
+    // measured floor doesn't move.
     def sizePartitions(rows: Long): Unit = spark.conf.set(
       "spark.sql.shuffle.partitions",
-      math.max(cpus.toLong, math.min(1024L, rows / 500000L)).toString)
+      math.max(cpus.toLong, math.min(1024L, rows / 125000L)).toString)
+    // Materialize the generated input once so op timings exclude
+    // generation — DISK_ONLY, not localCheckpoint: a MEMORY_AND_DISK
+    // input at the 10⁶ point (~7 GB, never fits) raced the window sorts
+    // for the unified pool, and eviction timing decided between a clean
+    // pass, 5 GB of sort spill, and a SparkOutOfMemoryError run-to-run.
+    // Disk-resident input is also the honest regime: on a cluster the
+    // ops read a parquet lake, not executor memory.
+    // The input keeps its generated (range) partitioning: series arrive
+    // contiguous and ds-ordered, so the sized shuffle compresses well and
+    // the map side's serialized-sort spill is a measured ~170 task-sec.
+    // (Round-robin pre-splitting to the sized width was tried and is
+    // WORSE — scattering a series' rows across every partition inflated
+    // the shuffle 1.6× and the reduce fetch fan-in, 49 → 88 s at 10⁶.)
+    def materialize(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.write.mode("overwrite").format("noop").save()
+      p
+    }
     val seriesKept = keep(seriesOps)
     val points = (if (seriesKept.isEmpty) Seq.empty[Long] else sizes).map { n =>
       sizePartitions(n * nObs)
-      // materialize the input once so op timings exclude generation
-      val frame = syntheticFrame(spark, n, nObs).localCheckpoint(true)
-      jsonLine(s""""n_series":$n,"rows":${n * nObs}""",
+      val frame = materialize(syntheticFrame(spark, n, nObs))
+      val line = jsonLine(s""""n_series":$n,"rows":${n * nObs}""",
         measure(seriesKept, frame, "n_series", n))
+      frame.unpersist(blocking = true)
+      line
     }
     val corpusKept = keep(corpusOps)
     val docSizes = envSizes("SPARK_GRAFT_SCALE_DOCS",
       Seq(20000L, 200000L), corpusKept.nonEmpty)
     val corpusPoints = docSizes.map { n =>
       sizePartitions(n) // ~300 B/doc: the same rule holds an extra decade
-      val docs = syntheticDocs(spark, n).localCheckpoint(true)
-      jsonLine(s""""n_docs":$n""", measure(corpusKept, docs, "n_docs", n))
+      val docs = materialize(syntheticDocs(spark, n))
+      val line = jsonLine(s""""n_docs":$n""", measure(corpusKept, docs, "n_docs", n))
+      docs.unpersist(blocking = true)
+      line
     }
     val eventKept = keep(eventOps)
     val eventSizes = envSizes("SPARK_GRAFT_SCALE_EVENTS",
       Seq(1000000L, 10000000L), eventKept.nonEmpty)
     val eventPoints = eventSizes.map { n =>
       sizePartitions(n / 8) // ~60 B/event
-      val ev = syntheticEvents(spark, n).localCheckpoint(true)
-      jsonLine(s""""n_events":$n""", measure(eventKept, ev, "n_events", n))
+      val ev = materialize(syntheticEvents(spark, n))
+      val line = jsonLine(s""""n_events":$n""", measure(eventKept, ev, "n_events", n))
+      ev.unpersist(blocking = true)
+      line
     }
     val out = s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}],"event_points":[${eventPoints.mkString(",")}]}"""
     println(out)

@@ -128,7 +128,12 @@ object BlockedVar {
       "screenApprox needs a positive minAbsCorr: it doubles as the ANN " +
         "candidate threshold (at 0 every pair is a candidate and the " +
         "quadratic pass is back)")
-    val obs = trainObs(frame).localCheckpoint(false)
+    // DISK_ONLY: obs is O(total observation rows) — at the 10⁶-series
+    // point its MEMORY_AND_DISK blocks raced the profile window sorts for
+    // the unified pool and OOM'd the screen; the frame is re-read four
+    // times sequentially, a disk-friendly access pattern
+    val obs = trainObs(frame).localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val withT = obs.select(col(SeriesId), col(Y),
       row_number().over(w).as("_t"))
     val head = withT.agg(max("_t"),
@@ -299,7 +304,9 @@ object BlockedVar {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
     val k = maxSources * maxLag + 1
-    val withT = frame.withColumn("_t", row_number().over(w)).localCheckpoint(true)
+    // DISK_ONLY for the same reason as screenApprox's obs: O(rows) frame
+    val withT = frame.withColumn("_t", row_number().over(w))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val obs = withT.filter(!col(IsFuture))
     val fut = withT.filter(col(IsFuture))
     val maxStep = {
