@@ -675,7 +675,14 @@ object SparkEntry {
             val table = memoTableName(d, key)
             graft.sources.LakeLayout.freshTable(s, table)
             graft.sources.LakeLayout.writeBucketed(built, table, buckets = 4)
-            s.table(table)
+            // cache the (few-hundred-row) table frame: InMemoryRelation
+            // reports the child scan's bucketed outputPartitioning, so
+            // downstream plans keep their zero-exchange shape (LakeLayoutSpec
+            // pins it) while consumers skip the per-query parquet read —
+            // the catalog table remains the durable lake artifact
+            val t = s.table(table)
+            t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            t
           } else built.localCheckpoint(true)
         })
       }

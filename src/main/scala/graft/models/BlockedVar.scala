@@ -113,10 +113,19 @@ object BlockedVar {
     * tuned (measured: 8-bit bands filled 80 GB of shuffle spill at 10⁶
     * series). Expected noise collisions per band are ~n²·2^(−bits) for
     * near-orthogonal profiles, so width grows as ⌈log₂ n⌉ + 5 — pinning
-    * the noise-candidate budget at O(bands·n/2⁵) at ANY series count —
-    * and the band COUNT grows to hold ~95% candidate recall at the
-    * ρ = 0.9 design correlation (bands = ln 20 / −ln(1 − p_band) with
-    * p_band = (1 − arccos(ρ)/π)^bits). Near-perfect couplings
+    * the IDEAL noise-candidate budget at O(bands·n/2⁵) at ANY series
+    * count — and the band COUNT grows to hold ~95% candidate recall at
+    * the ρ = 0.9 design correlation (bands = ln 20 / −ln(1 − p_band)
+    * with p_band = (1 − arccos(ρ)/π)^bits). The +5 margin is MEASURED,
+    * not guessed: a +2 margin looks cost-optimal on the orthogonal-noise
+    * model (band count grows ~1.4^bits, so fewer bits ⇒ 2.7× fewer
+    * signature rows for 8× more ideal collisions), but real noise
+    * profiles carry a moderately-correlated tail (|cos| ≈ 0.3–0.5 pairs
+    * whose per-bit sign-agreement is ~0.6, not 0.5) whose collision
+    * mass scales ~0.6^bits — at 10⁶ series the +2 experiment TRIPLED
+    * the candidate-side shuffle (65 → 92 GB, wall 705 → 829 s) while
+    * saving a third of the signature rows. The tail, not the orthogonal
+    * bulk, sets the width. Near-perfect couplings
     * (|corr| ≥ 0.95) stay at recall ≈ 1 under any tuned geometry; recall
     * below ρ* decays — the cost lands on weak edges a maxSources-bounded
     * block rarely keeps, and the exact re-check means every SURVIVING
