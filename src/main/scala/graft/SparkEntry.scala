@@ -662,10 +662,19 @@ object SparkEntry {
   private val memoLocks =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Object]
 
+  /** One warehouse sweep per session: collect memo-table dirs left by
+    * dead graft processes (pid-suffixed names make "dead" checkable —
+    * [[graft.sources.LakeLayout.gcDeadSessionMemoDirs]]) so a shared
+    * warehouse doesn't accrete one orphan dir per ended session. */
+  private val gcDone =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+
   private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame = {
     val k = (s, d, key)
     seriesMemo.get(k).getOrElse {
       memoLocks.getOrElseUpdate(k, new Object).synchronized {
+        if (bucketedMemo) gcDone.getOrElseUpdate(s,
+          { graft.sources.LakeLayout.gcDeadSessionMemoDirs(s); () })
         seriesMemo.getOrElseUpdate(k, {
           val built = build
           // bucketing keys on series_id — corpus-tier memos (doc vectors,

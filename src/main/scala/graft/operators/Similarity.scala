@@ -427,9 +427,11 @@ object Similarity {
     * touched once for its signature and once per surviving candidate.
     * Returns (corpus_id, probe_id, sim). */
   /** `absolute = true` matches on |cosine| ≥ tau — one call finds both
-    * strongly-aligned and strongly-opposed pairs (tier 2 probes each
-    * signature in both signs; tier 1 just takes the absolute value), and
-    * `sim` keeps its sign so callers can split the two. */
+    * strongly-aligned and strongly-opposed pairs (tier 2 joins on
+    * CANONICAL band keys min(val, ~val), equal iff two signatures agree
+    * on every hyperplane or on none — the negation's complement identity,
+    * costing zero extra signature work; tier 1 just takes the absolute
+    * value), and `sim` keeps its sign so callers can split the two. */
   def crossCosineMatches(corpus: DataFrame, probes: DataFrame,
                          idCol: String, vecCol: String, tau: Double,
                          bands: Int = 16, bitsPerBand: Int = 10,
@@ -499,11 +501,22 @@ object Similarity {
       val corpusDims = pc.agg(max(size(col("v")))).first().getInt(0)
       val sigDims = math.max(dims, corpusDims)
       val sc = signatureRows(pc, sigDims, bands, bitsPerBand)
-      val spPos = signatureRows(pp, sigDims, bands, bitsPerBand)
-      val sp = if (!absolute) spPos else spPos.unionByName(
-        signatureRows(pp.select(col("vid"),
-          transform(col("v"), x => -x).as("v")), sigDims, bands, bitsPerBand))
-      val cands = sc.as("c").join(sp.as("p"), Seq("band", "band_val"))
+      val sp = signatureRows(pp, sigDims, bands, bitsPerBand)
+      // absolute mode: sign(c·(−v)) = −sign(c·v), so a negated vector's
+      // band signature is the BITWISE COMPLEMENT of the original (up to
+      // measure-zero exactly-0 dots, which the exact re-check absorbs) —
+      // so instead of a second full signature pass over negated probes
+      // (bands·bits·dims flops per vector, + doubled probe rows through
+      // the shuffle), key both sides on min(val, mask^val): canonical
+      // keys are equal iff the signatures agree on every plane or
+      // disagree on every plane — exactly the |cosine| candidate set
+      val (scK, spK) = if (!absolute) (sc, sp) else {
+        val mask = lit((1L << bitsPerBand) - 1)
+        def canon(df: DataFrame) = df.withColumn("band_val",
+          least(col("band_val"), mask.bitwiseXOR(col("band_val"))))
+        (canon(sc), canon(sp))
+      }
+      val cands = scK.as("c").join(spK.as("p"), Seq("band", "band_val"))
         .select(col("c.vid").as("cid"), col("p.vid").as("pid"))
         .distinct()
       cands

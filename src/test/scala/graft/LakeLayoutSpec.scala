@@ -121,4 +121,22 @@ class LakeLayoutSpec extends SparkSpec {
       "the bucket distribution satisfies the window's partitioning requirement")
     assert(lagged.filter(col("y1").isNotNull).count() === 580)
   }
+
+  test("dead-session memo dirs are collected; live-pid and foreign dirs survive") {
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pid beyond pid_max can never be alive; the current pid always is
+    val dead = new org.apache.hadoop.fs.Path(root, "graft_memo_k_ab12_p999999999")
+    val live = new org.apache.hadoop.fs.Path(root,
+      s"graft_memo_k_ab12_p${ProcessHandle.current().pid()}")
+    val foreign = new org.apache.hadoop.fs.Path(root, "ll_not_a_memo_p999999999")
+    Seq(dead, live, foreign).foreach(fs.mkdirs)
+    val removed = LakeLayout.gcDeadSessionMemoDirs(spark)
+    assert(removed >= 1, "the dead-pid memo dir must be collected")
+    assert(!fs.exists(dead), "dead-pid memo dir should be gone")
+    assert(fs.exists(live), "current-pid memo dir must survive")
+    assert(fs.exists(foreign), "non-memo dirs are never touched")
+    fs.delete(live, true); fs.delete(foreign, true)
+  }
 }
