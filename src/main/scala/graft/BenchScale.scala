@@ -367,7 +367,10 @@ object BenchScale {
     val docSizes = envSizes("SPARK_GRAFT_SCALE_DOCS",
       Seq(20000L, 200000L), corpusKept.nonEmpty)
     val corpusPoints = docSizes.map { n =>
-      sizePartitions(n) // ~300 B/doc: the same rule holds an extra decade
+      // size on SHINGLE volume, not docs: the dedup shuffles carry ~50
+      // token/shingle rows per doc (2M docs × 32 partitions put 230 MB
+      // per task through the pair sorts — 34 GB of jaccard spill)
+      sizePartitions(n * 50)
       val docs = materialize(syntheticDocs(spark, n))
       val line = jsonLine(s""""n_docs":$n""", measure(corpusKept, docs, "n_docs", n))
       docs.unpersist(blocking = true)
