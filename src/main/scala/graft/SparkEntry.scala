@@ -644,13 +644,22 @@ object SparkEntry {
     * shape, and the warehouse is shared state no in-process lock covers.
     * The dir suffix is a 128-bit MD5 digest, not String.hashCode (the
     * suffix only prevents aliasing if it cannot collide); the pid suffix
-    * makes the name unique among live processes. Memo tables are a few
-    * hundred rows, so orphaned dirs from ended sessions cost ~nothing and
-    * the next same-name session's freshTable still clears its own. */
-  def memoTableName(d: String, key: String): String = {
+    * makes the name unique among live processes; the SESSION token makes
+    * it unique among sessions of ONE JVM (a resident service doing
+    * `spark.newSession` per tenant over a shared warehouse would otherwise
+    * compute identical names, and the second session's freshTable would
+    * delete the parquet under the first's still-live `s.table` frame —
+    * the in-JVM twin of the cross-process hazard the pid prevents). Memo
+    * tables are a few hundred rows, so orphaned dirs from ended sessions
+    * cost ~nothing and the pid GC sweeps them once the process dies. */
+  private val sessionTokens =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Int]
+  private val nextSessionToken = new java.util.concurrent.atomic.AtomicInteger(0)
+  def memoTableName(s: SparkSession, d: String, key: String): String = {
+    val tok = sessionTokens.getOrElseUpdate(s, nextSessionToken.incrementAndGet())
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"graft_memo_${key}_${hex}_p${ProcessHandle.current().pid()}"
+    s"graft_memo_${key}_${hex}_s${tok}_p${ProcessHandle.current().pid()}"
   }
 
   /** Per-key build locks: a racing double-build was harmless when memos
@@ -661,6 +670,13 @@ object SparkEntry {
     * Object twice under a race but both callers get the stored winner. */
   private val memoLocks =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Object]
+
+  /** Catalog tables created by the bucketed memo path, recorded so
+    * [[clearMemos]] can actually release them (dropping the map entry
+    * alone leaves the CacheManager pin, the catalog entry, and the
+    * warehouse dir). */
+  private val memoTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
 
   /** One warehouse sweep per session: collect memo-table dirs left by
     * dead graft processes (pid-suffixed names make "dead" checkable —
@@ -681,7 +697,8 @@ object SparkEntry {
           // pair frames) keep the checkpoint path; their lake layout is the
           // documents table's own bucketing, not the memo's
           if (bucketedMemo && built.columns.contains(SeriesFrame.SeriesId)) {
-            val table = memoTableName(d, key)
+            val table = memoTableName(s, d, key)
+            memoTables.put(k, table)
             graft.sources.LakeLayout.freshTable(s, table)
             graft.sources.LakeLayout.writeBucketed(built, table, buckets = 4)
             // cache the (few-hundred-row) table frame: InMemoryRelation
@@ -698,12 +715,23 @@ object SparkEntry {
     }
   }
 
-  /** Release the session memos for a long-lived driver: dropping the map
-    * entries unreferences the checkpointed frames, and the ContextCleaner
-    * reclaims their blocks at the next GC. (The bench/verify harnesses never
-    * need this — their sessions end; a library user embedding SparkEntry
-    * queries in a resident service does.) */
+  /** Release the session memos for a long-lived driver. Checkpointed
+    * frames release via the map drop (ContextCleaner reclaims unreferenced
+    * blocks at the next GC), but the (default) bucketed memos need the
+    * explicit path: Spark's CacheManager pins cached relations regardless
+    * of JVM references, and the catalog table + warehouse dir are durable
+    * state — so each recorded memo table is unpersisted and then DROPped
+    * (freshTable deletes the dir too; the pid GC never would, because the
+    * pid is alive). (The bench/verify harnesses never need this — their
+    * sessions end; a library user embedding SparkEntry queries in a
+    * resident service does.) */
   def clearMemos(): Unit = {
+    memoTables.foreach { case (k, table) =>
+      val s = k._1
+      seriesMemo.get(k).foreach(df => scala.util.Try(df.unpersist()))
+      scala.util.Try(graft.sources.LakeLayout.freshTable(s, table))
+    }
+    memoTables.clear()
     seriesMemo.clear(); xvarSelMemo.clear(); blockedFitMemo.clear()
     tbatsCurveMemo.clear()
   }
@@ -2294,6 +2322,78 @@ object SparkEntry {
   private def qEventsLevelShift(s: SparkSession, d: String): DataFrame =
     Events(Tables.events(s, d)).levelShifts()
 
+  /** Content-safe key for the /tmp stream fixtures: a 128-bit MD5 of the
+    * dataset dir, not `String.hashCode` — two dataset dirs must never alias
+    * to the same fixture (the [[memoTableName]] lesson applied here). */
+  private def streamKey(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Symlink-farm dir for a file-stream source over an existing dataset
+    * table. MD5-keyed per dataset dir (no aliasing), race-tolerant (two
+    * graft processes — the verify+bench side-by-side shape — may both
+    * create; a symlink to the same target is idempotent so the loser keeps
+    * the winner's), and never stale: a symlink FOLLOWS the source path, so
+    * a dataset regenerated in place serves its new bytes on the next read. */
+  private def streamLinkDir(d: String, name: String, file: String): String = {
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream_${name}_${streamKey(d)}")
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve(file)
+    try {
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$d/$file"))
+    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    dir.toString
+  }
+
+  /** Materialized-dump dir for a stream source that ingests a DERIVED
+    * frame (no source file to symlink). Unlike the symlink farms this
+    * writes real parquet, so it must solve staleness and concurrency
+    * itself: the dump carries a `_graft_src_mtime` marker recording the
+    * max mtime of the dataset dir's files at build time — a dataset
+    * regenerated in place invalidates the dump instead of being served
+    * stale forever; and the build writes to a pid-suffixed temp dir then
+    * atomically renames into place, so two concurrent graft processes
+    * can't read each other's half-written files (the loser of the rename
+    * race deletes its temp and reads the winner's dump). */
+  private def streamDumpDir(d: String, name: String)(build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(s"/tmp/graft_stream_${name}_${streamKey(d)}")
+    val srcMtime = {
+      import scala.jdk.CollectionConverters._
+      val kids = Files.list(Paths.get(d))
+      try kids.iterator().asScala
+        .map(p => Files.getLastModifiedTime(p).toMillis).foldLeft(0L)(math.max)
+      finally kids.close()
+    }
+    val marker = target.resolve("_graft_src_mtime")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == srcMtime.toString
+    if (!fresh) {
+      val tmp = Paths.get(s"$target.tmp.p${ProcessHandle.current().pid()}")
+      deleteRecursively(tmp)
+      build(tmp.toString)
+      Files.write(tmp.resolve("_graft_src_mtime"),
+        srcMtime.toString.getBytes("UTF-8"))
+      deleteRecursively(target)
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the race: the winner's dump is equivalent — use it
+        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+      }
+    }
+    target.toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+    }
+
   /** Stream-STATIC enrichment join — the third streaming join class next
     * to stream-stream (`events_stream_join`) and the stateful ops: a
     * purchase stream left-joined to a STATIC per-user dimension (first
@@ -2307,13 +2407,7 @@ object SparkEntry {
     val firstView = Tables.events(s, d).filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("fv"))
     val schema = Tables.eventsRawSchema(s, d)
-    val linkDir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(linkDir)
-    val link = linkDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val linkDir = streamLinkDir(d, "events", "events.parquet")
     val purchases = Tables.normalizeEventTs(
         s.readStream.schema(schema).parquet(linkDir.toString))
       .filter(col("event_type") === "purchase")
@@ -2347,13 +2441,7 @@ object SparkEntry {
   private def qDocStreamCurate(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.documents(s, d).schema
-    val linkDir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_docs_" + Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(linkDir)
-    val link = linkDir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val linkDir = streamLinkDir(d, "docs", "documents.parquet")
     val stream = s.readStream.schema(schema).parquet(linkDir.toString)
     val agg = TextOps.withTextStats(stream)
       .filter(col("quality") >= 0.7)
@@ -2392,14 +2480,13 @@ object SparkEntry {
     val w1 = graft.models.ProphetLike.omega(1, 12.0)
     // one-time per dataset dir: materialize the z-scored segment series as
     // a parquet directory the file-stream source can ingest (the session
-    // memo is in-memory; a stream needs files arriving in a dir)
-    val dir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_series_v1_" + Integer.toHexString(d.hashCode))
-    if (!java.nio.file.Files.exists(dir))
+    // memo is in-memory; a stream needs files arriving in a dir) — MD5
+    // keyed + freshness-checked + atomically renamed by [[streamDumpDir]]
+    val dir = streamDumpDir(d, "series_v2")(tmp =>
       zSegmentsMonthly(s, d).select(col(SeriesId), col(Ds), col(Y))
-        .write.mode("overwrite").parquet(dir.toString)
-    val schema = s.read.parquet(dir.toString).schema
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
+        .write.mode("overwrite").parquet(tmp))
+    val schema = s.read.parquet(dir).schema
+    val stream = s.readStream.schema(schema).parquet(dir)
       .withColumn("t", months_between(col(Ds), lit("1992-01-01").cast("date")))
     val betas = stream.groupBy(col(SeriesId)).agg(
       expr(s"graft_ols_fit(y, array(t, sin($w1 * t), cos($w1 * t)))").as("beta"),
@@ -2465,13 +2552,7 @@ object SparkEntry {
     import graft.functions.KmvSketch
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.eventsRawSchema(s, d)
-    val linkDir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(linkDir)
-    val link = linkDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val linkDir = streamLinkDir(d, "events", "events.parquet")
     val stream = Tables.normalizeEventTs(
       s.readStream.schema(schema).parquet(linkDir.toString))
     val agg = stream
@@ -2500,13 +2581,7 @@ object SparkEntry {
   private def qEventsStreamJoin(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.eventsRawSchema(s, d)
-    val linkDir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(linkDir)
-    val link = linkDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val linkDir = streamLinkDir(d, "events", "events.parquet")
     def readEvents(): DataFrame = Tables.normalizeEventTs(
         s.readStream.schema(schema).parquet(linkDir.toString))
       .withColumn("t", timestamp_micros(expr("ts div 1000")))
@@ -2538,13 +2613,7 @@ object SparkEntry {
   private def qSessionizeStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.eventsRawSchema(s, d)
-    val linkDir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(linkDir)
-    val link = linkDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val linkDir = streamLinkDir(d, "events", "events.parquet")
     val stream = Tables.normalizeEventTs(
       s.readStream.schema(schema).parquet(linkDir.toString))
     import s.implicits._
@@ -2574,13 +2643,7 @@ object SparkEntry {
   private def qDedupStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.eventsRawSchema(s, d)
-    val linkDir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(linkDir)
-    val link = linkDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val linkDir = streamLinkDir(d, "events", "events.parquet")
     val stream = Tables.normalizeEventTs(
         s.readStream.schema(schema).parquet(linkDir.toString))
       .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
@@ -2611,13 +2674,7 @@ object SparkEntry {
     // the file stream source only accepts a DIRECTORY; expose the single
     // events.parquet through a symlink dir (no data copy; testdata stays
     // untouched). Production streams read a landing directory anyway.
-    val linkDir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_events_" + Integer.toHexString(d.hashCode))
-    java.nio.file.Files.createDirectories(linkDir)
-    val link = linkDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val linkDir = streamLinkDir(d, "events", "events.parquet")
     val stream = Tables.normalizeEventTs(
         s.readStream.schema(schema).parquet(linkDir.toString))
       .withColumn("ts", timestamp_millis(expr("ts div 1000000")))

@@ -205,8 +205,12 @@ object GroupedOls {
         var s = 0
         while (s < h) {
           val base = stepBase + s * stepW
-          if (!r.isNullAt(base) && r.getDouble(base + 1).toInt >= lagCount) {
-            var yhat = if (beta.length == idx.length) beta(0) else Double.NaN
+          // beta is the length-1 NaN sentinel when the series has no train
+          // rows at this tier (every row holdout) — skip the step entirely;
+          // the score stays null, matching the per-candidate scorer
+          if (beta.length == idx.length &&
+              !r.isNullAt(base) && r.getDouble(base + 1).toInt >= lagCount) {
+            var yhat = beta(0)
             var i = 1
             while (i < idx.length) {
               yhat += beta(i) * r.getDouble(base + 1 + idx(i)); i += 1

@@ -503,13 +503,19 @@ object Similarity {
       val sc = signatureRows(pc, sigDims, bands, bitsPerBand)
       val sp = signatureRows(pp, sigDims, bands, bitsPerBand)
       // absolute mode: sign(c·(−v)) = −sign(c·v), so a negated vector's
-      // band signature is the BITWISE COMPLEMENT of the original (up to
-      // measure-zero exactly-0 dots, which the exact re-check absorbs) —
-      // so instead of a second full signature pass over negated probes
-      // (bands·bits·dims flops per vector, + doubled probe rows through
-      // the shuffle), key both sides on min(val, mask^val): canonical
-      // keys are equal iff the signatures agree on every plane or
-      // disagree on every plane — exactly the |cosine| candidate set
+      // band signature is the BITWISE COMPLEMENT of the original — EXCEPT
+      // when some plane dot is exactly 0.0: the `s > 0` bit is then 0 for
+      // both v and −v, canonical keys differ, and the pair is a false
+      // NEGATIVE in that band (a recall loss the exact re-check CANNOT
+      // absorb — it only removes false positives). With the rational
+      // plane coefficients and real-valued embeddings an exact-zero dot
+      // is measure-zero, and the pair is only lost if it flips the key in
+      // EVERY band — so the canonical key is kept over a second full
+      // signature pass on negated probes (bands·bits·dims flops per
+      // vector + doubled probe rows through the shuffle). Key both sides
+      // on min(val, mask^val): canonical keys are equal iff the
+      // signatures agree on every plane or disagree on every plane —
+      // the |cosine| candidate set up to the zero-dot caveat above
       val (scK, spK) = if (!absolute) (sc, sp) else {
         val mask = lit((1L << bitsPerBand) - 1)
         def canon(df: DataFrame) = df.withColumn("band_val",

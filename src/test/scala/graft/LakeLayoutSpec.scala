@@ -66,7 +66,7 @@ class LakeLayoutSpec extends SparkSpec {
       // the frame built directly on the memo pays no exchange for a
       // series-keyed window (the exchange the checkpoint path pays)
       val memoFrame = LakeLayout.readBucketed(spark,
-        SparkEntry.memoTableName(sfDir, "orders"))
+        SparkEntry.memoTableName(spark, sfDir, "orders"))
       val win = memoFrame.withColumn("d",
         col("y") - org.apache.spark.sql.functions.lag("y", 1).over(
           org.apache.spark.sql.expressions.Window

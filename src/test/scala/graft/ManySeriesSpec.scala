@@ -211,6 +211,28 @@ class ManySeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("lagPool prefix"))
   }
 
+  test("scoreFeatureSetsBySeries survives a series whose train slice is empty") {
+    // s00: 48 obs (normal); s01: 8 obs with h=12 → every row is holdout, so
+    // the train moments are null at every lag tier and beta is the NaN
+    // sentinel — the step loop must not index past it (r9 regression)
+    val rows = (0 until 48).map { t =>
+      ("s00", t, 10.0 + 0.5 * t + math.sin(t / 3.0))
+    } ++ (0 until 8).map { t => ("s01", t, 5.0 + t) }
+    val base = spark.createDataFrame(rows).toDF("series_id", "ti", "y")
+      .select(col("series_id"),
+        expr("add_months(date '2020-01-01', ti)").cast("date").as("ds"),
+        col("y"), lit(false).as("is_future"))
+    val withF = FeatureOps.addArTerms(FeatureOps.addTimeTrend(base), 2)
+    val out = graft.models.GroupedOls.scoreFeatureSetsBySeries(withF,
+      alwaysPool = Seq("t"), lagPool = Seq("ar_1", "ar_2"),
+      candidates = Seq("c0" -> Seq("t"), "c1" -> Seq("t", "ar_1", "ar_2")),
+      h = 12).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    assert(!out("s00").isNullAt(1) && !out("s00").isNullAt(2))
+    assert(out("s01").isNullAt(1) && out("s01").isNullAt(2),
+      "an all-holdout series must score null, not crash")
+  }
+
   test("GroupedOls matches per-series Ols.fit exactly") {
     val f = manySeries()
     val withFeats = graft.functions.FeatureOps.addArTerms(
