@@ -14,10 +14,25 @@ class RobustnessSpec extends SparkSpec {
       "good" -> ((s, _) => { import s.implicits._; Seq(1, 2, 3).toDF("x") }),
       "broken" -> ((s, _) => s.read.parquet("/nonexistent/graft/no_such_dir")))
     val out = Bench.runQueries(spark, "unused", qs)
-    val byName = out.map(r => r._1 -> r._3).toMap
+    val byName = out.map(r => r.name -> r.err).toMap
     assert(byName("good").isEmpty, "working query must carry no error")
     assert(byName("broken").isDefined, "broken query must surface its error class")
-    assert(out.count(_._3.isDefined) == 1)
+    assert(out.count(_.err.isDefined) == 1)
+  }
+
+  test("Bench.outliers flags unexplained walls and only those") {
+    import graft.Bench.QueryRun
+    def q(name: String, sec: Double, taskMs: Long, cpuMs: Long,
+          gcMs: Long = 0L) =
+      QueryRun(name, sec, None, 0L, taskMs, cpuMs, gcMs, 0L, 0L)
+    val healthy = q("healthy", 4.0, 100000L, 95000L)        // saturated compute
+    val stalled = q("stalled", 10.0, 8000L, 7500L)          // wall ≫ task floor
+    val blocked = q("blocked", 10.0, 200000L, 20000L)       // tasks I/O-blocked
+    val tiny = q("tiny", 0.5, 100L, 20L)                    // sub-2s noise band
+    val broken = q("broken", 10.0, 100L, 10L).copy(err = Some("Boom"))
+    val out = Bench.outliers(Seq(healthy, stalled, blocked, tiny, broken),
+      cores = 32).map(_.name)
+    assert(out.toSet === Set("stalled", "blocked"), s"got $out")
   }
 
   test("PipelineStore re-save with no feature specs clears a stale spec chain") {

@@ -3,7 +3,9 @@
 parquet under OUTDIR, run the matching oracle SQL from oracle_sql.json in
 DuckDB over the sf parquet tables, and compare (rows, schema, values).
 Values are compared after sorting columns by name and rows by all columns.
-Usage: python tools/check.py <sfDir> <outDir>
+Usage: python tools/check.py <sfDir> <outDir> [--json <path>]
+With --json, also writes a machine-readable summary
+{"passed": n, "total": n, "failed": [names]} for the both-SF gate artifact.
 """
 import json, sys, glob, os
 import duckdb
@@ -11,6 +13,8 @@ import pandas as pd
 import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+json_out = sys.argv[sys.argv.index("--json") + 1] if "--json" in sys.argv else None
+passed_names = []
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
@@ -70,6 +74,11 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"FAIL {name}: compare error {e}"); fails += 1; continue
     print(f"PASS {name} ({len(mine)} rows)")
+    passed_names.append(name)
 
 print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+if json_out:
+    failed_names = sorted(set(oracle) - set(passed_names))
+    json.dump({"passed": len(oracle) - fails, "total": len(oracle),
+               "failed": failed_names}, open(json_out, "w"))
 sys.exit(1 if fails else 0)
