@@ -66,16 +66,32 @@ object Dedup {
       else shAll
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
-    // Explicit full-width repartition on the join key: user-specified
-    // repartitions are exempt from AQE's byte-based coalescing, so the
-    // row-exploding self-join keeps its width regardless of config (the
-    // plain window exchange above is NOT exempt — ADVICE r4). All three
-    // consumers below (both self-join sides + the sizes aggregate) read
-    // byte-identical subplans, so ReusedExchangeExec materializes the
-    // shuffle ONCE and no cache/checkpoint storage is held at all — zero
-    // accrual across repeated dedup calls in one session.
+    // Explicit full-width repartition on the join key (user repartitions
+    // are exempt from AQE's byte-based coalescing, so the row-exploding
+    // self-join keeps its width regardless of config — ADVICE r4), then
+    // the capped index MATERIALIZES ONCE as a lazy DISK_ONLY local
+    // checkpoint that all four consumers (both self-join sides + the two
+    // sizes reads) scan as existing blocks. The previous shape relied on
+    // byte-identical subplans collapsing into one ReusedExchange — which
+    // holds over parquet scans but NOT over a persisted input: AQE's
+    // stage cache does not deduplicate exchanges whose subtree contains a
+    // cached relation (TableCacheQueryStage), so the 2M-doc scale point
+    // re-ran the scan→shingle-explode→df-window lineage FOUR times and
+    // each copy spilled its map-side sort (13.3 GB mem + 5.7 GB disk vs
+    // 8.8 GB of shuffle — the round-9 "pair sort" flag, actually the
+    // quadruplicated index build). The checkpoint preserves the
+    // repartition's hash(shingle) distribution (LogicalRDD carries
+    // outputPartitioning), so the self-join still plans with no further
+    // exchange; DISK_ONLY keeps the blocks out of the unified pool the
+    // join sorts need (the r9 BlockedVar lesson). Blocks free when the
+    // frame is unreferenced — no accrual across calls.
     val sh = capped.repartition(nPart, col("shingle"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // per-doc capped sizes: aggregated once from the checkpointed blocks
+    // and materialized the same way — the two renamed consumers below
+    // would otherwise each re-scan the full index
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -109,8 +125,12 @@ object Dedup {
       else uni
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
+    // one materialization for the four consumers — same persisted-input
+    // exchange-reuse failure (and fix) as [[jaccardPairs]]
     val sh = capped.repartition(nPart, col("shingle"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy("_side", "doc").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val inter = sh.filter(col("_side") === "l").as("a")
       .hint("shuffle_hash")
       .join(sh.filter(col("_side") === "r").as("b"),
@@ -189,15 +209,24 @@ object Dedup {
     val r = index.sparkSession.conf.get(PairSaltKey, "1").toInt
     val nPart = index.sparkSession.sessionState.conf.numShufflePartitions
     if (r <= 1) {
+      // materialized once for both self-join sides: exchange reuse does
+      // NOT hold over persisted inputs (see [[jaccardPairs]]) — without
+      // the checkpoint a cached source re-runs the full fingerprint
+      // lineage per side
       val ix = index.repartition(nPart, col(keyCol))
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       ix.as("a").hint("shuffle_hash").join(ix.as("b"),
           col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc") < col("b.doc"))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
     } else {
-      val probe = index.withColumn("_salt",
+      // probe and build derive DIFFERENT frames, so they can't share one
+      // exchange — checkpoint the incoming index once instead
+      val ixSrc = index
+        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val probe = ixSrc.withColumn("_salt",
           pmod(TextOps.hash32(col("doc").cast("string")), lit(r.toLong)))
         .repartition(nPart, col(keyCol), col("_salt"))
-      val build = index.withColumn("_salt",
+      val build = ixSrc.withColumn("_salt",
           explode(sequence(lit(0L), lit(r.toLong - 1))))
         .repartition(nPart, col(keyCol), col("_salt"))
       probe.as("a").hint("shuffle_hash").join(build.as("b"),
@@ -405,6 +434,55 @@ object Dedup {
       .select(col("doc"),
         (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce((x, y) => x + y).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by Hamming distance ≤ `maxDist` over a 64-bit
+    * signature held as two NON-NEGATIVE 32-bit words (hi = bits 63..32,
+    * lo = bits 31..0) — the carrier
+    * [[graft.operators.Multimodal.imageDHash]] emits (split words keep
+    * every value a plain small BIGINT on any engine; a packed 64-bit
+    * value goes negative past bit 62 and sign semantics diverge). Same
+    * pigeonhole band-blocking as [[simhashPairs]]: `maxDist + 1` bands
+    * over the global bit range, so a pair within the distance agrees
+    * exactly on ≥ 1 band and the equi-join on (band, band_val) generates
+    * every true pair; exact bit_count re-check filters. A band straddling
+    * the word boundary assembles from both words with non-negative
+    * shift/mask/add only, so a SQL oracle replays band values with plain
+    * integer arithmetic. Null words (undecodable payloads upstream) are
+    * excluded — they have no pixel signal to pair on. */
+  def hammingPairs64(sig: DataFrame, docCol: String, hiCol: String,
+                     loCol: String, maxDist: Int): DataFrame = {
+    val bands = maxDist + 1
+    require(bands >= 2 && bands <= 64, "maxDist must be in [1, 63]")
+    val sh = sig.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(docCol).as("doc"), col(hiCol).cast("long").as("_hi"),
+        col(loCol).cast("long").as("_lo"))
+      .localCheckpoint(false)
+    def mask(n: Int): Long = if (n >= 63) Long.MaxValue else (1L << n) - 1
+    val bandCols = (0 until bands).map { b =>
+      val s = b * 64 / bands
+      val e = (b + 1) * 64 / bands
+      if (e <= 32)
+        shiftrightunsigned(col("_lo"), s).bitwiseAND(lit(mask(e - s)))
+      else if (s >= 32)
+        shiftrightunsigned(col("_hi"), s - 32).bitwiseAND(lit(mask(e - s)))
+      else // straddles the word boundary: low part from _lo, high from _hi
+        shiftrightunsigned(col("_lo"), s).bitwiseAND(lit(mask(32 - s))) +
+          col("_hi").bitwiseAND(lit(mask(e - 32))) * lit(1L << (32 - s))
+    }
+    val banded0 = sh.select(col("doc"), col("_hi"), col("_lo"),
+        posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val banded = pinIfExploding(banded0, sh.count() * bands,
+      Seq(col("band"), col("band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        (bit_count(col("a._hi").bitwiseXOR(col("b._hi"))) +
+          bit_count(col("a._lo").bitwiseXOR(col("b._lo")))).cast("long").as("hamming"))
+      .distinct() // pairs can share several bands
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist, via

@@ -52,22 +52,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected all-pairs plans: $offenders")
   }
 
-  test("fingerprint pairs self-join is a shuffle join over one reused exchange") {
+  test("fingerprint pairs self-join reads ONE materialized index, no broadcast") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, sfDir)
     val df = Dedup.fingerprintPairs(docs, "doc_id", "text",
       minShared = 50, maxDocFreq = 100)
-    // AQE applies exchange reuse at runtime, and count() would build a
-    // SEPARATE QueryExecution — execute THIS plan, then inspect it final
+    // AQE finalizes at runtime, and count() would build a SEPARATE
+    // QueryExecution — execute THIS plan, then inspect it final
     val ep = df.queryExecution.executedPlan
     ep.execute().count()
     val s = ep.toString
     assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"),
       "the df-capped self-join must not broadcast (a BroadcastExchange " +
         "build side re-runs the whole winnow lineage)")
-    assert(s.contains("ReusedExchange"),
-      "both self-join sides must read ONE materialized exchange")
+    // the index materializes ONCE (DISK_ONLY local checkpoint — exchange
+    // reuse does not survive cached inputs, see Dedup.jaccardPairs) and
+    // both sides scan the existing blocks: the winnow lineage (its
+    // Generate node) must not appear in the pairs plan at all
+    assert(s.contains("ExistingRDD"),
+      "both self-join sides must scan the one checkpointed index")
+    assert(!s.contains("Generate"),
+      "the fingerprint lineage must run once, inside the checkpoint")
   }
 
   test("bloom decontamination probes BEFORE the pair-join exchange") {

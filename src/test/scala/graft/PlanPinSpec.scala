@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Executed-shuffle pins for the priciest committed queries: wall-time
+  * regressions on a shared VM are noise (the r9/r10 contention records),
+  * but the number of shuffle-map stages a query MATERIALIZES is a
+  * deterministic plan-shape signal — a new exchange (lost reuse, a
+  * broadcast that fell back to shuffle, a checkpoint that stopped
+  * covering a branch) shows up here as +1 regardless of host weather.
+  *
+  * Counting SUBMITTED shuffle-map stages across ALL jobs the query runs
+  * (driver-sequenced optimizer loops included, which a plan-string pin of
+  * the returned frame would miss); AQE-reused stages are not resubmitted,
+  * so the count is "exchanges actually materialized". Bounds are UPPER
+  * bounds measured at sf0.001 with a small headroom for AQE's size-based
+  * join choices — a real regression (the round-10 find: the jaccard
+  * index lineage silently running 4×) moves the count by far more. */
+class PlanPinSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (query, max shuffle-map stages) — the committed-bench top cost tier,
+    * streaming queries excluded (their stage accounting spans triggers). */
+  private val pins: Seq[(String, Int)] = Seq( // measured r10 + ~25% headroom
+    "emb_knn_ivf" -> 21,                      // 17
+    "doc_curation_audit" -> 16,               // 13
+    "doc_curation_chain" -> 12,               // 9
+    "mv_blocked_dynamic" -> 32,               // 26
+    "ts_opt_transform" -> 10,                 // 8
+    "ts_auto_xvar" -> 38,                     // 32
+    "doc_dedup_incremental" -> 15,            // 12
+    "ts_opt_transform_by_series" -> 13,       // 10
+    "ts_reconcile" -> 18,                     // 14
+    "doc_fingerprint_pairs" -> 6,             // 4
+    "doc_neardup_cosine" -> 6,                // 4
+    "emb_knn_pq" -> 6)                        // 4
+
+  /** Completed stages that actually WROTE shuffle bytes — the marker for
+    * "an exchange materialized data" (StageInfo.shuffleDepId is
+    * private[spark]; a 0-byte map stage costs nothing at scale, so the
+    * bytes-moved formulation is the signal worth pinning anyway). */
+  private final class StageCounter extends SparkListener {
+    val shuffleStages = new java.util.concurrent.atomic.AtomicInteger
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      if (s.stageInfo.taskMetrics != null &&
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten > 0)
+        shuffleStages.incrementAndGet()
+  }
+
+  test("materialized shuffle-stage counts stay pinned on the top queries") {
+    // deterministic memo state regardless of which suites ran first in
+    // this JVM: build the shared series memos up front so their stages
+    // never attribute to whichever pinned query runs first
+    SparkEntry.clearMemos()
+    SparkEntry.prewarmMemos(spark, sfDir)
+    val counts = pins.map { case (name, bound) =>
+      val c = new StageCounter
+      spark.sparkContext.addSparkListener(c)
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        Thread.sleep(400) // listener delivery is async; let the bus settle
+        (name, c.shuffleStages.get, bound)
+      } finally spark.sparkContext.removeSparkListener(c)
+    }
+    counts.foreach { case (n, c, b) => info(f"$n%-28s $c%3d (pin $b)") }
+    val over = counts.collect { case (n, c, b) if c > b =>
+      s"$n materialized $c shuffle stages > pinned $b" }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+}
