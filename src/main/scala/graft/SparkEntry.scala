@@ -87,6 +87,8 @@ object SparkEntry {
     "doc_simhash_pairs"  -> ((s, d) => qSimhashPairs(s, d)),
     "doc_multimodal"     -> ((s, d) => qMultimodal(s, d)),
     "doc_multimodal_real" -> ((s, d) => qMultimodalReal(s, d)),
+    "doc_image_phash"    -> ((s, d) => qImagePhash(s, d)),
+    "doc_image_phash_pairs" -> ((s, d) => qImagePhashPairs(s, d)),
     "emb_knn"            -> ((s, d) => qEmbKnn(s, d)),
     "emb_knn_lsh"        -> ((s, d) => qEmbKnnLsh(s, d)),
     "emb_lsh_buckets"    -> ((s, d) => qEmbLshBuckets(s, d)),
@@ -1317,6 +1319,44 @@ object SparkEntry {
       .select(col("doc_id"), col("width"), col("height"), col("duration_ms"),
         col("target_width"), col("target_height"))
   }
+
+  /** Pixel-level image fingerprinting end to end — the signal the header
+    * tier can't give (image near-dup needs pixels, not container dims):
+    * every doc gets a REAL 18×16 PNG via `javax.imageio` (planted
+    * grayscale = the md5-prefix recipe over (src, x, y); doc_id%10==5
+    * reuses its predecessor's pixels EXACTLY, %10==9 reuses them with the
+    * top-left 2×2 block brightened — planted exact / ≤1-bit-near
+    * duplicates), then [[graft.operators.Multimodal.imageDHash]] decodes
+    * the PNG back and computes the 64-bit difference hash with
+    * integer-only grayscale/box-average/gradient steps. The oracle
+    * recomputes the hash from the SAME planted pixels in SQL — any
+    * encode/decode asymmetry, resample drift, or bit-packing slip breaks
+    * the hash match. PNG is lossless, so decode(encode(px)) == px and the
+    * pure-SQL replay is exact. */
+  private def qImagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
+        (id, Multimodal.PlantedImages.pngBytes(src, 18, 16,
+          brighten = id % 10 == 9))
+      }).toDF("doc_id", "payload")
+    Multimodal.imageDHash(payloads)
+      .select(col("doc_id"), col("img_w"), col("img_h"),
+        col("dh_hi"), col("dh_lo"))
+  }
+
+  /** Image near-duplicate pairs: Hamming ≤ 3 over the 64-bit dHash via
+    * the pigeonhole banded equi-join
+    * ([[graft.operators.Dedup.hammingPairs64]] — 4 bands × 16 bits, a
+    * pair within distance 3 must agree exactly on ≥ 1 band; no cross
+    * join anywhere). Finds the planted exact copies (distance 0) and the
+    * brightened near-copies (distance ≤ 1); with ~random 64-bit hashes
+    * elsewhere, expected false candidates are C(n,2)·4/2¹⁶ and every one
+    * is removed by the exact bit_count re-check. Oracle replays the
+    * banding + re-check in SQL over the replayed hashes. */
+  private def qImagePhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs64(qImagePhash(s, d), "doc_id", "dh_hi", "dh_lo", 3)
 
   /** Embedding-cosine near-duplicate pairs over deterministic char-trigram
     * embeddings (the docs near-dup path when no learned embedding exists):
@@ -2786,6 +2826,35 @@ object SparkEntry {
       |series AS (SELECT base.series_id, ds, (y - mu) / sd AS y
       |           FROM base JOIN zp USING (series_id))""".stripMargin
 
+  /** SQL replay of [[qImagePhash]]: planted pixels → 2×2 box-average grid
+    * → dHash words. Shared verbatim by the phash and phash-pairs oracles
+    * (the pairs oracle nests it as a CTE). */
+  private val imagePhashSql =
+    """WITH ids AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 IN (5, 9) THEN doc_id - 1 ELSE doc_id END AS src,
+      |    (doc_id % 10 = 9) AS br FROM documents),
+      |px AS (
+      |  SELECT i.doc_id, x.x, y.y,
+      |    CASE WHEN i.br AND x.x < 2 AND y.y < 2
+      |      THEN least(255, CAST(concat('0x', substr(md5(i.src || '_' || x.x || '_' || y.y), 1, 15)) AS BIGINT) % 256 + 64)
+      |      ELSE CAST(concat('0x', substr(md5(i.src || '_' || x.x || '_' || y.y), 1, 15)) AS BIGINT) % 256
+      |    END AS g
+      |  FROM ids i, range(18) x(x), range(16) y(y)),
+      |grid AS (
+      |  SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
+      |    CAST(SUM(g) // 4 AS BIGINT) AS v
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, a.gy * 8 + a.gx AS b,
+      |    CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM grid a JOIN grid n
+      |    ON n.doc_id = a.doc_id AND n.gy = a.gy AND n.gx = a.gx + 1
+      |  WHERE a.gx < 8)
+      |SELECT doc_id, CAST(18 AS BIGINT) AS img_w, CAST(16 AS BIGINT) AS img_h,
+      |  CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS dh_hi,
+      |  CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS dh_lo
+      |FROM bits GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_build_monthly" ->
       s"$S SELECT series_id, ds, y, FALSE AS is_future FROM series",
@@ -3901,6 +3970,35 @@ object SparkEntry {
         |  CAST(floor(width * scale) AS BIGINT) AS target_width,
         |  CAST(floor(height * scale) AS BIGINT) AS target_height
         |FROM sc""".stripMargin,
+
+    // dHash replay from the planted pixels: PNG is lossless so the Spark
+    // side's decode(encode(px)) == px, and every post-decode step is
+    // integer arithmetic. Grid mean: Spark sums all 3 RGB channels and
+    // divides by 3·count — floor((3·Σg)/(3·cnt)) == Σg // cnt, the SQL
+    // form. Bit b (= gy·8+gx) set iff grid(gx+1,gy) > grid(gx,gy);
+    // words: hi = bits 63..32, lo = 31..0, both non-negative BIGINTs.
+    "doc_image_phash" -> imagePhashSql,
+
+    // banding replay: 4 bands × 16 bits over (hi, lo) — band 0 = lo%2^16,
+    // 1 = lo//2^16, 2 = hi%2^16, 3 = hi//2^16 (= hammingPairs64's global
+    // bit ranges at maxDist 3) — then the exact bit_count re-check
+    "doc_image_phash_pairs" ->
+      s"""WITH ph AS ($imagePhashSql),
+        |banded AS (
+        |  SELECT doc_id, dh_hi, dh_lo, b.band,
+        |    CASE b.band WHEN 0 THEN dh_lo % 65536
+        |      WHEN 1 THEN dh_lo // 65536
+        |      WHEN 2 THEN dh_hi % 65536
+        |      ELSE dh_hi // 65536 END AS band_val
+        |  FROM ph, range(4) b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.dh_hi, b.dh_hi)) +
+        |         bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
 
     "emb_knn" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS v,

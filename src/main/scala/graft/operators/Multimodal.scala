@@ -364,6 +364,117 @@ object Multimodal {
       }
   }
 
+  /** Deterministic planted grayscale images for the pixel-level tier's
+    * fixtures: pixel (x, y) of source id `src` is the md5-prefix long of
+    * "src_x_y" mod 256 (the engine-portable hash recipe every oracle
+    * replays), written into a real PNG through `javax.imageio` — PNG is
+    * lossless, so a decoder recovers the planted bytes exactly and a SQL
+    * oracle can recompute any pure function of them. */
+  object PlantedImages {
+    def gray(src: Long, x: Int, y: Int): Int =
+      (FakeDecoder.h60(FakeDecoder.md5Hex(
+        s"${src}_${x}_${y}".getBytes("UTF-8"))) % 256L).toInt
+
+    /** PNG bytes of the w×h planted image for `src`; with `brighten`, the
+      * top-left 2×2 block is lifted by +64 (saturating) — a one-grid-cell
+      * perturbation that moves the [[imageDHash]] by ≤ 1 bit, the planted
+      * near-duplicate. */
+    def pngBytes(src: Long, w: Int, h: Int, brighten: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var g = gray(src, x, y)
+          if (brighten && x < 2 && y < 2) g = math.min(255, g + 64)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** 64-bit difference hash (dHash) per image — the pixel-level signal the
+    * header tier can't give: image NEAR-duplicates (rescale, recompress,
+    * small edits) keep a small Hamming distance while exact byte dedup
+    * sees unrelated blobs. Decode is REAL (`javax.imageio`: PNG/JPEG/GIF,
+    * pure JVM, one reader per partition via mapPartitions); every step
+    * after decode is deterministic INTEGER arithmetic so a planted-pixel
+    * oracle can replay the hash value exactly:
+    *
+    *  - grayscale g = (r + g + b) / 3 (integer division);
+    *  - box-average downscale to a 9×8 grid: grid cell (X, Y) averages the
+    *    source rect [X·w/9, (X+1)·w/9) × [Y·h/8, (Y+1)·h/8) (floor
+    *    bounds, integer-division mean) — a self-owned resample, NOT
+    *    `Graphics2D.drawImage`, whose interpolation is implementation-
+    *    defined and would make the hash unreplayable;
+    *  - bit Y·8+X set iff grid(X+1, Y) > grid(X, Y) (brightness gradient
+    *    sign — invariant to global brightness/contrast shifts).
+    *
+    * Output `(doc, img_w, img_h, dh_hi, dh_lo)` with the hash split into
+    * two non-negative 32-bit words (bits 63..32 / 31..0) so both engines
+    * compare plain BIGINTs with no sign edge. Undecodable payloads yield
+    * null words (kept, not dropped — a curation pass wants to SEE them).
+    * Hamming pairs ride the existing banded machinery
+    * ([[graft.operators.Dedup.hammingPairs64]]). */
+  def imageDHash(df: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) if im.getWidth >= 9 && im.getHeight >= 8 =>
+              val w = im.getWidth; val h = im.getHeight
+              val grid = Array.ofDim[Int](8, 9)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 9) {
+                  val x0 = xx * w / 9; val x1 = (xx + 1) * w / 9
+                  val y0 = yy * h / 8; val y1 = (yy + 1) * h / 8
+                  var sum = 0L; var n = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val rgb = im.getRGB(x, y)
+                      sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                      n += 3; x += 1
+                    }
+                    y += 1
+                  }
+                  grid(yy)(xx) = (sum / n).toInt
+                  xx += 1
+                }
+                yy += 1
+              }
+              var hash = 0L
+              var b = 0
+              while (b < 64) {
+                val gy = b / 8; val gx = b % 8
+                if (grid(gy)(gx + 1) > grid(gy)(gx)) hash |= (1L << b)
+                b += 1
+              }
+              (id, w.toLong, h.toLong,
+                Some(hash >>> 32), Some(hash & 0xffffffffL))
+            case _ => (id, 0L, 0L, None: Option[Long], None: Option[Long])
+          }
+        }
+      }.toDF(idCol, "img_w", "img_h", "dh_hi", "dh_lo")
+  }
+
   /** Resize plan: target dimensions bounded by `maxDim` with aspect ratio
     * preserved — pure Column math over the decoded metadata (the pixel
     * resample itself belongs in the decode kernel; this is the part the
