@@ -386,13 +386,73 @@ object BenchScale {
       ev.unpersist(blocking = true)
       line
     }
-    val out = s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}],"event_points":[${eventPoints.mkString(",")}]}"""
+    // ANN recall battery (SPARK_GRAFT_SCALE_ANN=<n1,n2,…> to enable): a
+    // real ANN tier is graded by recall@k vs probe budget, not just by
+    // full-probe==brute-force equality. Clustered fixture (points jittered
+    // around nClusters hash centers — the regime IVF cells are FOR; on
+    // uniform data every cell boundary cuts true neighbor sets and recall
+    // curves are meaninglessly flat). Ground truth per point: ivfKnn with
+    // nProbe = nCells, which degenerates to exact brute force.
+    val annSizes = envSizes("SPARK_GRAFT_SCALE_ANN", Seq.empty, active = true)
+    val annPoints = annSizes.map { n =>
+      import graft.operators.Similarity
+      sizePartitions(n)
+      val dims = 32; val nCells = 64; val k = 10; val nQueries = 64
+      val emb = materialize(syntheticEmbeddings(spark, n, dims, nCells))
+      val qf = col("vid") < nQueries
+      def recall(approx: DataFrame, truth: DataFrame): Double = {
+        val t = truth.select("query_id", "neighbor_id").localCheckpoint(true)
+        val hits = approx.select("query_id", "neighbor_id")
+          .join(t, Seq("query_id", "neighbor_id"), "left_semi").count()
+        hits.toDouble / t.count()
+      }
+      val truth = Similarity.ivfKnn(emb, "vec_id", "embedding", k,
+        nCells, nProbe = nCells, queryFilter = qf).localCheckpoint(true)
+      val curves = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+      Seq(1, 2, 4, 8).foreach { p =>
+        val t0 = System.nanoTime()
+        val r = recall(Similarity.ivfKnn(emb, "vec_id", "embedding", k,
+          nCells, nProbe = p, queryFilter = qf), truth)
+        curves += ((s"ivf_probe$p", r, (System.nanoTime() - t0) / 1e9))
+      }
+      Seq(16, 64, 256).foreach { c =>
+        val t0 = System.nanoTime()
+        val r = recall(Similarity.pqKnn(emb, "vec_id", "embedding", k,
+          m = 8, kStar = 16, nCand = c, queryFilter = qf), truth)
+        curves += ((s"pq_cand$c", r, (System.nanoTime() - t0) / 1e9))
+      }
+      emb.unpersist(blocking = true)
+      val cj = curves.map { case (nm, r, s) =>
+        f""""$nm":{"recall":$r%.4f,"sec":$s%.3f}""" }.mkString(",")
+      val line = s"""{"n_vecs":$n,"dims":$dims,"n_cells":$nCells,"k":$k,"n_queries":$nQueries,"curves":{$cj}}"""
+      System.err.println(s"[bench_scale] ann $line")
+      line
+    }
+    val out = s"""{"metric":"bench_scale","unit":"sec","n_obs":$nObs,"points":[${points.mkString(",")}],"corpus_points":[${corpusPoints.mkString(",")}],"event_points":[${eventPoints.mkString(",")}],"ann_points":[${annPoints.mkString(",")}]}"""
     println(out)
     // same truncation-proof file record as graft.Bench
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_scale_last.json"), (out + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  /** Clustered synthetic embeddings: `n` unit-normalizable vectors in
+    * `dims` dims, each jittered (±0.04) around one of `nClusters` hash
+    * centers (cluster = vec_id % nClusters) — the locality structure ANN
+    * probing exploits. Pure column arithmetic, no UDFs. */
+  def syntheticEmbeddings(spark: SparkSession, n: Long, dims: Int,
+                          nClusters: Int): DataFrame = {
+    def noise(key: org.apache.spark.sql.Column, tag: String) =
+      (pmod(xxhash64(concat_ws("_", key, lit(tag))), lit(1000L))
+        .cast("double") / 1000.0) - 0.5
+    val cl = pmod(col("id"), lit(nClusters.toLong))
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), i =>
+        noise(concat_ws("_", cl, i.cast("string")), "c") +
+          lit(0.08) * noise(concat_ws("_", col("id"), i.cast("string")), "j"))
+        .as("embedding"))
   }
 
   /** Synthetic behavioral events: nEvents rows over nEvents/50 users,
