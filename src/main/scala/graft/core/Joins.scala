@@ -37,4 +37,24 @@ object Joins {
         val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
         if (thr > 0 && est <= BigInt(thr) * EstimateSlack) broadcast(df) else df
     }
+
+  /** [[maybeBroadcast]] for build sides whose past-the-gate fallback must
+    * be a shuffled HASH join, not sort-merge: the probe side at these call
+    * sites is a massive keyed stream (e.g. one span-window row per corpus
+    * token) whose SMJ sort is pure overhead — the 2×10⁶-doc dup_spans
+    * point spilled 7.5 GB against 0.7 GB of shuffle entirely in that sort.
+    * Hinting shuffle_hash on the build side keeps the probe unsorted; the
+    * build (duplicated-window keys, ≪ probe) hashes per task. When the
+    * gate broadcasts, the broadcast hint wins and no shuffle exists at
+    * all. */
+  def maybeBroadcastElseHash(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ModeKey, "auto") match {
+      case "broadcast" => broadcast(df)
+      case "shuffle"   => df.hint("shuffle_hash")
+      case _ =>
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        if (thr > 0 && est <= BigInt(thr) * EstimateSlack) broadcast(df)
+        else df.hint("shuffle_hash")
+    }
 }

@@ -344,18 +344,31 @@ object Dedup {
     * suffix-array constructions that need global sorts. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                minTokens: Int, minOccurrences: Int = 2): DataFrame = {
-    val st = spanStarts(df, idCol, textCol, minTokens)
-    // Duplicated-window set via ONE hash aggregate keyed by h: map-side
-    // combine collapses a hot window's occurrences inside each task, so an
-    // adversarial corpus (one window repeated 10⁶×) costs a counter, not a
-    // buffered hot partition — the reason this is an aggregate + semi-join
-    // rather than a count WINDOW (which shuffles every row uncombined and
-    // sorts the hot key into one task). The set is tiny for real corpora →
-    // size-gated broadcast makes the probe shuffle-free; past the gate AQE
-    // plans the join from runtime sizes.
+    // Window-hash rows exchanged on h ONCE and materialized (lazy
+    // DISK_ONLY localCheckpoint, the [[jaccardPairs]] pattern), feeding
+    // both the count aggregate and the probe join from the same
+    // hash-partitioned blocks. Two problems die together: (a) the
+    // aggregate plans in COMPLETE mode — window hashes are ~unique, so a
+    // map-side partial aggregate combines nothing yet builds a per-task
+    // hash map over every distinct key, and at the 2×10⁶-doc point (fat
+    // 3M-key map tasks) that map outgrew the task execution share and
+    // spilled 7.5 GB against 0.7 GB of shuffle; (b) over a persisted
+    // input the probe join cannot reuse the aggregate's exchange (AQE's
+    // cached-relation reuse failure), so without the checkpoint the
+    // explode lineage + exchange run twice. A hot window still costs a
+    // counter, not a buffered partition: it collapses inside the ONE
+    // final aggregate task that owns its key (vs a count WINDOW, which
+    // buffers the hot key's rows in one task).
+    val st = spanStarts(df, idCol, textCol, minTokens).repartition(col("h"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dupH = st.groupBy("h").agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= minOccurrences).select("h")
-    val dup = st.join(graft.core.Joins.maybeBroadcast(dupH), Seq("h"), "left_semi")
+    // tiny for real corpora → size-gated broadcast keeps the probe
+    // shuffle-free; past the gate the fallback is a shuffled HASH join
+    // (never sort-merge: the probe is one row per corpus token, and both
+    // its exchange — already partitioned by h — and the build's collapse
+    // into ReusedExchange on the parquet path)
+    val dup = st.join(graft.core.Joins.maybeBroadcastElseHash(dupH), Seq("h"), "left_semi")
     // gaps-and-islands on COVERAGE: a start at pos covers [pos, pos+m−1], so
     // starts p, q (p<q) overlap iff q − p < m. Both window functions use the
     // same (doc, pos) spec → one shuffle + sort.
@@ -391,6 +404,12 @@ object Dedup {
     // (DataFrame.drop-by-name removes EVERY column with that name)
     val st = spanStarts(df, idCol, textCol, minTokens)
       .withColumnRenamed("doc", "_sds_doc")
+      // exchanged on h once and checkpointed, for the same reasons as
+      // [[dupSpans]]: the aggregate plans COMPLETE (no uncombining
+      // partial hash map to spill) and the probe join consumes the same
+      // materialized blocks instead of re-running the explode + exchange
+      .repartition(col("h"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // per duplicated window: its canonical (first) occurrence — the same
     // hot-key-immune aggregate + gated-broadcast shape as [[dupSpans]];
     // struct min is lexicographic (doc, pos), i.e. corpus order
@@ -399,7 +418,7 @@ object Dedup {
         min(struct(col("_sds_doc"), col("pos"))).as("_c"))
       .filter(col("_cnt") >= 2)
       .select(col("h"), col("_c._sds_doc").as("_cdoc"), col("_c.pos").as("_cpos"))
-    val ncs = st.join(graft.core.Joins.maybeBroadcast(canon), Seq("h"))
+    val ncs = st.join(graft.core.Joins.maybeBroadcastElseHash(canon), Seq("h"))
       .filter(!(col("_sds_doc") === col("_cdoc") && col("pos") === col("_cpos")))
     val spans = ncs
       .withColumn("_grp",
