@@ -333,9 +333,15 @@ object BenchScale {
     // (~50 MB peak sort) leaves slack under the guarantee, so the
     // measurement is reproducible; small points stay at cpus so the
     // measured floor doesn't move.
+    // cap raised 1024 → 8192 for the 4th corpus decade (2×10⁷ docs ≈ 10⁹
+    // shingle rows): at 1024 the cap silently re-fattened tasks to 10⁶
+    // rows — 8× the sizing law, the exact rot class the ladder exists to
+    // catch. 8K partitions is nothing to the scheduler (~2×10⁵ task
+    // launches over the tier) and the serialized sort writer emits one
+    // data+index file per MAP task regardless of reduce width.
     def sizePartitions(rows: Long): Unit = spark.conf.set(
       "spark.sql.shuffle.partitions",
-      math.max(cpus.toLong, math.min(1024L, rows / 125000L)).toString)
+      math.max(cpus.toLong, math.min(8192L, rows / 125000L)).toString)
     // Materialize the generated input once so op timings exclude
     // generation — DISK_ONLY, not localCheckpoint: a MEMORY_AND_DISK
     // input at the 10⁶ point (~7 GB, never fits) raced the window sorts
@@ -420,6 +426,16 @@ object BenchScale {
         val r = recall(Similarity.pqKnn(emb, "vec_id", "embedding", k,
           m = 8, kStar = 16, nCand = c, queryFilter = qf), truth)
         curves += ((s"pq_cand$c", r, (System.nanoTime() - t0) / 1e9))
+      }
+      // residual codes at the SAME budgets: the raw-PQ collapse
+      // (recall ≈ nCand/clusterSize, the tie-break lottery) vs the
+      // IVFADC fix, measured side by side
+      Seq(16, 64, 256).foreach { c =>
+        val t0 = System.nanoTime()
+        val r = recall(Similarity.ivfPqKnn(emb, "vec_id", "embedding", k,
+          nCells = nCells, nProbe = 2, m = 8, kStar = 16, nCand = c,
+          queryFilter = qf), truth)
+        curves += ((s"ivfpq_probe2_cand$c", r, (System.nanoTime() - t0) / 1e9))
       }
       emb.unpersist(blocking = true)
       val cj = curves.map { case (nm, r, s) =>

@@ -140,6 +140,7 @@ object SparkEntry {
     "doc_token_counts"   -> ((s, d) => qDocTokenCounts(s, d)),
     "emb_knn_ivf"        -> ((s, d) => qEmbKnnIvf(s, d)),
     "emb_knn_pq"         -> ((s, d) => qEmbKnnPq(s, d)),
+    "emb_knn_ivfpq"      -> ((s, d) => qEmbKnnIvfPq(s, d)),
     "ts_stat_transform"  -> ((s, d) => qStatTransform(s, d)),
     "ts_best_length"     -> ((s, d) => qBestLength(s, d)),
     "ts_auto_arima"      -> ((s, d) => qAutoArma(s, d)),
@@ -1497,6 +1498,22 @@ object SparkEntry {
     val nCand = math.max(512L, emb.count() * 2 / 5).toInt
     Similarity.pqKnn(emb, "vec_id", "embedding",
         3, nCand = nCand, queryFilter = col("vid") < 50)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-PQ (residual codes) at full probe + full pool — exact, so the
+    * brute-force SQL oracles the whole two-level machinery (driver-local
+    * coarse quantizer, residual subspace codebooks, per-(query,cell)
+    * LUTs, cell-gated ADC scan, exact re-rank). The speed path's recall
+    * advantage over raw-vector PQ on clustered data is pinned by
+    * ExactPropertySpec's A/B and measured in BENCH_SCALE ann_points. */
+  private def qEmbKnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // full pool sized from the corpus (the emb_knn_pq scale-rot lesson)
+    val nCand = emb.count().toInt
+    Similarity.ivfPqKnn(emb, "vec_id", "embedding", 3,
+        nCells = 8, nProbe = 8, nCand = nCand, queryFilter = col("vid") < 50)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
@@ -4528,6 +4545,23 @@ object SparkEntry {
     // PQ at a fixture-covering candidate pool re-ranks exactly, so brute
     // force is its oracle too (same argument as emb_knn_ivf below)
     "emb_knn_pq" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |ed AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ed GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.v * b.v) AS d
+        |  FROM ed a JOIN ed b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50 GROUP BY 1, 2),
+        |sims AS (SELECT qa, qb, d / (na.n * nb.n) AS sim
+        |  FROM dots JOIN nrm na ON na.vec_id = qa JOIN nrm nb ON nb.vec_id = qb),
+        |ranked AS (SELECT qa AS query_id, qb AS neighbor_id, ROUND(sim, 6) AS sim,
+        |    row_number() OVER (PARTITION BY qa ORDER BY ROUND(sim, 6) DESC, qb) AS rank
+        |  FROM sims)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // full probe + full pool ⇒ exact: identical brute-force oracle as pq/ivf
+    "emb_knn_ivfpq" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
         |    generate_subscripts(embedding, 1) AS i FROM embeddings),
         |ed AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM e),

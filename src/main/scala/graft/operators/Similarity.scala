@@ -413,6 +413,167 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** IVF-PQ ANN top-k: product quantization over RESIDUALS
+    * (`u − coarseCentroid(cell)`) instead of raw unit vectors — the
+    * operating regime [[pqKnn]] measurably cannot serve. On clustered
+    * corpora the raw-vector subspace codebooks train their centroids onto
+    * the cluster centers, every member of a cluster quantizes to the SAME
+    * code, within-cluster ADC distances go constant, and recall collapses
+    * to the tie-break lottery nCand/clusterSize (measured in
+    * BENCH_SCALE.json ann_points: 0.050 ≈ 16/312 … 0.164 ≈ 256/1562).
+    * Encoding the residual spends the code's bits on exactly the
+    * within-cluster structure the coarse quantizer removed — the
+    * IVFADC construction of Jégou/Douze/Schmid, "Product Quantization
+    * for Nearest Neighbor Search" (TPAMI 2011), §IV.
+    *
+    * Plan shape: the coarse quantizer AND the m residual codebooks are
+    * driver-local deterministic fits over one bounded hash-ordered sample
+    * ([[fitCodebook]] — no distributed KMeans round-trips); ONE typed map
+    * assigns (cell, code) per row; queries (bounded probe batch, like
+    * [[pqKnn]]) carry per-(query, probed-cell) residual LUTs in the scan
+    * closure; the posting-list scan reads 8-byte codes gated on cell
+    * membership with a bounded heap per query; only the nCand survivors
+    * fetch true vectors for the exact re-rank. `nProbe = nCells` AND
+    * `nCand ≥ n−1` degenerates to exact brute force (the ivf/pq oracle
+    * pattern). */
+  def ivfPqKnn(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               nCells: Int, nProbe: Int, m: Int = 8, kStar: Int = 16,
+               nCand: Int = 64, seed: Long = 42L,
+               queryFilter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val p = prepared(df, idCol, vecCol)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      .localCheckpoint(true)
+    val dims = p.select(size(col("u"))).head().getInt(0)
+    require(dims % m == 0, s"embedding dim $dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    // one bounded deterministic sample trains BOTH quantizer levels: the
+    // coarse centroids over full unit vectors, then the m subspace books
+    // over the sample's residuals (assignments computed driver-side)
+    val sampleN = 2048
+    val sample: Array[Array[Double]] = p
+      .select(col("u"), xxhash64(col("vid").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vid"))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfPqKnn needs at least one vector")
+    val cells = math.min(nCells, sample.length)
+    val coarse: Array[Array[Double]] = fitCodebook(sample, 0, dims, cells, seed - 1)
+    def nearestCell(u: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < cells) {
+        val c = coarse(j); var d2 = 0.0; var i = 0
+        while (i < dims) { val d = u(i) - c(i); d2 += d * d; i += 1 }
+        if (d2 < bd) { bd = d2; best = j }
+        j += 1
+      }
+      best
+    }
+    val residSample = sample.map { u =>
+      val c = coarse(nearestCell(u))
+      Array.tabulate(dims)(i => u(i) - c(i))
+    }
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => fitCodebook(residSample, s * sub, sub, kStar, seed + s))
+    // one distributed pass assigns (cell, code); the books + coarse matrix
+    // are closure-bounded (cells·d + m·kStar·d/m doubles)
+    val outSchema = StructType(p.schema.fields ++ Seq(
+      StructField("cell", IntegerType),
+      StructField("code", ArrayType(IntegerType, containsNull = false))))
+    val uIdx = p.schema.fieldIndex("u")
+    val mLocal = m; val subLocal = sub; val kStarLocal = kStar
+    val coded = p.map({ r =>
+      val u = r.getSeq[Double](uIdx).toArray
+      val cell = nearestCell(u)
+      val c = coarse(cell)
+      val code = Array.tabulate(mLocal) { s =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < kStarLocal) {
+          val b = books(s)(j); var d2 = 0.0; var i = 0
+          while (i < subLocal) {
+            val d = (u(s * subLocal + i) - c(s * subLocal + i)) - b(i)
+            d2 += d * d; i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
+        }
+        best
+      }
+      Row.fromSeq(r.toSeq ++ Seq(cell, code.toSeq))
+    })(Encoders.row(outSchema)).toDF().localCheckpoint(true)
+    val qRows = coded.filter(queryFilter).select(col("vid"), col("u")).collect()
+    require(qRows.length <= 4096,
+      s"ivfPqKnn probe batch ${qRows.length} > 4096; use cosineKnnLsh/ivfKnn for bulk all-to-all")
+    val probes = math.min(nProbe, cells)
+    // per (query, probed cell): residual LUT — lut(s)(j) = ||(q−c)_s − b_sj||²;
+    // grouped by cell so the scan touches only the queries probing a row's cell
+    val byCell: Map[Int, Array[(Any, Array[Array[Double]])]] = qRows.flatMap { r =>
+      val q = r.getSeq[Double](1).toArray
+      val cellD = coarse.take(cells).map { c =>
+        var s = 0.0; var i = 0
+        while (i < dims) { val d = q(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+      cellD.zipWithIndex.sortBy(_._1).take(probes).map { case (_, cell) =>
+        val c = coarse(cell)
+        val lut = Array.tabulate(m, kStar) { (s, j) =>
+          val b = books(s)(j); var d2 = 0.0; var i = 0
+          while (i < sub) { val d = (q(s * sub + i) - c(s * sub + i)) - b(i); d2 += d * d; i += 1 }
+          d2
+        }
+        (cell, (r.get(0), lut))
+      }
+    }.groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+    val vidField = coded.schema.fields(coded.schema.fieldIndex("vid"))
+    val candSchema = StructType(Seq(vidField.copy(name = "qvid"),
+      vidField.copy(name = "nid"), StructField("adc", DoubleType)))
+    val nCandLocal = nCand
+    val cands = coded.select(col("vid"), col("cell"), col("code")).mapPartitions({ it =>
+      val heaps = scala.collection.mutable.HashMap.empty[Any,
+        scala.collection.mutable.PriorityQueue[(Double, Any)]]
+      def heap(q: Any) = heaps.getOrElseUpdate(q,
+        scala.collection.mutable.PriorityQueue.empty[(Double, Any)](
+          Ordering.by[(Double, Any), Double](_._1)))
+      it.foreach { r =>
+        val nid = r.get(0)
+        byCell.get(r.getInt(1)).foreach { qs =>
+          val code = r.getSeq[Int](2)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qvid, lut) = qs(qi)
+            if (qvid != nid) {
+              var adc = 0.0; var s = 0
+              while (s < mLocal) { adc += lut(s)(code(s)); s += 1 }
+              val h = heap(qvid)
+              if (h.size < nCandLocal) h.enqueue((adc, nid))
+              else if (adc < h.head._1) { h.dequeue(); h.enqueue((adc, nid)) }
+            }
+            qi += 1
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qvid, h) =>
+        h.iterator.map { case (adc, nid) => Row(qvid, nid, adc) } }
+    })(Encoders.row(candSchema)).toDF()
+    val globalCand = cands
+      .withColumn("_rk", row_number().over(Window.partitionBy("qvid")
+        .orderBy(col("adc"), col("nid"))))
+      .filter(col("_rk") <= nCand).select("qvid", "nid")
+    val vecs = coded.select(col("vid"), col("v"), col("nrm"))
+    val scored = globalCand
+      .join(vecs.select(col("vid").as("nid"), col("v").as("_nv"), col("nrm").as("_nn")), Seq("nid"))
+      .join(vecs.select(col("vid").as("qvid"), col("v").as("_qv"), col("nrm").as("_qn")), Seq("qvid"))
+      .select(col("qvid").as("query_id"), col("nid").as("neighbor_id"),
+        (dotFast(col("_qv"), col("_nv")) / (col("_qn") * col("_nn"))).as("sim"))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(round(col("sim"), 6).desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Cross-corpus contamination matches: every (corpus, probe) pair with
     * cosine ≥ tau — the embedding-space twin of
     * [[graft.operators.Decontaminate]]'s n-gram gate (decontaminate a
