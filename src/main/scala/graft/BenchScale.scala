@@ -62,7 +62,15 @@ object BenchScale {
     * never the degenerate all-alike corpus whose pair output is itself
     * quadratic. Pure column arithmetic, no joins/UDFs. */
   def syntheticDocs(spark: SparkSession, nDocs: Long): DataFrame = {
-    val base = spark.range(nDocs).select(col("id").as("doc_id"))
+    // constant ~62.5K docs per generated partition (the regime every
+    // measured decade ran in: 2M docs over the default 32 range splits).
+    // At 2×10⁷ the default 32 splits put 31M exploded shingle rows
+    // through each map task and the 4th-decade jaccard OOM'd in the
+    // shuffle writer; a real 20M-doc lake scan has hundreds of splits,
+    // so holding rows/split constant is the honest layout. ≤2M docs the
+    // width stays 32 — lower decades keep their measured layout exactly.
+    val nParts = math.max(32L, nDocs / 62500L).toInt
+    val base = spark.range(0, nDocs, 1, nParts).select(col("id").as("doc_id"))
     val srcBase = when(pmod(col("doc_id"), lit(10L)).isin(5L, 9L), col("doc_id") - 1)
       .otherwise(col("doc_id"))
     val words = transform(sequence(lit(0), lit(49)), i =>
