@@ -89,6 +89,8 @@ object SparkEntry {
     "doc_multimodal_real" -> ((s, d) => qMultimodalReal(s, d)),
     "doc_image_phash"    -> ((s, d) => qImagePhash(s, d)),
     "doc_image_phash_pairs" -> ((s, d) => qImagePhashPairs(s, d)),
+    "doc_audio_features" -> ((s, d) => qAudioFeatures(s, d)),
+    "doc_audio_fp_pairs" -> ((s, d) => qAudioFpPairs(s, d)),
     "emb_knn"            -> ((s, d) => qEmbKnn(s, d)),
     "emb_knn_lsh"        -> ((s, d) => qEmbKnnLsh(s, d)),
     "emb_lsh_buckets"    -> ((s, d) => qEmbLshBuckets(s, d)),
@@ -1358,6 +1360,38 @@ object SparkEntry {
     * banding + re-check in SQL over the replayed hashes. */
   private def qImagePhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.hammingPairs64(qImagePhash(s, d), "doc_id", "dh_hi", "dh_lo", 3)
+
+  /** Sample-level audio tier — the PCM analogue of [[qImagePhash]]: every
+    * doc gets a REAL 16-bit mono WAV (planted samples = the md5-prefix
+    * recipe over (src, i); doc_id%10==5 reuses its predecessor's samples
+    * EXACTLY, %10==9 reuses them at 2× gain — the planted "same recording,
+    * different level" near-duplicate that byte dedup misses), then
+    * [[graft.operators.Multimodal.audioFeatures]] decodes the PCM back and
+    * computes integer-exact energy (Σs²), zero crossings, and the 64-bit
+    * gain-invariant envelope fingerprint. The oracle recomputes every
+    * value from the SAME planted samples in SQL — WAV PCM is lossless, so
+    * decode(encode(s)) == s and the replay is exact; the ×2 copies
+    * hash-match only because the fingerprint's gradient signs survive
+    * exact gain scaling, which is the property under test. */
+  private def qAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
+        (id, Multimodal.PlantedAudio.wavBytes(src, 520,
+          gain = if (id % 10 == 9) 2 else 1))
+      }).toDF("doc_id", "payload")
+    Multimodal.audioFeatures(payloads)
+  }
+
+  /** Audio near-duplicate pairs: Hamming ≤ 3 over the 64-bit envelope
+    * fingerprint via the same pigeonhole banded equi-join as the image
+    * tier ([[graft.operators.Dedup.hammingPairs64]]). Finds both planted
+    * duplicate classes at distance 0 — the exact copies AND the 2×-gain
+    * copies (envelope gradient signs are gain-invariant). Oracle replays
+    * the banding + bit_count re-check over the replayed fingerprints. */
+  private def qAudioFpPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs64(qAudioFeatures(s, d), "doc_id", "fp_hi", "fp_lo", 3)
 
   /** Embedding-cosine near-duplicate pairs over deterministic char-trigram
     * embeddings (the docs near-dup path when no learned embedding exists):
@@ -2872,6 +2906,43 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS dh_lo
       |FROM bits GROUP BY 1""".stripMargin
 
+  /** SQL replay of [[qAudioFeatures]]: planted PCM samples → integer
+    * energy/zero-cross + 65-frame envelope fingerprint words. Shared by
+    * the features and pairs oracles (the pairs oracle nests it as a CTE).
+    * Frame assignment (i·65)//520 == the Spark side's floor-bound rects
+    * because 520 is an exact multiple of 65. */
+  private val audioFeaturesSql =
+    """WITH ids AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 IN (5, 9) THEN doc_id - 1 ELSE doc_id END AS src,
+      |    CASE WHEN doc_id % 10 = 9 THEN 2 ELSE 1 END AS gain FROM documents),
+      |smp AS (
+      |  SELECT d.doc_id, s.i,
+      |    (CAST(concat('0x', substr(md5(d.src || '_a_' || s.i), 1, 15)) AS BIGINT) % 32768 - 16384) * d.gain AS v
+      |  FROM ids d, range(520) s(i)),
+      |zc AS (
+      |  SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+      |    CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+      |  FROM (SELECT doc_id, v,
+      |          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM smp)
+      |  GROUP BY 1),
+      |fr AS (SELECT doc_id, (i * 65) // 520 AS f,
+      |    CAST(SUM(ABS(v)) AS BIGINT) AS e
+      |  FROM smp GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.doc_id, a.f AS b, CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM fr a JOIN fr n ON n.doc_id = a.doc_id AND n.f = a.f + 1
+      |  WHERE a.f < 64),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+      |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp_lo
+      |  FROM bits GROUP BY 1)
+      |SELECT zc.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(520 AS BIGINT) AS n_samples, CAST(65 AS BIGINT) AS duration_ms,
+      |  zc.sum_sq, zc.zero_cross, fp.fp_hi, fp.fp_lo
+      |FROM zc JOIN fp ON fp.doc_id = zc.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_build_monthly" ->
       s"$S SELECT series_id, ds, y, FALSE AS is_future FROM series",
@@ -3995,6 +4066,33 @@ object SparkEntry {
     // form. Bit b (= gy·8+gx) set iff grid(gx+1,gy) > grid(gx,gy);
     // words: hi = bits 63..32, lo = 31..0, both non-negative BIGINTs.
     "doc_image_phash" -> imagePhashSql,
+
+    // PCM replay from the planted samples: WAV 16-bit PCM is lossless so
+    // the Spark side's decode(encode(s)) == s, and every post-decode step
+    // is integer arithmetic (Σs², sign-flip count, per-frame Σ|s| +
+    // gradient-sign bits). The %10==9 rows pass only because gradient
+    // signs survive the exact 2x gain — the fingerprint's invariance
+    // property, oracle-checked.
+    "doc_audio_features" -> audioFeaturesSql,
+
+    // same 4x16-bit banding replay as the image pairs, over (fp_hi, fp_lo)
+    "doc_audio_fp_pairs" ->
+      s"""WITH af AS ($audioFeaturesSql),
+        |banded AS (
+        |  SELECT doc_id, fp_hi, fp_lo, b.band,
+        |    CASE b.band WHEN 0 THEN fp_lo % 65536
+        |      WHEN 1 THEN fp_lo // 65536
+        |      WHEN 2 THEN fp_hi % 65536
+        |      ELSE fp_hi // 65536 END AS band_val
+        |  FROM af, range(4) b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
+        |         bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
 
     // banding replay: 4 bands × 16 bits over (hi, lo) — band 0 = lo%2^16,
     // 1 = lo//2^16, 2 = hi%2^16, 3 = hi//2^16 (= hammingPairs64's global

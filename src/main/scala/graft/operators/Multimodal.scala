@@ -475,6 +475,146 @@ object Multimodal {
       }.toDF(idCol, "img_w", "img_h", "dh_hi", "dh_lo")
   }
 
+  /** Deterministic planted PCM audio for the sample-level tier's fixtures —
+    * the audio analogue of [[PlantedImages]]: sample i of source id `src` is
+    * the md5-prefix long of "src_a_i" mapped onto [-16384, 16383] (the
+    * engine-portable hash recipe every oracle replays), written as a real
+    * 16-bit mono RIFF/WAVE file. PCM is lossless, so a decoder recovers the
+    * planted samples exactly and a SQL oracle can recompute any pure
+    * function of them. `gain` multiplies samples exactly (2× stays inside
+    * 16-bit for the planted range: [-32768, 32766]) — the planted
+    * "same recording, different level" near-duplicate, which byte-level
+    * dedup misses and the gain-invariant envelope fingerprint catches. */
+  object PlantedAudio {
+    def sample(src: Long, i: Int): Int =
+      (FakeDecoder.h60(FakeDecoder.md5Hex(
+        s"${src}_a_${i}".getBytes("UTF-8"))) % 32768L).toInt - 16384
+
+    /** Complete mono 16-bit PCM WAV (8 kHz) with `n` planted samples. */
+    def wavBytes(src: Long, n: Int, gain: Int = 1): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(HeaderDecoder.wavPayload(1, 8000, n))
+      var i = 0
+      while (i < n) {
+        out.putShort((sample(src, i) * gain).toShort)
+        i += 1
+      }
+      out.array()
+    }
+  }
+
+  /** PCM sample extraction behind the WAV header sniff: returns
+    * (channels, sampleRate, channel-0 samples) for 16-bit integer PCM
+    * payloads whose data chunk is fully present; None otherwise (compressed
+    * codecs and truncated sniffs fall back to the header-only tier). Pure
+    * JVM byte parsing — the little-endian chunk walk of
+    * [[HeaderDecoder.decodeWav]] plus the sample read. */
+  def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b.length < 12 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+        !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return None
+    def leU16(o: Int): Int = ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    def leU32(o: Int): Long =
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    var i = 12
+    var fmt = -1; var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= b.length && (fmt < 0 || dataOff < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = leU32(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmt = leU16(i + 8); channels = leU16(i + 10)
+        rate = leU32(i + 12).toInt; bits = leU16(i + 22)
+      }
+      if (id == "data") { dataOff = i + 8; dataLen = size }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmt != 1 || bits != 16 || channels < 1 || rate <= 0 ||
+        dataOff < 0 || dataOff + dataLen > b.length) return None
+    val frames = (dataLen / (2L * channels)).toInt
+    val samples = new Array[Short](frames)
+    var f = 0
+    while (f < frames) {
+      val o = dataOff + f * 2 * channels // channel 0 of each frame
+      samples(f) = (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort
+      f += 1
+    }
+    Some((channels, rate, samples))
+  }
+
+  /** Sample-level audio features + a 64-bit energy-envelope fingerprint —
+    * the audio signal the header tier can't give (an audio NEAR-duplicate —
+    * re-level, re-encode — keeps a small Hamming distance while exact byte
+    * dedup sees unrelated blobs). Decode is REAL ([[decodeWavPcm]]: 16-bit
+    * PCM, pure JVM, iterator per partition); every post-decode step is
+    * deterministic INTEGER arithmetic so a planted-sample oracle replays
+    * the values exactly:
+    *
+    *  - `sum_sq` = Σ s² and `zero_cross` = #{i : sign(sᵢ) ≠ sign(sᵢ₋₁)}
+    *    (the classic frame-level energy / noisiness pair, exact integers);
+    *  - envelope fingerprint: 65 frames, frame f covering samples
+    *    [f·n/65, (f+1)·n/65) (floor bounds — the [[imageDHash]] box rule in
+    *    one dimension), frame energy Σ|s|; bit f set iff e(f+1) > e(f).
+    *    The gradient SIGN is invariant under exact gain scaling (2·a > 2·b
+    *    ⟺ a > b), so a re-leveled copy fingerprints identically while its
+    *    checksum and sum_sq differ.
+    *
+    * Output `(doc, sample_rate, n_samples, duration_ms, sum_sq, zero_cross,
+    * fp_hi, fp_lo)`, hash split into non-negative 32-bit words like the
+    * dHash. Non-PCM payloads yield null metrics (kept, not dropped);
+    * fingerprints need n ≥ 65. Hamming pairs ride
+    * [[graft.operators.Dedup.hammingPairs64]]. */
+  def audioFeatures(df: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavPcm(bytes) match {
+            case Some((_, rate, s)) =>
+              val n = s.length
+              var sumSq = 0L; var zc = 0L
+              var i = 0
+              while (i < n) {
+                val v = s(i).toLong
+                sumSq += v * v
+                if (i > 0 && ((v < 0) != (s(i - 1) < 0))) zc += 1
+                i += 1
+              }
+              val fp: Option[Long] = if (n >= 65) {
+                val e = new Array[Long](65)
+                var f = 0
+                while (f < 65) {
+                  var j = f * n / 65; val end = (f + 1) * n / 65
+                  var acc = 0L
+                  while (j < end) { acc += math.abs(s(j).toLong); j += 1 }
+                  e(f) = acc; f += 1
+                }
+                var hash = 0L; var b = 0
+                while (b < 64) {
+                  if (e(b + 1) > e(b)) hash |= (1L << b)
+                  b += 1
+                }
+                Some(hash)
+              } else None
+              val durMs = n.toLong * 1000L / rate
+              (id, Some(rate.toLong), Some(n.toLong), Some(durMs),
+                Some(sumSq), Some(zc), fp.map(_ >>> 32), fp.map(_ & 0xffffffffL))
+            case None =>
+              (id, None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }.toDF(idCol, "sample_rate", "n_samples", "duration_ms",
+        "sum_sq", "zero_cross", "fp_hi", "fp_lo")
+  }
+
   /** Resize plan: target dimensions bounded by `maxDim` with aspect ratio
     * preserved — pure Column math over the decoded metadata (the pixel
     * resample itself belongs in the decode kernel; this is the part the
