@@ -293,6 +293,17 @@ object BenchScale {
             Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100)
               .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
             .write.mode("overwrite").format("noop").save()),
+        // the ≥4th-decade near-dup cluster path: exact jaccard pair
+        // generation follows the n²/|shingle-space| law once the 3-gram
+        // space saturates (measured: the 2×10⁷ run projects ~500 GB of
+        // pairs), so clustering rides the LINEAR minhash-LSH candidates
+        // instead — same CC machinery, banded candidate edges at est ≥ 0.8
+        "cc_clusters_lsh" -> (docs =>
+          graft.operators.Graph.connectedComponents(
+            Dedup.minhashCandidates(docs, "doc_id", "text")
+              .filter(col("est_jaccard") >= 0.8)
+              .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+            .write.mode("overwrite").format("noop").save()),
         // decontamination vs a ~1% benchmark slice: the exact inverted
         // index shuffles EVERY train shingle; the bloom path must show the
         // prefilter paying for itself as train volume grows

@@ -167,6 +167,8 @@ object SparkEntry {
     "doc_decontaminate_bloom" -> ((s, d) => qDecontaminateBloom(s, d)),
     "doc_sample_hash"    -> ((s, d) => qSampleHash(s, d)),
     "doc_mixture_temp"   -> ((s, d) => qMixtureTemp(s, d)),
+    "doc_token_budget"   -> ((s, d) => qTokenBudgetPlan(s, d)),
+    "doc_token_budget_sample" -> ((s, d) => qTokenBudgetSample(s, d)),
     "doc_corpus_summary" -> ((s, d) =>
       graft.Corpus(Tables.documents(s, d)).summary),
     "doc_curation_chain" -> ((s, d) => qCurationChain(s, d)),
@@ -1975,6 +1977,33 @@ object SparkEntry {
       .select(col("doc_id"), col("stratum"))
   }
 
+  /** Token-budget mixture spec over the documents table's real `source`
+    * strata: src0 gets 80% of a 2000-token budget, src1/2/3 the rest,
+    * every other source share 0. At sf0.01 src0's 1600-token budget
+    * EXCEEDS its ~1.4k available tokens (rate caps at 1); at sf0.1 it
+    * doesn't (rate ~0.12) — the standing dual-SF gate exercises both
+    * branches of the cap. */
+  private val budgetShares = Map(
+    "src0" -> 0.8, "src1" -> 0.1, "src2" -> 0.06, "src3" -> 0.04)
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("n_tokens",
+      size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
+
+  /** Per-source accounting a mixture build is planned from: available
+    * tokens, integer token budget, capped keep-rate. */
+  private def qTokenBudgetPlan(s: SparkSession, d: String): DataFrame =
+    Sampling.tokenBudgetPlan(docsWithTokens(s, d), "source", col("n_tokens"),
+      targetTokens = 2000, shares = budgetShares)
+
+  /** The realized sample under the same spec: content-hash membership at
+    * the plan's rates, so the doc set is reproducible and the oracle
+    * replays membership row by row. */
+  private def qTokenBudgetSample(s: SparkSession, d: String): DataFrame =
+    Sampling.tokenBudgetSample(docsWithTokens(s, d), "doc_id", "source",
+        col("n_tokens"), targetTokens = 2000, shares = budgetShares)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+
   /** The round-5 curation tier composed end to end — perplexity band-pass
     * (LM trained on the full corpus; band on the 6dp-rounded score so the
     * gate itself is the hash-stable value) → winnowing-fingerprint passage
@@ -3651,6 +3680,49 @@ object SparkEntry {
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
         |  FROM t)
         |SELECT h.doc_id, h.stratum FROM h JOIN f USING (stratum) WHERE b < thr""".stripMargin,
+
+    // Token-budget mixture plan: per-source token volume → integer budget
+    // (6dp-round-then-floor of share·target — shares written CAST AS
+    // DOUBLE so DuckDB's DECIMAL literals do the same IEEE math) → capped
+    // 9dp rate. src0's budget exceeds availability at sf0.01 only, so the
+    // dual-SF gate covers both sides of the least(1, ·) cap.
+    "doc_token_budget" ->
+      """WITH t AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents),
+        |c AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tokens_available
+        |      FROM t GROUP BY 1),
+        |p AS (SELECT source, tokens_available,
+        |  CAST(FLOOR(ROUND(CASE source
+        |    WHEN 'src0' THEN CAST(0.8 AS DOUBLE) WHEN 'src1' THEN CAST(0.1 AS DOUBLE)
+        |    WHEN 'src2' THEN CAST(0.06 AS DOUBLE) WHEN 'src3' THEN CAST(0.04 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END * 2000, 6)) AS BIGINT) AS token_budget
+        |  FROM c)
+        |SELECT source, tokens_available, token_budget,
+        |  ROUND(LEAST(CAST(1 AS DOUBLE),
+        |    token_budget / CAST(tokens_available AS DOUBLE)), 9) AS rate
+        |FROM p""".stripMargin,
+
+    // membership replay at the plan's rates: same md5-prefix 32-bit bucket
+    // as every sampler oracle, thresholds floor(rate * 2^32)
+    "doc_token_budget_sample" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+        |      FROM documents),
+        |c AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tokens_available
+        |      FROM t GROUP BY 1),
+        |p AS (SELECT source,
+        |  CAST(FLOOR(ROUND(CASE source
+        |    WHEN 'src0' THEN CAST(0.8 AS DOUBLE) WHEN 'src1' THEN CAST(0.1 AS DOUBLE)
+        |    WHEN 'src2' THEN CAST(0.06 AS DOUBLE) WHEN 'src3' THEN CAST(0.04 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END * 2000, 6)) AS BIGINT) AS token_budget,
+        |  tokens_available FROM c),
+        |f AS (SELECT source,
+        |  CAST(FLOOR(ROUND(LEAST(CAST(1 AS DOUBLE),
+        |    token_budget / CAST(tokens_available AS DOUBLE)), 9)
+        |    * 4294967296) AS BIGINT) AS thr FROM p),
+        |h AS (SELECT doc_id, source, nt,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+        |  FROM t)
+        |SELECT h.doc_id, h.source, CAST(h.nt AS BIGINT) AS n_tokens
+        |FROM h JOIN f USING (source) WHERE b < thr""".stripMargin,
 
     // concat-and-chunk packing: md5 shard + per-shard running-offset window,
     // integer chunk spans (DuckDB window SUM(BIGINT) yields HUGEINT — cast)

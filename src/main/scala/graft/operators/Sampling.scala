@@ -69,6 +69,52 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** Token-budget mixture plan — the unit real training mixes are specified
+    * in: a spec maps stratum → share of a `targetTokens` budget, and each
+    * stratum's keep-rate is `min(1, budget_d / tokens_d)` where `tokens_d`
+    * is its AVAILABLE token volume (row-count rates overshoot long-doc
+    * sources; token rates don't). One tiny aggregation (rows = #strata);
+    * strata outside the spec get share 0 and surface in the plan with
+    * budget 0 rather than vanishing. Budgets round to integer tokens
+    * (6dp-rounded before floor so IEEE share·target noise can't drop a
+    * token cross-engine); rates round to 9dp before thresholding like the
+    * other samplers. */
+  def tokenBudgetPlan(df: DataFrame, strataCol: String, tokenCol: Column,
+                      targetTokens: Long,
+                      shares: Map[String, Double]): DataFrame = {
+    require(shares.values.forall(s => s >= 0 && s <= 1),
+      "shares must be in [0,1]")
+    require(shares.values.sum <= 1.0 + 1e-9, "shares must sum to <= 1")
+    val share = shares.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, v).otherwise(acc)
+    }
+    df.groupBy(strataCol)
+      .agg(sum(tokenCol.cast("long")).as("tokens_available"))
+      .withColumn("token_budget",
+        floor(round(share * targetTokens, 6)).cast("long"))
+      .withColumn("rate", round(least(lit(1.0),
+        col("token_budget").cast("double") / col("tokens_available")), 9))
+  }
+
+  /** Sample a corpus down to a token budget split by a mixture spec: the
+    * [[tokenBudgetPlan]] rates, broadcast back onto the scan as the same
+    * content-hash membership predicate as every other sampler — one pass,
+    * reproducible across engines/partitionings/reruns, and a doc's
+    * membership never flips as other docs arrive. Expected sampled tokens
+    * per stratum ≈ its integer budget (exact in expectation; the hash
+    * realizes it within sampling noise). */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, strataCol: String,
+                        tokenCol: Column, targetTokens: Long,
+                        shares: Map[String, Double],
+                        salt: String = ""): DataFrame = {
+    val thr = tokenBudgetPlan(df, strataCol, tokenCol, targetTokens, shares)
+      .select(col(strataCol),
+        floor(col("rate") * Buckets).cast("long").as("_thr"))
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(sampleHash(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** The 32-bit sampling bucket of a key (exposed for oracles/tests). */
   def sampleHash(key: Column, salt: String = ""): Column =
     TextOps.hash32(concat(key.cast("string"), lit(salt)))

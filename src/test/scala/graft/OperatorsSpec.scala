@@ -268,6 +268,43 @@ class OperatorsSpec extends SparkSpec {
     assert(t0 == q, "alpha=0 must equalize per-stratum quotas")
   }
 
+  test("token-budget sampling: budgets in tokens, capped rates, unlisted strata kept in plan") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    // stratum a: 100 docs x 10 tokens = 1000; b: 10 x 100 = 1000; c unlisted
+    val d = ((1 to 100).map(i => (i.toLong, "a", 10L)) ++
+      (101 to 110).map(i => (i.toLong, "b", 100L)) ++
+      (111 to 120).map(i => (i.toLong, "c", 10L)))
+      .toDF("doc_id", "stratum", "nt")
+    val shares = Map("a" -> 0.3, "b" -> 0.7)
+    val plan = Sampling.tokenBudgetPlan(d, "stratum", col("nt"), 1000, shares)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(plan("a") === ((1000L, 300L, 0.3)))
+    assert(plan("b") === ((1000L, 700L, 0.7)))
+    assert(plan("c") === ((100L, 0L, 0.0)), "unlisted stratum surfaces with budget 0")
+    // oversubscribed budget caps at rate 1 (keep everything)
+    val capped = Sampling.tokenBudgetPlan(d.filter(col("stratum") === "b"),
+      "stratum", col("nt"), 10000, Map("b" -> 0.5))
+      .collect().head
+    assert(capped.getDouble(3) === 1.0, "budget > availability must cap at 1")
+    // sample: partition-invariant membership, zero rows from share-0 strata,
+    // realized tokens near the budget for the row-rich stratum
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "stratum", "nt").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val s1 = rows(Sampling.tokenBudgetSample(d, "doc_id", "stratum", col("nt"),
+      1000, shares))
+    val s2 = rows(Sampling.tokenBudgetSample(d.repartition(7), "doc_id",
+      "stratum", col("nt"), 1000, shares))
+    assert(s1.toSet === s2.toSet, "membership must not depend on partitioning")
+    assert(!s1.exists(_._2 == "c"), "share-0 stratum contributes no rows")
+    val aTokens = s1.filter(_._2 == "a").map(_._3).sum
+    assert(math.abs(aTokens - 300L) <= 150L,
+      s"stratum a realized $aTokens tokens against a 300-token budget")
+  }
+
   test("concat-and-chunk packing: per-shard offsets are gapless and partition-invariant") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, 10L + i % 37)).toDF("id", "nt")
