@@ -84,6 +84,9 @@ object Multimodal {
       while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
         val id = new String(b, i, 4, "US-ASCII")
         val size = leU32(b, i + 4)
+        // a u32 size above Int.MaxValue wraps negative in toInt and walks
+        // the cursor BACKWARDS — adversarial bytes must desync, not loop
+        if (size > Int.MaxValue - 16) return None
         if (id == "fmt " && i + 24 <= b.length) {
           channels = leU16(b, i + 10)
           rate = leU32(b, i + 12)
@@ -525,6 +528,9 @@ object Multimodal {
     while (i + 8 <= b.length && (fmt < 0 || dataOff < 0)) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = leU32(i + 4)
+      // same negative-wrap guard as decodeWav: adversarial u32 sizes must
+      // fall back to the header-only tier, not walk the cursor backwards
+      if (size > Int.MaxValue - 16) return None
       if (id == "fmt " && i + 24 <= b.length) {
         fmt = leU16(i + 8); channels = leU16(i + 10)
         rate = leU32(i + 12).toInt; bits = leU16(i + 22)
@@ -575,7 +581,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeWavPcm(bytes) match {
+          // same defensive posture as imageDHash: a malformed payload
+          // yields a null-metrics row, never a job-killing exception
+          val decoded =
+            try decodeWavPcm(bytes) catch { case _: Exception => None }
+          decoded match {
             case Some((_, rate, s)) =>
               val n = s.length
               var sumSq = 0L; var zc = 0L

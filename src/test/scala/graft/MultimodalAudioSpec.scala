@@ -67,15 +67,27 @@ class MultimodalAudioSpec extends SparkSpec {
       }
       out.array()
     }
+    // adversarial chunk walk: a u32 chunk size past Int.MaxValue must
+    // desync to a null row, never walk the cursor backwards
+    val evil = {
+      val out = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(Multimodal.HeaderDecoder.wavPayload(1, 8000, 4))
+      out.putInt(16, 0x90000008) // fmt chunk size → negative toInt
+      out.array()
+    }
     val rows = Seq(
       (1L, Multimodal.PlantedAudio.wavBytes(7L, n)),
       (2L, stereo),
       (3L, "not audio".getBytes("UTF-8")),
-      (4L, Multimodal.PlantedAudio.wavBytes(8L, 30))) // < 65: no fingerprint
+      (4L, Multimodal.PlantedAudio.wavBytes(8L, 30)), // < 65: no fingerprint
+      (5L, evil))
       .toDF("doc_id", "payload")
     val out = Multimodal.audioFeatures(rows).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(out.size === 4, "every row survives, decodable or not")
+    assert(out.size === 5, "every row survives, decodable or not")
+    assert(out(5L).isNullAt(4) && out(5L).isNullAt(6),
+      "oversized chunk walk must yield a null row, not an exception")
     val (sq, zc, hi, lo) = expected(7L, n, 1)
     val r1 = out(1L)
     assert((r1.getLong(4), r1.getLong(5), r1.getLong(6), r1.getLong(7)) ===
