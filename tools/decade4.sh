@@ -1,14 +1,21 @@
 #!/bin/bash
 # 4th corpus decade (2x10^7 docs, ~10^9 shingle rows): one op per process
 # so each op's shuffle files die with its JVM -- at this size a single
-# process accumulating all nine ops' shuffle+spill would overflow the
-# disk. zstd shuffle compression for the same reason (jaccard alone
-# projects ~50 GB of lz4 shuffle against 80 GB free); recorded in the
+# process accumulating all the ops' shuffle+spill would overflow the
+# disk. zstd shuffle compression for the same reason; recorded in the
 # SURVEY attribution since it makes 4th-decade walls carry a small codec
 # delta vs the lz4 decades.
+#
+# jaccard_pairs and cc_clusters (which consumes jaccard's pairs) are NOT
+# in the default list: exact inverted-index pair generation follows an
+# n^2/|shingle-space| law once the fixture's 3-gram space (~1.25e8)
+# saturates -- measured 5.0 GB of pair shuffle at 2e6 docs, and the 2e7
+# run wrote ~65 GB of scratch before ENOSPC with the pair stage still
+# early (projected ~100x the 2e6 volume, ~350-500 GB). The 4th-decade
+# near-dup path is minhash_lsh / cc_clusters_lsh (linear candidates).
 set -u
 cd "$(dirname "$0")/.."
-ops="${SPARK_GRAFT_DECADE4_OPS:-jaccard_pairs cc_clusters fingerprint_pairs minhash_lsh dup_spans strip_spans dedup_exact decontam_exact decontam_bloom}"
+ops="${SPARK_GRAFT_DECADE4_OPS:-dedup_exact minhash_lsh cc_clusters_lsh fingerprint_pairs dup_spans strip_spans decontam_exact decontam_bloom}"
 out="${1:-/tmp/decade4}"
 mkdir -p "$out"
 for op in $ops; do
