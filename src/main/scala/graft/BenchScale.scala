@@ -275,6 +275,17 @@ object BenchScale {
         "minhash_lsh" -> (docs =>
           Dedup.minhashCandidates(docs, "doc_id", "text")
             .write.mode("overwrite").format("noop").save()),
+        // the default geometry (k=16, 4 bands, r=4) rots at the 4th decade:
+        // band-collision FALSE candidates grow with shingle-space
+        // saturation (measured 19x/decade at 2x10^7). r=8 (k=32, 4 bands)
+        // drops per-band collision from s^4 to s^8 — background pairs
+        // vanish while 0.95-jaccard near-dups keep ~0.99 recall
+        // (1-(1-s^8)^4). LSH geometry is corpus-size-dependent; this op
+        // measures the rescaled curve beside the rotted default.
+        "minhash_lsh_r8" -> (docs =>
+          Dedup.minhashCandidates(docs, "doc_id", "text", n = 3, k = 32,
+              bands = 4)
+            .write.mode("overwrite").format("noop").save()),
         "fingerprint_pairs" -> (docs =>
           Dedup.fingerprintPairs(docs, "doc_id", "text",
             minShared = 20, maxDocFreq = 100)
@@ -300,7 +311,8 @@ object BenchScale {
         // instead — same CC machinery, banded candidate edges at est ≥ 0.8
         "cc_clusters_lsh" -> (docs =>
           graft.operators.Graph.connectedComponents(
-            Dedup.minhashCandidates(docs, "doc_id", "text")
+            Dedup.minhashCandidates(docs, "doc_id", "text", n = 3, k = 32,
+                bands = 4)
               .filter(col("est_jaccard") >= 0.8)
               .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
             .write.mode("overwrite").format("noop").save()),
