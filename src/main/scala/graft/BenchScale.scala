@@ -290,6 +290,16 @@ object BenchScale {
           Dedup.fingerprintPairs(docs, "doc_id", "text",
             minShared = 20, maxDocFreq = 100)
             .write.mode("overwrite").format("noop").save()),
+        // same n²/|space| pair-enumeration law as minhash's band rot,
+        // same class of fix: coarsen the winnow window (w 4 → 12 cuts
+        // fingerprint density ~3×, background pairs ~9×) at the cost of
+        // the MOSS guarantee coarsening to shared runs ≥ k+w-1 = 19
+        // tokens; minShared rescales with density. Operating points are
+        // corpus-size-dependent — measured beside the fixed-w curve.
+        "fingerprint_pairs_w12" -> (docs =>
+          Dedup.fingerprintPairs(docs, "doc_id", "text", k = 8, w = 12,
+            minShared = 7, maxDocFreq = 100)
+            .write.mode("overwrite").format("noop").save()),
         // substring-level dedup: the count-window + islands shape must stay
         // linear in token volume (docs here share 50-token bodies, so the
         // planted copies carry genuine long duplicated runs)
