@@ -66,29 +66,45 @@ object Decontaminate {
     * BEFORE the exchange. The blob rides a scalar subquery exactly as
     * `InjectRuntimeFilter` plants it — bits-bounded (`numBits`, default
     * 8M bits = 1 MB regardless of bench row count), never inlined into the
-    * plan text, no driver round-trip, one query DAG. Results are EXACTLY
+    * plan text, one query DAG. Results are EXACTLY
     * [[contaminatedPairs]]'s: false positives survive the prefilter only
     * to match nothing in the exact equi-join, the overlap denominator
     * |shingles(train)| is computed on the UNFILTERED shingle set, and an
     * empty bench side yields a null filter whose probe is null → no
     * candidates → no pairs.
     *
+    * The filter SIZES ITSELF from the bench side by default
+    * (`expectedItems`/`numBits` ≤ 0 → one cheap count over the bench
+    * shingles, 10 bits per item, floor 8M bits, cap 2²⁷ = 16 MB): a fixed
+    * 1 MB filter silently saturates one decade past its tuning — measured
+    * at 2×10⁷ docs, ~8.6M bench shingles in 8.39M bits gave ~99% FPP and
+    * a byte-identical shuffle to the exact path, the same
+    * fixed-parameter rot class as probe depths and band geometry. The
+    * sizing count is a driver action over the SMALL side only, which is
+    * the operator's stated regime (bench ≪ train).
+    *
     * Oracle: doc_decontaminate_bloom — same SQL as the exact path, because
     * the result set is the same by construction. */
   def contaminatedPairsBloom(train: DataFrame, bench: DataFrame,
                              idCol: String, textCol: String,
                              n: Int = 3, minFrac: Double = 0.5,
-                             expectedItems: Long = 1000000L,
-                             numBits: Long = 8388608L): DataFrame = {
+                             expectedItems: Long = -1L,
+                             numBits: Long = -1L): DataFrame = {
     val ts = Dedup.shingles(train, idCol, textCol, n)
     val bs = Dedup.shingles(bench, idCol, textCol, n)
       .withColumnRenamed("doc", "bench_id")
     // denominator BEFORE any prefilter: overlap_frac's |shingles(train)|
     val sizes = ts.groupBy("doc").agg(count(lit(1)).as("_sz"))
+    // row count upper-bounds the distinct shingles — good enough to size on
+    val items = math.max(1L,
+      if (expectedItems > 0) expectedItems else bs.count())
+    val bits =
+      if (numBits > 0) numBits
+      else math.min(math.max(8388608L, 10L * items), 1L << 27)
     val bloom = bs.agg(GraftColumns.column(
       new BloomFilterAggregate(
         GraftColumns.expression(xxhash64(col("shingle"))),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        Literal(items), Literal(bits)).toAggregateExpression())
       .as("_bloom")).scalar()
     val candidates = ts.filter(GraftColumns.column(BloomFilterMightContain(
       GraftColumns.expression(bloom),

@@ -29,10 +29,15 @@ if not ops:
     sys.exit(f"no op records found under {run_dir}")
 
 doc = json.loads(bench.read_text())
-point = {"n_docs": n_docs, "ops": ops, "ops_metrics": metrics,
-         # per-op processes: driver heap is per-JVM, record the worst
-         "driver_used_mb": None,
-         "note": "one JVM per op (tools/decade4.sh), zstd shuffle codec"}
+# merge into an existing point for this size (several run dirs can each
+# contribute ops); new records win on op-name collision
+existing = next((p for p in doc["corpus_points"]
+                 if p.get("n_docs") == n_docs), None)
+point = existing or {"n_docs": n_docs, "ops": {}, "ops_metrics": {},
+                     "note": "one JVM per op (tools/decade4.sh), "
+                             "zstd shuffle codec"}
+point["ops"].update(ops)
+point.setdefault("ops_metrics", {}).update(metrics)
 pts = [p for p in doc["corpus_points"] if p.get("n_docs") != n_docs]
 pts.append(point)
 pts.sort(key=lambda p: p["n_docs"])
