@@ -1380,7 +1380,7 @@ object SparkEntry {
     val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
-        (id, Multimodal.PlantedAudio.wavBytes(src, 520,
+        (id, Multimodal.PlantedAudio.wavBytes(src, 260,
           gain = if (id % 10 == 9) 2 else 1))
       }).toDF("doc_id", "payload")
     Multimodal.audioFeatures(payloads)
@@ -2938,8 +2938,8 @@ object SparkEntry {
   /** SQL replay of [[qAudioFeatures]]: planted PCM samples → integer
     * energy/zero-cross + 65-frame envelope fingerprint words. Shared by
     * the features and pairs oracles (the pairs oracle nests it as a CTE).
-    * Frame assignment (i·65)//520 == the Spark side's floor-bound rects
-    * because 520 is an exact multiple of 65. */
+    * Frame assignment (i·65)//260 == the Spark side's floor-bound rects
+    * because 260 is an exact multiple of 65. */
   private val audioFeaturesSql =
     """WITH ids AS (SELECT doc_id,
       |    CASE WHEN doc_id % 10 IN (5, 9) THEN doc_id - 1 ELSE doc_id END AS src,
@@ -2947,7 +2947,7 @@ object SparkEntry {
       |smp AS (
       |  SELECT d.doc_id, s.i,
       |    (CAST(concat('0x', substr(md5(d.src || '_a_' || s.i), 1, 15)) AS BIGINT) % 32768 - 16384) * d.gain AS v
-      |  FROM ids d, range(520) s(i)),
+      |  FROM ids d, range(260) s(i)),
       |zc AS (
       |  SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS sum_sq,
       |    CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
@@ -2955,7 +2955,7 @@ object SparkEntry {
       |  FROM (SELECT doc_id, v,
       |          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM smp)
       |  GROUP BY 1),
-      |fr AS (SELECT doc_id, (i * 65) // 520 AS f,
+      |fr AS (SELECT doc_id, (i * 65) // 260 AS f,
       |    CAST(SUM(ABS(v)) AS BIGINT) AS e
       |  FROM smp GROUP BY 1, 2),
       |bits AS (
@@ -2968,7 +2968,7 @@ object SparkEntry {
       |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp_lo
       |  FROM bits GROUP BY 1)
       |SELECT zc.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
-      |  CAST(520 AS BIGINT) AS n_samples, CAST(65 AS BIGINT) AS duration_ms,
+      |  CAST(260 AS BIGINT) AS n_samples, CAST(32 AS BIGINT) AS duration_ms,
       |  zc.sum_sq, zc.zero_cross, fp.fp_hi, fp.fp_lo
       |FROM zc JOIN fp ON fp.doc_id = zc.doc_id""".stripMargin
 
