@@ -62,14 +62,15 @@ object Graph {
     val idType = e.schema("a").dataType
     require(e.schema("b").dataType == idType,
       s"edge endpoint types differ: $idType vs ${e.schema("b").dataType}")
-    // size the loop's partitioner to the EDGE VOLUME, not the session shuffle
-    // width: every round launches a task per partition, so a fixture-sized
-    // graph on 32 partitions pays 32× the scheduling for empty work, while
-    // ~32 MB edge partitions keep 100 TB-scale graphs wide enough. The
-    // volume comes from the optimizer's size estimate — free, no up-front
-    // count() action — capped by the edge plan's own physical width (the
-    // estimate multiplies through joins and can explode; the upstream job
-    // already ran at that width, so it never needs MORE partitions).
+    // The local-tier gate rides the optimizer's size estimate (free, no
+    // action); the LOOP's partitioner must not — the estimate multiplies
+    // through upstream join trees and explodes (a 4th-decade LSH candidate
+    // plan estimated ~1000× its ~100 MB of real edges, putting diameter-1
+    // components on 4096 partitions where per-round scheduling dominated
+    // the wall). The loop instead materializes the symmetrized edges at
+    // the plan's physical width and re-keys to the ACTUAL persisted bytes
+    // (~32 MB/partition) — one extra narrow pass over true edge volume,
+    // measured per-round task launches at honest width.
     val estBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
     // labels stay an RDD in the loop tier — the result is vertex-sized and
     // must never transit the driver; only the local tier's (already
@@ -77,11 +78,7 @@ object Graph {
     def solve[T: Ordering : ClassTag](get: Row => (T, T)): RDD[(T, T)] =
       if (estBytes <= localMaxBytes)
         spark.sparkContext.parallelize(localCC(e.collect().map(get)).toSeq, 1)
-      else {
-        val byBytes = (estBytes / (32L << 20) + 1).min(4096).max(1).toInt
-        val nPart = math.max(1, math.min(byBytes, e.rdd.getNumPartitions))
-        ccLoop[T](e.rdd.map(get), nPart, maxIter)
-      }
+      else ccLoop[T](e.rdd.map(get), e.rdd.getNumPartitions, maxIter)
     val labels = idType match {
       case StringType => solve[String](r => (r.getString(0), r.getString(1)))
         .map { case (v, c) => Row(v, c) }
@@ -119,28 +116,52 @@ object Graph {
     parent.keys.map(v => (v, find(v)))
   }
 
-  private def ccLoop[T: Ordering : ClassTag](rawEdges: RDD[(T, T)], nPart: Int,
+  private def ccLoop[T: Ordering : ClassTag](rawEdges: RDD[(T, T)],
+                                             physicalWidth: Int,
                                              maxIter: Int): RDD[(T, T)] = {
     val ord = implicitly[Ordering[T]]
     def lo(x: T, y: T): T = if (ord.lteq(x, y)) x else y
-    val part = new HashPartitioner(nPart)
+    val sc = rawEdges.sparkContext
     // symmetrized, keyed by dst, co-partitioned with labels. Duplicates are
     // thinned per-partition (min-combining downstream is idempotent, so a
-    // global distinct's extra shuffle buys nothing).
-    val eL = rawEdges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      .partitionBy(part)
+    // global distinct's extra shuffle buys nothing). Materialized FIRST at
+    // the upstream plan's physical width (the edge computation already ran
+    // at that width), then re-keyed to the ACTUAL persisted bytes so every
+    // round's task count follows true edge volume, not a plan estimate.
+    val wide = new HashPartitioner(math.max(1, physicalWidth))
+    val eLwide = rawEdges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(wide)
       .mapPartitions(it => {
         val seen = scala.collection.mutable.HashSet.empty[(T, T)]
         it.filter(seen.add)
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    eLwide.count() // materialize so the block manager knows the true size
+    val actualBytes = sc.getRDDStorageInfo.find(_.id == eLwide.id)
+      .map(i => i.memSize + i.diskSize).getOrElse(0L)
+    val nPart = math.max(1, math.min(
+      if (actualBytes > 0) (actualBytes / (32L << 20) + 1).toInt
+      else physicalWidth,
+      physicalWidth))
+    // re-key only when it matters (≥2× fewer tasks per round); leftover
+    // cross-partition duplicate pairs are harmless under min-combining.
+    // `part` is ALWAYS eL's own partitioner, so the loop's reduce/join
+    // rounds stay narrow whichever tier won.
+    val (eL, part) =
+      if (nPart * 2 <= physicalWidth) {
+        val narrowPart = new HashPartitioner(nPart)
+        val narrow = eLwide.partitionBy(narrowPart)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        narrow.count()
+        eLwide.unpersist(blocking = false)
+        (narrow, narrowPart)
+      } else (eLwide, wide)
     // vertex set = eL's keys (symmetric, so every endpoint appears); the
     // reduceByKey reuses eL's partitioner — narrow, no shuffle
     var labels: RDD[(T, T)] = eL.mapValues(_ => ())
       .reduceByKey(part, (a, _) => a)
       .mapPartitions(_.map { case (v, _) => (v, v) }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sc = rawEdges.sparkContext
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
