@@ -283,7 +283,13 @@ object Dedup {
     // and the ContextCleaner releases them when the frame goes out of scope
     // (the sig.count() below is the materializing action)
     val sig = minhashSignatures(df, idCol, textCol, n, k).localCheckpoint(false)
-    val banded0 = sig.select(col("doc"), col("sig"),
+    // the banded exchange is NARROW — (doc, band, band_hash) only. Carrying
+    // the k-long signature through the self-join costs bands× the signature
+    // volume (13.8 of the 20 GB the 2×10⁷ r=8 point shuffled); candidates
+    // are ~linear in docs, so joining the signatures back onto the (small)
+    // candidate set twice costs 2× the signature volume instead, and both
+    // joins read the SAME checkpointed blocks.
+    val banded0 = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_", slice(col("sig"), b * r + 1, lit(r)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -292,10 +298,12 @@ object Dedup {
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    cand.withColumn("est_jaccard",
+    cand
+      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, z) => acc + z)
           .cast("double") / k)
