@@ -91,11 +91,17 @@ object Decontaminate {
                              expectedItems: Long = -1L,
                              numBits: Long = -1L): DataFrame = {
     val ts = Dedup.shingles(train, idCol, textCol, n)
-    val bs = Dedup.shingles(bench, idCol, textCol, n)
+    val bsRaw = Dedup.shingles(bench, idCol, textCol, n)
       .withColumnRenamed("doc", "bench_id")
+    // when auto-sizing, materialize the (small-by-contract) bench shingles
+    // once: the sizing count is an action, and without the checkpoint the
+    // bench explode lineage would run a second full time for the bloom
+    // aggregate + equi-join (ADVICE r10). Per-doc-distinct rows still
+    // overcount global distinct shingles on overlapping bench docs — an
+    // accepted upper bound (a bigger filter only lowers FPP).
+    val bs = if (expectedItems > 0) bsRaw else bsRaw.localCheckpoint(false)
     // denominator BEFORE any prefilter: overlap_frac's |shingles(train)|
     val sizes = ts.groupBy("doc").agg(count(lit(1)).as("_sz"))
-    // row count upper-bounds the distinct shingles — good enough to size on
     val items = math.max(1L,
       if (expectedItems > 0) expectedItems else bs.count())
     val bits =
@@ -119,11 +125,15 @@ object Decontaminate {
   }
 
   /** [[clean]] through the Bloom-prefiltered pair path — same result set
-    * (the prefilter is result-invariant), the 100 TB plan. */
+    * (the prefilter is result-invariant), the 100 TB plan. Defaults
+    * inherit the SELF-SIZING filter (≤ 0 → size from a bench count):
+    * round 10 fixed only contaminatedPairsBloom's defaults and this
+    * public entry point kept forwarding the fixed 1 MB filter that
+    * measurably saturates at the 4th decade (ADVICE r10). */
   def cleanBloom(train: DataFrame, bench: DataFrame, idCol: String,
                  textCol: String, n: Int = 3, minFrac: Double = 0.5,
-                 expectedItems: Long = 1000000L,
-                 numBits: Long = 8388608L): DataFrame = {
+                 expectedItems: Long = -1L,
+                 numBits: Long = -1L): DataFrame = {
     val bad = contaminatedPairsBloom(train, bench, idCol, textCol, n, minFrac,
         expectedItems, numBits)
       .select(col("doc").as(idCol)).distinct()

@@ -273,11 +273,72 @@ object Dedup {
       .select(col("doc"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Session conf: override the auto-sized MinHash rows-per-band /
+    * band-count geometry (0 = derive from the corpus count). */
+  val MinhashRowsKey = "spark.graft.minhash.r"
+  val MinhashBandsKey = "spark.graft.minhash.bands"
+
+  /** MinHash-LSH design point the auto geometry holds: near-duplicates at
+    * jaccard ≥ [[DesignSim]] are recalled with probability ≥
+    * [[DesignRecall]] whatever rows-per-band the corpus size demands. */
+  val DesignSim = 0.95
+  val DesignRecall = 0.99
+
+  /** Rows per band for an n-doc corpus: `max(4, ⌈4·log₁₀(n/2×10⁵)⌉)` —
+    * "+4 rows per decade past 2×10⁵ docs", anchored at the two measured
+    * operating points (SURVEY §2.9.9: r=4 holds through 2×10⁶ docs; at
+    * 2×10⁷ it rots 19.3×/decade from background band collisions while r=8
+    * holds 9.3×). Background collision probability per band is j_bg^r, so
+    * +4 rows per decade keeps n·j_bg^r flat at the fixture's measured
+    * background agreement (j_bg ≈ 0.56 = 10^(-1/4)) — the n^(1+ρ)
+    * tradeoff as a concrete sizing law, same fixed-parameter-rot fix
+    * class as the E2LSH ⌈log₂ n⌉+5 bands ([[graft.models.BlockedVar]])
+    * and the self-sizing decontamination Bloom filter. */
+  def autoRows(nDocs: Long): Int =
+    math.max(4, math.ceil(4.0 * math.log10(math.max(1L, nDocs) / 2e5)).toInt)
+
+  /** Band count holding the ([[DesignSim]], [[DesignRecall]]) design point
+    * at `r` rows per band: recall = 1−(1−s^r)^b ≥ target ⇔
+    * b ≥ ln(1−target)/ln(1−s^r); floored at 4 (the shipped geometry, so
+    * sub-2×10⁶ corpora keep their exact historical candidates). */
+  def autoBands(r: Int, s: Double = DesignSim, recall: Double = DesignRecall): Int = {
+    val pBand = math.pow(s, r)
+    math.max(4, math.ceil(math.log1p(-recall) / math.log1p(-pBand)).toInt)
+  }
+
   /** LSH banding: split the k-long signature into `bands` bands of k/bands
     * rows; docs sharing any band hash become candidate pairs; est_jaccard =
-    * fraction of matching signature positions. */
+    * fraction of matching signature positions.
+    *
+    * GEOMETRY IS CORPUS-SIZE-DEPENDENT and auto-sizes by default
+    * (k = bands ≤ 0): one cheap count over the corpus derives rows-per-band
+    * via [[autoRows]] and the band count via [[autoBands]] — the round-10
+    * decade table showed the former fixed r=4 default silently going
+    * 19.3×/decade at 2×10⁷ docs while r=8 held 9.3× at ~0.99 recall for
+    * 0.95-jaccard near-dups. Explicit k/bands arguments or the
+    * [[MinhashRowsKey]]/[[MinhashBandsKey]] session confs pin a geometry
+    * (fixed-size experiments, replaying a historical run). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+                        n: Int = 3, k: Int = -1, bands: Int = -1): DataFrame = {
+    val conf = df.sparkSession.conf
+    val bConf = if (bands > 0) bands else conf.get(MinhashBandsKey, "0").toInt
+    val (kEff, bandsEff) =
+      if (k > 0) (k, if (bConf > 0) bConf else 4)
+      else {
+        val rConf = conf.get(MinhashRowsKey, "0").toInt
+        // the count is the sizing input (metadata-cheap on a parquet
+        // lake); everything downstream is a pure function of (r, b)
+        val r = if (rConf > 0) rConf else autoRows(df.count())
+        val b = if (bConf > 0) bConf else autoBands(r)
+        (r * b, b)
+      }
+    minhashCandidatesExplicit(df, idCol, textCol, n, kEff, bandsEff)
+  }
+
+  /** [[minhashCandidates]] at a pinned (k, bands) geometry. */
+  private def minhashCandidatesExplicit(df: DataFrame, idCol: String,
+                                        textCol: String, n: Int, k: Int,
+                                        bands: Int): DataFrame = {
     val r = k / bands
     // materialized (not cache()): both join sides read the same RDD blocks,
     // and the ContextCleaner releases them when the frame goes out of scope

@@ -129,13 +129,19 @@ object Graph {
     // at that width), then re-keyed to the ACTUAL persisted bytes so every
     // round's task count follows true edge volume, not a plan estimate.
     val wide = new HashPartitioner(math.max(1, physicalWidth))
+    // SERIALIZED level: the sizing below reads the block manager's
+    // memSize, which under plain MEMORY_AND_DISK is the DESERIALIZED
+    // object estimate of the tuple RDD — several × the serialized edge
+    // bytes the ~32 MB/partition heuristic was calibrated against, so the
+    // re-key over-partitioned relative to intent (ADVICE r10). The
+    // per-round deserialization cost is a narrow scan of slim id pairs.
     val eLwide = rawEdges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(wide)
       .mapPartitions(it => {
         val seen = scala.collection.mutable.HashSet.empty[(T, T)]
         it.filter(seen.add)
       }, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     eLwide.count() // materialize so the block manager knows the true size
     val actualBytes = sc.getRDDStorageInfo.find(_.id == eLwide.id)
       .map(i => i.memSize + i.diskSize).getOrElse(0L)
@@ -151,7 +157,7 @@ object Graph {
       if (nPart * 2 <= physicalWidth) {
         val narrowPart = new HashPartitioner(nPart)
         val narrow = eLwide.partitionBy(narrowPart)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
         narrow.count()
         eLwide.unpersist(blocking = false)
         (narrow, narrowPart)

@@ -37,6 +37,46 @@ class DedupHygieneSpec extends SparkSpec {
       "an operator left a permanent cache entry in the session CacheManager")
   }
 
+  test("minhash geometry auto-sizes from the corpus count") {
+    // the sizing law's anchors (SURVEY §2.9.9): r=4 holds through 2×10⁶
+    // docs, r=8 is the measured 2×10⁷ geometry; +4 rows/decade beyond
+    assert(Dedup.autoRows(500) == 4)
+    assert(Dedup.autoRows(2000000) == 4)
+    assert(Dedup.autoRows(20000000) == 8)
+    assert(Dedup.autoRows(200000000) == 12)
+    // band count holds the (0.95, 0.99) design point: recall
+    // 1−(1−s^r)^b ≥ 0.99 at every auto geometry, floored at the shipped 4
+    assert(Dedup.autoBands(4) == 4)
+    assert(Dedup.autoBands(8) == 5)
+    Seq(4, 8, 12, 16).foreach { r =>
+      val b = Dedup.autoBands(r)
+      val recall = 1.0 - math.pow(1.0 - math.pow(0.95, r), b)
+      assert(recall >= 0.99, s"r=$r b=$b recall=$recall")
+    }
+    // fixture-scale corpora keep the historical (k=16, 4 bands) geometry:
+    // auto-sized candidates are row-identical to the explicit call
+    val d = docs(40)
+    val auto = Dedup.minhashCandidates(d, "doc_id", "text")
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val pinned = Dedup.minhashCandidates(d, "doc_id", "text", k = 16, bands = 4)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(auto == pinned)
+    // conf override wins over the count-derived geometry
+    spark.conf.set(Dedup.MinhashRowsKey, "8")
+    try {
+      val sig = Dedup.minhashCandidates(d, "doc_id", "text")
+      // r=8 → autoBands(8)=5 bands → k=40 signature positions feed the
+      // est_jaccard denominator; check via a planted exact duplicate
+      import spark.implicits._
+      val dup = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+        .toDF("doc_id", "text")
+      val est = Dedup.minhashCandidates(dup, "doc_id", "text")
+        .select("est_jaccard").collect().map(_.getDouble(0))
+      assert(est.forall(_ == 1.0))
+      sig.count() // exercises the override path end to end
+    } finally spark.conf.unset(Dedup.MinhashRowsKey)
+  }
+
   test("band-join pin engages only above the volume gate") {
     // 2 shuffle partitions in the test session → gate at 8192 banded rows
     val nPart = spark.sessionState.conf.numShufflePartitions

@@ -36,7 +36,7 @@ existing = next((p for p in doc["corpus_points"]
 point = existing or {"n_docs": n_docs, "ops": {}, "ops_metrics": {},
                      "note": "one JVM per op (tools/decade4.sh), "
                              "zstd shuffle codec"}
-point["ops"].update(ops)
+point.setdefault("ops", {}).update(ops)
 point.setdefault("ops_metrics", {}).update(metrics)
 pts = [p for p in doc["corpus_points"] if p.get("n_docs") != n_docs]
 pts.append(point)
