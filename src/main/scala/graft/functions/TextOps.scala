@@ -188,65 +188,42 @@ object TextOps {
     * overlap on — the copy-detection / provenance fingerprint of curation
     * pipelines.
     *
-    * Columnar evaluation explodes one row per WINDOW START and computes
-    * all `w` member-gram polynomials directly from the text in a single
-    * codegen'd projection — same hash family and identical values as the
-    * rolling recurrence, but every row is independent: no sort, no
-    * per-group state, and crucially no WindowExec (Spark evaluates
-    * sliding-frame aggregate windows interpreted, re-scanning the frame
-    * per row — measured ~15 s for 1.4M grams at sf0.1 where this
-    * projection is sub-second). The rightmost-min tie rule costs nothing:
-    * `least()` over the order-embedding keys `h·2^32 + (2^32−1−p)` picks
-    * the smallest hash and, among ties, the largest position. The only
-    * shuffle is the final distinct; the pre-explode rebalance (the
-    * [[trigramVectors]] shape) keeps the ~|text|-fold fan-out wide.
+    * Evaluation is the native [[WinnowSelect]] expression: a rolling
+    * Karp–Rabin step per gram + a monotonic-deque window minimum —
+    * amortized O(1) per position, O(chars) per document — emitting the
+    * ~2/(w+1)-density DISTINCT selected set directly (the previous
+    * columnar one-row-per-WINDOW explode computed k·w per-char substring
+    * polynomials per position; the round-10 decade table measured that
+    * scan DOMINATING the fingerprint tier at 2×10⁷ docs, where coarsening
+    * w cut shuffle 40% while the wall went UP — SURVEY §2.9.9). The
+    * hash family, tie rule, and values are bit-identical
+    * (WinnowParitySpec pins the kernel against an independent per-window
+    * brute force; the doc_fingerprints oracles replay the same formula in
+    * SQL). No shuffle at all — the old trailing `.distinct()` exchange is
+    * gone because the kernel emits each selected (p, h) once; only the
+    * pre-explode rebalance (the [[trigramVectors]] shape) moves rows, and
+    * the fan-out it spreads is now the selected density, not one row per
+    * window.
     *
     * Returns distinct `(doc, p, h)` selected fingerprints. Docs shorter
     * than `k + w − 1` chars have no full window and yield no rows. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String = "text",
                          k: Int = 8, w: Int = 4): DataFrame =
-    winnowRaw(df, idCol, textCol, k, w).distinct()
+    winnowRaw(df, idCol, textCol, k, w)
 
-  /** Pre-distinct winnow stream: one (doc, p, h) row per WINDOW (so the
-    * same selected gram appears once per window that picked it). Consumers
-    * aggregate to the granularity they need — [[winnowFingerprints]] to
-    * distinct (doc, p, h); [[graft.operators.Dedup.fingerprintPairs]]
-    * straight to distinct (doc, h), skipping a full shuffle of the
-    * largest intermediate. */
+  /** [[winnowFingerprints]] body (kept under the historical name: before
+    * the [[WinnowSelect]] kernel this was a pre-distinct one-row-per-window
+    * stream and consumers deduped to their own granularity — the kernel
+    * emits the distinct set directly, so the two entry points coincide). */
   private[graft] def winnowRaw(df: DataFrame, idCol: String, textCol: String,
                                k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 2, s"need k>=2 and w>=2, got k=$k w=$w")
-    val M = 1L << 20
-    val pow = Iterator.iterate(1L)(_ * 31L).take(k).toArray // 31^0 .. 31^(k-1)
-    // one row per window start s = 1 .. len - (k-1) - (w-1)
-    // UTF8String.substring is O(position) (a char walk from byte 0), so
-    // extract each window's k+w-1 chars ONCE per row — one long-string
-    // walk — and run the k·w per-char ops on that short string (walks of
-    // ≤ k+w-1 chars). 32 full-text substrs per row measured ~10× slower.
-    val starts = df.filter(length(col(textCol)) >= k + w - 1)
+    df.filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol).as("doc"), col(textCol).as("_txt"))
       .repartition(col("doc"))
       .select(col("doc"),
-        expr(s"explode(sequence(1, length(_txt) - ${k + w - 2}))").as("_s"),
-        col("_txt"))
-      .select(col("doc"), col("_s"),
-        col("_txt").substr(col("_s"), lit(k + w - 1)).as("_win"))
-    def gramKey(j: Int): Column = {
-      val h = (0 until k).map { i =>
-        ascii(col("_win").substr(lit(j + i + 1), lit(1))).cast("long") * lit(pow(k - 1 - i))
-      }.reduce(_ + _) % lit(M)
-      h * lit(1L << 32) + (lit((1L << 32) - 1) - (col("_s") + lit(j)).cast("long"))
-    }
-    val wkey = least((0 until w).map(gramKey): _*)
-    // coalesce(·, -1) is semantically a no-op (every char in range exists,
-    // so the keys are never null) but it lets NullPropagation fold a
-    // consumer's pushed-down isnotnull(h) to TRUE instead of substituting
-    // the whole k·w-substr tree into a pre-projection Filter — measured
-    // 12× on the df-capped self-join at sf0.1 (86 s → 7 s).
-    starts.select(col("doc"), wkey.as("_wkey"))
-      .select(col("doc"),
-        coalesce(lit((1L << 32) - 1) - col("_wkey") % lit(1L << 32), lit(-1L)).as("p"),
-        coalesce(expr(s"_wkey div ${1L << 32}"), lit(-1L)).as("h"))
+        explode(WinnowSelect.selected(col("_txt"), k, w)).as("_s"))
+      .select(col("doc"), col("_s.p").as("p"), col("_s.h").as("h"))
   }
 
   /** BM25 relevance of every document against a fixed query-term set —
