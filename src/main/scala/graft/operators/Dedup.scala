@@ -280,9 +280,13 @@ object Dedup {
 
   /** MinHash-LSH design point the auto geometry holds: near-duplicates at
     * jaccard ≥ [[DesignSim]] are recalled with probability ≥
-    * [[DesignRecall]] whatever rows-per-band the corpus size demands. */
+    * [[DesignRecall]] whatever rows-per-band the corpus size demands.
+    * 0.985 is the MEASURED 4th-decade operating point (r=8 × 4 bands:
+    * recall 1−(1−0.95⁸)⁴ = 0.987, SURVEY §2.9.9) — so the auto geometry
+    * reproduces the validated configuration exactly at 2×10⁷ docs instead
+    * of inventing an unmeasured wider one. */
   val DesignSim = 0.95
-  val DesignRecall = 0.99
+  val DesignRecall = 0.985
 
   /** Rows per band for an n-doc corpus: `max(4, ⌈4·log₁₀(n/2×10⁵)⌉)` —
     * "+4 rows per decade past 2×10⁵ docs", anchored at the two measured
