@@ -1,36 +1,42 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc plan probing for performance work (not part of the contract).
-  * Current probe: why the 4-consumer shingle exchange in jaccardPairs
-  * stops being reused at the BenchScale points. */
+  * Current probe: which shuffle-map stages doc_curation_chain materializes
+  * (the PlanPin +4 after the keyed-checkpoint change). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val coalesce = args.headOption.contains("coalesce")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "80")
-      .config("spark.memory.storageFraction", "0.2")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce.toString)
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id)").collect()
-    val docs = BenchScale.syntheticDocs(spark, 200000L)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    docs.write.mode("overwrite").format("noop").save()
-    val out = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, 100)
-    val t0 = System.nanoTime()
-    val ep = out.queryExecution.executedPlan
-    ep.execute().count() // materialize THIS execution so AQE finalizes it
-    println(f"TIMER jaccard ${(System.nanoTime() - t0) / 1e9}%.2f s coalesce=$coalesce")
-    val plan = ep.toString
-    println("ReusedExchange occurrences: " + "ReusedExchange".r.findAllIn(plan).size)
-    println("Exchange occurrences: " + "Exchange".r.findAllIn(plan).size)
-    println(plan.take(12000))
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = "/root/testdata/sf0.001"
+    SparkEntry.prewarmMemos(spark, sfDir)
+    val q = args.headOption.getOrElse("doc_curation_chain")
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.shuffleWriteMetrics.bytesWritten > 0)
+          stages.merge(te.stageId, (te.taskInfo.taskLocality.toString, m.shuffleWriteMetrics.bytesWritten),
+            (a, b) => (a._1, a._2 + b._2))
+      }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (stages.containsKey(s.stageInfo.stageId))
+          stages.put(s.stageInfo.stageId, (s.stageInfo.name, stages.get(s.stageInfo.stageId)._2))
+    })
+    SparkEntry.queries(q)(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    Thread.sleep(800)
+    import scala.jdk.CollectionConverters._
+    stages.asScala.toSeq.sortBy(_._1).foreach { case (sid, (name, sw)) =>
+      println(s"STAGE $sid sw=${sw}B  ${name.linesIterator.next()}")
+    }
+    println(s"STAGETOTAL ${stages.size}")
     spark.stop()
   }
 }

@@ -2025,9 +2025,15 @@ object SparkEntry {
     val dupIds = Dedup.fingerprintPairsFrom(survFps, minShared = 50,
         maxDocFreq = 100)
       .select(col("doc_b").as("doc_id")).distinct()
+    // the mixture stage only needs (doc_id, stratum) — materialize that
+    // NARROW frame once (lazy checkpoint), so temperatureSample's two
+    // passes (rate aggregation + membership scan) read two slim columns
+    // instead of re-running the band-pass + pair-join lineage per pass
     val strat = banded.join(dupIds, Seq("doc_id"), "left_anti")
-      .withColumn("stratum",
-        when(size(TextOps.tokens(col("text"))) >= 60, "long").otherwise("short"))
+      .select(col("doc_id"),
+        when(size(TextOps.tokens(col("text"))) >= 60, "long").otherwise("short")
+          .as("stratum"))
+      .localCheckpoint(false)
     Sampling.temperatureSample(strat, "doc_id", "stratum", alpha = 0.5,
         targetTotal = 150)
       .select(col("doc_id"), col("stratum"))

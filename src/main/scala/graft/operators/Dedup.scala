@@ -66,27 +66,28 @@ object Dedup {
       else shAll
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
-    // Explicit full-width repartition on the join key (user repartitions
-    // are exempt from AQE's byte-based coalescing, so the row-exploding
-    // self-join keeps its width regardless of config — ADVICE r4), then
-    // the capped index MATERIALIZES ONCE as a lazy DISK_ONLY local
-    // checkpoint that all four consumers (both self-join sides + the two
-    // sizes reads) scan as existing blocks. The previous shape relied on
-    // byte-identical subplans collapsing into one ReusedExchange — which
-    // holds over parquet scans but NOT over a persisted input: AQE's
-    // stage cache does not deduplicate exchanges whose subtree contains a
-    // cached relation (TableCacheQueryStage), so the 2M-doc scale point
-    // re-ran the scan→shingle-explode→df-window lineage FOUR times and
-    // each copy spilled its map-side sort (13.3 GB mem + 5.7 GB disk vs
-    // 8.8 GB of shuffle — the round-9 "pair sort" flag, actually the
-    // quadruplicated index build). The checkpoint preserves the
-    // repartition's hash(shingle) distribution (LogicalRDD carries
-    // outputPartitioning), so the self-join still plans with no further
-    // exchange; DISK_ONLY keeps the blocks out of the unified pool the
-    // join sorts need (the r9 BlockedVar lesson). Blocks free when the
-    // frame is unreferenced — no accrual across calls.
-    val sh = capped.repartition(nPart, col("shingle"))
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // The capped index MATERIALIZES ONCE as a lazy DISK_ONLY KEYED local
+    // checkpoint ([[org.apache.spark.sql.GraftCheckpoint]]: explicit
+    // full-width repartition on the join key — exempt from AQE's
+    // byte-based coalescing, ADVICE r4 — with the hash(shingle)
+    // distribution re-advertised on the checkpoint's LogicalRDD) that all
+    // four consumers (both self-join sides + the two sizes reads) scan as
+    // existing blocks WITH ZERO further exchanges. Two prior failure
+    // modes die here: (a) exchange reuse does not hold over persisted
+    // inputs (AQE's stage cache does not deduplicate exchanges whose
+    // subtree contains a TableCacheQueryStage — the round-10 find: the
+    // 2M-doc point re-ran the scan→shingle-explode→df-window lineage FOUR
+    // times, 13.3 GB mem + 5.7 GB disk of spilled map sorts); (b) a plain
+    // localCheckpoint CREATED under AQE captures NO outputPartitioning
+    // (the pre-execution AdaptiveSparkPlanExec has none — the round-11
+    // find), so the self-join sides each re-exchanged the index and only
+    // ReusedExchange collapsed them back to one materialized copy.
+    // DISK_ONLY keeps the blocks out of the unified pool the join needs
+    // (the r9 BlockedVar lesson); blocks free when the frame is
+    // unreferenced — no accrual across calls.
+    val sh = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
+      capped, Seq("shingle"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY, nPart)
     // per-doc capped sizes: aggregated once from the checkpointed blocks
     // and materialized the same way — the two renamed consumers below
     // would otherwise each re-scan the full index
@@ -125,10 +126,12 @@ object Dedup {
       else uni
         .withColumn("_df", count(lit(1)).over(Window.partitionBy("shingle")))
         .filter(col("_df") <= maxDocFreq).drop("_df")
-    // one materialization for the four consumers — same persisted-input
-    // exchange-reuse failure (and fix) as [[jaccardPairs]]
-    val sh = capped.repartition(nPart, col("shingle"))
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // one keyed materialization for the four consumers — same
+    // persisted-input exchange-reuse failure AND AQE-checkpoint
+    // partitioning loss (and fix) as [[jaccardPairs]]
+    val sh = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
+      capped, Seq("shingle"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY, nPart)
     val sizes = sh.groupBy("_side", "doc").agg(count(lit(1)).as("sz"))
       .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val inter = sh.filter(col("_side") === "l").as("a")
@@ -209,12 +212,13 @@ object Dedup {
     val r = index.sparkSession.conf.get(PairSaltKey, "1").toInt
     val nPart = index.sparkSession.sessionState.conf.numShufflePartitions
     if (r <= 1) {
-      // materialized once for both self-join sides: exchange reuse does
-      // NOT hold over persisted inputs (see [[jaccardPairs]]) — without
-      // the checkpoint a cached source re-runs the full fingerprint
-      // lineage per side
-      val ix = index.repartition(nPart, col(keyCol))
-        .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // materialized once for both self-join sides, with the hash(key)
+      // distribution advertised (see [[jaccardPairs]]): the join then
+      // reads the blocks with no exchange at all — the plain checkpoint
+      // paid one materialized (ReusedExchange-collapsed) index exchange
+      val ix = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
+        index, Seq(keyCol),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY, nPart)
       ix.as("a").hint("shuffle_hash").join(ix.as("b"),
           col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc") < col("b.doc"))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -417,23 +421,29 @@ object Dedup {
     * suffix-array constructions that need global sorts. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                minTokens: Int, minOccurrences: Int = 2): DataFrame = {
-    // Window-hash rows exchanged on h ONCE and materialized (lazy
-    // DISK_ONLY localCheckpoint, the [[jaccardPairs]] pattern), feeding
-    // both the count aggregate and the probe join from the same
-    // hash-partitioned blocks. Two problems die together: (a) the
-    // aggregate plans in COMPLETE mode — window hashes are ~unique, so a
-    // map-side partial aggregate combines nothing yet builds a per-task
-    // hash map over every distinct key, and at the 2×10⁶-doc point (fat
-    // 3M-key map tasks) that map outgrew the task execution share and
-    // spilled 7.5 GB against 0.7 GB of shuffle; (b) over a persisted
-    // input the probe join cannot reuse the aggregate's exchange (AQE's
-    // cached-relation reuse failure), so without the checkpoint the
-    // explode lineage + exchange run twice. A hot window still costs a
-    // counter, not a buffered partition: it collapses inside the ONE
-    // final aggregate task that owns its key (vs a count WINDOW, which
-    // buffers the hot key's rows in one task).
-    val st = spanStarts(df, idCol, textCol, minTokens).repartition(col("h"))
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // Window-hash rows exchanged on h ONCE and materialized as a KEYED
+    // lazy DISK_ONLY checkpoint ([[jaccardPairs]] pattern +
+    // [[org.apache.spark.sql.GraftCheckpoint]]'s re-advertised hash(h)
+    // distribution), feeding both the count aggregate and the probe join
+    // from the same hash-partitioned blocks with ZERO further exchanges.
+    // Three problems die together: (a) the aggregate plans in COMPLETE
+    // mode — window hashes are ~unique, so a map-side partial aggregate
+    // combines nothing yet builds a per-task hash map over every distinct
+    // key, and at the 2×10⁶-doc point (fat 3M-key map tasks) that map
+    // outgrew the task execution share and spilled 7.5 GB against 0.7 GB
+    // of shuffle; (b) over a persisted input the probe join cannot reuse
+    // the aggregate's exchange (AQE's cached-relation reuse failure), so
+    // without the checkpoint the explode lineage + exchange run twice;
+    // (c) a plain checkpoint CREATED under AQE advertises no partitioning
+    // (round-11 find), which cost an h-only aggregate-input re-exchange
+    // at EVERY scale (~20% of the op's bytes) and, past the broadcast
+    // gate, a full-width probe re-exchange (8.1 GB at 2×10⁷). A hot
+    // window still costs a counter, not a buffered partition: it
+    // collapses inside the ONE final aggregate task that owns its key
+    // (vs a count WINDOW, which buffers the hot key's rows in one task).
+    val st = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
+      spanStarts(df, idCol, textCol, minTokens), Seq("h"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dupH = st.groupBy("h").agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= minOccurrences).select("h")
     // tiny for real corpora → size-gated broadcast keeps the probe
@@ -475,14 +485,14 @@ object Dedup {
     // spans-side rows carry an underscore-prefixed doc key so the final
     // drop can never collide with a caller column literally named "doc"
     // (DataFrame.drop-by-name removes EVERY column with that name)
-    val st = spanStarts(df, idCol, textCol, minTokens)
-      .withColumnRenamed("doc", "_sds_doc")
-      // exchanged on h once and checkpointed, for the same reasons as
-      // [[dupSpans]]: the aggregate plans COMPLETE (no uncombining
-      // partial hash map to spill) and the probe join consumes the same
-      // materialized blocks instead of re-running the explode + exchange
-      .repartition(col("h"))
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // exchanged on h once into a keyed checkpoint, for the same reasons
+    // as [[dupSpans]]: the aggregate plans COMPLETE (no uncombining
+    // partial hash map to spill) and both it and the probe join consume
+    // the same materialized blocks with no re-exchange
+    val st = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
+      spanStarts(df, idCol, textCol, minTokens)
+        .withColumnRenamed("doc", "_sds_doc"), Seq("h"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // per duplicated window: its canonical (first) occurrence — the same
     // hot-key-immune aggregate + gated-broadcast shape as [[dupSpans]];
     // struct min is lexicographic (doc, pos), i.e. corpus order

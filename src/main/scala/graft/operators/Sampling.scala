@@ -57,7 +57,15 @@ object Sampling {
                         alpha: Double, targetTotal: Long,
                         salt: String = ""): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha $alpha out of [0,1]")
+    // the counts frame (rows = #strata, tiny) is consumed TWICE in the one
+    // output DAG (the _wsum aggregate + the thr crossJoin) with df's whole
+    // lineage underneath each copy — a lazy checkpoint materializes it once
+    // so df is computed once per pass, not once per plan copy. (Exchange
+    // reuse used to hide this accidentally when df's lineage happened to
+    // end in an exchange; with keyed checkpoints upstream it no longer
+    // does — round-11 find on doc_curation_chain.)
     val counts = df.groupBy(strataCol).agg(count(lit(1)).cast("double").as("_n"))
+      .localCheckpoint(false)
     val wsum = counts.agg(sum(pow(col("_n"), alpha)).as("_wsum"))
     val thr = counts.crossJoin(broadcast(wsum))
       .withColumn("_frac", least(lit(1.0),

@@ -1,0 +1,68 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.ExpressionSet
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** Key-preserving local checkpoint — the missing piece of the
+  * materialize-once pattern under adaptive execution.
+  *
+  * `Dataset.localCheckpoint` captures `physicalPlan.outputPartitioning`
+  * into the replacement [[LogicalRDD]]. With AQE enabled the physical plan
+  * is an unresolved `AdaptiveSparkPlanExec`, whose pre-execution
+  * outputPartitioning is unknown — so EVERY checkpoint created under AQE
+  * (the default) advertises nothing, and every downstream aggregate or
+  * shuffled join over it re-exchanges rows that are already correctly
+  * partitioned. Measured on the span ops: an h-only aggregate re-exchange
+  * at every scale (~20% of the op's bytes) plus, past the broadcast gate,
+  * a full-width probe re-exchange (8.1 GB at 2×10⁷ docs); the
+  * byte-identical self-join sides only dodge it because their two
+  * identical exchanges collapse into one ReusedExchange — still one full
+  * materialized exchange of data that was already partitioned on the key.
+  *
+  * This helper repartitions on the keys with an EXPLICIT width (a
+  * user-specified `REPARTITION_BY_NUM`, which AQE never coalesces and
+  * never skew-splits, so the produced RDD's distribution is exactly
+  * `HashPartitioning(keys, n)`), checkpoints, and then re-advertises that
+  * partitioning on the checkpoint's own LogicalRDD output attributes.
+  * Downstream plans then consume the materialized blocks with ZERO
+  * exchanges wherever the keys line up. Origin stats/constraints are
+  * preserved (`otherCopyArgs`), so size-gated broadcast decisions are
+  * unchanged.
+  */
+object GraftCheckpoint {
+
+  /** `df.repartition(n, keys).localCheckpoint(eager = false, level)` with
+    * the hash(keys, n) distribution re-advertised (see object doc).
+    * `n` defaults to the session shuffle width. */
+  def localCheckpointHashed(df: DataFrame, keyNames: Seq[String],
+                            level: StorageLevel,
+                            numPartitions: Int = -1): DataFrame = {
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ckpt = df.repartition(nPart, keyNames.map(df.col): _*)
+      .localCheckpoint(false, level)
+    ckpt.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val attrs = keyNames.map(k => lr.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"checkpoint key '$k' not in output ${lr.output.map(_.name)}")))
+        // the rebuilt node keeps the SAME output attribute ids, so the
+        // checkpoint's (already origin-rewritten) stats and constraints can
+        // be passed straight through — optimizer size estimates and
+        // constraint propagation stay exactly what a plain checkpoint gives
+        val keyed = new LogicalRDD(lr.output, lr.rdd,
+          HashPartitioning(attrs, nPart), lr.outputOrdering, lr.isStreaming,
+          lr.stream)(
+          df.sparkSession.asInstanceOf[classic.SparkSession],
+          Some(lr.stats): Option[Statistics],
+          Some(lr.constraints): Option[ExpressionSet])
+        classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[classic.SparkSession], keyed)
+      case _ => ckpt // not a LogicalRDD (unexpected) — keep the plain form
+    }
+  }
+}

@@ -16,11 +16,12 @@
 set -u
 cd "$(dirname "$0")/.."
 ops="${SPARK_GRAFT_DECADE4_OPS:-dedup_exact minhash_lsh cc_clusters_lsh fingerprint_pairs dup_spans strip_spans decontam_exact decontam_bloom}"
+docs="${SPARK_GRAFT_DECADE4_DOCS:-20000000}"
 out="${1:-/tmp/decade4}"
 mkdir -p "$out"
 for op in $ops; do
   echo "=== $op $(date -u +%H:%M:%S) df=$(df --output=avail -BG / | tail -1)"
-  SPARK_GRAFT_SCALE_OPS="$op" SPARK_GRAFT_SCALE_DOCS=20000000 \
+  SPARK_GRAFT_SCALE_OPS="$op" SPARK_GRAFT_SCALE_DOCS="$docs" \
   SPARK_DRIVER_MEM=8g \
   JAVA_TOOL_OPTIONS="-Dspark.io.compression.codec=zstd" \
     tools/run.sh graft.BenchScale \
