@@ -91,6 +91,8 @@ object SparkEntry {
     "doc_image_phash_pairs" -> ((s, d) => qImagePhashPairs(s, d)),
     "doc_audio_features" -> ((s, d) => qAudioFeatures(s, d)),
     "doc_audio_fp_pairs" -> ((s, d) => qAudioFpPairs(s, d)),
+    "doc_video_keyframes" -> ((s, d) => qVideoKeyframes(s, d)),
+    "doc_video_kf_pairs" -> ((s, d) => qVideoKfPairs(s, d)),
     "emb_knn"            -> ((s, d) => qEmbKnn(s, d)),
     "emb_knn_lsh"        -> ((s, d) => qEmbKnnLsh(s, d)),
     "emb_lsh_buckets"    -> ((s, d) => qEmbLshBuckets(s, d)),
@@ -804,7 +806,10 @@ object SparkEntry {
       () => { docVecsM(s, d); () },
       () => { docFpsM(s, d); () },
       () => { jaccardM(s, d); () },
-      () => { docPplM(s, d); () })
+      () => { docPplM(s, d); () },
+      () => { imgPayloadsM(s, d); () },
+      () => { wavPayloadsM(s, d); () },
+      () => { vidPayloadsM(s, d); () })
     graft.eval.Evaluation.fanOut(chains, parallelism = chains.size)(_.apply())
     ()
   }
@@ -1338,18 +1343,26 @@ object SparkEntry {
     * encode/decode asymmetry, resample drift, or bit-packing slip breaks
     * the hash match. PNG is lossless, so decode(encode(px)) == px and the
     * pure-SQL replay is exact. */
-  private def qImagePhash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
-        (id, Multimodal.PlantedImages.pngBytes(src, 18, 16,
-          brighten = id % 10 == 9))
-      }).toDF("doc_id", "payload")
-    Multimodal.imageDHash(payloads)
+  private def qImagePhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageDHash(imgPayloadsM(s, d))
       .select(col("doc_id"), col("img_w"), col("img_h"),
         col("dh_hi"), col("dh_lo"))
-  }
+
+  /** Memoized planted-PNG payload frame for the pixel tier: fixture
+    * SYNTHESIS (an md5 per pixel) is a session cost measured under the
+    * bench's `memo_build` line item like every other fixture-shaped cost,
+    * so doc_image_* walls time decode + features, not synthesis (the
+    * round-10 gate artifact timed the synthesis — VERDICT r10 #4). */
+  private def imgPayloadsM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "imgpay") {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
+          (id, Multimodal.PlantedImages.pngBytes(src, 18, 16,
+            brighten = id % 10 == 9))
+        }).toDF("doc_id", "payload")
+    }
 
   /** Image near-duplicate pairs: Hamming ≤ 3 over the 64-bit dHash via
     * the pigeonhole banded equi-join
@@ -1375,16 +1388,66 @@ object SparkEntry {
     * decode(encode(s)) == s and the replay is exact; the ×2 copies
     * hash-match only because the fingerprint's gradient signs survive
     * exact gain scaling, which is the property under test. */
-  private def qAudioFeatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
-        (id, Multimodal.PlantedAudio.wavBytes(src, 260,
-          gain = if (id % 10 == 9) 2 else 1))
-      }).toDF("doc_id", "payload")
-    Multimodal.audioFeatures(payloads)
-  }
+  private def qAudioFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFeatures(wavPayloadsM(s, d))
+
+  /** Memoized planted-PCM payload frame — same memo_build discipline as
+    * [[imgPayloadsM]] (synthesis is an md5 per sample and dominated the
+    * round-10 doc_audio_* walls; the r10 workaround halved the fixture
+    * instead of moving the cost where it belongs). */
+  private def wavPayloadsM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "wavpay") {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
+          (id, Multimodal.PlantedAudio.wavBytes(src, 260,
+            gain = if (id % 10 == 9) 2 else 1))
+        }).toDF("doc_id", "payload")
+    }
+
+  /** Keyframe-level video tier — the ISO-BMFF analogue of [[qImagePhash]]
+    * and the last modality to move past header-only: every doc gets a REAL
+    * faststart MP4 (genuine moov/trak/mdia/minf/stbl box nesting with
+    * stss/stsz/stco sample tables; mdat carries planted RAW gray8 frames —
+    * the md5-prefix recipe over (src, frame, x, y); doc_id%10==5 reuses
+    * its predecessor's video EXACTLY, %10==9 reuses it with frame 0's
+    * top-left 2×2 brightened), then
+    * [[graft.operators.Multimodal.videoKeyframes]] walks the sample
+    * tables back out (stss sync samples — absent means all-sync per ISO
+    * 14496-12 §8.6.2 — stsz sizes, stco offsets), slices the FIRST
+    * keyframe's bytes out of mdat, and dHashes it with the identical
+    * integer kernel as the image tier. The oracle recomputes frame
+    * counts, keyframe counts, duration, and the hash from the SAME
+    * planted recipe in SQL — any box-offset, sample-table, or
+    * frame-slicing slip breaks the hash match. Honest scope: sample
+    * tables parse for ANY faststart MP4; the pixel step applies only to
+    * uncompressed gray8 samples (a real codec's frames need ffmpeg and
+    * yield null hash words). */
+  private def qVideoKeyframes(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoKeyframes(vidPayloadsM(s, d))
+
+  /** Memoized planted-video payload frame — same memo_build discipline as
+    * [[imgPayloadsM]]: frame counts 3/5/7 (src%3), keyframes every 2nd
+    * sample, 18×16 frames so the dHash oracle shares the image tier's
+    * exact grid geometry. */
+  private def vidPayloadsM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "vidpay") {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
+          (id, Multimodal.PlantedVideo.mp4Bytes(src,
+            3 + (src % 3).toInt * 2, 18, 16, brighten = id % 10 == 9))
+        }).toDF("doc_id", "payload")
+    }
+
+  /** Video near-duplicate pairs: Hamming ≤ 3 over the first-keyframe
+    * dHash via the same pigeonhole banded equi-join as the image/audio
+    * tiers ([[graft.operators.Dedup.hammingPairs64]]) — finds the exact
+    * re-uploads at distance 0 and the brightened edits at distance ≤ 1. */
+  private def qVideoKfPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs64(qVideoKeyframes(s, d), "doc_id", "kf_hi", "kf_lo", 3)
 
   /** Audio near-duplicate pairs: Hamming ≤ 3 over the 64-bit envelope
     * fingerprint via the same pigeonhole banded equi-join as the image
@@ -2978,6 +3041,47 @@ object SparkEntry {
       |  zc.sum_sq, zc.zero_cross, fp.fp_hi, fp.fp_lo
       |FROM zc JOIN fp ON fp.doc_id = zc.doc_id""".stripMargin
 
+  /** SQL replay of [[qVideoKeyframes]]: planted raw gray8 keyframes →
+    * the image tier's exact dHash grid math (18×16 → uniform 2×2 cells)
+    * over the video pixel recipe, plus arithmetic replay of the planted
+    * sample-table metadata (frame count 3+(src%3)·2, keyframes every 2nd
+    * sample, 25 fps duration). Raw frames are lossless, so the Spark
+    * side's slice(encode(px)) == px and the replay is exact. Shared by
+    * the keyframes and pairs oracles. */
+  private val videoKeyframesSql =
+    """WITH ids AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 IN (5, 9) THEN doc_id - 1 ELSE doc_id END AS src,
+      |    (doc_id % 10 = 9) AS br FROM documents),
+      |meta AS (SELECT doc_id, src, br, 3 + (src % 3) * 2 AS nf FROM ids),
+      |px AS (
+      |  SELECT m.doc_id, x.x, y.y,
+      |    CASE WHEN m.br AND x.x < 2 AND y.y < 2
+      |      THEN least(255, CAST(concat('0x', substr(md5(m.src || '_v_0_' || x.x || '_' || y.y), 1, 15)) AS BIGINT) % 256 + 64)
+      |      ELSE CAST(concat('0x', substr(md5(m.src || '_v_0_' || x.x || '_' || y.y), 1, 15)) AS BIGINT) % 256
+      |    END AS g
+      |  FROM meta m, range(18) x(x), range(16) y(y)),
+      |grid AS (
+      |  SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
+      |    CAST(SUM(g) // 4 AS BIGINT) AS v
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, a.gy * 8 + a.gx AS b,
+      |    CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM grid a JOIN grid n
+      |    ON n.doc_id = a.doc_id AND n.gy = a.gy AND n.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |hw AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS kf_hi,
+      |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS kf_lo
+      |  FROM bits GROUP BY 1)
+      |SELECT m.doc_id, CAST(18 AS BIGINT) AS vid_w, CAST(16 AS BIGINT) AS vid_h,
+      |  CAST(m.nf * 40 AS BIGINT) AS duration_ms,
+      |  CAST(m.nf AS BIGINT) AS n_frames,
+      |  CAST((m.nf + 1) // 2 AS BIGINT) AS n_keyframes,
+      |  hw.kf_hi, hw.kf_lo
+      |FROM meta m JOIN hw ON hw.doc_id = m.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_build_monthly" ->
       s"$S SELECT series_id, ds, y, FALSE AS is_future FROM series",
@@ -4188,6 +4292,30 @@ object SparkEntry {
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(bit_count(xor(a.dh_hi, b.dh_hi)) +
         |         bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+
+    // sample-table + raw-keyframe replay: counts/duration arithmetically,
+    // the first-keyframe dHash from the planted pixels (image-grid math)
+    "doc_video_keyframes" -> videoKeyframesSql,
+
+    // same 4x16-bit banding replay as the image/audio pairs, over
+    // (kf_hi, kf_lo)
+    "doc_video_kf_pairs" ->
+      s"""WITH vk AS ($videoKeyframesSql),
+        |banded AS (
+        |  SELECT doc_id, kf_hi, kf_lo, b.band,
+        |    CASE b.band WHEN 0 THEN kf_lo % 65536
+        |      WHEN 1 THEN kf_lo // 65536
+        |      WHEN 2 THEN kf_hi % 65536
+        |      ELSE kf_hi // 65536 END AS band_val
+        |  FROM vk, range(4) b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.kf_hi, b.kf_hi)) +
+        |         bit_count(xor(a.kf_lo, b.kf_lo)) AS BIGINT) AS hamming
         |  FROM banded a JOIN banded b
         |    ON a.band = b.band AND a.band_val = b.band_val
         |      AND a.doc_id < b.doc_id)

@@ -625,6 +625,257 @@ object Multimodal {
         "sum_sq", "zero_cross", "fp_hi", "fp_lo")
   }
 
+  /** Deterministic planted raw-frame "video" for the keyframe tier's
+    * fixtures — the ISO-BMFF analogue of [[PlantedImages]]/[[PlantedAudio]]:
+    * a REAL faststart MP4 box layout (ftyp + moov[mvhd + trak[tkhd +
+    * mdia[minf[stbl[stss + stsz + stco]]]]] + mdat) whose sample tables
+    * are genuine and whose mdat carries UNCOMPRESSED 8-bit grayscale
+    * frames, pixel (x, y) of frame f of source id `src` being the
+    * md5-prefix long of "src_v_f_x_y" mod 256 (the engine-portable hash
+    * recipe every oracle replays). Raw frames are lossless, so the
+    * keyframe extractor recovers the planted bytes exactly and a SQL
+    * oracle can recompute any pure function of them. Keyframes are
+    * planted at every SECOND sample (stss = 1, 3, 5, …); `brighten`
+    * lifts frame 0's top-left 2×2 block by +64 saturating — the planted
+    * ≤1-bit keyframe near-duplicate, exactly the [[PlantedImages]]
+    * perturbation. */
+  object PlantedVideo {
+    def gray(src: Long, f: Int, x: Int, y: Int): Int =
+      (FakeDecoder.h60(FakeDecoder.md5Hex(
+        s"${src}_v_${f}_${x}_${y}".getBytes("UTF-8"))) % 256L).toInt
+
+    /** Complete faststart bytes: `nFrames` w×h gray8 frames at 25 fps
+      * (mvhd timescale 1000, duration nFrames·40). */
+    def mp4Bytes(src: Long, nFrames: Int, w: Int, h: Int,
+                 brighten: Boolean = false): Array[Byte] = {
+      require(nFrames >= 1 && w >= 1 && h >= 1)
+      val nKf = (nFrames + 1) / 2
+      val frameBytes = w * h
+      val stssSz = 16 + 4 * nKf
+      val stszSz = 20
+      val stcoSz = 16 + 4 * nFrames
+      val stblSz = 8 + stssSz + stszSz + stcoSz
+      val minfSz = 8 + stblSz
+      val mdiaSz = 8 + minfSz
+      val trakSz = 8 + 92 + mdiaSz
+      val moovSz = 8 + 108 + trakSz
+      val mdatStart = 20 + moovSz
+      val buf = java.nio.ByteBuffer.allocate(mdatStart + 8 + nFrames * frameBytes)
+      def matrix(): Unit = {
+        buf.putInt(0x00010000).putInt(0).putInt(0)
+        buf.putInt(0).putInt(0x00010000).putInt(0)
+        buf.putInt(0).putInt(0).putInt(0x40000000)
+      }
+      buf.putInt(20).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII"))
+      buf.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+      buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)            // v0+flags, times
+        .putInt(1000).putInt(nFrames * 40)        // timescale, duration
+        .putInt(0x00010000).putShort(0x0100.toShort)
+        .putShort(0).putLong(0L)
+      matrix()
+      buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+        .putInt(2)
+      buf.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+      buf.putInt(92).put("tkhd".getBytes("US-ASCII"))
+        .putInt(7).putInt(0).putInt(0)
+        .putInt(1).putInt(0)
+        .putInt(nFrames * 40).putLong(0L)
+        .putShort(0).putShort(0).putShort(0).putShort(0)
+      matrix()
+      buf.putInt((w.toLong << 16).toInt).putInt((h.toLong << 16).toInt)
+      buf.putInt(mdiaSz).put("mdia".getBytes("US-ASCII"))
+      buf.putInt(minfSz).put("minf".getBytes("US-ASCII"))
+      buf.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
+      buf.putInt(stssSz).put("stss".getBytes("US-ASCII")).putInt(0)
+        .putInt(nKf)
+      (0 until nKf).foreach(i => buf.putInt(2 * i + 1)) // samples 1,3,5,…
+      buf.putInt(stszSz).put("stsz".getBytes("US-ASCII")).putInt(0)
+        .putInt(frameBytes).putInt(nFrames)       // uniform sample_size
+      buf.putInt(stcoSz).put("stco".getBytes("US-ASCII")).putInt(0)
+        .putInt(nFrames)                          // one chunk per sample
+      (0 until nFrames).foreach(f =>
+        buf.putInt(mdatStart + 8 + f * frameBytes))
+      buf.putInt(8 + nFrames * frameBytes).put("mdat".getBytes("US-ASCII"))
+      var f = 0
+      while (f < nFrames) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var g = gray(src, f, x, y)
+            if (brighten && f == 0 && x < 2 && y < 2) g = math.min(255, g + 64)
+            buf.put(g.toByte)
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      buf.array()
+    }
+  }
+
+  /** The shared integer dHash kernel over a grayscale accessor: box-average
+    * to a 9×8 grid (floor bounds, integer-division mean — the
+    * [[imageDHash]] rule), bit Y·8+X set iff grid(X+1,Y) > grid(X,Y).
+    * Returns (hi, lo) 32-bit words. */
+  private[graft] def dhash64(gray: (Int, Int) => Long, w: Int, h: Int): (Long, Long) = {
+    val grid = Array.ofDim[Long](8, 9)
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 9) {
+        val x0 = xx * w / 9; val x1 = (xx + 1) * w / 9
+        val y0 = yy * h / 8; val y1 = (yy + 1) * h / 8
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += gray(x, y); n += 1; x += 1 }
+          y += 1
+        }
+        grid(yy)(xx) = sum / n
+        xx += 1
+      }
+      yy += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      val gy = b / 8; val gx = b % 8
+      if (grid(gy)(gx + 1) > grid(gy)(gx)) hash |= (1L << b)
+      b += 1
+    }
+    (hash >>> 32, hash & 0xffffffffL)
+  }
+
+  /** Keyframe-level video tier behind the ISO-BMFF walk — the content
+    * signal the header tier can't give (video near-duplicates — re-mux,
+    * re-level, trailing-frame edits — keep a small keyframe-hash Hamming
+    * distance while exact byte dedup sees unrelated blobs). No codec
+    * work: the SAMPLE TABLES are parsed for real (ISO 14496-12 §8.6.2
+    * stss sync samples, §8.7.3 stsz sizes, §8.7.5 stco chunk offsets —
+    * stss absent ⇒ every sample is a sync sample, per spec), giving
+    * `n_frames` / `n_keyframes` / the first keyframe's byte extent for
+    * ANY faststart MP4; the pixel step then applies only to tracks whose
+    * samples are UNCOMPRESSED gray8 of the tkhd dimensions (the planted
+    * fixture; a real codec's frames need ffmpeg and yield null hash
+    * words, stated scope). Also honest about chunking: the byte extent
+    * rides stco directly only in the one-sample-per-chunk layout
+    * (stco entries == sample count); other stsc layouts yield null hash
+    * words rather than a wrong slice. The 64-bit keyframe dHash is the
+    * [[dhash64]] kernel — identical math to the image tier — so pairs
+    * ride [[graft.operators.Dedup.hammingPairs64]] unchanged.
+    *
+    * Output: `(doc_id, vid_w, vid_h, duration_ms, n_frames, n_keyframes,
+    * kf_hi, kf_lo)`; non-MP4 payloads yield all-null metrics. */
+  def videoKeyframes(df: DataFrame, idCol: String = "doc_id",
+                     payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val parsed =
+            try parseKeyframes(bytes) catch { case _: Exception => None }
+          parsed match {
+            case Some((w, h, durMs, nFrames, nKf, kfWords)) =>
+              (id, Some(w), Some(h), Some(durMs), Some(nFrames), Some(nKf),
+                kfWords.map(_._1), kfWords.map(_._2))
+            case None =>
+              (id, None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }.toDF(idCol, "vid_w", "vid_h", "duration_ms", "n_frames",
+        "n_keyframes", "kf_hi", "kf_lo")
+  }
+
+  /** The per-payload kernel of [[videoKeyframes]]:
+    * (w, h, duration_ms, n_frames, n_keyframes, Option[(kf_hi, kf_lo)]). */
+  private[graft] def parseKeyframes(b: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long, Option[(Long, Long)])] = {
+    def beU32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (b.length < 16 ||
+        !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    // find a box type's payload [start, end) among the children of
+    // [from, to); sizes are validated so adversarial bytes desync, not loop
+    def child(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = beU32(i)
+        if (size < 8 || size > Int.MaxValue) return None
+        if (b(i + 4) == typ(0) && b(i + 5) == typ(1) &&
+            b(i + 6) == typ(2) && b(i + 7) == typ(3))
+          return Some((i + 8, math.min(to.toLong, i + size).toInt))
+        i += size.toInt
+      }
+      None
+    }
+    val (moovS, moovE) = child(0, b.length, "moov").getOrElse(return None)
+    // movie duration from mvhd (v0/v1), as in decodeMp4
+    val (ts, dur) = child(moovS, moovE, "mvhd") match {
+      case Some((s, e)) =>
+        val v = b(s) & 0xff
+        if (v == 0 && s + 20 <= e) (beU32(s + 12), beU32(s + 16))
+        else if (v == 1 && s + 32 <= e)
+          (beU32(s + 20), (beU32(s + 24) << 32) | beU32(s + 28))
+        else (-1L, -1L)
+      case None => (-1L, -1L)
+    }
+    if (ts <= 0 || dur < 0) return None
+    val (trakS, trakE) = child(moovS, moovE, "trak").getOrElse(return None)
+    val (w, h) = child(trakS, trakE, "tkhd") match {
+      case Some((s, e)) =>
+        val off = if ((b(s) & 0xff) == 1) s + 88 else s + 76
+        if (off + 8 <= e) (beU32(off) >> 16, beU32(off + 4) >> 16)
+        else return None
+      case None => return None
+    }
+    val (stblS, stblE) = (for {
+      (ms, me) <- child(trakS, trakE, "mdia")
+      (fs, fe) <- child(ms, me, "minf")
+      st <- child(fs, fe, "stbl")
+    } yield st).getOrElse(return None)
+    // stsz (§8.7.3 v0): [v/flags][sample_size][sample_count]
+    val (sampleSize, nFrames) = child(stblS, stblE, "stsz") match {
+      case Some((s, e)) if s + 12 <= e => (beU32(s + 4), beU32(s + 8))
+      case _ => return None
+    }
+    if (nFrames <= 0) return None
+    // stss (§8.6.2): absent ⇒ every sample is sync
+    val (nKf, firstKf) = child(stblS, stblE, "stss") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val n = beU32(s + 4)
+        if (n <= 0 || s + 8 + 4 > e) return None
+        (n, beU32(s + 8))
+      case _ => (nFrames, 1L)
+    }
+    // pixel tier: uniform-size raw gray8 samples, one chunk per sample
+    val kfWords: Option[(Long, Long)] = child(stblS, stblE, "stco") match {
+      case Some((s, e)) if s + 8 <= e &&
+          beU32(s + 4) == nFrames &&           // one-sample-per-chunk layout
+          sampleSize == w * h && w >= 9 && h >= 8 &&
+          firstKf >= 1 && firstKf <= nFrames &&
+          s + 8 + 4 * firstKf.toInt <= e =>
+        val off = beU32(s + 8 + 4 * (firstKf.toInt - 1))
+        if (off + sampleSize <= b.length) {
+          val o = off.toInt
+          Some(dhash64((x, y) => (b(o + y * w.toInt + x) & 0xff).toLong,
+            w.toInt, h.toInt))
+        } else None
+      case _ => None
+    }
+    Some((w, h, dur * 1000L / ts, nFrames, nKf, kfWords))
+  }
+
   /** Resize plan: target dimensions bounded by `maxDim` with aspect ratio
     * preserved — pure Column math over the decoded metadata (the pixel
     * resample itself belongs in the decode kernel; this is the part the

@@ -463,6 +463,31 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.length == 3 && frames.map(_.frame_idx).sorted.toSeq == Seq(0L, 25L, 50L))
   }
 
+  test("video keyframes: sample tables parse; first-kf dHash matches planted pixels") {
+    import graft.operators.Multimodal
+    val b = Multimodal.PlantedVideo.mp4Bytes(7L, 5, 18, 16)
+    val (w, h, durMs, nf, nkf, words) = Multimodal.parseKeyframes(b).get
+    assert(w == 18 && h == 16 && durMs == 200) // 5 frames at 25 fps
+    assert(nf == 5 && nkf == 3)                // stss = samples 1, 3, 5
+    val (hi, lo) = words.get
+    // independent replay: dHash of the frame-0 planted recipe
+    val (ehi, elo) = Multimodal.dhash64(
+      (x, y) => Multimodal.PlantedVideo.gray(7L, 0, x, y).toLong, 18, 16)
+    assert(hi == ehi && lo == elo)
+    // exact re-encode → identical hash; brightened frame 0 → ≤ 1 bit away
+    val (bhi, blo) = Multimodal.parseKeyframes(
+      Multimodal.PlantedVideo.mp4Bytes(7L, 5, 18, 16, brighten = true))
+      .get._6.get
+    assert(java.lang.Long.bitCount(bhi ^ hi) +
+      java.lang.Long.bitCount(blo ^ lo) <= 1)
+    // the header tier still reads the same container (mvhd/tkhd)
+    assert(Multimodal.HeaderDecoder.decodeMp4(b).contains((18L, 16L, 200L)))
+    // header-only MP4 (no sample tables) and non-video bytes → None
+    assert(Multimodal.parseKeyframes(
+      Multimodal.HeaderDecoder.mp4Payload(640L, 360L, 1000L, 2500L)).isEmpty)
+    assert(Multimodal.parseKeyframes("not a container".getBytes("UTF-8")).isEmpty)
+  }
+
   test("extractFeatures uses real header dims when present, stub otherwise") {
     import spark.implicits._
     import graft.operators.Multimodal
