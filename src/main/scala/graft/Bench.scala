@@ -182,16 +182,28 @@ object Bench {
       .map(r => s"\"" + r.name + "\":" + qmJson(r))
       .mkString("""{"metric":"query_metrics","queries":{""", ",", "}}"))
     // post-run driver heap (after a GC): catches any operator accumulating
-    // driver-side state across the 154-query sweep — the number should stay
-    // flat as queries are added (BenchScale reports the same per scale point)
+    // driver-side state across the query sweep — the number should stay
+    // flat as queries are added (BenchScale reports the same per scale point).
+    // local-mode caveat, measured after the r10 driver_used_mb jump: the
+    // executor BLOCK STORE lives in this same JVM, so the session memos
+    // (bucketed-table caches + checkpointed fixture payloads) are counted
+    // too — storage_used_mb below names that share (executor-side state on
+    // a real cluster), and memo_free_mb is the heap recovered by dropping
+    // the memos, i.e. the part that is NOT driver retention.
     System.gc()
     val rt = Runtime.getRuntime
-    val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+    def heapMb: Long = (rt.totalMemory() - rt.freeMemory()) >> 20
+    val usedMb = heapMb
+    val storageMb = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum >> 20
+    SparkEntry.clearMemos()
+    System.gc()
+    val memoFreedMb = math.max(0L, usedMb - heapMb)
     val taskTotal = f3(results.map(_.taskMs).sum / 1000.0)
     val cpuTotal = f3(results.map(_.cpuMs).sum / 1000.0)
     val gcTotal = f3(results.map(_.gcMs).sum / 1000.0)
     val spillTotalMb = results.map(r => r.spillMem + r.spillDisk).sum >> 20
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart$rerunPart,"task_total_sec":$taskTotal,"cpu_total_sec":$cpuTotal,"gc_total_sec":$gcTotal,"spill_total_mb":$spillTotalMb,"driver_used_mb":$usedMb,"shuffle_total_mb":$shuffleTotalMb,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart$rerunPart,"task_total_sec":$taskTotal,"cpu_total_sec":$cpuTotal,"gc_total_sec":$gcTotal,"spill_total_mb":$spillTotalMb,"driver_used_mb":$usedMb,"storage_used_mb":$storageMb,"memo_free_mb":$memoFreedMb,"shuffle_total_mb":$shuffleTotalMb,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // truncation-proof record: the driver captures a bounded tail of stdout
     // and has twice lost the per-query map to it — the FULL record (line +

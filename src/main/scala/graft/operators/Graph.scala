@@ -129,12 +129,15 @@ object Graph {
     // at that width), then re-keyed to the ACTUAL persisted bytes so every
     // round's task count follows true edge volume, not a plan estimate.
     val wide = new HashPartitioner(math.max(1, physicalWidth))
-    // SERIALIZED level: the sizing below reads the block manager's
-    // memSize, which under plain MEMORY_AND_DISK is the DESERIALIZED
-    // object estimate of the tuple RDD — several × the serialized edge
-    // bytes the ~32 MB/partition heuristic was calibrated against, so the
-    // re-key over-partitioned relative to intent (ADVICE r10). The
-    // per-round deserialization cost is a narrow scan of slim id pairs.
+    // SERIALIZED level on the MEASUREMENT copy only: the sizing below
+    // reads the block manager's memSize, which under plain
+    // MEMORY_AND_DISK is the DESERIALIZED object estimate of the tuple
+    // RDD — several × the serialized edge bytes the ~32 MB/partition
+    // heuristic was calibrated against, so the re-key over-partitioned
+    // relative to intent (ADVICE r10). The re-keyed copy the loop
+    // actually iterates goes back to a deserialized level: paying
+    // per-round deserialization on every join measured +21% on the 2×10⁶
+    // cc anchor when this copy was SER too.
     val eLwide = rawEdges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(wide)
       .mapPartitions(it => {
@@ -157,7 +160,7 @@ object Graph {
       if (nPart * 2 <= physicalWidth) {
         val narrowPart = new HashPartitioner(nPart)
         val narrow = eLwide.partitionBy(narrowPart)
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         narrow.count()
         eLwide.unpersist(blocking = false)
         (narrow, narrowPart)
