@@ -355,29 +355,78 @@ object Dedup {
     // the banded exchange is NARROW — (doc, band, band_hash) only. Carrying
     // the k-long signature through the self-join costs bands× the signature
     // volume (13.8 of the 20 GB the 2×10⁷ r=8 point shuffled); candidates
-    // are ~linear in docs, so joining the signatures back onto the (small)
-    // candidate set twice costs 2× the signature volume instead, and both
-    // joins read the SAME checkpointed blocks.
+    // are ~linear in docs, so the signatures join back onto the (small)
+    // candidate set instead, and both join-backs read the SAME checkpointed
+    // blocks.
+    val nSig = sig.count()
     val banded0 = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_", slice(col("sig"), b * r + 1, lit(r)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val banded = pinIfExploding(banded0, sig.count() * bands,
+    val banded = pinIfExploding(banded0, nSig * bands,
       Seq(col("band"), col("band_hash")))
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand0 = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
+    // Past ~10⁶ docs the un-pruned join-backs are the dominant cost: at
+    // 2×10⁷ (4 bands) the narrow exchange saved 13.8 GB of banded shuffle
+    // write but the two sort-merge joins over ALL 20M signatures spent it
+    // back in CPU (task core-sec 15.7k wide → 19.4k joined-back, wall
+    // 501 → 624 s). Candidates are ~linear in docs and usually touch a
+    // small doc subset, so prune the signature frame FIRST with a Bloom
+    // filter over the candidate doc ids (the decontamination pattern:
+    // scalar-subquery blob, no driver collect; false positives only leave
+    // a few extra signatures that the inner join-backs drop, so the result
+    // is value-identical at any FPP). Below the gate the signature frame
+    // is at most a few hundred MB and the prune's extra driver-sequenced
+    // jobs cost more than they save — small corpora keep the direct plan
+    // (and their pinned stage counts).
+    val pruneThreshold = df.sparkSession.conf
+      .get(MinhashPruneKey, "1000000").toLong
+    val (cand, sigJb) = if (nSig < pruneThreshold) (cand0, sig) else {
+      val candC = cand0.localCheckpoint(false)
+      // materialize at full width BEFORE the coalesced bloom build below:
+      // a lazy checkpoint first touched through a coalesce(32) would run
+      // the whole post-shuffle distinct + block caching inside 32 fat
+      // tasks (OOM'd at the 4th decade); the count also right-sizes the
+      // filter to the real candidate volume
+      val nCand = candC.count()
+      // Build the filter over the candidate docs' 64-bit hashes with the
+      // partial-count COALESCED first and the result BROADCAST: a wide
+      // aggregate would ship one partial bitmap per input partition into a
+      // single-core OR-merge (8000 sized partitions × 16 MB at the 4th
+      // decade), and a scalar-subquery literal would be deserialized by
+      // every probe task. The explode is NOT distinct'd — bloom insertion
+      // is idempotent, so the extra shuffle buys nothing.
+      val items = math.max(1L, math.min(nSig, 2L * nCand))
+      val bits = math.min(math.max(1L << 23, 10L * items), 1L << 27)
+      val bf = candC
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .select(xxhash64(col("doc")).as("h"))
+        .coalesce(32)
+        .stat.bloomFilter("h", items, bits)
+      val bc = df.sparkSession.sparkContext.broadcast(bf)
+      val probe = udf((h: Long) => bc.value.mightContainLong(h))
+      val pruned = sig.filter(probe(xxhash64(col("doc"))))
+        .localCheckpoint(false)
+      (candC, pruned)
+    }
     cand
-      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .join(sigJb.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigJb.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, z) => acc + z)
           .cast("double") / k)
       .select("doc_a", "doc_b", "est_jaccard")
   }
+
+  /** Session conf: signature count above which [[minhashCandidates]]
+    * prunes the join-back signature frame to candidate docs (Bloom
+    * prefilter). Default 10⁶. */
+  val MinhashPruneKey = "spark.graft.minhash.pruneThreshold"
 
   /** Every length-`minTokens` token window start per document:
     * `(doc, pos, h)` with 1-based `pos` and `h` = 60-bit md5-prefix

@@ -81,6 +81,26 @@ class DedupHygieneSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.MinhashRowsKey)
   }
 
+  test("candidate-pruned join-backs are value-identical to the direct plan") {
+    import spark.implicits._
+    // planted near-dups so the candidate set is non-trivial: pairs must
+    // carry the same est_jaccard whether the signature frame was Bloom-
+    // pruned to candidate docs (the ≥10⁶-sig scale path) or joined whole
+    val d = docs(60).union(
+      Seq((1001L, "tok1 alpha beta gamma delta tok1 end"),
+          (1002L, "tok2 alpha beta gamma delta tok2 end"))
+        .toDF("doc_id", "text"))
+    val direct = Dedup.minhashCandidates(d, "doc_id", "text")
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(direct.nonEmpty, "fixture must yield candidate pairs")
+    spark.conf.set(Dedup.MinhashPruneKey, "1")
+    try {
+      val pruned = Dedup.minhashCandidates(d, "doc_id", "text")
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(pruned == direct)
+    } finally spark.conf.unset(Dedup.MinhashPruneKey)
+  }
+
   test("band-join pin engages only above the volume gate") {
     // 2 shuffle partitions in the test session → gate at 8192 banded rows
     val nPart = spark.sessionState.conf.numShufflePartitions
