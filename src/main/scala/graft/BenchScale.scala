@@ -40,7 +40,15 @@ object BenchScale {
               tag: String) =
       (pmod(xxhash64(concat_ws("_", sid, t, lit(tag))), lit(1000L))
         .cast("double") / 1000.0) - 0.5
-    val base = spark.range(nSeries * nObs)
+    // constant ~3M rows per generated split, the same fixture-layout rule
+    // as syntheticDocs: at the default 32 splits a 10⁷-series point put
+    // 30M rows through EACH map task, and the per-task external sort's
+    // multi-pass merge (spill ≈ full input, fixed 8 GB pool) grew the map
+    // stage ×46 in core-sec for ×10 rows (stage-metrics probe, §2.9.12).
+    // ≤10⁶ series the width stays 32, so lower decades keep their
+    // measured layout exactly; a real lake scan has hundreds of splits.
+    val nParts = math.max(32L, nSeries * nObs / 3000000L).toInt
+    val base = spark.range(0, nSeries * nObs, 1, nParts)
       .select((col("id") / nObs).cast("long").as("_sid"),
         pmod(col("id"), lit(nObs.toLong)).as("_t"))
     val drv = col("_sid") - pmod(col("_sid"), lit(5L))
