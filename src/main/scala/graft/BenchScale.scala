@@ -388,9 +388,15 @@ object BenchScale {
     // catch. 8K partitions is nothing to the scheduler (~2×10⁵ task
     // launches over the tier) and the serialized sort writer emits one
     // data+index file per MAP task regardless of reduce width.
+    // SPARK_GRAFT_SCALE_WIDTH overrides the sized width for one-off
+    // experiments (e.g. the §2.9.12 bytes-proportional-width probe: the
+    // rows-proportional rule makes map-side per-segment codec overhead
+    // QUADRATIC in n — nTasks × nPartitions tiny zstd frames).
+    val widthOverride = sys.env.get("SPARK_GRAFT_SCALE_WIDTH").map(_.toLong)
     def sizePartitions(rows: Long): Unit = spark.conf.set(
       "spark.sql.shuffle.partitions",
-      math.max(cpus.toLong, math.min(8192L, rows / 125000L)).toString)
+      widthOverride.getOrElse(
+        math.max(cpus.toLong, math.min(8192L, rows / 125000L))).toString)
     // Materialize the generated input once so op timings exclude
     // generation — DISK_ONLY, not localCheckpoint: a MEMORY_AND_DISK
     // input at the 10⁶ point (~7 GB, never fits) raced the window sorts
