@@ -196,8 +196,10 @@ object BenchScale {
       * timings), plus a GC nudge so the ContextCleaner frees the finished
       * op's dereferenced shuffle files before the next op's spill peak. */
     def measure(ops: Seq[(String, DataFrame => Unit)], frame: DataFrame,
-                tag: String, n: Long): Seq[(String, Double, String)] =
+                tag: String, n: Long,
+                setWidth: String => Unit = _ => ()): Seq[(String, Double, String)] =
       ops.map { case (k, f) =>
+        setWidth(k)
         val lst = new OpMetrics
         spark.sparkContext.addSparkListener(lst)
         val s = time(f(frame))
@@ -393,10 +395,23 @@ object BenchScale {
     // rows-proportional rule makes map-side per-segment codec overhead
     // QUADRATIC in n — nTasks × nPartitions tiny zstd frames).
     val widthOverride = sys.env.get("SPARK_GRAFT_SCALE_WIDTH").map(_.toLong)
-    def sizePartitions(rows: Long): Unit = spark.conf.set(
-      "spark.sql.shuffle.partitions",
-      widthOverride.getOrElse(
-        math.max(cpus.toLong, math.min(8192L, rows / 125000L))).toString)
+    def sizePartitions(rows: Long, rowsPerTask: Long = 125000L): Unit =
+      spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        widthOverride.getOrElse(
+          math.max(cpus.toLong, math.min(8192L, rows / rowsPerTask))).toString)
+    // Per-op-CLASS reduce widths (§2.9.12): the two sizing constraints
+    // pull different ops different ways. Wide-row aggregates (auto_xvar's
+    // fused ~400 B feature rows) need ≤125k rows/task or the shared-pool
+    // sort OOMs run-to-run — the reproducibility guard. THIN extract-sort
+    // ops (~100 B rows) are bounded by SEGMENT COUNT instead: map tasks ×
+    // reduce partitions compressed segments grow quadratic under a single
+    // rows rule (measured ×30/decade map-stage core-sec; §2.9.12), so
+    // they take 625k rows/task (~6 MB segments at the 10⁷ point, sorts
+    // still ~60 MB — measured fit_by_series 192.9 → 97.3 s at 10⁷).
+    val thinSortRows: Map[String, Long] = Map(
+      "fit_by_series" -> 625000L,
+      "seasonal_length_by_series" -> 625000L)
     // Materialize the generated input once so op timings exclude
     // generation — DISK_ONLY, not localCheckpoint: a MEMORY_AND_DISK
     // input at the 10⁶ point (~7 GB, never fits) raced the window sorts
@@ -420,7 +435,8 @@ object BenchScale {
       sizePartitions(n * nObs)
       val frame = materialize(syntheticFrame(spark, n, nObs))
       val line = jsonLine(s""""n_series":$n,"rows":${n * nObs}""",
-        measure(seriesKept, frame, "n_series", n))
+        measure(seriesKept, frame, "n_series", n,
+          k => sizePartitions(n * nObs, thinSortRows.getOrElse(k, 125000L))))
       frame.unpersist(blocking = true)
       line
     }
