@@ -446,10 +446,23 @@ object BenchScale {
     val corpusPoints = docSizes.map { n =>
       // size on SHINGLE volume, not docs: the dedup shuffles carry ~50
       // token/shingle rows per doc (2M docs × 32 partitions put 230 MB
-      // per task through the pair sorts — 34 GB of jaccard spill)
+      // per task through the pair sorts — 34 GB of jaccard spill).
+      // EXCEPT the ops whose keyed exchanges are operator-sized
+      // (graft.core.Widths — fingerprint/span tiers): for those the
+      // session width only carries the byte-trivial pair/final
+      // aggregates, and the rows rule's 8000 partitions at 2×10⁷ turned
+      // that ~1 GB exchange into 8000×8000 ≈ 64M micro-segments — the
+      // §2.9.12 quadratic-segment law reproduced in the corpus tier,
+      // measured 6.1× of fingerprint_pairs' wall (431.5 → 70.9 s).
       sizePartitions(n * 50)
+      val widthsSized = Set("fingerprint_pairs", "fingerprint_pairs_w12",
+        "dup_spans", "strip_spans")
       val docs = materialize(syntheticDocs(spark, n))
-      val line = jsonLine(s""""n_docs":$n""", measure(corpusKept, docs, "n_docs", n))
+      val line = jsonLine(s""""n_docs":$n""", measure(corpusKept, docs, "n_docs", n,
+        k => if (widthsSized(k))
+          spark.conf.set("spark.sql.shuffle.partitions",
+            widthOverride.getOrElse(cpus.toLong).toString)
+        else sizePartitions(n * 50)))
       docs.unpersist(blocking = true)
       line
     }

@@ -1525,7 +1525,10 @@ object SparkEntry {
     val docs = Tables.documents(s, d)
     val agg = docFpsM(s, d)
       .groupBy("doc").agg(
-        count(lit(1)).as("n_fp"), sum("h").as("fp_sum"),
+        count(lit(1)).as("n_fp"),
+        // MODULAR sum: h is the 60-bit gram digest, and a raw bigint sum
+        // over ~120 fingerprints/doc overflows 63 bits (ANSI throws)
+        sum(pmod(col("h"), lit(1000000007L))).as("fp_sum"),
         min("h").as("fp_min"), max("h").as("fp_max"))
       .withColumnRenamed("doc", "doc_id")
     docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
@@ -3965,9 +3968,13 @@ object SparkEntry {
         |         count(*) OVER (PARTITION BY doc_id ORDER BY p
         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
         |       FROM k2),
-        |sel AS (SELECT DISTINCT doc_id, wkey // 4294967296 AS h,
-        |          4294967295 - (wkey % 4294967296) AS p FROM w2 WHERE cnt = 4),
-        |agg AS (SELECT doc_id, count(*) AS n_fp, sum(h) AS fp_sum,
+        |sel0 AS (SELECT DISTINCT doc_id, 4294967295 - (wkey % 4294967296) AS p
+        |         FROM w2 WHERE cnt = 4),
+        |sel AS (SELECT s.doc_id, CAST(concat('0x',
+        |          substr(md5(substr(d.text, CAST(s.p AS INT), 8)), 1, 15)) AS BIGINT) AS h
+        |        FROM sel0 s JOIN dd d USING (doc_id)),
+        |agg AS (SELECT doc_id, count(*) AS n_fp,
+        |          CAST(sum(h % 1000000007) AS BIGINT) AS fp_sum,
         |          min(h) AS fp_min, max(h) AS fp_max FROM sel GROUP BY 1)
         |SELECT d.doc_id,
         |  CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fp,
@@ -3997,7 +4004,11 @@ object SparkEntry {
         |         count(*) OVER (PARTITION BY doc_id ORDER BY p
         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
         |       FROM k2),
-        |sel AS (SELECT DISTINCT doc_id, wkey // 4294967296 AS h FROM w2 WHERE cnt = 4),
+        |sel0 AS (SELECT DISTINCT doc_id, 4294967295 - (wkey % 4294967296) AS p
+        |         FROM w2 WHERE cnt = 4),
+        |sel AS (SELECT DISTINCT s.doc_id, CAST(concat('0x',
+        |          substr(md5(substr(d.text, CAST(s.p AS INT), 8)), 1, 15)) AS BIGINT) AS h
+        |        FROM sel0 s JOIN dd d USING (doc_id)),
         |cap AS (SELECT doc_id, h FROM
         |          (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfq FROM sel)
         |        WHERE dfq <= 100),
@@ -6311,7 +6322,11 @@ object SparkEntry {
         |         count(*) OVER (PARTITION BY doc_id ORDER BY p
         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
         |       FROM k2),
-        |sel AS (SELECT DISTINCT doc_id, wkey // 4294967296 AS h FROM w2 WHERE cnt = 4),
+        |sel0 AS (SELECT DISTINCT doc_id, 4294967295 - (wkey % 4294967296) AS p
+        |         FROM w2 WHERE cnt = 4),
+        |sel AS (SELECT DISTINCT s.doc_id, CAST(concat('0x',
+        |          substr(md5(substr(d.text, CAST(s.p AS INT), 8)), 1, 15)) AS BIGINT) AS h
+        |        FROM sel0 s JOIN dd d USING (doc_id)),
         |cap AS (SELECT doc_id, h FROM
         |          (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfq FROM sel)
         |        WHERE dfq <= 100),

@@ -1,0 +1,80 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reduce-width sizing for the operators' EXPLICIT exchanges — the
+  * §2.9.12 lesson promoted from the scale battery into the library.
+  *
+  * The battery proved two constraints on a keyed exchange's width at a
+  * shared memory pool:
+  *
+  *  1. partitions must be SMALL enough that one partition's sort/agg fits
+  *     an executor's task share (the per-task OOM guard);
+  *  2. width must NOT grow faster than exchange BYTES: each map task
+  *     writes one compressed segment per reduce partition, so a
+  *     rows-proportional rule on thin rows drives segment count quadratic
+  *     in scale — 2.46M ~3.8 KB zstd frames at the 10⁷-series point, all
+  *     fixed-cost codec init/flush, measured ×30/decade map-stage
+  *     core-sec before the fix (fit_by_series 192.9 → 97.3 s at 10⁷ from
+  *     width alone).
+  *
+  * Both are satisfied by sizing on the BYTES ESTIMATE at ~[[TargetPartitionBytes]]
+  * per partition: thin and wide rows land the same partition byte size,
+  * and segments stay ≥ a few MB through the measured decades. The session
+  * width is a FLOOR, never shrunk (a user's parallelism choice is theirs;
+  * at fixture scale every estimate is below one target partition and
+  * plans are byte-identical to the historical ones), and [[MaxWidth]]
+  * caps scheduler/file pressure exactly as the battery does.
+  *
+  * Scope: explicit `repartition(n, keys)` pins and keyed checkpoints —
+  * the exchanges AQE can never re-plan (`REPARTITION_BY_NUM` is exempt
+  * from coalescing by contract, which is why the operators pin it in the
+  * first place). Planner-inserted exchanges (plain groupBy/join) stay on
+  * `spark.sql.shuffle.partitions` + AQE's advisory coalescing, which is
+  * the right owner for those.
+  */
+object Widths {
+
+  /** Plan-estimate bytes per reduce partition. Catalyst estimates are
+    * uncompressed-ish and off by small factors through Generate nodes;
+    * 64 MB keeps the resulting partitions inside a task's share at the
+    * measured points even a few× off in either direction. */
+  val TargetPartitionBytes: Long = 64L << 20
+
+  /** 8192 = the battery's cap: ~nothing to the scheduler, and the
+    * serialized sort writer emits one data+index file per MAP task
+    * regardless of reduce width, so the fd budget is unaffected. */
+  val MaxWidth: Int = 8192
+
+  /** Width for an explicit exchange expected to carry `bytesEstimate`:
+    * session width floored, bytes/[[TargetPartitionBytes]] when larger,
+    * [[MaxWidth]] capped. */
+  def forBytes(spark: SparkSession, bytesEstimate: BigInt): Int = {
+    val session = spark.sessionState.conf.numShufflePartitions
+    val byBytes = (bytesEstimate / TargetPartitionBytes)
+      .min(MaxWidth).max(0).toInt
+    math.max(session, byBytes)
+  }
+
+  /** [[forBytes]] from the frame's own Catalyst size estimate — for call
+    * sites with no cheaper estimate in hand. Costs one driver-side
+    * analyze/optimize pass of the subtree (no action).
+    *
+    * `expansion` corrects the one systematic blind spot: Catalyst's
+    * size-only visitor passes a Generate (explode) child's estimate
+    * THROUGH, so a frame that fans each document out into per-token or
+    * per-gram rows reports the document bytes, not the row volume
+    * (measured 5.8× low on the 2×10⁷ fingerprint index). Callers that
+    * know their fan-out shape pass the row-model multiplier; the ones
+    * that don't still get the session floor and a conservative width. */
+  def forExchange(df: DataFrame, expansion: Double = 1.0): Int =
+    forBytes(df.sparkSession,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes *
+        math.max(1L, math.round(expansion * 100)) / 100)
+
+  /** [[forBytes]] from a row count and estimated row width — for call
+    * sites that already paid a count (e.g. a checkpoint-materializing
+    * action) and know their row shape. */
+  def forRows(spark: SparkSession, rows: Long, bytesPerRow: Long): Int =
+    forBytes(spark, BigInt(rows) * bytesPerRow)
+}

@@ -17,6 +17,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * gram hashes (rightmost on ties), returning the DISTINCT selected
   * `(p, h)` fingerprints in position order as `array<struct<p,h>>`.
   *
+  * SELECTION runs on the 20-bit rolling hash (the published scheme — a
+  * window minimum needs no more); the EMITTED fingerprint `h` is the
+  * 60-bit portable digest of the selected gram itself
+  * (`TextOps.fingerprint64(substr(text, p, k))`, the md5-prefix recipe
+  * the span ops already use). A 20-bit emitted label saturates at corpus
+  * scale: ~5×10⁸ selected fingerprints over 2²⁰ values make every
+  * "shared fingerprint" overwhelmingly a HASH COLLISION, not shared text
+  * — measured at 2×10⁷ docs, the collision pairs dominated
+  * fingerprint_pairs' CPU (9.4k of 13.8k task-core-sec) and the
+  * doc-frequency cap was dropping genuinely rare grams whose 20-bit
+  * bucket happened to be hot (SURVEY §2.9.13). The digest costs one md5
+  * per SELECTED gram (density 2/(w+1), amortized into the scan), keeps
+  * every value a plain non-negative BIGINT any engine reproduces, and
+  * restores the MOSS meaning of "shared fingerprint = shared k-gram" at
+  * any corpus size (collision odds 2⁻⁶⁰-scale per pair).
+  *
   * This replaces the columnar one-row-per-window formulation
   * (explode + a `least()` over k·w per-char substring polynomials per
   * window): the round-10 decade table showed that O(k·w)-per-position scan
@@ -108,6 +124,7 @@ object WinnowSelect {
     var powK1 = 1L
     var i = 0
     while (i < k - 1) { powK1 = (powK1 * 31L) & Mask; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
     // monotonic deque of gram indices (0-based), keys increasing front→back
     val dqIdx = new Array[Int](nGrams)
     val dqKey = new Array[Long](nGrams)
@@ -134,13 +151,28 @@ object WinnowSelect {
         val front = dqIdx(head)
         if (front != lastEmitted) {
           val fk = dqKey(head)
-          out.add(new GenericInternalRow(Array[Any](
-            (1L << 32) - 1 - (fk & ((1L << 32) - 1)), fk >>> 32)))
+          val p = (1L << 32) - 1 - (fk & ((1L << 32) - 1))
+          out.add(new GenericInternalRow(Array[Any](p, wideHash(md, cps, front, k))))
           lastEmitted = front
         }
       }
       g += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** `TextOps.fingerprint64` of the k-code-point gram starting at 0-based
+    * gram index `g`: the first 15 hex digits of md5(UTF-8 bytes) as a
+    * long — i.e. the top 60 bits of the digest (first 8 bytes big-endian,
+    * shifted right 4). One md5 per SELECTED gram, digest instance reused
+    * across the document. */
+  private def wideHash(md: java.security.MessageDigest,
+                       cps: Array[Int], g: Int, k: Int): Long = {
+    md.reset()
+    val d = md.digest(new String(cps, g, k).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
   }
 }

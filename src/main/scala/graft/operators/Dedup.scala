@@ -59,8 +59,11 @@ object Dedup {
     // The window's HashPartitioning(shingle) is exactly the full-width pin
     // the row-exploding self-join below needs — AQE's byte-sized coalescing
     // would otherwise mis-plan pair generation onto a few tasks (same fix
-    // as [[graft.operators.Similarity.cosineNearDupPairs]]).
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // as [[graft.operators.Similarity.cosineNearDupPairs]]). Width sized
+    // from the shingle-volume estimate ([[graft.core.Widths]] — one
+    // ~26 B (doc, 3-word shingle) row per token ≈ 5.2× the document
+    // bytes the Generate-blind estimate reports).
+    val nPart = graft.core.Widths.forExchange(shAll, expansion = 5.2)
     val capped =
       if (maxDocFreq == Int.MaxValue) shAll
       else shAll
@@ -118,9 +121,9 @@ object Dedup {
   def crossJaccardPairs(left: DataFrame, right: DataFrame, idCol: String,
                         textCol: String, n: Int, minJ: Double,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val nPart = left.sparkSession.sessionState.conf.numShufflePartitions
     val uni = shingles(left, idCol, textCol, n).withColumn("_side", lit("l"))
       .unionByName(shingles(right, idCol, textCol, n).withColumn("_side", lit("r")))
+    val nPart = graft.core.Widths.forExchange(uni, expansion = 5.2)
     val capped =
       if (maxDocFreq == Int.MaxValue) uni
       else uni
@@ -150,36 +153,137 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** Session conf: pin the winnow window for [[fingerprintPairs]]' auto
+    * geometry (0 = derive from the corpus count via [[autoW]]). */
+  val WinnowWKey = "spark.graft.winnow.w"
+
+  /** Winnow window for an n-doc corpus: `w + 1 = 5·√(n / 2×10⁶)`, floored
+    * at the MOSS-default w = 4 (so ≤ 2.8×10⁶-doc corpora keep their exact
+    * historical fingerprints). Background pair-enumeration work is the
+    * n²/|context-space| law (§2.9.9): two unrelated docs land a shared
+    * SELECTED fingerprint when they share a selection context, so pair
+    * incidences grow ∝ (n·density)². Density is 2/(w+1), hence holding
+    * w + 1 ∝ √n keeps the background pair mass ∝ n — the same
+    * fixed-parameter-rot fix class as [[autoRows]] (+4 minhash rows per
+    * decade) and the self-sizing decontamination Bloom. The cost is the
+    * MOSS guarantee coarsening: detected shared runs are ≥ k + w − 1
+    * chars, e.g. 22 at the 2×10⁷-doc operating point (w = 15) vs 11 at
+    * the default; planted-copy recall is unchanged because genuine
+    * copies share whole documents, not 11-char fragments. Measured
+    * honesty (§2.9.13): the i.i.d. model overstates the PAIR-mass win —
+    * winnowing selects low-hash grams CORRELATEDLY across documents, so
+    * w's reliable payoff is the ~density-proportional index
+    * exchange/scan shrink; the background-pair mass needed the 60-bit
+    * emitted digest and bytes-sized widths as well. */
+  def autoW(nDocs: Long): Int =
+    math.max(4, math.ceil(5.0 * math.sqrt(math.max(1L, nDocs) / 2e6)).toInt - 1)
+
   /** MOSS-style copy-detection pairs over winnowing fingerprints
     * ([[graft.functions.TextOps.winnowFingerprints]]): two docs are a
     * candidate pair when their selected rolling-hash fingerprint SETS share
     * at least `minShared` hashes. Winnowing guarantees any shared substring
     * of length ≥ k + w − 1 contributes a shared fingerprint, so this finds
     * passage-level copying that whole-doc hashing misses and shingle
-    * Jaccard dilutes. Same inverted-index shape as [[jaccardPairs]]: one
-    * shuffle keyed by fingerprint hash, a `maxDocFreq` cap excluding
-    * stop-phrase hashes (bounding every key's fan-out at maxDocFreq²), and
-    * an explicit full-width repartition that all join sides reuse. */
+    * Jaccard dilutes.
+    *
+    * GEOMETRY IS CORPUS-SIZE-DEPENDENT and auto-sizes by default
+    * (`w ≤ 0`): one cheap count derives the winnow window via [[autoW]],
+    * and `minShared` — stated by the caller AT the default density
+    * 2/(4+1) — is rescaled by the density ratio `5/(w+1)` so the
+    * threshold keeps meaning "the same amount of shared text". An
+    * explicit `w` (or the [[WinnowWKey]] session conf) pins the geometry
+    * verbatim, minShared unrescaled — fixed-size experiments, replaying
+    * a historical run. Plan shape: ONE exchange keyed by fingerprint
+    * hash that the doc-frequency cap, the [[localCheckpointAdvertised]]
+    * index materialization, and both self-join sides all ride
+    * (§2.9.11's stage decomposition: the index exchange is ~80% of the
+    * op's bytes, so it gets to exist exactly once). */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 8, w: Int = 4, minShared: Int = 10,
-                       maxDocFreq: Int = Int.MaxValue): DataFrame =
-    fingerprintPairsFrom(
-      TextOps.winnowRaw(df, idCol, textCol, k, w), minShared, maxDocFreq)
+                       k: Int = 8, w: Int = -1, minShared: Int = 10,
+                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val wConf = df.sparkSession.conf.get(WinnowWKey, "0").toInt
+    val (wEff, msEff) =
+      if (w > 0) (w, minShared)
+      else if (wConf > 0) (wConf, minShared)
+      else {
+        val wAuto = autoW(df.count())
+        (wAuto, math.max(2, math.ceil(minShared * 5.0 / (wAuto + 1)).toInt))
+      }
+    // distinct (doc, h) by construction — the per-doc fingerprint set is
+    // array_distinct'd BEFORE the explode, so no distinct aggregate runs
+    // over the exploded rows at all (the round-11 shape spent ~35% of its
+    // CPU re-distincting 5×10⁸ exploded rows it could have deduped inside
+    // the per-doc array)
+    val hs = df.filter(length(col(textCol)) >= k + wEff - 1)
+      .select(col(idCol).as("doc"), col(textCol).as("_txt"))
+      .repartition(col("doc"))
+      .select(col("doc"), explode(array_distinct(transform(
+        graft.functions.WinnowSelect.selected(col("_txt"), k, wEff),
+        s => s.getField("h")))).as("h"))
+    pairsOverIndex(hs, msEff, maxDocFreq, distinctNeeded = false)
+  }
 
   /** [[fingerprintPairs]] from an already-computed fingerprint frame
     * (`(doc, p, h)` rows, distinct or not — only the distinct (doc, h)
     * sets matter here). Lets a session reuse one materialized winnow pass
-    * across the summary and pairs consumers. */
+    * across the summary and pairs consumers. Geometry is the frame's —
+    * no auto-w, no threshold rescale. */
   def fingerprintPairsFrom(fps: DataFrame, minShared: Int,
-                           maxDocFreq: Int): DataFrame = {
-    val hsAll = fps.select(col("doc"), col("h")).distinct()
-    val capped =
-      if (maxDocFreq == Int.MaxValue) hsAll
-      else hsAll
-        .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
-        .filter(col("_df") <= maxDocFreq).drop("_df")
-    indexSelfPairs(capped, "h")
-      .groupBy("doc_a", "doc_b")
+                           maxDocFreq: Int): DataFrame =
+    pairsOverIndex(fps.select(col("doc"), col("h")), minShared, maxDocFreq,
+      distinctNeeded = true)
+
+  /** Shared tail of the fingerprint tier: ONE full-width exchange keyed by
+    * `h` that everything downstream rides —
+    *
+    *  - the `(doc, h)` distinct (when the input can repeat): the double
+    *    HashAggregate plans WITHOUT its own exchange because
+    *    `HashPartitioning(h)` satisfies `ClusteredDistribution(doc, h)`;
+    *  - the doc-frequency window (`count over partitionBy(h)`): same
+    *    partitioning, one local sort;
+    *  - the `2 ≤ df ≤ maxDocFreq` filter: df = 1 hashes pair with NOTHING
+    *    (a pair needs two docs on the key), so dropping them cannot change
+    *    `n_shared` of any pair — they only bloat the checkpoint and the
+    *    join build (at 2×10⁶ docs they are most of the index);
+    *  - the capped index checkpoint ([[org.apache.spark.sql.GraftCheckpoint
+    *    .localCheckpointAdvertised]] — the lineage above is narrow over the
+    *    explicit repartition, so re-exchanging the survivors through
+    *    `localCheckpointHashed` would be pure waste), whose blocks both
+    *    self-join sides scan with zero further exchanges.
+    *
+    * The round-11 shape paid three stages over this lineage (distinct
+    * exchange, window exchange, checkpoint re-exchange — §2.9.11's stage
+    * decomposition); this one pays one. The pair aggregate's exchange is
+    * byte-trivial at every measured decade (map-side partial count + the
+    * minShared survivors being ~linear in docs). */
+  private def pairsOverIndex(docH: DataFrame, minShared: Int,
+                             maxDocFreq: Int, distinctNeeded: Boolean): DataFrame = {
+    // bytes-sized width ([[graft.core.Widths]]): the h-exchange carries the
+    // whole index, and the session width a fixture-scale user runs with
+    // would put GBs through each window sort at the 4th decade. Expansion
+    // model: one (doc, h) row ≈ 24 B per selected gram, ~2 selected grams
+    // per 5·(w+1)/2 chars — ~10× the document bytes at the default
+    // densities the estimate reports (Generate passes child stats through)
+    val nPart = graft.core.Widths.forExchange(docH, expansion = 10.0)
+    val salted = docH.sparkSession.conf.get(PairSaltKey, "1").toInt > 1
+    val byH0 = docH.repartition(nPart, col("h"))
+    val byH = if (distinctNeeded) byH0.dropDuplicates("doc", "h") else byH0
+    val capped = byH
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("_df") >= 2 &&
+        (if (maxDocFreq == Int.MaxValue) lit(true) else col("_df") <= maxDocFreq))
+      .drop("_df")
+    val pairs =
+      if (salted) indexSelfPairs(capped, "h") // salted-for-skew legacy plan
+      else {
+        val ix = org.apache.spark.sql.GraftCheckpoint.localCheckpointAdvertised(
+          capped, Seq("h"),
+          org.apache.spark.storage.StorageLevel.DISK_ONLY, nPart)
+        ix.as("a").hint("shuffle_hash").join(ix.as("b"),
+            col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      }
+    pairs.groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -251,10 +355,14 @@ object Dedup {
   val PinRowsPerPartition = 4096L
 
   /** Full-width repartition on the candidate-join key, gated on estimated
-    * banded-row volume (see [[PinRowsPerPartition]]). */
+    * banded-row volume (see [[PinRowsPerPartition]]); width sized from the
+    * known banded-row count ([[graft.core.Widths.forRows]] — ~28 B of
+    * (doc, band, band_hash) per row, session width as the floor). */
   private def pinIfExploding(df: DataFrame, rows: Long, key: Seq[Column]): DataFrame = {
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (rows >= PinRowsPerPartition * nPart) df.repartition(nPart, key: _*) else df
+    val session = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (rows >= PinRowsPerPartition * session)
+      df.repartition(graft.core.Widths.forRows(df.sparkSession, rows, 28L), key: _*)
+    else df
   }
 
   /** MinHash prime modulus (2^31 − 1) and deterministic hash-family params:
@@ -393,25 +501,51 @@ object Dedup {
       // tasks (OOM'd at the 4th decade); the count also right-sizes the
       // filter to the real candidate volume
       val nCand = candC.count()
-      // Build the filter over the candidate docs' 64-bit hashes with the
-      // partial-count COALESCED first and the result BROADCAST: a wide
-      // aggregate would ship one partial bitmap per input partition into a
-      // single-core OR-merge (8000 sized partitions × 16 MB at the 4th
-      // decade), and a scalar-subquery literal would be deserialized by
-      // every probe task. The explode is NOT distinct'd — bloom insertion
-      // is idempotent, so the extra shuffle buys nothing.
       val items = math.max(1L, math.min(nSig, 2L * nCand))
-      val bits = math.min(math.max(1L << 23, 10L * items), 1L << 27)
-      val bf = candC
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-        .select(xxhash64(col("doc")).as("h"))
-        .coalesce(32)
-        .stat.bloomFilter("h", items, bits)
-      val bc = df.sparkSession.sparkContext.broadcast(bf)
-      val probe = udf((h: Long) => bc.value.mightContainLong(h))
-      val pruned = sig.filter(probe(xxhash64(col("doc"))))
-        .localCheckpoint(false)
-      (candC, pruned)
+      val bits = math.max(1L << 23, 10L * items)
+      if (bits > (1L << 27)) {
+        // the 16 MB bit cap would hold ~13M items at 10 bits each; past it
+        // the FPP degrades toward 1 and the prune pays its filter build +
+        // probe scan + extra checkpoint while dropping almost nothing —
+        // fall back to the direct two-join plan (value-identical either
+        // way; the filter is only ever a performance device)
+        df.sparkSession.sparkContext.setLocalProperty("graft.minhash.prune",
+          "skipped-degenerate")
+        (candC, sig)
+      } else {
+        // Build the filter over the candidate docs' 64-bit hashes with the
+        // partial-count COALESCED first and the result BROADCAST: a wide
+        // aggregate would ship one partial bitmap per input partition into a
+        // single-core OR-merge (8000 sized partitions × 16 MB at the 4th
+        // decade), and a scalar-subquery literal would be deserialized by
+        // every probe task. The explode is NOT distinct'd — bloom insertion
+        // is idempotent, so the extra shuffle buys nothing.
+        val bf = candC
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+          .select(xxhash64(col("doc")).as("h"))
+          .coalesce(32)
+          .stat.bloomFilter("h", items, bits)
+        val bc = df.sparkSession.sparkContext.broadcast(bf)
+        val pruned = sig
+          .filter(graft.functions.BloomProbe.mightContainLong(
+            xxhash64(col("doc")), bc))
+          .localCheckpoint(false)
+        // materialize the pruned frame NOW: the two join-backs below are
+        // separate branches, and if AQE submits both map stages before the
+        // lazy checkpoint's first compute finishes, the probe filter races
+        // its own cache and can run twice (sig/candC get the same eager
+        // treatment). Once the blocks exist the broadcast is never probed
+        // again — the checkpoint truncates lineage, so recompute-after-
+        // block-loss is already fatal with or without the filter — so the
+        // executor copies of the blob are released NOW instead of waiting
+        // out the ContextCleaner. unpersist, not destroy: the checkpointed
+        // RDD's serialized form still carries the (never re-read) handle,
+        // and a destroyed broadcast fails downstream task serialization
+        // outright.
+        pruned.count()
+        bc.unpersist()
+        (candC, pruned)
+      }
     }
     cand
       .join(sigJb.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -423,9 +557,9 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** Session conf: signature count above which [[minhashCandidates]]
+  /** Session conf: signature count AT OR ABOVE which [[minhashCandidates]]
     * prunes the join-back signature frame to candidate docs (Bloom
-    * prefilter). Default 10⁶. */
+    * prefilter); below it the direct two-join plan runs. Default 10⁶. */
   val MinhashPruneKey = "spark.graft.minhash.pruneThreshold"
 
   /** Every length-`minTokens` token window start per document:
@@ -490,9 +624,15 @@ object Dedup {
     // window still costs a counter, not a buffered partition: it
     // collapses inside the ONE final aggregate task that owns its key
     // (vs a count WINDOW, which buffers the hot key's rows in one task).
+    // Width sized from the window-row byte estimate ([[graft.core.Widths]]
+    // — one 28 B (doc, pos, h) row per corpus token at ~5 chars/token ≈
+    // 5.6× the document bytes the Generate-blind estimate reports;
+    // session width floors at fixture scale).
+    val starts = spanStarts(df, idCol, textCol, minTokens)
     val st = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
-      spanStarts(df, idCol, textCol, minTokens), Seq("h"),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      starts, Seq("h"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY,
+      graft.core.Widths.forExchange(starts, expansion = 5.6))
     val dupH = st.groupBy("h").agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= minOccurrences).select("h")
     // tiny for real corpora → size-gated broadcast keeps the probe
@@ -538,10 +678,12 @@ object Dedup {
     // as [[dupSpans]]: the aggregate plans COMPLETE (no uncombining
     // partial hash map to spill) and both it and the probe join consume
     // the same materialized blocks with no re-exchange
+    val starts = spanStarts(df, idCol, textCol, minTokens)
+      .withColumnRenamed("doc", "_sds_doc")
     val st = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
-      spanStarts(df, idCol, textCol, minTokens)
-        .withColumnRenamed("doc", "_sds_doc"), Seq("h"),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      starts, Seq("h"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY,
+      graft.core.Widths.forExchange(starts, expansion = 5.6))
     // per duplicated window: its canonical (first) occurrence — the same
     // hot-key-immune aggregate + gated-broadcast shape as [[dupSpans]];
     // struct min is lexicographic (doc, pos), i.e. corpus order

@@ -43,10 +43,43 @@ object GraftCheckpoint {
     val nPart =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ckpt = df.repartition(nPart, keyNames.map(df.col): _*)
-      .localCheckpoint(false, level)
+    advertise(df.repartition(nPart, keyNames.map(df.col): _*)
+      .localCheckpoint(false, level), df, keyNames, nPart)
+  }
+
+  /** Checkpoint a frame that is ALREADY hash(keys, n)-partitioned —
+    * an explicit `repartition(n, keys)` followed only by narrow,
+    * partitioning-preserving operators (project / filter / riding
+    * aggregate / window over the same keys) — WITHOUT paying a second
+    * exchange, and re-advertise that partitioning on the checkpoint.
+    *
+    * CALLER-GUARANTEED: nothing here can verify the claim cheaply (the
+    * pre-execution AQE plan advertises no partitioning, which is the
+    * whole reason this object exists). Advertising a distribution the
+    * rows don't actually have makes downstream joins/aggregates silently
+    * WRONG, not slow — use only where the lineage between the
+    * `repartition(n, keys)` and this call is visibly narrow, and keep a
+    * value oracle on every consumer (the standing CORRECTNESS gate).
+    * [[graft.operators.Dedup.fingerprintPairsFrom]] is the model caller:
+    * its capped index rides one explicit h-exchange through
+    * distinct + df-window + filter, and checkpointing it through
+    * [[localCheckpointHashed]] would re-exchange the survivors for no
+    * reason (measured: +240 MB and one extra stage per run at 6×10⁶
+    * docs). */
+  def localCheckpointAdvertised(df: DataFrame, keyNames: Seq[String],
+                                level: StorageLevel,
+                                numPartitions: Int): DataFrame =
+    advertise(df.localCheckpoint(false, level), df, keyNames, numPartitions)
+
+  private def advertise(ckpt: DataFrame, df: DataFrame,
+                        keyNames: Seq[String], nPart: Int): DataFrame = {
     ckpt.queryExecution.analyzed match {
       case lr: LogicalRDD =>
+        require(lr.rdd.getNumPartitions == nPart,
+          s"checkpoint has ${lr.rdd.getNumPartitions} partitions, caller " +
+            s"claimed hash(${keyNames.mkString(",")}, $nPart) — the lineage " +
+            "between the explicit repartition and the checkpoint is not " +
+            "partitioning-preserving")
         val attrs = keyNames.map(k => lr.output.find(_.name == k).getOrElse(
           throw new IllegalArgumentException(
             s"checkpoint key '$k' not in output ${lr.output.map(_.name)}")))

@@ -101,6 +101,33 @@ class DedupHygieneSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.MinhashPruneKey)
   }
 
+  test("winnow geometry auto-sizes from the corpus count") {
+    // the sizing law: w + 1 = 5·√(n / 2×10⁶) floored at the MOSS default
+    // w = 4 — background fingerprint pair work is (n·density)²/|space|
+    // with density 2/(w+1), so √n keeps it linear (SURVEY §2.9.9/§2.9.11)
+    assert(Dedup.autoW(500) == 4)
+    assert(Dedup.autoW(2000000) == 4)
+    assert(Dedup.autoW(20000000) == 15)
+    assert(Dedup.autoW(200000000) == 49)
+    // fixture-scale corpora keep the historical w = 4 fingerprints: the
+    // auto-sized pairs are row-identical to the explicit call, threshold
+    // unrescaled (5/(4+1) = 1)
+    val d = docs(80)
+    val auto = Dedup.fingerprintPairs(d, "doc_id", "text", minShared = 2)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val pinned = Dedup.fingerprintPairs(d, "doc_id", "text", w = 4, minShared = 2)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(auto.nonEmpty, "fixture must yield fingerprint pairs")
+    assert(auto == pinned)
+    // conf pin wins over the count-derived window (and skips the count)
+    spark.conf.set(Dedup.WinnowWKey, "4")
+    try {
+      val conf = Dedup.fingerprintPairs(d, "doc_id", "text", minShared = 2)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(conf == pinned)
+    } finally spark.conf.unset(Dedup.WinnowWKey)
+  }
+
   test("band-join pin engages only above the volume gate") {
     // 2 shuffle partitions in the test session → gate at 8192 banded rows
     val nPart = spark.sessionState.conf.numShufflePartitions

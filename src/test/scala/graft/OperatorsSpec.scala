@@ -106,15 +106,21 @@ class OperatorsSpec extends SparkSpec {
   test("winnowing fingerprints match a hand computation, rightmost on ties") {
     import spark.implicits._
     import graft.functions.TextOps
-    // "abcab", k=3, w=2: gram hashes (base 31 mod 2^20)
+    // "abcab", k=3, w=2: SELECTION keys (base 31 mod 2^20)
     //   p1 "abc" = 97*961+98*31+99 = 96354
     //   p2 "bca" = 98*961+99*31+97 = 97344
     //   p3 "cab" = 99*961+97*31+98 = 98244
-    // windows (p1,p2) -> p1, (p2,p3) -> p2
+    // windows (p1,p2) -> p1, (p2,p3) -> p2; the EMITTED hash is the
+    // 60-bit md5-prefix of the selected gram (fingerprint64 recipe)
+    def h60(g: String): Long = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        .take(15), 16).toLong
     val d = Seq((1L, "abcab"), (2L, "aaaaa")).toDF("doc_id", "text")
     val fp = TextOps.winnowFingerprints(d, "doc_id", k = 3, w = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(fp.filter(_._1 == 1L) == Set((1L, 1L, 96354L), (1L, 2L, 97344L)))
+    assert(fp.filter(_._1 == 1L) ==
+      Set((1L, 1L, h60("abc")), (1L, 2L, h60("bca"))))
     // "aaaaa": all three grams hash equal -> each window keeps the
     // RIGHTMOST position (the Schleimer tie rule): p2 and p3, same h
     val aaa = fp.filter(_._1 == 2L)

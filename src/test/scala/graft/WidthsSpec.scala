@@ -1,0 +1,32 @@
+package graft
+
+import graft.core.Widths
+
+/** Pins the bytes-proportional reduce-width rule (§2.9.12, promoted from
+  * the scale battery): session width is a hard floor (fixture-scale plans
+  * stay byte-identical), width grows with the exchange-bytes estimate at
+  * [[Widths.TargetPartitionBytes]] per partition, and the battery's 8192
+  * cap bounds scheduler/file pressure. */
+class WidthsSpec extends SparkSpec {
+
+  test("forBytes: session floor, bytes scaling, cap") {
+    val session = spark.sessionState.conf.numShufflePartitions
+    // below one target partition → the session width, untouched
+    assert(Widths.forBytes(spark, BigInt(1)) == session)
+    assert(Widths.forBytes(spark, BigInt(Widths.TargetPartitionBytes)) == session)
+    // grows linearly once past session × target
+    val grown = Widths.forBytes(spark,
+      BigInt(Widths.TargetPartitionBytes) * (session + 64))
+    assert(grown == session + 64)
+    // capped at the battery's 8192
+    assert(Widths.forBytes(spark,
+      BigInt(Widths.TargetPartitionBytes) * 1000000) == Widths.MaxWidth)
+    assert(Widths.forRows(spark, 1000L, 10L) == session)
+  }
+
+  test("forExchange: fixture-scale frames keep the session width") {
+    import spark.implicits._
+    val tiny = (1 to 100).map(i => (i.toLong, s"doc $i text")).toDF("doc_id", "text")
+    assert(Widths.forExchange(tiny) == spark.sessionState.conf.numShufflePartitions)
+  }
+}

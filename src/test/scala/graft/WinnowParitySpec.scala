@@ -13,21 +13,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * geometries including the w > k regime the decade ladder measures. */
 class WinnowParitySpec extends SparkSpec {
 
-  /** Direct per-window reimplementation (no rolling state, no deque). */
+  /** Direct per-window reimplementation (no rolling state, no deque).
+    * Selection minimizes the 20-bit KR key; the emitted hash is the
+    * 60-bit md5-prefix of the selected gram — computed here through the
+    * hex-string route (`BigInt(md5hex.take(15), 16)`), independent of the
+    * kernel's byte arithmetic and identical to the DuckDB oracles'
+    * `CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)`. */
   private def brute(text: String, k: Int, w: Int): Set[(Long, Long)] = {
     val cps = text.codePoints().toArray
     val len = cps.length
     if (len < k + w - 1) return Set.empty
     val M = 1L << 20
     val pow = Iterator.iterate(1L)(_ * 31L).take(k).toArray
+    def h60(g: Int): Long = {
+      val gram = new String(cps, g, k).getBytes("UTF-8")
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(gram)
+        .map(b => f"${b & 0xff}%02x").mkString
+      BigInt(hex.take(15), 16).toLong
+    }
     val grams = (0 to len - k).map { g =>
       val h = (0 until k).map(i => cps(g + i).toLong * pow(k - 1 - i)).sum % M
       val p = (g + 1).toLong
-      (h * (1L << 32) + ((1L << 32) - 1 - p), p, h)
+      (h * (1L << 32) + ((1L << 32) - 1 - p), p, g)
     }
     (0 to len - (k + w - 1)).map { s =>
       val m = grams.slice(s, s + w).minBy(_._1)
-      (m._2, m._3)
+      (m._2, h60(m._3))
     }.toSet
   }
 
