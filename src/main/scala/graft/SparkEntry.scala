@@ -1430,7 +1430,11 @@ object SparkEntry {
   /** Memoized planted-video payload frame — same memo_build discipline as
     * [[imgPayloadsM]]: frame counts 3/5/7 (src%3), keyframes every 2nd
     * sample, 18×16 frames so the dHash oracle shares the image tier's
-    * exact grid geometry. */
+    * exact grid geometry. Chunk packing VARIES by source (1/2/3 samples
+    * per chunk, src%3): a third of the corpus has no stsc (the historical
+    * one-sample-per-chunk layout), the rest carry real multi-sample stsc
+    * tables — so the query exercises the §8.7.4 chunk walk at both SFs
+    * while the ORACLE stays layout-blind (planted pixels don't move). */
   private def vidPayloadsM(s: SparkSession, d: String): DataFrame =
     memo(s, d, "vidpay") {
       import s.implicits._
@@ -1438,7 +1442,8 @@ object SparkEntry {
         .mapPartitions(_.map { id =>
           val src = if (id % 10 == 5 || id % 10 == 9) id - 1 else id
           (id, Multimodal.PlantedVideo.mp4Bytes(src,
-            3 + (src % 3).toInt * 2, 18, 16, brighten = id % 10 == 9))
+            3 + (src % 3).toInt * 2, 18, 16, brighten = id % 10 == 9,
+            samplesPerChunk = 1 + (src % 3).toInt))
         }).toDF("doc_id", "payload")
     }
 

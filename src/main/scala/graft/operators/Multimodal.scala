@@ -645,16 +645,32 @@ object Multimodal {
         s"${src}_v_${f}_${x}_${y}".getBytes("UTF-8"))) % 256L).toInt
 
     /** Complete faststart bytes: `nFrames` w×h gray8 frames at 25 fps
-      * (mvhd timescale 1000, duration nFrames·40). */
+      * (mvhd timescale 1000, duration nFrames·40). `samplesPerChunk = 1`
+      * reproduces the historical layout byte for byte (no stsc box, one
+      * stco entry per sample); > 1 writes a REAL stsc (§8.7.4) — one run
+      * entry plus a short-last-chunk tail entry when nFrames doesn't
+      * divide — and per-chunk stco offsets, the packing every real
+      * faststart muxer emits. */
     def mp4Bytes(src: Long, nFrames: Int, w: Int, h: Int,
-                 brighten: Boolean = false): Array[Byte] = {
-      require(nFrames >= 1 && w >= 1 && h >= 1)
+                 brighten: Boolean = false,
+                 samplesPerChunk: Int = 1): Array[Byte] = {
+      require(nFrames >= 1 && w >= 1 && h >= 1 && samplesPerChunk >= 1)
+      val spc = samplesPerChunk
+      val nChunks = (nFrames + spc - 1) / spc
+      val lastN = nFrames - (nChunks - 1) * spc // samples in the last chunk
+      // (first_chunk, samples_per_chunk) runs; sdi always 1
+      val stscEntries: Seq[(Int, Int)] =
+        if (spc == 1) Seq.empty
+        else if (nChunks == 1) Seq((1, nFrames))
+        else if (lastN == spc) Seq((1, spc))
+        else Seq((1, spc), (nChunks, lastN))
       val nKf = (nFrames + 1) / 2
       val frameBytes = w * h
       val stssSz = 16 + 4 * nKf
       val stszSz = 20
-      val stcoSz = 16 + 4 * nFrames
-      val stblSz = 8 + stssSz + stszSz + stcoSz
+      val stscSz = if (stscEntries.isEmpty) 0 else 16 + 12 * stscEntries.size
+      val stcoSz = 16 + 4 * nChunks
+      val stblSz = 8 + stssSz + stszSz + stscSz + stcoSz
       val minfSz = 8 + stblSz
       val mdiaSz = 8 + minfSz
       val trakSz = 8 + 92 + mdiaSz
@@ -694,10 +710,17 @@ object Multimodal {
       (0 until nKf).foreach(i => buf.putInt(2 * i + 1)) // samples 1,3,5,…
       buf.putInt(stszSz).put("stsz".getBytes("US-ASCII")).putInt(0)
         .putInt(frameBytes).putInt(nFrames)       // uniform sample_size
+      if (stscEntries.nonEmpty) {
+        buf.putInt(stscSz).put("stsc".getBytes("US-ASCII")).putInt(0)
+          .putInt(stscEntries.size)
+        stscEntries.foreach { case (fc, n) =>
+          buf.putInt(fc).putInt(n).putInt(1)      // sample_description_index
+        }
+      }
       buf.putInt(stcoSz).put("stco".getBytes("US-ASCII")).putInt(0)
-        .putInt(nFrames)                          // one chunk per sample
-      (0 until nFrames).foreach(f =>
-        buf.putInt(mdatStart + 8 + f * frameBytes))
+        .putInt(nChunks)
+      (0 until nChunks).foreach(c =>
+        buf.putInt(mdatStart + 8 + c * spc * frameBytes))
       buf.putInt(8 + nFrames * frameBytes).put("mdat".getBytes("US-ASCII"))
       var f = 0
       while (f < nFrames) {
@@ -763,10 +786,13 @@ object Multimodal {
     * ANY faststart MP4; the pixel step then applies only to tracks whose
     * samples are UNCOMPRESSED gray8 of the tkhd dimensions (the planted
     * fixture; a real codec's frames need ffmpeg and yield null hash
-    * words, stated scope). Also honest about chunking: the byte extent
-    * rides stco directly only in the one-sample-per-chunk layout
-    * (stco entries == sample count); other stsc layouts yield null hash
-    * words rather than a wrong slice. The 64-bit keyframe dHash is the
+    * words, stated scope). Chunking resolves through a real stsc walk
+    * (§8.7.4 — run entries to the keyframe's chunk, plus the in-chunk
+    * sample offset), so multi-sample chunks — the packing every real
+    * faststart muxer emits — slice correctly; with stsc absent the
+    * one-sample-per-chunk layout (stco entries == sample count) is
+    * assumed, and a file with neither shape yields null hash words
+    * rather than a wrong slice. The 64-bit keyframe dHash is the
     * [[dhash64]] kernel — identical math to the image tier — so pairs
     * ride [[graft.operators.Dedup.hammingPairs64]] unchanged.
     *
@@ -858,19 +884,73 @@ object Multimodal {
         (n, beU32(s + 8))
       case _ => (nFrames, 1L)
     }
-    // pixel tier: uniform-size raw gray8 samples, one chunk per sample
+    // stsc (§8.7.4): resolve the chunk holding sample `firstKf` and that
+    // chunk's first sample. Entries are (first_chunk, samples_per_chunk,
+    // sample_description_index) with first_chunk ascending from 1; entry i
+    // governs chunks [first_chunk_i, first_chunk_{i+1}). Real faststart
+    // files pack MANY samples per chunk, so the in-chunk offset is
+    // (firstKf − first_sample_of_chunk) · sample_size — the round-11 code
+    // only resolved the one-sample-per-chunk layout and nulled the rest.
+    // `stscLoc = Some(None)` means "stsc present but malformed / doesn't
+    // cover the sample": the pixel tier nulls rather than slicing wrong
+    // bytes; the metadata columns stay valid either way.
+    val stscLoc: Option[Option[(Long, Long)]] = child(stblS, stblE, "stsc") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val nEnt = beU32(s + 4)
+        if (nEnt <= 0 || s + 8 + 12 * nEnt > e) Some(None)
+        else {
+          var i = 0L
+          var sampleAcc = 1L // first sample (1-based) of entry i's first chunk
+          var loc: Option[(Long, Long)] = None
+          var bad = false
+          while (i < nEnt && loc.isEmpty && !bad) {
+            val off = (s + 8 + 12 * i).toInt
+            val fc = beU32(off)
+            val spc = beU32(off + 4)
+            val nextFc = if (i + 1 < nEnt) beU32((s + 8 + 12 * (i + 1)).toInt)
+                         else Long.MaxValue
+            if (spc <= 0 || fc <= 0 || nextFc <= fc) bad = true
+            else {
+              val runSamples =
+                if (nextFc == Long.MaxValue) Long.MaxValue
+                else (nextFc - fc) * spc
+              if (runSamples != Long.MaxValue && firstKf >= sampleAcc + runSamples) {
+                sampleAcc += runSamples
+                i += 1
+              } else {
+                val chunkInRun = (firstKf - sampleAcc) / spc
+                loc = Some((fc + chunkInRun, sampleAcc + chunkInRun * spc))
+              }
+            }
+          }
+          Some(if (bad) None else loc)
+        }
+      case _ => None // absent: fall back to the one-sample-per-chunk layout
+    }
+    // pixel tier: uniform-size raw gray8 samples; byte extent through the
+    // stsc walk when the table exists, else the stco-entries == sample
+    // count layout (a file with neither shape yields null hash words)
     val kfWords: Option[(Long, Long)] = child(stblS, stblE, "stco") match {
       case Some((s, e)) if s + 8 <= e &&
-          beU32(s + 4) == nFrames &&           // one-sample-per-chunk layout
           sampleSize == w * h && w >= 9 && h >= 8 &&
-          firstKf >= 1 && firstKf <= nFrames &&
-          s + 8 + 4 * firstKf.toInt <= e =>
-        val off = beU32(s + 8 + 4 * (firstKf.toInt - 1))
-        if (off + sampleSize <= b.length) {
-          val o = off.toInt
-          Some(dhash64((x, y) => (b(o + y * w.toInt + x) & 0xff).toLong,
-            w.toInt, h.toInt))
-        } else None
+          firstKf >= 1 && firstKf <= nFrames =>
+        val nChunks = beU32(s + 4)
+        val loc: Option[(Long, Long)] = stscLoc match {
+          case Some(resolved) => resolved
+          case None => if (nChunks == nFrames) Some((firstKf, firstKf)) else None
+        }
+        loc match {
+          case Some((chunk, firstSample)) if chunk >= 1 && chunk <= nChunks &&
+              s + 8 + 4 * chunk <= e && firstSample <= firstKf =>
+            val off = beU32((s + 8 + 4 * (chunk - 1)).toInt) +
+              (firstKf - firstSample) * sampleSize
+            if (off >= 0 && off + sampleSize <= b.length) {
+              val o = off.toInt
+              Some(dhash64((x, y) => (b(o + y * w.toInt + x) & 0xff).toLong,
+                w.toInt, h.toInt))
+            } else None
+          case _ => None
+        }
       case _ => None
     }
     Some((w, h, dur * 1000L / ts, nFrames, nKf, kfWords))

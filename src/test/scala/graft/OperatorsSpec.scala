@@ -494,6 +494,36 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.parseKeyframes("not a container".getBytes("UTF-8")).isEmpty)
   }
 
+  test("video keyframes: stsc multi-sample chunks resolve byte extents") {
+    import graft.operators.Multimodal
+    // layout-invariance: 1/2/3 samples per chunk carry the SAME planted
+    // pixels, so every parsed column — including the frame-0 dHash — must
+    // match the historical one-chunk-per-sample bytes exactly
+    val base = Multimodal.parseKeyframes(
+      Multimodal.PlantedVideo.mp4Bytes(7L, 5, 18, 16)).get
+    for (spc <- 2 to 4) { // 4 > nKf exercises the single-run stsc too
+      val packed = Multimodal.parseKeyframes(
+        Multimodal.PlantedVideo.mp4Bytes(7L, 5, 18, 16, samplesPerChunk = spc)).get
+      assert(packed == base, s"samplesPerChunk=$spc")
+    }
+    // NON-ZERO in-chunk offset: patch stss so the first keyframe is sample
+    // 2 — with 3 samples per chunk that is chunk 1 at offset 1·frameBytes,
+    // a slice the one-sample-per-chunk fallback could never express. The
+    // expected hash is frame INDEX 1's planted pixels, recomputed
+    // independently through the shared integer kernel.
+    val b3 = Multimodal.PlantedVideo.mp4Bytes(7L, 5, 18, 16, samplesPerChunk = 3)
+    val stss = (0 until b3.length - 4).find(i =>
+      b3(i) == 's' && b3(i + 1) == 't' && b3(i + 2) == 's' && b3(i + 3) == 's').get
+    // type(4) + verflags(4) + count(4) → entry 0 sits at stss+12
+    b3(stss + 12) = 0; b3(stss + 13) = 0; b3(stss + 14) = 0; b3(stss + 15) = 2
+    val patched = Multimodal.parseKeyframes(b3).get
+    val (ehi, elo) = Multimodal.dhash64(
+      (x, y) => Multimodal.PlantedVideo.gray(7L, 1, x, y).toLong, 18, 16)
+    assert(patched._6.contains((ehi, elo)))
+    // and it differs from frame 0's hash (the planted frames are distinct)
+    assert(patched._6 != base._6)
+  }
+
   test("extractFeatures uses real header dims when present, stub otherwise") {
     import spark.implicits._
     import graft.operators.Multimodal
