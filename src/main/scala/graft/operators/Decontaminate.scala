@@ -96,14 +96,20 @@ object Decontaminate {
     // when auto-sizing, materialize the (small-by-contract) bench shingles
     // once: the sizing count is an action, and without the checkpoint the
     // bench explode lineage would run a second full time for the bloom
-    // aggregate + equi-join (ADVICE r10). Per-doc-distinct rows still
-    // overcount global distinct shingles on overlapping bench docs — an
-    // accepted upper bound (a bigger filter only lowers FPP).
+    // aggregate + equi-join (ADVICE r10).
     val bs = if (expectedItems > 0) bsRaw else bsRaw.localCheckpoint(false)
     // denominator BEFORE any prefilter: overlap_frac's |shingles(train)|
     val sizes = ts.groupBy("doc").agg(count(lit(1)).as("_sz"))
+    // size on GLOBAL distinct shingles, not per-doc-distinct rows: the
+    // filter holds one bit-set entry per distinct shingle whatever the
+    // insertion multiplicity, and overlapping bench docs (benchmarks
+    // carve variants of the same passages) overcount rows enough to push
+    // the auto size into the 16 MB cap a decade early (ADVICE r11). The
+    // distinct rides one small-side exchange over the checkpointed
+    // blocks — bench ≪ train is this operator's stated regime.
     val items = math.max(1L,
-      if (expectedItems > 0) expectedItems else bs.count())
+      if (expectedItems > 0) expectedItems
+      else bs.select("shingle").distinct().count())
     val bits =
       if (numBits > 0) numBits
       else math.min(math.max(8388608L, 10L * items), 1L << 27)
