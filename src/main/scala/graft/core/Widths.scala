@@ -46,12 +46,22 @@ object Widths {
     * regardless of reduce width, so the fd budget is unaffected. */
   val MaxWidth: Int = 8192
 
+  /** Per-partition byte target for exchanges whose reduce-side consumer
+    * is a HASH AGGREGATE over ~unique keys (the span ops' window-hash
+    * counts): the binding constraint there is the per-task key map, not
+    * sort-run size — 64 MB of 28 B rows is ~2.3M map entries per task,
+    * which spilled and cost dup_spans' 2×10⁶ anchor +21% vs the sized
+    * battery; 16 MB (~600k entries) keeps the map in the task share
+    * while segments stay ≫ the codec floor. */
+  val AggTargetPartitionBytes: Long = 16L << 20
+
   /** Width for an explicit exchange expected to carry `bytesEstimate`:
-    * session width floored, bytes/[[TargetPartitionBytes]] when larger,
+    * session width floored, bytes/`targetPartitionBytes` when larger,
     * [[MaxWidth]] capped. */
-  def forBytes(spark: SparkSession, bytesEstimate: BigInt): Int = {
+  def forBytes(spark: SparkSession, bytesEstimate: BigInt,
+               targetPartitionBytes: Long = TargetPartitionBytes): Int = {
     val session = spark.sessionState.conf.numShufflePartitions
-    val byBytes = (bytesEstimate / TargetPartitionBytes)
+    val byBytes = (bytesEstimate / targetPartitionBytes)
       .min(MaxWidth).max(0).toInt
     math.max(session, byBytes)
   }
@@ -67,10 +77,12 @@ object Widths {
     * (measured 5.8× low on the 2×10⁷ fingerprint index). Callers that
     * know their fan-out shape pass the row-model multiplier; the ones
     * that don't still get the session floor and a conservative width. */
-  def forExchange(df: DataFrame, expansion: Double = 1.0): Int =
+  def forExchange(df: DataFrame, expansion: Double = 1.0,
+                  targetPartitionBytes: Long = TargetPartitionBytes): Int =
     forBytes(df.sparkSession,
       df.queryExecution.optimizedPlan.stats.sizeInBytes *
-        math.max(1L, math.round(expansion * 100)) / 100)
+        math.max(1L, math.round(expansion * 100)) / 100,
+      targetPartitionBytes)
 
   /** [[forBytes]] from a row count and estimated row width — for call
     * sites that already paid a count (e.g. a checkpoint-materializing

@@ -632,7 +632,8 @@ object Dedup {
     val st = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
       starts, Seq("h"),
       org.apache.spark.storage.StorageLevel.DISK_ONLY,
-      graft.core.Widths.forExchange(starts, expansion = 5.6))
+      graft.core.Widths.forExchange(starts, expansion = 5.6,
+        targetPartitionBytes = graft.core.Widths.AggTargetPartitionBytes))
     val dupH = st.groupBy("h").agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= minOccurrences).select("h")
     // tiny for real corpora → size-gated broadcast keeps the probe
@@ -683,7 +684,8 @@ object Dedup {
     val st = org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
       starts, Seq("h"),
       org.apache.spark.storage.StorageLevel.DISK_ONLY,
-      graft.core.Widths.forExchange(starts, expansion = 5.6))
+      graft.core.Widths.forExchange(starts, expansion = 5.6,
+        targetPartitionBytes = graft.core.Widths.AggTargetPartitionBytes))
     // per duplicated window: its canonical (first) occurrence — the same
     // hot-key-immune aggregate + gated-broadcast shape as [[dupSpans]];
     // struct min is lexicographic (doc, pos), i.e. corpus order
