@@ -219,7 +219,16 @@ final case class Corpus(docs: DataFrame, idCol: String = "doc_id",
     * frequency) — |strata|² pairs worst case per key, typically 1. One
     * shuffle keyed by fingerprint. */
   def spanLeakageMatrix(strataCol: String, minTokens: Int = 8): DataFrame = {
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // bytes-sized width ([[graft.core.Widths]]), session floor at fixture
+    // scale. Sized from the DOCS SCAN, not the joined window frame: a
+    // join's size-only estimate multiplies its children (the first cut
+    // here sized an 8192-wide exchange from a 30 MB fixture and paid 4.6 s
+    // of pure segment overhead). Expansion model: spanStarts emits ~1
+    // window row per token (~docBytes/6 rows × ~16 B of (src, h) each
+    // ≈ 2.7× the document bytes); the distinct only shrinks it, so 4× is
+    // a conservative row-volume multiplier on the scan estimate.
+    val nPart = graft.core.Widths.forExchange(
+      docs.select(col(textCol)), expansion = 4.0)
     val srcw = Dedup.spanStarts(docs, idCol, textCol, minTokens)
       .join(docs.select(col(idCol).as("doc"), col(strataCol).as("_src")), Seq("doc"))
       .select(col("_src"), col("h")).distinct()

@@ -1344,9 +1344,18 @@ object SparkEntry {
     * the hash match. PNG is lossless, so decode(encode(px)) == px and the
     * pure-SQL replay is exact. */
   private def qImagePhash(s: SparkSession, d: String): DataFrame =
-    Multimodal.imageDHash(imgPayloadsM(s, d))
+    imgDHashM(s, d)
       .select(col("doc_id"), col("img_w"), col("img_h"),
         col("dh_hi"), col("dh_lo"))
+
+  /** Memoized decoded dHash frame — the round-12 lesson: qImagePhashPairs
+    * composed qImagePhash directly, so the full pixel decode ran TWICE per
+    * session (once for the hashes, once inside the pairs' banding input)
+    * and the second pass was pure waste — the hash frame is 5 longs/doc.
+    * doc_image_phash builds this memo (its wall still times one real
+    * decode pass); doc_image_phash_pairs rides the checkpointed blocks. */
+  private def imgDHashM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "imgdh")(Multimodal.imageDHash(imgPayloadsM(s, d)))
 
   /** Memoized planted-PNG payload frame for the pixel tier: fixture
     * SYNTHESIS (an md5 per pixel) is a session cost measured under the
@@ -1389,7 +1398,13 @@ object SparkEntry {
     * hash-match only because the fingerprint's gradient signs survive
     * exact gain scaling, which is the property under test. */
   private def qAudioFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.audioFeatures(wavPayloadsM(s, d))
+    audioFeatM(s, d)
+
+  /** Memoized decoded audio-feature frame — same decode-once discipline as
+    * [[imgDHashM]]: doc_audio_fp_pairs composes this query, and without
+    * the memo the full PCM decode ran twice per session. */
+  private def audioFeatM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "audiofeat")(Multimodal.audioFeatures(wavPayloadsM(s, d)))
 
   /** Memoized planted-PCM payload frame — same memo_build discipline as
     * [[imgPayloadsM]] (synthesis is an md5 per sample and dominated the
@@ -1425,7 +1440,12 @@ object SparkEntry {
     * uncompressed gray8 samples (a real codec's frames need ffmpeg and
     * yield null hash words). */
   private def qVideoKeyframes(s: SparkSession, d: String): DataFrame =
-    Multimodal.videoKeyframes(vidPayloadsM(s, d))
+    videoKfM(s, d)
+
+  /** Memoized decoded keyframe frame — same decode-once discipline as
+    * [[imgDHashM]]: the pairs query composes this one. */
+  private def videoKfM(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "vidkf")(Multimodal.videoKeyframes(vidPayloadsM(s, d)))
 
   /** Memoized planted-video payload frame — same memo_build discipline as
     * [[imgPayloadsM]]: frame counts 3/5/7 (src%3), keyframes every 2nd
@@ -1559,10 +1579,26 @@ object SparkEntry {
       TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id"))
 
   /** MOSS-style copy-detection pairs: docs sharing ≥ minShared winnowed
-    * fingerprint hashes, stop-phrase hashes df-capped out of the index. */
-  private def qFingerprintPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.fingerprintPairsFrom(docFpsM(s, d), minShared = 50, maxDocFreq = 100)
+    * fingerprint hashes, stop-phrase hashes df-capped out of the index.
+    *
+    * The df cap is FRACTIONAL — max(100, 5% of the corpus) — because a
+    * "stop phrase" is a phrase appearing in a large share of documents,
+    * not a fixed count: the round-12 gate found the flat cap 100 going
+    * DEGENERATE at sf0.1 (5000 docs share enough boilerplate that every
+    * copied passage's hashes exceeded df 100, so the larger gate SF
+    * verified an empty result — a gate that couldn't catch a wrong-pair
+    * bug). At sf0.01 the fractional cap still resolves to 100, so the
+    * historical results are byte-identical; at sf0.1 it resolves to 250
+    * and the gate checks 9 real pairs. Fraction choice is a COST bound
+    * too: candidate volume is Σ df², and the measured sf0.1 volumes are
+    * 1.1M (cap 100) / 6.8M (cap 250) / 55M (cap 500) rows — 5% keeps the
+    * gate non-degenerate at ~6× the historical work instead of ~48×. */
+  private def qFingerprintPairs(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d).count()
+    Dedup.fingerprintPairsFrom(docFpsM(s, d), minShared = 50,
+        maxDocFreq = math.max(100, math.ceil(nDocs * 0.05).toInt))
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
+  }
 
   /** Token counting (the charter's "whitespace + BPE-ish" pair): whitespace
     * split size + GPT-2-style pre-tokenization piece count, both one
@@ -4016,7 +4052,8 @@ object SparkEntry {
         |        FROM sel0 s JOIN dd d USING (doc_id)),
         |cap AS (SELECT doc_id, h FROM
         |          (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfq FROM sel)
-        |        WHERE dfq <= 100),
+        |        WHERE dfq <= greatest(100,
+        |          CAST(ceil(0.05 * (SELECT count(*) FROM documents)) AS BIGINT))),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         |       FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
         |       GROUP BY 1, 2)

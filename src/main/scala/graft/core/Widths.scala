@@ -76,13 +76,28 @@ object Widths {
     * per-gram rows reports the document bytes, not the row volume
     * (measured 5.8× low on the 2×10⁷ fingerprint index). Callers that
     * know their fan-out shape pass the row-model multiplier; the ones
-    * that don't still get the session floor and a conservative width. */
+    * that don't still get the session floor and a conservative width.
+    *
+    * A frame whose LEAF has no statistics (an RDD-backed createDataFrame,
+    * a plain localCheckpoint without injected stats, a streaming/JDBC
+    * source) reports `spark.sql.defaultSizeInBytes` = Long.MaxValue —
+    * feeding that to [[forBytes]] would silently size EVERY consumer at
+    * [[MaxWidth]] (an 8192-task exchange for a 100-row frame). Any
+    * estimate at or above the configured default is sentinel, not signal:
+    * fall back to the session width, which is what the caller ran with
+    * before sizing existed. */
   def forExchange(df: DataFrame, expansion: Double = 1.0,
-                  targetPartitionBytes: Long = TargetPartitionBytes): Int =
-    forBytes(df.sparkSession,
-      df.queryExecution.optimizedPlan.stats.sizeInBytes *
-        math.max(1L, math.round(expansion * 100)) / 100,
-      targetPartitionBytes)
+                  targetPartitionBytes: Long = TargetPartitionBytes): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val degenerate = BigInt(
+      df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (est <= 0 || est >= degenerate)
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    else
+      forBytes(df.sparkSession,
+        est * math.max(1L, math.round(expansion * 100)) / 100,
+        targetPartitionBytes)
+  }
 
   /** [[forBytes]] from a row count and estimated row width — for call
     * sites that already paid a count (e.g. a checkpoint-materializing

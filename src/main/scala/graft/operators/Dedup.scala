@@ -207,7 +207,11 @@ object Dedup {
       else if (wConf > 0) (wConf, minShared)
       else {
         val wAuto = autoW(df.count())
-        (wAuto, math.max(2, math.ceil(minShared * 5.0 / (wAuto + 1)).toInt))
+        // floor at min(2, minShared), not a flat 2: a caller's minShared = 1
+        // must survive the w = 4 identity case (auto geometry resolving to
+        // the default density is row-identical to the pinned call)
+        (wAuto, math.max(math.min(2, minShared),
+          math.ceil(minShared * 5.0 / (wAuto + 1)).toInt))
       }
     // distinct (doc, h) by construction — the per-doc fingerprint set is
     // array_distinct'd BEFORE the explode, so no distinct aggregate runs
@@ -314,7 +318,13 @@ object Dedup {
     * regime, hence conf-gated off by default. */
   private[graft] def indexSelfPairs(index: DataFrame, keyCol: String): DataFrame = {
     val r = index.sparkSession.conf.get(PairSaltKey, "1").toInt
-    val nPart = index.sparkSession.sessionState.conf.numShufflePartitions
+    // bytes-sized index-exchange width ([[graft.core.Widths]]) with the
+    // same 10× Generate-pass-through expansion model as [[pairsOverIndex]]
+    // (callers hand this an exploded (doc, key) index whose Catalyst
+    // estimate reports the pre-explode document bytes); degenerate
+    // estimates (stat-less checkpoint inputs) fall back to the session
+    // width inside forExchange
+    val nPart = graft.core.Widths.forExchange(index, expansion = 10.0)
     if (r <= 1) {
       // materialized once for both self-join sides, with the hash(key)
       // distribution advertised (see [[jaccardPairs]]): the join then

@@ -397,9 +397,23 @@ object Multimodal {
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
+      ImageIoInit.ensure()
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
     }
+  }
+
+  /** One-time JVM-wide `ImageIO.setUseCache(false)`: by default EVERY
+    * `ImageIO.read`/`write` over an in-memory stream routes through a
+    * `FileCache*ImageStream` — a temp FILE created, written, and deleted
+    * per image. On a 5000-image fixture that is 10⁴ temp-file round trips
+    * per decode pass, billed as task time that swings with the host's
+    * /tmp contention (the round-12 doc_image_phash wall regression's
+    * decode-path-stall signature). All payloads here are in-memory byte
+    * arrays, so the memory-backed streams are strictly better. */
+  private object ImageIoInit {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ensure(): Unit = ()
   }
 
   /** 64-bit difference hash (dHash) per image — the pixel-level signal the
@@ -432,12 +446,31 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        ImageIoInit.ensure()
+        // one ImageReader per FORMAT per partition: `ImageIO.read` builds
+        // (and disposes) a fresh reader plus its service-lookup walk per
+        // image — on a one-format corpus partition the same reader can
+        // decode every payload via setInput (the documented reuse pattern)
+        val readers =
+          scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+        def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+          try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val found = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!found.hasNext) { iis.close(); None }
+            else {
+              val probe = found.next()
+              val reader = readers.getOrElseUpdate(probe.getFormatName, probe)
+              if (reader ne probe) probe.dispose()
+              reader.setInput(iis, true, true)
+              val img = Option(reader.read(0))
+              iis.close()
+              img
+            }
+          } catch { case _: Exception => None }
         it.map { case (id, bytes) =>
-          val img =
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: Exception => None }
-          img match {
+          decode(bytes) match {
             case Some(im) if im.getWidth >= 9 && im.getHeight >= 8 =>
               val w = im.getWidth; val h = im.getHeight
               val grid = Array.ofDim[Int](8, 9)
@@ -909,7 +942,14 @@ object Multimodal {
             val spc = beU32(off + 4)
             val nextFc = if (i + 1 < nEnt) beU32((s + 8 + 12 * (i + 1)).toInt)
                          else Long.MaxValue
-            if (spc <= 0 || fc <= 0 || nextFc <= fc) bad = true
+            // §8.7.4: the first entry MUST govern chunk 1 — a table whose
+            // first run starts later leaves chunks 1..fc−1 unmapped, and
+            // resolving sampleAcc from 1 anyway would compute a SHIFTED
+            // chunk index that can pass the bounds guards while slicing
+            // wrong bytes. Spec-violating table ⇒ bad ⇒ null hash words,
+            // never a wrong slice.
+            if (spc <= 0 || fc <= 0 || nextFc <= fc ||
+                (i == 0L && fc != 1L)) bad = true
             else {
               val runSamples =
                 if (nextFc == Long.MaxValue) Long.MaxValue

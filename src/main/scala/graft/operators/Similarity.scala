@@ -786,12 +786,28 @@ object Similarity {
     //  - bigger corpus → slim candidate equi-join on a pinned full-width
     //    partitioning; vectors ride back on equi-joins, the compiled dot
     //    scores each row, AQE picks strategies from runtime sizes.
-    val nPart = sigs.sparkSession.sessionState.conf.numShufflePartitions
     val bcastBudget = {
       val thr = p.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
       if (thr > 0) thr * 8 else 80L << 20
     }
-    val corpusBytes = p.count() * (dims + 2) * 8L
+    val nRows = p.count()
+    val corpusBytes = nRows * (dims + 2) * 8L
+    // exchange widths from the KNOWN row count (already paid by the
+    // broadcast-gate count above), not the raw session pin — the §2.9.12
+    // width law as a library rule ([[graft.core.Widths]]): a big session
+    // meeting these thin exchanges drives segment counts quadratic while a
+    // fixture-scale run floors at the session width (plan-identical to the
+    // historical ones). Expansion models, stated:
+    //  - the banded-signature exchange carries n·bands slim
+    //    (vid, band, band_val) rows ≈ 28 B each;
+    //  - the candidate re-spread feeds the exact re-check, where each
+    //    surviving pair fans into two dims-length vectors (~16·dims B per
+    //    row downstream); near-dup pair volume is ~O(n) on a deduplicable
+    //    corpus (each doc has O(1) near-dups), so n rows at that width.
+    val bandPart = graft.core.Widths.forRows(p.sparkSession,
+      nRows * bands, 28L)
+    val candPart = graft.core.Widths.forRows(p.sparkSession,
+      nRows, 16L * math.max(dims, 1))
     val outSchema = StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
       StructField("sim", org.apache.spark.sql.types.DoubleType)))
     if (corpusBytes <= bcastBudget) {
@@ -820,7 +836,7 @@ object Similarity {
           (0 until vids.length by chunk).iterator
             .map(lo => Row(vids, lo, math.min(lo + chunk, vids.length)))
         })(Encoders.row(unitSchema))
-      units.repartition(nPart).flatMap({ r =>
+      units.repartition(bandPart).flatMap({ r =>
         val vids = r.getSeq[Any](0).toArray
         val lo = r.getInt(1)
         val hi = r.getInt(2)
@@ -848,7 +864,7 @@ object Similarity {
       val exploded = sigs.select(col("vid"),
           posexplode(col("sigs")).as(Seq("band", "band_val")))
         .localCheckpoint(true)
-        .repartition(nPart, col("band"), col("band_val"))
+        .repartition(bandPart, col("band"), col("band_val"))
       val cand = exploded.as("a").join(exploded.as("b"),
           col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
             col("a.vid") < col("b.vid"))
@@ -856,8 +872,8 @@ object Similarity {
         .distinct()
         // spread the exact re-check: the distinct's output exchange is sized
         // by AQE for shuffle bytes, but each slim pair fans out into a
-        // 2·dims dot product next — round-robin back to full width first
-        .repartition(nPart)
+        // 2·dims dot product next — round-robin back to re-check width first
+        .repartition(candPart)
       val va = p.select(col("vid").as("id_a"), col("v").as("_va"), col("nrm").as("_na"))
       val vb = p.select(col("vid").as("id_b"), col("v").as("_vb"), col("nrm").as("_nb"))
       cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))

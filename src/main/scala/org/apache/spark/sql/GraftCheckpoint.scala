@@ -68,8 +68,98 @@ object GraftCheckpoint {
     * docs). */
   def localCheckpointAdvertised(df: DataFrame, keyNames: Seq[String],
                                 level: StorageLevel,
-                                numPartitions: Int): DataFrame =
+                                numPartitions: Int): DataFrame = {
+    assertKeyedLineage(df, keyNames, numPartitions)
     advertise(df.localCheckpoint(false, level), df, keyNames, numPartitions)
+  }
+
+  /** Fail-fast verification of the caller-guaranteed claim behind
+    * [[localCheckpointAdvertised]]: walk the frame's OPTIMIZED plan down
+    * through partitioning-preserving unary nodes and require that the
+    * nearest exchange below is a `repartition(numPartitions, keys)` on
+    * exactly the claimed keys in the claimed order. The partition-COUNT
+    * require in [[advertise]] can't catch a same-width re-exchange on a
+    * DIFFERENT key slipping into the lineage — that would advertise a
+    * wrong hash layout and make downstream joins silently drop pairs.
+    * Preserving nodes: Project (keys must pass through as attributes),
+    * Filter, Window partitioned by a superset of the keys, Aggregate
+    * grouped by a superset of the keys (`HashPartitioning(keys)` satisfies
+    * its `ClusteredDistribution`). Anything else fails the claim. */
+  private def assertKeyedLineage(df: DataFrame, keyNames: Seq[String],
+                                 nPart: Int): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val top = df.queryExecution.optimizedPlan
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"localCheckpointAdvertised(hash(${keyNames.mkString(",")}, $nPart)): " +
+        s"$why — the lineage between the explicit repartition and the " +
+        "checkpoint is not partitioning-preserving")
+    var keys: Seq[Long] = keyNames.map(k =>
+      top.output.find(_.name == k).getOrElse(
+        fail(s"key '$k' not in output ${top.output.map(_.name)}")).exprId.id)
+    def isKeyAttr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                  id: Long): Boolean = e match {
+      case a: Attribute => a.exprId.id == id
+      case _ => false
+    }
+    var cur: LogicalPlan = top
+    var done = false
+    while (!done) cur match {
+      case p: Project =>
+        keys = keys.map { id =>
+          p.projectList.collectFirst {
+            case a: Attribute if a.exprId.id == id => a.exprId.id
+            case al @ Alias(child: Attribute, _) if al.exprId.id == id =>
+              child.exprId.id
+          }.getOrElse(fail(s"a Project rewrites or drops key exprId $id"))
+        }
+        cur = p.child
+      case f: Filter => cur = f.child
+      case w: Window =>
+        keys.foreach { id =>
+          if (!w.partitionSpec.exists(isKeyAttr(_, id)))
+            fail(s"a Window is partitioned without key exprId $id")
+        }
+        cur = w.child
+      case a: Aggregate =>
+        keys.foreach { id =>
+          if (!a.groupingExpressions.exists(isKeyAttr(_, id)))
+            fail(s"an Aggregate groups without key exprId $id")
+        }
+        keys = keys.map { id =>
+          a.aggregateExpressions.collectFirst {
+            case at: Attribute if at.exprId.id == id => at.exprId.id
+            case al @ Alias(child: Attribute, _) if al.exprId.id == id =>
+              child.exprId.id
+          }.getOrElse(fail(s"an Aggregate rewrites or drops key exprId $id"))
+        }
+        cur = a.child
+      case r: RepartitionByExpression =>
+        if (!r.optNumPartitions.contains(nPart))
+          fail(s"nearest repartition width is ${r.optNumPartitions} " +
+            s"(claimed $nPart)")
+        val repKeys = r.partitionExpressions.map {
+          case a: Attribute => a.exprId.id
+          case other => fail(s"repartition expression $other is not a " +
+            "plain column")
+        }
+        if (repKeys != keys)
+          fail(s"nearest repartition hashes exprIds $repKeys, " +
+            s"claim resolves to $keys")
+        done = true
+      case lr: LogicalRDD =>
+        // an already-advertised checkpoint below: accept iff it advertises
+        // exactly the claimed layout
+        lr.outputPartitioning match {
+          case hp: HashPartitioning if hp.numPartitions == nPart &&
+              hp.expressions.map {
+                case a: Attribute => a.exprId.id; case _ => -1L
+              } == keys => done = true
+          case other => fail(s"leaf checkpoint advertises $other")
+        }
+      case other => fail(s"unexpected ${other.nodeName} node in the lineage")
+    }
+  }
 
   private def advertise(ckpt: DataFrame, df: DataFrame,
                         keyNames: Seq[String], nPart: Int): DataFrame = {

@@ -126,6 +126,15 @@ class DedupHygieneSpec extends SparkSpec {
         .orderBy("doc_a", "doc_b").collect().toSeq
       assert(conf == pinned)
     } finally spark.conf.unset(Dedup.WinnowWKey)
+    // minShared = 1 must SURVIVE the w = 4 identity case too: the rescale
+    // floor is min(2, minShared), not a flat 2 (a flat floor silently
+    // tightened a share-anything threshold in auto mode only)
+    val auto1 = Dedup.fingerprintPairs(d, "doc_id", "text", minShared = 1)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val pinned1 = Dedup.fingerprintPairs(d, "doc_id", "text", w = 4, minShared = 1)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(auto1 == pinned1)
+    assert(auto1.size >= auto.size)
   }
 
   test("band-join pin engages only above the volume gate") {

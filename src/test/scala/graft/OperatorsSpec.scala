@@ -522,6 +522,18 @@ class OperatorsSpec extends SparkSpec {
     assert(patched._6.contains((ehi, elo)))
     // and it differs from frame 0's hash (the planted frames are distinct)
     assert(patched._6 != base._6)
+    // SPEC-VIOLATING stsc: a first entry whose first_chunk != 1 leaves
+    // chunks 1..fc−1 unmapped — resolving from sample 1 anyway would slice
+    // a SHIFTED byte extent that can pass the bounds guards. Policy: null
+    // hash words, never a wrong slice; metadata columns stay valid.
+    val bBad = Multimodal.PlantedVideo.mp4Bytes(7L, 5, 18, 16, samplesPerChunk = 3)
+    val stsc = (0 until bBad.length - 4).find(i =>
+      bBad(i) == 's' && bBad(i + 1) == 't' && bBad(i + 2) == 's' && bBad(i + 3) == 'c').get
+    // type(4) + verflags(4) + count(4) → entry 0's first_chunk at stsc+12
+    bBad(stsc + 15) = 2
+    val bad = Multimodal.parseKeyframes(bBad).get
+    assert(bad._6.isEmpty, "first_chunk != 1 must null the hash words")
+    assert((bad._1, bad._2, bad._4) == (base._1, base._2, base._4))
   }
 
   test("extractFeatures uses real header dims when present, stub otherwise") {

@@ -75,4 +75,39 @@ class PlanPinSpec extends SparkSpec {
       s"$n materialized $c shuffle stages > pinned $b" }
     assert(over.isEmpty, over.mkString("; "))
   }
+
+  test("localCheckpointAdvertised fails fast on a lineage hashing different keys") {
+    import org.apache.spark.sql.GraftCheckpoint
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toLong)).toDF("doc", "h")
+    // the model caller's shape (repartition + narrow filter/project) passes
+    val good = df.repartition(8, col("h")).filter(col("doc") > 0)
+      .select(col("doc"), col("h"))
+    assert(GraftCheckpoint.localCheckpointAdvertised(
+      good, Seq("h"), StorageLevel.DISK_ONLY, 8).count() == 100)
+    // SAME WIDTH, different key: the partition-count require alone passes
+    // this, but the advertised hash(h, 8) layout would be a lie — the walk
+    // must reject it before downstream joins silently drop pairs
+    val rekeyed = df.repartition(8, col("h")).repartition(8, col("doc"))
+    intercept[IllegalArgumentException] {
+      GraftCheckpoint.localCheckpointAdvertised(
+        rekeyed, Seq("h"), StorageLevel.DISK_ONLY, 8)
+    }
+    // an aggregate that does NOT group by the claimed key breaks the
+    // partitioning-preservation claim even with the right exchange below
+    val regrouped = df.repartition(8, col("h"))
+      .groupBy("doc").agg(max("h").as("h"))
+    intercept[IllegalArgumentException] {
+      GraftCheckpoint.localCheckpointAdvertised(
+        regrouped, Seq("h"), StorageLevel.DISK_ONLY, 8)
+    }
+    // a width mismatch between the claim and the nearest exchange fails
+    // in the walk (not just in the post-checkpoint partition-count check)
+    intercept[IllegalArgumentException] {
+      GraftCheckpoint.localCheckpointAdvertised(
+        good, Seq("h"), StorageLevel.DISK_ONLY, 16)
+    }
+  }
 }

@@ -29,4 +29,26 @@ class WidthsSpec extends SparkSpec {
     val tiny = (1 to 100).map(i => (i.toLong, s"doc $i text")).toDF("doc_id", "text")
     assert(Widths.forExchange(tiny) == spark.sessionState.conf.numShufflePartitions)
   }
+
+  test("forExchange: a stat-less leaf's sentinel estimate falls back to the session width") {
+    import spark.implicits._
+    val session = spark.sessionState.conf.numShufflePartitions
+    // an RDD-backed frame has no leaf statistics: Catalyst reports
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) — without the guard a
+    // 100-row frame would size every consumer at MaxWidth (8192 tasks)
+    val rddBacked = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 100).map(i =>
+        org.apache.spark.sql.Row(i.toLong, s"doc $i"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val est = rddBacked.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est >= BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      s"precondition: the RDD-backed leaf should report the sentinel, got $est")
+    assert(Widths.forExchange(rddBacked) == session)
+    // even a huge expansion multiplier cannot resurrect the sentinel
+    assert(Widths.forExchange(rddBacked, expansion = 100.0) == session)
+  }
 }
