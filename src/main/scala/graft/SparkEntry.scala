@@ -189,6 +189,8 @@ object SparkEntry {
     "doc_bm25"           -> ((s, d) => qBm25(s, d)),
     "doc_fingerprints"   -> ((s, d) => qFingerprints(s, d)),
     "doc_perplexity"     -> ((s, d) => qPerplexity(s, d)),
+    "doc_kn_perplexity"  -> ((s, d) => qKnPerplexity(s, d)),
+    "doc_kn_perplexity_heldout" -> ((s, d) => qKnPerplexityHeldout(s, d)),
     "doc_fingerprint_pairs" -> ((s, d) => qFingerprintPairs(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_screen_approx"   -> ((s, d) => qScreenApprox(s, d)),
@@ -1577,6 +1579,35 @@ object SparkEntry {
   private def docPplM(s: SparkSession, d: String): DataFrame =
     memo(s, d, "ppl")(
       TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id"))
+
+  /** Interpolated Kneser–Ney trigram perplexity, LM fit on the full corpus
+    * ([[graft.functions.TextOps.knPerplexity]]) — the smoothed upgrade of
+    * [[qPerplexity]]'s MLE bigram: discounted raw counts at the top order,
+    * continuation counts below, exact normalization over vocab + OOV
+    * (OperatorsSpec pins the estimator against an independent reference
+    * and the Σ P = 1 property). */
+  private def qKnPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextOps.knPerplexity(docs, docs, "doc_id")
+      .select(col("doc").as("doc_id"), col("n_grams"),
+        round(col("ppl"), 6).as("ppl"))
+  }
+
+  /** Held-out Kneser–Ney scoring — LM fit on doc_id % 10 ≠ 0, perplexity
+    * of the % 10 = 0 split: the OOV/backoff path a self-scored model can
+    * never reach (every self-scored gram was counted by construction) —
+    * unseen contexts back off order by order and unseen TOKENS land on the
+    * unigram's reserved 1/(V+1) mass instead of −∞, so no scored doc is
+    * dropped. The CCNet-style quality-filter deployment shape: score a
+    * candidate corpus under a reference-corpus LM. */
+  private def qKnPerplexityHeldout(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextOps.knPerplexity(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id")
+      .select(col("doc").as("doc_id"), col("n_grams"),
+        round(col("ppl"), 6).as("ppl"))
+  }
 
   /** MOSS-style copy-detection pairs: docs sharing ≥ minShared winnowed
     * fingerprint hashes, stop-phrase hashes df-capped out of the index.
@@ -3965,6 +3996,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
         |  ROUND(ppl, 6) AS ppl FROM sc""".stripMargin,
 
+    // Interpolated Kneser-Ney trigram ppl: raw discounted counts at order
+    // 3, continuation counts (distinct-type extensions) below, unigram
+    // with a 1/(V+1) OOV reserve; arithmetic written in the operator's
+    // exact association order so both engines round identically
+    "doc_kn_perplexity" -> knOracleSql("TRUE", "TRUE"),
+
+    // Same estimator, LM fit on doc_id % 10 <> 0, scored on % 10 = 0 —
+    // the held-out split exercises OOV tokens + unseen-context backoff
+    "doc_kn_perplexity_heldout" ->
+      knOracleSql("doc_id % 10 <> 0", "doc_id % 10 = 0"),
+
     // The composed curation chain: perplexity band -> fingerprint dedup
     // over survivors -> temperature sample; stage-local dfs and counts
     "doc_curation_chain" ->
@@ -6335,6 +6377,52 @@ object SparkEntry {
   }
 
   /** Shared DuckDB CTEs: distinct word-3-gram shingles per document. */
+  /** DuckDB replay of [[graft.functions.TextOps.knPerplexity]] at n = 3:
+    * the model CTEs (raw trigram counts + prefix mass, distinct-trigram
+    * continuation counts, distinct-bigram unigram continuations, the three
+    * scalar constants) and the three-level interpolation CASE chain, with
+    * every division/multiplication in the operator's association order.
+    * `trainW` / `scoreW` are WHERE predicates selecting the two sides. */
+  private def knOracleSql(trainW: String, scoreW: String): String =
+    s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE $trainW),
+       |sr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE $scoreW),
+       |g3 AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b, toks[i+2] AS c
+       |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tr WHERE len(toks) >= 3)),
+       |s3 AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b, toks[i+2] AS c
+       |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM sr WHERE len(toks) >= 3)),
+       |c3 AS (SELECT a, b, c, CAST(count(*) AS DOUBLE) AS cf FROM g3 GROUP BY 1, 2, 3),
+       |cx AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS cctx,
+       |         CAST(count(DISTINCT c) AS DOUBLE) AS n1pn FROM g3 GROUP BY 1, 2),
+       |t3 AS (SELECT DISTINCT a, b, c FROM g3),
+       |cc2t AS (SELECT b, c, CAST(count(DISTINCT a) AS DOUBLE) AS cc2 FROM t3 GROUP BY 1, 2),
+       |ct2t AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct2,
+       |           CAST(count(DISTINCT c) AS DOUBLE) AS n1p2 FROM t3 GROUP BY 1),
+       |t2 AS (SELECT DISTINCT toks[i] AS u, toks[i+1] AS w
+       |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tr WHERE len(toks) >= 2)),
+       |cc1t AS (SELECT w, CAST(count(DISTINCT u) AS DOUBLE) AS cc1 FROM t2 GROUP BY 1),
+       |kk AS (SELECT greatest(CAST(count(*) AS DOUBLE), 1.0) AS nbt,
+       |              CAST(count(DISTINCT w) AS DOUBLE) AS vcont FROM t2),
+       |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+       |       FROM (SELECT unnest(toks) AS tok FROM tr)),
+       |j AS (SELECT s.doc_id,
+       |        coalesce(c3.cf, 0.0) AS cf, coalesce(cx.cctx, 0.0) AS cctx,
+       |        coalesce(cx.n1pn, 0.0) AS n1pn, coalesce(cc2t.cc2, 0.0) AS cc2v,
+       |        coalesce(ct2t.ct2, 0.0) AS ct2v, coalesce(ct2t.n1p2, 0.0) AS n1p2,
+       |        coalesce(cc1t.cc1, 0.0) AS cc1v, kk.nbt, kk.vcont, vv.v
+       |      FROM s3 s
+       |      LEFT JOIN c3 USING (a, b, c) LEFT JOIN cx USING (a, b)
+       |      LEFT JOIN cc2t USING (b, c) LEFT JOIN ct2t USING (b)
+       |      LEFT JOIN cc1t ON s.c = cc1t.w
+       |      CROSS JOIN kk CROSS JOIN vv),
+       |q1 AS (SELECT *, greatest(cc1v - 0.75, 0.0) / nbt
+       |         + (0.75 * vcont / nbt) * (1.0 / (v + 1.0)) AS p1 FROM j),
+       |q2 AS (SELECT *, CASE WHEN ct2v <= 0 THEN p1
+       |         ELSE greatest(cc2v - 0.75, 0.0) / ct2v + 0.75 * n1p2 / ct2v * p1 END AS p2 FROM q1),
+       |q3 AS (SELECT doc_id, CASE WHEN cctx <= 0 THEN p2
+       |         ELSE greatest(cf - 0.75, 0.0) / cctx + 0.75 * n1pn / cctx * p2 END AS p FROM q2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  ROUND(exp(-avg(ln(p))), 6) AS ppl FROM q3 GROUP BY 1""".stripMargin
+
   private val CURATION_CTES =
     """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t0),

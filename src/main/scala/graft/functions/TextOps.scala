@@ -179,6 +179,146 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), exp(-avg(col("_lp"))).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney n-gram perplexity with a TRAIN/SCORE split —
+    * the CCNet-style quality filter [[bigramPerplexity]] approximates: fit
+    * the LM on `train`, score every `score` document, so held-out scoring
+    * exercises the OOV/backoff path a self-scored MLE model can never
+    * reach (every self-scored gram was counted by construction).
+    *
+    * The estimator (Kneser & Ney 1995; Chen & Goodman 1999, interpolated
+    * form, fixed absolute discount D):
+    *
+    *  - highest order n uses RAW counts:
+    *    `P(w|ctx) = max(c(ctx·w) − D, 0)/c(ctx) + D·N1+(ctx·•)/c(ctx) · P_{n−1}`,
+    *    with `c(ctx) = Σ_w c(ctx·w)` (prefix mass, so the distribution
+    *    normalizes without padding);
+    *  - lower orders 1 < m < n use CONTINUATION counts off the DISTINCT
+    *    (m+1)-gram types: `cc(g) = N1+(•g)` (distinct left-extensions),
+    *    normalizer `N1+(•ctx•) = Σ_w cc(ctx·w)`, recursing identically;
+    *    a context with zero continuation mass backs off entirely (λ = 1);
+    *  - unigram: `P(w) = max(N1+(•w) − D, 0)/N_bt + D·V_cont/N_bt · 1/(V+1)`
+    *    over distinct bigram types N_bt — the 1/(V+1) uniform term
+    *    reserves mass for OOV tokens, so an unseen word scores a small
+    *    positive probability instead of −∞ and no score row is dropped.
+    *
+    * Grams are document-internal (no BOS/EOS padding — the
+    * [[bigramPerplexity]] convention); docs with fewer than n tokens have
+    * no full n-gram and are absent from the output.
+    *
+    * Scale shape: every model table is a distributed aggregation over a
+    * gram explode (native sequence generator, no per-row Scala); scoring
+    * is n LEFT equi-joins keyed by gram strings (single-space joined —
+    * tokens are whitespace-split so the key is collision-free); the only
+    * driver state is three scalar constants (N_bt, V_cont, V). No
+    * broadcast of unbounded vocabulary, no driver-side loops — the same
+    * plan runs a 10⁹-doc corpus with the gram aggregates sharded on their
+    * keys.
+    *
+    * Returns `(doc, n_grams, ppl)` — `ppl = exp(−avg ln P)` over the
+    * doc's full n-grams. */
+  def knPerplexity(train: DataFrame, score: DataFrame, idCol: String,
+                   textCol: String = "text", n: Int = 3,
+                   discount: Double = 0.75): DataFrame = {
+    require(n >= 2 && n <= 5, s"knPerplexity supports n in [2,5], got $n")
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val D = discount
+
+    /** (doc, w0..w{k-1}) — one row per document-internal k-gram. */
+    def grams(df: DataFrame, k: Int): DataFrame = {
+      val fields = (0 until k).map(j => s"_t[i+$j] AS w$j").mkString(", ")
+      df.select(col(idCol).as("doc"), tokens(col(textCol)).as("_t"))
+        .filter(size(col("_t")) >= k) // sequence(0, negative) runs DESCENDING
+        .select(col("doc"), expr(
+          s"explode(transform(sequence(0, size(_t) - $k), i -> struct($fields)))")
+          .as("g"))
+        .select(col("doc") +: (0 until k).map(j => col(s"g.w$j")): _*)
+    }
+    // ---- model tables (train side) ----
+    // ONE corpus pass feeds the whole top order: the n-gram COUNT table is
+    // the single explode+aggregate, the prefix mass + continuation fan-out
+    // are an aggregate OF that table (sum/countDistinct over its rows),
+    // and the distinct n-gram TYPE set — the (n−1)-level continuation
+    // input — is its key set. Lazy checkpoints dedup the shared subtrees
+    // inside the one scoring job (each model table materializes once even
+    // with three consumers).
+    val full = (0 until n).map(j => s"w$j")
+    val ctx = full.dropRight(1)
+    val cN = grams(train, n).groupBy(full.map(col): _*)
+      .agg(count(lit(1)).as("c_full")).localCheckpoint(false)
+    val ctxN = cN.groupBy(ctx.map(col): _*)
+      .agg(sum("c_full").as("c_ctx"), countDistinct(col(s"w${n - 1}")).as("n1p_n"))
+    // continuation tables for orders m = n−1 .. 2, each off the DISTINCT
+    // (m+1)-gram types (w0 = the left extension, the rest the m-gram).
+    // Level n−1 reads cN's keys for free; lower levels (n ≥ 4) pay their
+    // own type scan — document-final grams exist below order n that no
+    // n-gram contains, so they are NOT derivable from cN. Type positions
+    // are renamed onto the score gram's last-m slots so every probe join
+    // is a plain column-name equi-join.
+    val contTables: Map[Int, (DataFrame, DataFrame)] =
+      (2 until n).map { m =>
+        val types =
+          if (m + 1 == n) cN.select(full.map(col): _*)
+          else grams(train, m + 1)
+            .select((0 to m).map(j => col(s"w$j")): _*).distinct()
+        val renamed = types.select(col("w0").as("_u") +:
+          (1 to m).map(j => col(s"w$j").as(s"w${n - m + j - 1}")): _*)
+          .localCheckpoint(false)
+        val lastM = (n - m until n).map(j => s"w$j")
+        val cc = renamed.groupBy(lastM.map(col): _*)
+          .agg(countDistinct(col("_u")).as(s"cc$m"))
+        val ct = renamed.groupBy(lastM.dropRight(1).map(col): _*)
+          .agg(count(lit(1)).as(s"ct$m"),
+            countDistinct(col(s"w${n - 1}")).as(s"n1p$m"))
+        m -> (cc, ct)
+      }.toMap
+    // unigram continuation counts off distinct bigram types + the three
+    // scalar constants (the ONLY driver state — bounded)
+    val biTypes = grams(train, 2).select(col("w0"), col("w1")).distinct()
+      .localCheckpoint(true)
+    val cc1 = biTypes.groupBy(col("w1").as(s"w${n - 1}"))
+      .agg(countDistinct(col("w0")).as("cc1"))
+    // the two scalar jobs are independent — overlap them (each is one
+    // bounded aggregate; serialized they cost two scheduler round trips)
+    val scalarJobs = graft.eval.Evaluation.fanOut[Int, Array[Double]](
+      Seq(0, 1), parallelism = 2) {
+      case 0 =>
+        val r = biTypes.agg(count(lit(1)), countDistinct(col("w1"))).first()
+        Array(math.max(r.getLong(0), 1L).toDouble, r.getLong(1).toDouble)
+      case _ => Array(train
+        .select(explode(tokens(col(textCol))).as("_w"))
+        .agg(countDistinct(col("_w"))).first().getLong(0).toDouble)
+    }
+    val nBt = scalarJobs(0)(0)
+    val vCont = scalarJobs(0)(1)
+    val vTrain = scalarJobs(1)(0)
+
+    // ---- scoring (score side) ----
+    var s = grams(score, n)
+      .join(cN, full, "left")
+      .join(ctxN, ctx, "left")
+      .join(cc1, Seq(s"w${n - 1}"), "left")
+    (2 until n).foreach { m =>
+      val (cc, ct) = contTables(m)
+      val lastM = (n - m until n).map(j => s"w$j")
+      s = s.join(cc, lastM, "left").join(ct, lastM.dropRight(1), "left")
+    }
+    def d(c: Column): Column = coalesce(c, lit(0L)).cast("double")
+    // unigram base: OOV tokens take the uniform term only (never null/−∞)
+    var p: Column = greatest(d(col("cc1")) - lit(D), lit(0.0)) / lit(nBt) +
+      lit(D * vCont / nBt) * lit(1.0 / (vTrain + 1.0))
+    (2 until n).foreach { m =>
+      p = when(d(col(s"ct$m")) <= 0, p).otherwise(
+        greatest(d(col(s"cc$m")) - lit(D), lit(0.0)) / d(col(s"ct$m")) +
+          lit(D) * d(col(s"n1p$m")) / d(col(s"ct$m")) * p)
+    }
+    p = when(d(col("c_ctx")) <= 0, p).otherwise(
+      greatest(d(col("c_full")) - lit(D), lit(0.0)) / d(col("c_ctx")) +
+        lit(D) * d(col("n1p_n")) / d(col("c_ctx")) * p)
+    s.withColumn("_lp", log(p))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"), exp(-avg(col("_lp"))).as("ppl"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * the MOSS scheme): Karp–Rabin polynomial rolling hash over character
     * `k`-grams (base 31 mod 2^20), then from every window of `w`

@@ -103,6 +103,90 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._1 == 1 && math.abs(out(3L)._2 - 4.0) < 1e-9)
   }
 
+  test("Kneser-Ney perplexity matches an independent reference and normalizes exactly") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val D = 0.75
+    // independent plain-Scala interpolated-KN reference over token lists —
+    // same estimator written against maps, no DataFrames anywhere
+    def knRef(train: Seq[Seq[String]], n: Int) = {
+      def gramsOf(k: Int) =
+        train.flatMap(t => t.sliding(k).filter(_.size == k))
+      val cN = gramsOf(n).groupBy(identity).map { case (g, o) => g -> o.size }
+      val cCtx = cN.groupBy(_._1.dropRight(1)).map { case (k, m) => k -> m.values.sum }
+      val n1pN = cN.keySet.groupBy(_.dropRight(1)).map { case (k, g) => k -> g.map(_.last).size }
+      val cont = (2 until n).map { m =>
+        val tps = gramsOf(m + 1).toSet
+        m -> (tps.groupBy(_.drop(1)).map { case (g, s) => g -> s.map(_.head).size },
+          tps.groupBy(_.slice(1, m)).map { case (cx, s) => cx -> s.size },
+          tps.groupBy(_.slice(1, m)).map { case (cx, s) => cx -> s.map(_.last).size })
+      }.toMap
+      val bt = gramsOf(2).toSet
+      val cc1 = bt.groupBy(_.last).map { case (w, s) => w -> s.map(_.head).size }
+      val nBt = math.max(bt.size, 1).toDouble
+      val vCont = cc1.size.toDouble
+      val v = train.flatten.toSet.size.toDouble
+      (g: Seq[String]) => {
+        var p = math.max(cc1.getOrElse(g.last, 0) - D, 0.0) / nBt +
+          (D * vCont / nBt) * (1.0 / (v + 1.0))
+        for (m <- 2 until n) {
+          val gm = g.takeRight(m); val cx = gm.dropRight(1)
+          val (cc, ct, n1p) = cont(m)
+          val ctv = ct.getOrElse(cx, 0).toDouble
+          if (ctv > 0)
+            p = math.max(cc.getOrElse(gm, 0) - D, 0.0) / ctv + D * n1p(cx) / ctv * p
+        }
+        val cx = g.dropRight(1)
+        val cctx = cCtx.getOrElse(cx, 0).toDouble
+        if (cctx <= 0) p
+        else math.max(cN.getOrElse(g, 0) - D, 0.0) / cctx + D * n1pN(cx) / cctx * p
+      }
+    }
+    val trainDocs = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ate the fish",
+      3L -> "a dog sat on a log",
+      4L -> "the dog ate the bone",
+      // CROSS-DOC duplicate grams ("the cat sat" repeats doc 1): type
+      // tables must be corpus-level distinct, not per-doc distinct — a
+      // per-doc distinct inflates every continuation normalizer (the bug
+      // the first cut shipped and the sf0.01 oracle caught)
+      5L -> "the cat sat by the window")
+    val scoreDocs = Seq(
+      10L -> "the cat sat on the mat",    // fully in-domain
+      11L -> "the walrus sat on the mat", // OOV token mid-gram
+      12L -> "cat fish bone dog a the")   // token salad, unseen contexts
+    val toks = (s: String) => s.split(" ").toSeq
+    for (n <- Seq(2, 3, 4)) {
+      val prob = knRef(trainDocs.map(t => toks(t._2)), n)
+      // exact normalization: for any context, Σ P(w|ctx) over the train
+      // vocabulary PLUS one never-seen token is exactly 1 — the property
+      // that makes exp(−avg ln P) a real perplexity, OOV included
+      val vocab = trainDocs.flatMap(t => toks(t._2)).distinct
+      for (ctx <- Seq(Seq.fill(n - 1)("the").take(n - 1),
+                      toks("sat on the").takeRight(n - 1),
+                      Seq.fill(n - 1)("walrus").take(n - 1))) {
+        val total = (vocab :+ "NEVERSEEN").map(w => prob(ctx :+ w)).sum
+        assert(math.abs(total - 1.0) < 1e-9, s"n=$n ctx=$ctx sums to $total")
+      }
+      // the DataFrame operator equals the reference on every scored doc
+      val out = TextOps.knPerplexity(
+          trainDocs.toDF("doc_id", "text"), scoreDocs.toDF("doc_id", "text"),
+          "doc_id", n = n).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      scoreDocs.foreach { case (id, text) =>
+        val gs = toks(text).sliding(n).filter(_.size == n).toSeq
+        val expPpl = math.exp(-gs.map(g => math.log(prob(g))).sum / gs.size)
+        assert(out(id)._1 == gs.size, s"n=$n doc=$id gram count")
+        assert(math.abs(out(id)._2 / expPpl - 1.0) < 1e-9,
+          s"n=$n doc=$id ppl ${out(id)._2} vs ref $expPpl")
+      }
+      // OOV text scores strictly worse than in-domain text, never NaN/∞
+      assert(out(10L)._2 < out(11L)._2 && out(11L)._2.isFinite)
+      assert(out(12L)._2 > out(10L)._2)
+    }
+  }
+
   test("winnowing fingerprints match a hand computation, rightmost on ties") {
     import spark.implicits._
     import graft.functions.TextOps
