@@ -336,6 +336,15 @@ object BenchScale {
               .filter(col("est_jaccard") >= 0.8)
               .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
             .write.mode("overwrite").format("noop").save()),
+        // Kneser-Ney trigram LM fit on the corpus, scored on a ~1% slice
+        // (the quality-filter deployment shape): the model tables are one
+        // explode + aggregation tree over the corpus (n-gram counts ->
+        // prefix mass / type tables), scoring is slim LEFT equi-joins —
+        // the whole op must stay ~linear in corpus token volume
+        "kn_perplexity" -> (docs =>
+          graft.functions.TextOps.knPerplexity(docs,
+            docs.filter(pmod(col("doc_id"), lit(101L)) === 7), "doc_id")
+            .write.mode("overwrite").format("noop").save()),
         // decontamination vs a ~1% benchmark slice: the exact inverted
         // index shuffles EVERY train shingle; the bloom path must show the
         // prefilter paying for itself as train volume grows

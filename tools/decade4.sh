@@ -19,7 +19,48 @@ ops="${SPARK_GRAFT_DECADE4_OPS:-dedup_exact minhash_lsh cc_clusters_lsh fingerpr
 docs="${SPARK_GRAFT_DECADE4_DOCS:-20000000}"
 out="${1:-/tmp/decade4}"
 mkdir -p "$out"
+
+# Pre-run disk-budget projection (the 10^8 minhash_lsh lesson: the run
+# died on ENOSPC 38 minutes in, exactly where a one-line projection would
+# have said it would). Components, all from MEASURED points:
+#   - docs fixture: ~270 B/doc DISK_ONLY (27 GB at 10^8);
+#   - minhash-class sketch: docs x k x 8 B x 1.25 block-store multiplier
+#     (44 GB raw -> ~55 GB stored at 10^8, k = autoRows x autoBands
+#     replicated below) + ~0.5x for the concurrent signature-agg shuffle;
+#   - other ops: 3x fixture for index + shuffle scratch (the measured
+#     2x10^7 points all fit well under this).
+# An op whose projection exceeds free scratch is SKIPPED with a recorded
+# line -- the probe fails in the plan, not half an hour into the run.
+budget_skip() { # $1=op $2=docs -> 0 keep, 1 skip (prints the reason)
+  python3 - "$1" "$2" <<'PYEOF'
+import math, shutil, sys
+op, docs = sys.argv[1], int(sys.argv[2])
+free = shutil.disk_usage("/tmp").free / 1e9
+fixture = docs * 270 / 1e9
+if op in ("minhash_lsh", "cc_clusters_lsh"):
+    r = max(4, math.ceil(4.0 * math.log10(max(1, docs) / 2e5)))
+    p = 0.95 ** r
+    b = max(4, math.ceil(math.log1p(-0.985) / math.log1p(-p)))
+    sketch = docs * (r * b) * 8 * 1.25 / 1e9
+    need = fixture + sketch * 1.5
+elif op == "kn_perplexity":
+    # measured 7.8 GB lz4 shuffle + ~10 GB spill at 2e6 docs (1e8 tokens):
+    # the gram count tables shuffle ~78 B/token before types collapse;
+    # zstd (this script's codec) halves the shuffle scratch
+    need = fixture + docs * 50 * 78 / 2 / 1e9 + docs * 50 * 10 / 1e9
+else:
+    need = fixture * 3
+if need > free * 0.9:
+    print(f"SKIP {op}: projected ~{need:.0f} GB scratch > {free:.0f} GB free")
+    sys.exit(1)
+print(f"keep {op}: projected ~{need:.0f} GB scratch, {free:.0f} GB free")
+PYEOF
+}
+
 for op in $ops; do
+  msg=$(budget_skip "$op" "$docs"); rc=$?
+  echo "$msg" | tee -a "$out/budget.log"
+  [ $rc -ne 0 ] && continue
   echo "=== $op $(date -u +%H:%M:%S) df=$(df --output=avail -BG / | tail -1)"
   SPARK_GRAFT_SCALE_OPS="$op" SPARK_GRAFT_SCALE_DOCS="$docs" \
   SPARK_DRIVER_MEM=8g \
