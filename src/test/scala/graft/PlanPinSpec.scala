@@ -40,7 +40,13 @@ class PlanPinSpec extends SparkSpec {
     "doc_dup_spans" -> 4,                     // 3
     "doc_strip_spans" -> 5,                   // 4
     "doc_neardup_cosine" -> 6,                // 4
-    "emb_knn_pq" -> 6)                        // 4
+    "emb_knn_pq" -> 6,                        // 4
+    // the KN model+score plan: a FIXED stage budget at any corpus size
+    // (count/type/scalar aggregates + score joins + per-doc average) — a
+    // regression here means a model table stopped deduping via its lazy
+    // checkpoint and re-runs its corpus lineage per consumer
+    "doc_kn_perplexity" -> 23,                // 18
+    "doc_kn_perplexity_heldout" -> 23)        // 18
 
   /** Completed stages that actually WROTE shuffle bytes — the marker for
     * "an exchange materialized data" (StageInfo.shuffleDepId is
