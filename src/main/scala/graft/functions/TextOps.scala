@@ -241,10 +241,17 @@ object TextOps {
     // input — is its key set. Lazy checkpoints dedup the shared subtrees
     // inside the one scoring job (each model table materializes once even
     // with three consumers).
+    // DISK_ONLY for every model checkpoint: the count/type tables are
+    // O(corpus gram types) — at the 2×10⁷-doc battery point their
+    // MEMORY_AND_DISK blocks raced the gram aggregates for the unified
+    // pool (93 GB of aggregate mem-spill against the battery's 8 GB
+    // heap), the screenApprox `obs` lesson verbatim; each table is
+    // re-read a handful of times sequentially, a disk-friendly pattern
+    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val full = (0 until n).map(j => s"w$j")
     val ctx = full.dropRight(1)
     val cN = grams(train, n).groupBy(full.map(col): _*)
-      .agg(count(lit(1)).as("c_full")).localCheckpoint(false)
+      .agg(count(lit(1)).as("c_full")).localCheckpoint(false, diskOnly)
     val ctxN = cN.groupBy(ctx.map(col): _*)
       .agg(sum("c_full").as("c_ctx"), countDistinct(col(s"w${n - 1}")).as("n1p_n"))
     // continuation tables for orders m = n−1 .. 2, each off the DISTINCT
@@ -260,9 +267,15 @@ object TextOps {
           if (m + 1 == n) cN.select(full.map(col): _*)
           else grams(train, m + 1)
             .select((0 to m).map(j => col(s"w$j")): _*).distinct()
-        val renamed = types.select(col("w0").as("_u") +:
+        val renamed0 = types.select(col("w0").as("_u") +:
           (1 to m).map(j => col(s"w$j").as(s"w${n - m + j - 1}")): _*)
-          .localCheckpoint(false)
+        // the (n−1)-level table is a narrow projection of cN's already-
+        // checkpointed blocks — re-checkpointing it would store the
+        // O(types) rows TWICE; lower levels (n ≥ 4) pay a real distinct
+        // scan, so their type tables earn their own materialization
+        val renamed =
+          if (m + 1 == n) renamed0
+          else renamed0.localCheckpoint(false, diskOnly)
         val lastM = (n - m until n).map(j => s"w$j")
         val cc = renamed.groupBy(lastM.map(col): _*)
           .agg(countDistinct(col("_u")).as(s"cc$m"))
@@ -274,7 +287,7 @@ object TextOps {
     // unigram continuation counts off distinct bigram types + the three
     // scalar constants (the ONLY driver state — bounded)
     val biTypes = grams(train, 2).select(col("w0"), col("w1")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, diskOnly)
     val cc1 = biTypes.groupBy(col("w1").as(s"w${n - 1}"))
       .agg(countDistinct(col("w0")).as("cc1"))
     // the two scalar jobs are independent — overlap them (each is one
