@@ -316,9 +316,13 @@ object TextOps {
       s = s.join(cc, lastM, "left").join(ct, lastM.dropRight(1), "left")
     }
     def d(c: Column): Column = coalesce(c, lit(0L)).cast("double")
-    // unigram base: OOV tokens take the uniform term only (never null/−∞)
+    // unigram base: OOV tokens take the uniform term only (never null/−∞).
+    // max(vCont, 1) keeps the uniform weight positive for a DEGENERATE
+    // train corpus with zero bigram types (empty/one-token docs): every
+    // score gram then gets the same finite constant instead of ln 0 —
+    // for any real corpus vCont ≥ 1 and the term is unchanged.
     var p: Column = greatest(d(col("cc1")) - lit(D), lit(0.0)) / lit(nBt) +
-      lit(D * vCont / nBt) * lit(1.0 / (vTrain + 1.0))
+      lit(D * math.max(vCont, 1.0) / nBt) * lit(1.0 / (vTrain + 1.0))
     (2 until n).foreach { m =>
       p = when(d(col(s"ct$m")) <= 0, p).otherwise(
         greatest(d(col(s"cc$m")) - lit(D), lit(0.0)) / d(col(s"ct$m")) +

@@ -185,6 +185,13 @@ class OperatorsSpec extends SparkSpec {
       assert(out(10L)._2 < out(11L)._2 && out(11L)._2.isFinite)
       assert(out(12L)._2 > out(10L)._2)
     }
+    // DEGENERATE train corpus (no bigram types at all): every scored gram
+    // lands on the guarded uniform constant — finite ppl, no ln 0
+    val degenerate = TextOps.knPerplexity(
+        Seq(1L -> "solo").toDF("doc_id", "text"),
+        scoreDocs.toDF("doc_id", "text"), "doc_id", n = 3).collect()
+    assert(degenerate.nonEmpty &&
+      degenerate.forall(r => r.getDouble(2).isFinite && r.getDouble(2) > 0))
   }
 
   test("winnowing fingerprints match a hand computation, rightmost on ties") {
