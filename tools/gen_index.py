@@ -167,7 +167,7 @@ OPS = [
      ["doc_token_counts", "doc_tfidf_top_terms", "doc_bm25", "doc_perplexity"], []),
     ("LLM text", "Kneser-Ney n-gram LM perplexity (n=2..5, train/score split)",
      "functions/TextOps.scala",
-     ["doc_kn_perplexity", "doc_kn_perplexity_heldout"], []),
+     ["doc_kn_perplexity", "doc_kn_perplexity_heldout"], ["kn_perplexity"]),
     ("LLM text", "hash / stratified / temperature / token-budget sampling",
      "operators/Sampling.scala",
      ["doc_sample_hash", "doc_mixture_temp", "doc_token_budget", "doc_token_budget_sample"], []),
