@@ -85,7 +85,15 @@ object Widths {
     * [[MaxWidth]] (an 8192-task exchange for a 100-row frame). Any
     * estimate at or above the configured default is sentinel, not signal:
     * fall back to the session width, which is what the caller ran with
-    * before sizing existed. */
+    * before sizing existed.
+    *
+    * Do NOT hand this a JOIN-derived frame: the size-only visitor
+    * MULTIPLIES a join's child estimates, which is inflated-but-finite
+    * and sails past the sentinel guard — a 30 MB fixture estimated its
+    * way to an 8192-wide exchange and paid 4.6 s of pure segment
+    * overhead (round 13, spanLeakageMatrix's first cut). Size from the
+    * scan-side frame with the row-model `expansion`, or pay a count and
+    * use [[forRows]]. */
   def forExchange(df: DataFrame, expansion: Double = 1.0,
                   targetPartitionBytes: Long = TargetPartitionBytes): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
