@@ -66,6 +66,15 @@ object Widths {
     math.max(session, byBytes)
   }
 
+  /** Largest single-exchange estimate treated as signal: one petabyte.
+    * The design target is 100 TB, and MaxWidth saturates at ~0.5 TB of
+    * estimate anyway — while the width-ratio-scaled sentinel garbage a
+    * Project over a stat-less leaf produces stays ≥ Long.MaxValue/2048
+    * ≈ 4.5e15 for any plausible column subset. A genuine ≥1 PB exchange
+    * should be sized by its caller from a counted row model
+    * ([[forRows]]), not an optimizer estimate. */
+  val SaneEstimateBytes: BigInt = BigInt(1L) << 50
+
   /** [[forBytes]] from the frame's own Catalyst size estimate — for call
     * sites with no cheaper estimate in hand. Costs one driver-side
     * analyze/optimize pass of the subtree (no action).
@@ -98,15 +107,6 @@ object Widths {
     * overhead (round 13, spanLeakageMatrix's first cut). Size from the
     * scan-side frame with the row-model `expansion`, or pay a count and
     * use [[forRows]]. */
-  /** Largest single-exchange estimate treated as signal: one petabyte.
-    * The design target is 100 TB, and MaxWidth saturates at ~0.5 TB of
-    * estimate anyway — while the width-ratio-scaled sentinel garbage a
-    * Project over a stat-less leaf produces stays ≥ Long.MaxValue/2048
-    * ≈ 4.5e15 for any plausible column subset. A genuine ≥1 PB exchange
-    * should be sized by its caller from a counted row model
-    * ([[forRows]]), not an optimizer estimate. */
-  val SaneEstimateBytes: BigInt = BigInt(1L) << 50
-
   def forExchange(df: DataFrame, expansion: Double = 1.0,
                   targetPartitionBytes: Long = TargetPartitionBytes): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes

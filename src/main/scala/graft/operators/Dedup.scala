@@ -197,7 +197,18 @@ object Dedup {
     * hash that the doc-frequency cap, the [[localCheckpointAdvertised]]
     * index materialization, and both self-join sides all ride
     * (§2.9.11's stage decomposition: the index exchange is ~80% of the
-    * op's bytes, so it gets to exist exactly once). */
+    * op's bytes, so it gets to exist exactly once).
+    *
+    * COST MODEL for `maxDocFreq`: candidate volume is Σ df² over the
+    * surviving index hashes, so the cap bounds the worst case at
+    * maxDocFreq²·|hot hashes|. Keep it a FLAT count (the default here,
+    * and the setting under which the 2.6×/decade ladder was measured) —
+    * a FRACTIONAL cap (df ≤ share·n) re-admits a quadratic worst case:
+    * one saturated stop-phrase hash alone contributes up to share²·n²
+    * pairs (measured at 5000 docs: 1.1M → 6.8M → 55M candidates for
+    * caps 100/250/500). The repo's one fractional-cap caller is the
+    * sf-gate query, whose job is verifying nonzero pairs at every gate
+    * SF — do not port that cap shape to a production corpus. */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, w: Int = -1, minShared: Int = 10,
                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
