@@ -191,6 +191,8 @@ object SparkEntry {
     "doc_perplexity"     -> ((s, d) => qPerplexity(s, d)),
     "doc_kn_perplexity"  -> ((s, d) => qKnPerplexity(s, d)),
     "doc_kn_perplexity_heldout" -> ((s, d) => qKnPerplexityHeldout(s, d)),
+    "doc_quality_classifier" -> ((s, d) => qQualityClassifier(s, d)),
+    "doc_bpe_vocab"      -> ((s, d) => qBpeVocab(s, d)),
     "doc_fingerprint_pairs" -> ((s, d) => qFingerprintPairs(s, d)),
     "mv_blocked_var"     -> ((s, d) => qBlockedVar(s, d)),
     "mv_screen_approx"   -> ((s, d) => qScreenApprox(s, d)),
@@ -1608,6 +1610,33 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("n_grams"),
         round(col("ppl"), 6).as("ppl"))
   }
+
+  /** CCNet/fastText-style quality classifier
+    * ([[graft.operators.Quality.nbClassifier]]): naive-Bayes log-odds over
+    * hashed unigram+bigram features, trained closed-form on the
+    * doc_id % 10 ≠ 0 split labeled good = (lang = 'en') — the CCNet
+    * in-domain-vs-out deployment shape — scoring EVERY document, so the
+    * held-out 10% exercises the OOV-feature path (unseen buckets take the
+    * smoothing default via the left join, never −∞). `pred_good` derives
+    * from the ROUNDED score so the boundary can't flip between engines. */
+  private def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Quality.nbClassifier(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .withColumn("is_good", col("lang") === "en"),
+        docs, "doc_id", "is_good")
+      .select(col("doc").as("doc_id"), col("n_feats"),
+        round(col("score"), 6).as("score"),
+        (round(col("score"), 6) > 0).cast("int").as("pred_good"))
+  }
+
+  /** Distributed BPE vocabulary training ([[graft.operators.Bpe]]): 8
+    * merge rounds over the corpus word-type table; the oracle replays the
+    * full merge sequence round by round (greedy left-to-right merges via
+    * gaps-and-islands parity over hit positions — the SQL twin of the
+    * operator's aggregate fold). */
+  private def qBpeVocab(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.trainVocab(Tables.documents(s, d), "text", merges = 8)
 
   /** MOSS-style copy-detection pairs: docs sharing ≥ minShared winnowed
     * fingerprint hashes, stop-phrase hashes df-capped out of the index.
@@ -4013,6 +4042,57 @@ object SparkEntry {
     "doc_kn_perplexity_heldout" ->
       knOracleSql("doc_id % 10 <> 0", "doc_id % 10 = 0"),
 
+    // Naive-Bayes quality classifier over hashed unigram+bigram features
+    // (buckets 2^18, Laplace alpha=1): train on doc_id % 10 <> 0 labeled
+    // good = (lang = 'en'), score every doc; unseen buckets take the
+    // smoothing default via the left join (the OOV path). Same md5-prefix
+    // bucket recipe and the operator's exact association order
+    "doc_quality_classifier" ->
+      """WITH tr AS (SELECT doc_id, (lang = 'en') AS good,
+        |             string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id % 10 <> 0),
+        |sr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |trg AS (
+        |  SELECT good, toks[i] AS g
+        |  FROM (SELECT good, toks, unnest(range(1, len(toks) + 1)) AS i FROM tr)
+        |  UNION ALL
+        |  SELECT good, toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM (SELECT good, toks, unnest(range(1, len(toks))) AS i FROM tr
+        |        WHERE len(toks) >= 2)),
+        |model AS (SELECT CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 262144 AS f,
+        |            CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS DOUBLE) AS cg,
+        |            CAST(sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS DOUBLE) AS cb
+        |          FROM trg GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(cg), 0.0) AS tg,
+        |               coalesce(sum(cb), 0.0) AS tb FROM model),
+        |pri AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS ndg,
+        |               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS ndb
+        |        FROM documents WHERE doc_id % 10 <> 0),
+        |srg AS (
+        |  SELECT doc_id, toks[i] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM sr)
+        |  UNION ALL
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM sr
+        |        WHERE len(toks) >= 2)),
+        |j AS (SELECT s.doc_id,
+        |        ln((coalesce(m.cg, 0.0) + 1.0) / (tot.tg + 262144.0))
+        |      - ln((coalesce(m.cb, 0.0) + 1.0) / (tot.tb + 262144.0)) AS llr
+        |      FROM (SELECT doc_id,
+        |              CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 262144 AS f
+        |            FROM srg) s
+        |      LEFT JOIN model m USING (f) CROSS JOIN tot),
+        |sc AS (SELECT j.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |         ROUND(ln(greatest(pri.ndg, 1.0) / greatest(pri.ndb, 1.0))
+        |               + sum(j.llr), 6) AS score
+        |       FROM j CROSS JOIN pri GROUP BY j.doc_id, pri.ndg, pri.ndb)
+        |SELECT doc_id, n_feats, score,
+        |  CAST(score > 0 AS INT) AS pred_good FROM sc""".stripMargin,
+
+    // BPE vocabulary training, 8 merges: full round-by-round replay of the
+    // pair-count -> top-1 -> greedy-merge loop (ties: count desc, pair asc)
+    "doc_bpe_vocab" -> bpeOracleSql(8),
+
     // The composed curation chain: perplexity band -> fingerprint dedup
     // over survivors -> temperature sample; stage-local dfs and counts
     "doc_curation_chain" ->
@@ -6389,6 +6469,63 @@ object SparkEntry {
     * scalar constants) and the three-level interpolation CASE chain, with
     * every division/multiplication in the operator's association order.
     * `trainW` / `scoreW` are WHERE predicates selecting the two sides. */
+  /** Generated round-by-round BPE replay: each merge round is one
+    * pair-count aggregate + top-1 pick + a greedy left-to-right merge
+    * rewrite. Greedy-in-SQL: mark hit positions (syms[i], syms[i+1]) =
+    * best pair, then keep only even offsets within each maximal run of
+    * consecutive hits (gaps-and-islands) — for left ≠ right the runs have
+    * length 1 and every hit merges; for left = right (a char run like
+    * "aaaa") the parity rule reproduces the operator's fold exactly
+    * ([aa, aa], never [aaaa]). The last round emits only its pair pick. */
+  private def bpeOracleSql(merges: Int): String = {
+    // every w{r}/b{r} is referenced by TWO consumers (next round's pair
+    // count + this round's rewrite; the pick by the hit mark and the
+    // rewrite) — DuckDB inlines plain CTEs, so without MATERIALIZED the
+    // chain re-expands 2^merges scans of `documents` (measured: fd
+    // exhaustion at 8 rounds before any row came back)
+    val rounds = (1 to merges).map { r =>
+      val pick =
+        s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS c
+           |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM w${r - 1})
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+      val rewrite =
+        s"""m$r AS MATERIALIZED (SELECT word, cnt, i, syms[i] AS s,
+           |    coalesce(syms[i] = (SELECT a FROM b$r)
+           |      AND i < len(syms) AND syms[i+1] = (SELECT b FROM b$r), FALSE) AS hit
+           |  FROM (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS i FROM w${r - 1})),
+           |h$r AS (SELECT word, i FROM m$r WHERE hit),
+           |i$r AS (SELECT word, i,
+           |    i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl FROM h$r),
+           |g$r AS (SELECT word, i FROM
+           |    (SELECT word, i, min(i) OVER (PARTITION BY word, isl) AS i0 FROM i$r)
+           |  WHERE (i - i0) % 2 = 0),
+           |n$r AS (SELECT m.word, m.cnt, m.i,
+           |    CASE WHEN g.i IS NOT NULL THEN m.s || (SELECT b FROM b$r) ELSE m.s END AS s,
+           |    (g2.i IS NOT NULL) AS dropped
+           |  FROM m$r m
+           |  LEFT JOIN g$r g ON m.word = g.word AND m.i = g.i
+           |  LEFT JOIN g$r g2 ON m.word = g2.word AND m.i = g2.i + 1),
+           |w$r AS MATERIALIZED (SELECT word, any_value(cnt) AS cnt, list(s ORDER BY i) AS syms
+           |  FROM n$r WHERE NOT dropped GROUP BY word)""".stripMargin
+      if (r < merges) s"$pick,\n$rewrite" else pick
+    }.mkString(",\n")
+    val out = (1 to merges).map(r =>
+      s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH wc AS (SELECT w AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT word, cnt,
+       |    list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+       |  FROM wc),
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   private def knOracleSql(trainW: String, scoreW: String): String =
     s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE $trainW),
        |sr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE $scoreW),

@@ -447,39 +447,63 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // one ImageReader per FORMAT per partition: `ImageIO.read` builds
-        // (and disposes) a fresh reader plus its service-lookup walk per
-        // image — on a one-format corpus partition the same reader can
-        // decode every payload via setInput (the documented reuse pattern).
-        // The stream is explicitly MEMORY-backed (the ImageIO default
-        // routes in-memory bytes through a temp FILE per image — the
-        // round-12 decode-stall regression) and closed in `finally` so a
-        // corrupt payload can't leak it; a reader aborted mid-decode is
-        // DROPPED from the cache (an exception can leave it in a state
-        // that fails on subsequent valid images).
-        val readers =
-          scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+        // one ImageReader per FORMAT per partition, keyed by its
+        // ImageReaderSpi: `ImageIO.getImageReaders(..).next()` CONSTRUCTS
+        // a fresh reader via the SPI registry walk every call, so a cache
+        // keyed after that lookup saves nothing (round-13 ADVICE) — the
+        // cached-SPI `canDecodeInput` probe below is a header sniff that
+        // restores the stream position (its documented contract), so a
+        // one-format corpus partition pays the registry walk and reader
+        // construction exactly once. The stream is explicitly
+        // MEMORY-backed (the ImageIO default routes in-memory bytes
+        // through a temp FILE per image — the round-12 decode-stall
+        // regression) and closed in `finally` so a corrupt payload can't
+        // leak it; a reader aborted mid-decode is DROPPED from the cache
+        // (an exception can leave it in a state that fails on subsequent
+        // valid images). Cached readers hold native/heap decode buffers,
+        // so they are disposed when the TASK completes — normal
+        // exhaustion included, not just the error path.
+        val readers = scala.collection.mutable.HashMap
+          .empty[javax.imageio.spi.ImageReaderSpi, javax.imageio.ImageReader]
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            readers.valuesIterator.foreach(r => scala.util.Try(r.dispose()))
+            readers.clear()
+          })
         def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          var usedFmt: String = null
+          var usedSpi: javax.imageio.spi.ImageReaderSpi = null
+          var uncached: javax.imageio.ImageReader = null
           try {
-            val found = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!found.hasNext) None
-            else {
-              val probe = found.next()
-              usedFmt = probe.getFormatName
-              val reader = readers.getOrElseUpdate(usedFmt, probe)
-              if (reader ne probe) probe.dispose()
+            val readerOpt = readers.keysIterator.find(_.canDecodeInput(iis)) match {
+              case Some(spi) =>
+                usedSpi = spi
+                Some(readers(spi))
+              case None =>
+                val found = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!found.hasNext) None
+                else {
+                  val r = found.next()
+                  val spi = r.getOriginatingProvider
+                  if (spi != null) { usedSpi = spi; readers.update(spi, r) }
+                  else uncached = r // SPI-less reader: use once, dispose below
+                  Some(r)
+                }
+            }
+            readerOpt.flatMap { reader =>
               reader.setInput(iis, true, true)
               Option(reader.read(0))
             }
           } catch {
             case _: Exception =>
-              if (usedFmt != null)
-                readers.remove(usedFmt).foreach(r => scala.util.Try(r.dispose()))
+              if (usedSpi != null)
+                readers.remove(usedSpi).foreach(r => scala.util.Try(r.dispose()))
               None
-          } finally scala.util.Try(iis.close())
+          } finally {
+            if (uncached != null) scala.util.Try(uncached.dispose())
+            scala.util.Try(iis.close())
+          }
         }
         it.map { case (id, bytes) =>
           decode(bytes) match {

@@ -86,4 +86,108 @@ object Quality {
       .filter(col("keep")).select(col("doc").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Hashed word-unigram + word-bigram features per document, WITH
+    * multiplicity — the fastText feature recipe (Joulin et al. 2016,
+    * wordNgrams = 2): every gram hashes into ONE shared `buckets`-sized
+    * space (the hashing trick), so the downstream model table is bounded
+    * at `buckets` rows BY CONSTRUCTION regardless of corpus size. Hashing
+    * is the repo's portable md5-prefix recipe ([[TextOps.hash32]]) so a
+    * SQL oracle replays every bucket id exactly. `keep` columns ride
+    * along (the train side carries its label). */
+  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                             buckets: Int, keep: Seq[String]): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val base = df.select(
+      (col(idCol).as("doc") +: keep.map(col)) :+ toks.as("_t"): _*)
+    val uni = base.select(
+      (col("doc") +: keep.map(col)) :+ explode(col("_t")).as("_g"): _*)
+    val bi = base.filter(size(col("_t")) >= 2).select(
+      (col("doc") +: keep.map(col)) :+ expr(
+        "explode(transform(sequence(0, size(_t) - 2), i -> concat(_t[i], ' ', _t[i+1])))")
+        .as("_g"): _*)
+    uni.unionByName(bi)
+      .withColumn("f", TextOps.hash32(col("_g")) % buckets)
+      .drop("_g")
+  }
+
+  /** CCNet/fastText-style corpus quality classifier with a TRAIN/SCORE
+    * split: a multinomial naive-Bayes linear classifier over hashed
+    * word-unigram + bigram features ([[hashedFeatures]]), trained
+    * CLOSED-FORM (two count aggregates — no iterative optimizer, so a SQL
+    * oracle can replay training AND scoring end to end), scoring every
+    * document with its log-odds of the `goodCol` class. The standard
+    * companion to the LM-perplexity filter ([[TextOps.knPerplexity]]):
+    * perplexity ranks fluency, the classifier ranks domain/quality
+    * membership against a labeled reference split.
+    *
+    * Model (Laplace smoothing, shared feature space of size `buckets`):
+    *
+    *   `score(d) = ln(N_good/N_bad) + Σ_f∈d [ln P(f|good) − ln P(f|bad)]`,
+    *   `P(f|c) = (count_c(f) + α) / (total_c + α·buckets)`,
+    *
+    * features counted WITH multiplicity. A feature unseen in train (the
+    * OOV path a self-scored model never reaches) takes count 0 via the
+    * left join — a small but finite log-ratio, never −∞; an EMPTY class
+    * degenerates to uniform `P(f|c) = 1/buckets` and a zero prior term
+    * (ln of a greatest(…,1) ratio), so every input yields finite scores.
+    *
+    * Scale shape: training is one gram explode over `train` + ONE
+    * aggregate keyed by bucket id — bounded at `buckets` rows out, with
+    * map-side partial aggregation collapsing each task to ≤ `buckets`
+    * rows, so shuffle volume is independent of corpus size. The model is
+    * lazily checkpointed (≤ `buckets` count rows — no storage-pool
+    * pressure at any corpus size) and BROADCAST to the score join: the
+    * score side is one explode + a broadcast hash join + a per-doc
+    * aggregate whose partial combine leaves ~one row per doc per task. No
+    * driver state, no unbounded broadcast, no UDFs — the same plan scores
+    * a 10⁹-doc corpus with the model shards replaced by the same bounded
+    * broadcast.
+    *
+    * Returns `(doc, n_feats, score)` — one row per scored doc (every doc
+    * has ≥ 1 unigram), score unrounded (callers round for comparison). */
+  def nbClassifier(train: DataFrame, score: DataFrame, idCol: String,
+                   goodCol: String, textCol: String = "text",
+                   buckets: Int = 1 << 18, alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    require(alpha > 0, s"need alpha > 0, got $alpha")
+    val good = col(goodCol).cast("boolean")
+    // model: per-bucket class-conditional counts. Lazy local checkpoint =
+    // the KN-model pattern: the table has two consumers (the class totals
+    // and the score join) that would otherwise each re-run the full train
+    // explode; at ≤ `buckets` three-long rows the blocks are trivially
+    // small, so the default storage level races nothing (the DISK_ONLY
+    // discipline is for O(corpus-types) tables).
+    val model = hashedFeatures(train.withColumn("_good", good),
+        idCol, textCol, buckets, keep = Seq("_good"))
+      .groupBy("f").agg(
+        sum(when(col("_good"), 1L).otherwise(0L)).as("cg"),
+        sum(when(!col("_good"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(false)
+    // class feature-occurrence totals + doc-count priors: two one-row
+    // frames riding the final plan as broadcast cross joins (no separate
+    // driver actions; the totals read the checkpointed model blocks)
+    val totals = model.agg(
+      coalesce(sum("cg"), lit(0L)).as("tg"),
+      coalesce(sum("cb"), lit(0L)).as("tb"))
+    val priors = train.agg(
+      sum(when(good, 1L).otherwise(0L)).as("ndg"),
+      sum(when(!good, 1L).otherwise(0L)).as("ndb"))
+    val aB = alpha * buckets
+    score.transform(hashedFeatures(_, idCol, textCol, buckets, keep = Nil))
+      .join(broadcast(model), Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("_llr",
+        log((coalesce(col("cg"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("tg").cast("double") + lit(aB))) -
+        log((coalesce(col("cb"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("tb").cast("double") + lit(aB))))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_feats"), sum("_llr").as("_s"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc"), col("n_feats"),
+        (log(greatest(col("ndg"), lit(1L)).cast("double") /
+             greatest(col("ndb"), lit(1L)).cast("double")) + col("_s"))
+          .as("score"))
+  }
 }

@@ -194,6 +194,84 @@ class OperatorsSpec extends SparkSpec {
       degenerate.forall(r => r.getDouble(2).isFinite && r.getDouble(2) > 0))
   }
 
+  test("NB quality classifier matches an independent reference; OOV and empty-class paths finite") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val B = 1 << 20
+    // independent plain-Scala multinomial NB over raw gram strings — the
+    // same estimator written against maps, no DataFrames, no hashing
+    // (at B = 2^20 and ~a dozen grams the md5 buckets are collision-free,
+    // so raw-gram counts and hashed-bucket counts coincide)
+    def nbRef(train: Seq[(String, Boolean)]): String => (Int, Double) = {
+      def feats(t: String): Seq[String] = {
+        val w = t.split(" ").toSeq
+        w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      }
+      val cg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val cb = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      train.foreach { case (t, g) =>
+        feats(t).foreach(f => if (g) cg(f) += 1 else cb(f) += 1) }
+      val tg = cg.values.sum.toDouble
+      val tb = cb.values.sum.toDouble
+      val ndg = train.count(_._2).toDouble
+      val ndb = train.size - ndg
+      t => {
+        val fs = feats(t)
+        (fs.size, math.log(math.max(ndg, 1.0) / math.max(ndb, 1.0)) + fs.map(f =>
+          math.log((cg(f) + 1.0) / (tg + B)) -
+            math.log((cb(f) + 1.0) / (tb + B))).sum)
+      }
+    }
+    val train = Seq(
+      (1L, "cat cat likes fish", true),
+      (2L, "cat sat here", true),
+      (3L, "dog hates fish", false),
+      (4L, "dog dug holes", false))
+    val score = Seq(
+      10L -> "cat likes fish",  // in-domain good
+      11L -> "dog hates cat",   // mostly bad-class grams
+      12L -> "bird flies")      // every feature OOV → pure smoothing default
+    val ref = nbRef(train.map(t => (t._2, t._3)))
+    val out = Quality.nbClassifier(
+        train.toDF("doc_id", "text", "is_good"),
+        score.toDF("doc_id", "text"), "doc_id", "is_good", buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    score.foreach { case (id, text) =>
+      val (nf, s) = ref(text)
+      assert(out(id)._1 == nf, s"doc=$id n_feats ${out(id)._1} vs ref $nf")
+      assert(math.abs(out(id)._2 - s) < 1e-9,
+        s"doc=$id score ${out(id)._2} vs ref $s")
+    }
+    // the classifier separates the classes it was trained on
+    assert(out(10L)._2 > 0 && out(11L)._2 < 0)
+    // all-OOV doc: exactly n_feats copies of the unseen-bucket log-ratio
+    // plus the prior — the left-join smoothing default, never −∞
+    val (nfOov, sOov) = ref("bird flies")
+    assert(out(12L)._1 == nfOov && math.abs(out(12L)._2 - sOov) < 1e-9)
+    assert(out(12L)._2.isFinite)
+    // EMPTY bad class: priors guard to greatest(·,1), counts stay finite
+    val oneClass = Quality.nbClassifier(
+        train.filter(_._3).toDF("doc_id", "text", "is_good"),
+        score.toDF("doc_id", "text"), "doc_id", "is_good", buckets = B)
+      .collect().map(r => r.getDouble(2))
+    assert(oneClass.nonEmpty && oneClass.forall(_.isFinite))
+  }
+
+  test("BPE vocab training replays a hand-computed merge sequence, greedy on char runs") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // words: aaab x2, ab x1
+    // round 1: (a,a)=4 [two per aaab] beats (a,b)=3 -> aaab = [aa,a,b]
+    //          (greedy: [a,a,a] merges LEFT pair only, never [aaa])
+    // round 2: (a,b)=3 [2x aaab + ab] beats (aa,a)=2 -> [aa,ab], [ab]
+    // round 3: (aa,ab)=2 -> [aaab]; round 4: no pairs left -> stop early
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = Bpe.trainVocab(d, "text", merges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
   test("winnowing fingerprints match a hand computation, rightmost on ties") {
     import spark.implicits._
     import graft.functions.TextOps
