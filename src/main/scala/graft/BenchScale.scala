@@ -345,6 +345,23 @@ object BenchScale {
           graft.functions.TextOps.knPerplexity(docs,
             docs.filter(pmod(col("doc_id"), lit(101L)) === 7), "doc_id")
             .write.mode("overwrite").format("noop").save()),
+        // NB quality classifier in its deployment shape: train on a ~1%
+        // LABELED reference slice (labels are the expensive input), score
+        // the FULL corpus. The model table is bounded at `buckets` rows by
+        // the hashing trick, so the score side must stay one broadcast
+        // join + per-doc combine — the op's law is linear in corpus tokens
+        "nb_classifier" -> (docs =>
+          graft.operators.Quality.nbClassifier(
+            docs.filter(pmod(col("doc_id"), lit(101L)) === 7)
+              .withColumn("g", pmod(col("doc_id"), lit(2L)) === 0),
+            docs, "doc_id", "g")
+            .write.mode("overwrite").format("noop").save()),
+        // BPE vocab training, 8 merges: one corpus scan to the word-TYPE
+        // table (501 types on this fixture at any n), then 8 bounded
+        // aggregate+rewrite rounds — the law is the scan, rounds ~flat
+        "bpe_vocab" -> (docs =>
+          graft.operators.Bpe.trainVocab(docs, "text", merges = 8)
+            .write.mode("overwrite").format("noop").save()),
         // decontamination vs a ~1% benchmark slice: the exact inverted
         // index shuffles EVERY train shingle; the bloom path must show the
         // prefilter paying for itself as train volume grows

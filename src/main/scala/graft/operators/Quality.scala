@@ -100,13 +100,16 @@ object Quality {
     val toks = TextOps.tokens(col(textCol))
     val base = df.select(
       (col(idCol).as("doc") +: keep.map(col)) :+ toks.as("_t"): _*)
-    val uni = base.select(
-      (col("doc") +: keep.map(col)) :+ explode(col("_t")).as("_g"): _*)
-    val bi = base.filter(size(col("_t")) >= 2).select(
-      (col("doc") +: keep.map(col)) :+ expr(
-        "explode(transform(sequence(0, size(_t) - 2), i -> concat(_t[i], ' ', _t[i+1])))")
-        .as("_g"): _*)
-    uni.unionByName(bi)
+    // ONE gram array per doc (unigrams ++ bigrams), ONE explode — a
+    // unigram-branch ∪ bigram-branch union would scan the corpus twice
+    // per side; the concat costs the same rows the explode emits anyway
+    val grams = concat(
+      col("_t"),
+      zip_with(slice(col("_t"), lit(1), size(col("_t")) - 1),
+               slice(col("_t"), lit(2), size(col("_t")) - 1),
+               (a, b) => concat_ws(" ", a, b)))
+    base.select(
+        (col("doc") +: keep.map(col)) :+ explode(grams).as("_g"): _*)
       .withColumn("f", TextOps.hash32(col("_g")) % buckets)
       .drop("_g")
   }

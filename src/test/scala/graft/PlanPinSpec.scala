@@ -46,7 +46,16 @@ class PlanPinSpec extends SparkSpec {
     // regression here means a model table stopped deduping via its lazy
     // checkpoint and re-runs its corpus lineage per consumer
     "doc_kn_perplexity" -> 23,                // 18
-    "doc_kn_perplexity_heldout" -> 23)        // 18
+    "doc_kn_perplexity_heldout" -> 23,        // 18
+    // the hashing-trick invariant on the classifier: training is ONE
+    // bounded-key exchange + the tiny totals/priors aggregates, scoring
+    // is a BROADCAST join + one per-doc aggregate — a regression here
+    // means the model stopped broadcasting (fell back to a shuffle join)
+    // or the lazy model checkpoint stopped deduping its two consumers
+    "doc_quality_classifier" -> 8,            // 6
+    // BPE: 1 word-count exchange + 8 top-pair aggregates (one per merge
+    // round; the rewrite rides each round's eager checkpoint)
+    "doc_bpe_vocab" -> 13)                    // 10
 
   /** Completed stages that actually WROTE shuffle bytes — the marker for
     * "an exchange materialized data" (StageInfo.shuffleDepId is

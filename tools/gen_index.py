@@ -170,10 +170,10 @@ OPS = [
      ["doc_kn_perplexity", "doc_kn_perplexity_heldout"], ["kn_perplexity"]),
     ("LLM text", "NB quality classifier (hashed n-gram features, train/score split)",
      "operators/Quality.scala",
-     ["doc_quality_classifier"], []),
+     ["doc_quality_classifier"], ["nb_classifier"]),
     ("LLM text", "BPE vocabulary training (iterative top-pair merges)",
      "operators/Bpe.scala",
-     ["doc_bpe_vocab"], []),
+     ["doc_bpe_vocab"], ["bpe_vocab"]),
     ("LLM text", "hash / stratified / temperature / token-budget sampling",
      "operators/Sampling.scala",
      ["doc_sample_hash", "doc_mixture_temp", "doc_token_budget", "doc_token_budget_sample"], []),
