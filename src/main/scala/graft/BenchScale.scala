@@ -142,6 +142,11 @@ object BenchScale {
       * Listener delivery is async, so waitUntilEmpty before reading. */
     final class OpMetrics extends org.apache.spark.scheduler.SparkListener {
       val taskMs = new java.util.concurrent.atomic.AtomicLong
+      // runtime − cpu − gc ≈ blocked time (shuffle/spill I/O, lock waits):
+      // the split that separates "the pool made tasks WAIT" from "the
+      // tasks genuinely computed more" (the §2.9.16 open attribution)
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong
+      val gcMs = new java.util.concurrent.atomic.AtomicLong
       val shufWrite = new java.util.concurrent.atomic.AtomicLong
       val shufRead = new java.util.concurrent.atomic.AtomicLong
       val spillMem = new java.util.concurrent.atomic.AtomicLong
@@ -155,11 +160,13 @@ object BenchScale {
       override def onStageSubmitted(
           ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
         if (perStage) stages.putIfAbsent(ss.stageInfo.stageId,
-          (ss.stageInfo.name, new Array[Long](5)))
+          (ss.stageInfo.name, new Array[Long](9)))
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
           taskMs.addAndGet(m.executorRunTime)
+          cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           spillMem.addAndGet(m.memoryBytesSpilled)
@@ -172,6 +179,10 @@ object BenchScale {
               e._2(2) += m.shuffleReadMetrics.totalBytesRead
               e._2(3) += m.memoryBytesSpilled
               e._2(4) += m.diskBytesSpilled
+              e._2(5) += m.executorCpuTime
+              e._2(6) += m.jvmGCTime
+              e._2(7) += m.shuffleWriteMetrics.recordsWritten
+              e._2(8) += m.shuffleReadMetrics.recordsRead
             }
           }
         }
@@ -181,12 +192,14 @@ object BenchScale {
         stages.asScala.toSeq.sortBy(_._1).foreach { case (sid, (name, a)) =>
           System.err.println(f"[stage] op=$op stage=$sid task_sec=${a(0) / 1000}%d " +
             f"sw_mb=${a(1) >> 20}%d sr_mb=${a(2) >> 20}%d spill_mem_mb=${a(3) >> 20}%d " +
-            f"spill_disk_mb=${a(4) >> 20}%d  $name")
+            f"spill_disk_mb=${a(4) >> 20}%d cpu_sec=${a(5) / 1000000000L}%d " +
+            f"gc_sec=${a(6) / 1000}%d swr=${a(7)}%d srr=${a(8)}%d  $name")
         }
       }
       def json(sec: Double): String = {
         def mb(l: Long): Long = l >> 20
         s"""{"sec":$sec,"task_sec":${taskMs.get / 1000},""" +
+          s""""cpu_sec":${cpuNs.get / 1000000000L},"gc_sec":${gcMs.get / 1000},""" +
           s""""shuffle_write_mb":${mb(shufWrite.get)},"shuffle_read_mb":${mb(shufRead.get)},""" +
           s""""spill_mem_mb":${mb(spillMem.get)},"spill_disk_mb":${mb(spillDisk.get)}}"""
       }
@@ -483,11 +496,27 @@ object BenchScale {
       sizePartitions(n * 50)
       val widthsSized = Set("fingerprint_pairs", "fingerprint_pairs_w12",
         "dup_spans", "strip_spans")
+      // kn_perplexity takes a BYTES-sized session width (~80 B/gram row ×
+      // 50 tokens/doc at the Widths 64 MB/partition target), NOT the
+      // shingle rows rule: the rows rule is right for the op's one big
+      // explode aggregate but quadratically oversizes the model-TABLE
+      // stages it feeds, whose record counts saturate with the gram-type
+      // space — at 2×10⁷ the 8000-wide session put ~121M type rows
+      // through 64M zstd segments (~2 records/frame) and per-segment
+      // codec init/flush grew reduce-side CPU 5–7.5× for 1.2× records
+      // (§2.9.16 #1, the §2.9.12 segment law's third appearance). The
+      // bytes width keeps every kn stage's segments ≥ a few hundred
+      // records through the measured decades.
+      def knWidth(docs: Long): Long = widthOverride.getOrElse(
+        math.max(cpus.toLong,
+          math.min(8192L, docs * 50 * 80 / graft.core.Widths.TargetPartitionBytes)))
       val docs = materialize(syntheticDocs(spark, n))
       val line = jsonLine(s""""n_docs":$n""", measure(corpusKept, docs, "n_docs", n,
         k => if (widthsSized(k))
           spark.conf.set("spark.sql.shuffle.partitions",
             widthOverride.getOrElse(cpus.toLong).toString)
+        else if (k == "kn_perplexity")
+          spark.conf.set("spark.sql.shuffle.partitions", knWidth(n).toString)
         else sizePartitions(n * 50)))
       docs.unpersist(blocking = true)
       line

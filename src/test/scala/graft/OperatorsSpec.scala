@@ -270,6 +270,12 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(out.toSeq === Seq(
       (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+    // degenerate corpora: no adjacent pairs anywhere (all 1-char words)
+    // and the empty corpus both yield an empty merge table, not a crash
+    assert(Bpe.trainVocab(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "text", merges = 3).count() === 0)
+    assert(Bpe.trainVocab(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", merges = 3).count() === 0)
   }
 
   test("winnowing fingerprints match a hand computation, rightmost on ties") {
