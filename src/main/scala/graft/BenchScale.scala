@@ -110,7 +110,12 @@ object BenchScale {
       // ~20 effective partitions at the 10⁶ point, which is where the
       // run-to-run spill/OOM came from), silently overriding the knob.
       // Skew handling stays on; only the coalescer is pinned off.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // SPARK_GRAFT_COALESCE=true re-enables it for one-off experiments
+      // (e.g. §2.9.16 #1's "would default AQE have caught the segment
+      // bloat?" probe) — the builder's explicit config would otherwise
+      // override any -D system property.
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
