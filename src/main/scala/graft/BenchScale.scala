@@ -522,6 +522,17 @@ object BenchScale {
             widthOverride.getOrElse(cpus.toLong).toString)
         else if (k == "kn_perplexity")
           spark.conf.set("spark.sql.shuffle.partitions", knWidth(n).toString)
+        // nb_classifier / bpe_vocab: every exchange is bounded (model ≤
+        // buckets rows; word types ≤ vocab) or thin (~25 B/doc for the
+        // per-doc score aggregate) — the rows rule's 8000 width put 2e7
+        // score rows through 320×8000 ≈ 2.6M segments (~8 records each;
+        // bpe: 0.06) and per-segment codec overhead was the measured
+        // 12.6×/decade in nb's first ladder. Bytes-sized: session floor
+        // until the score aggregate genuinely outgrows 64 MB/partition.
+        else if (k == "nb_classifier" || k == "bpe_vocab")
+          spark.conf.set("spark.sql.shuffle.partitions",
+            widthOverride.getOrElse(math.max(cpus.toLong,
+              n * 25 / graft.core.Widths.TargetPartitionBytes)).toString)
         else sizePartitions(n * 50)))
       docs.unpersist(blocking = true)
       line
