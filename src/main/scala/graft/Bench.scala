@@ -21,7 +21,8 @@ object Bench {
   final case class QueryRun(name: String, sec: Double, err: Option[String],
                             shuffleWrite: Long, taskMs: Long, cpuMs: Long,
                             gcMs: Long, spillMem: Long, spillDisk: Long,
-                            rerunSec: Option[Double] = None) {
+                            rerunSec: Option[Double] = None,
+                            segmentFlags: Long = 0L) {
     /** Wall floor if every scheduled core-second ran perfectly parallel. */
     def lowerBoundSec(cores: Int): Double = taskMs / 1000.0 / cores
     /** Fraction of scheduled task time spent neither computing nor in GC —
@@ -42,8 +43,23 @@ object Bench {
   private val gcMsAcc = new java.util.concurrent.atomic.AtomicLong
   private val spillMemAcc = new java.util.concurrent.atomic.AtomicLong
   private val spillDiskAcc = new java.util.concurrent.atomic.AtomicLong
-  private def installProbe(spark: SparkSession): Unit =
+  // §2.9.12 segment-law detector ([[graft.core.SegmentLaw]] /
+  // [[graft.core.SegmentProbe]]): shuffle-read records per stage at task
+  // end, the flag evaluated at stage completion against the map-side task
+  // count resolved through the rdd lineage
+  private val segProbe = new graft.core.SegmentProbe
+  private val segFlagDetails = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  /** Total segment-law flags since the probe was installed (test hook +
+    * the JSON line's `segment_flags` field). */
+  private[graft] def segmentFlagTotal: Long = segProbe.flags.get()
+  private[graft] def installProbe(spark: SparkSession): Unit =
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        segProbe.onSubmit(e.stageInfo)
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        segProbe.onComplete(e.stageInfo).foreach(segFlagDetails.add)
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
@@ -53,11 +69,13 @@ object Bench {
           gcMsAcc.addAndGet(m.jvmGCTime)
           spillMemAcc.addAndGet(m.memoryBytesSpilled)
           spillDiskAcc.addAndGet(m.diskBytesSpilled)
+          segProbe.onTask(e.stageId, m.shuffleReadMetrics.recordsRead)
         }
       }
     })
   private def snapshot(): Array[Long] = Array(shuffleBytes.get(), taskMsAcc.get(),
-    cpuMsAcc.get(), gcMsAcc.get(), spillMemAcc.get(), spillDiskAcc.get())
+    cpuMsAcc.get(), gcMsAcc.get(), spillMemAcc.get(), spillDiskAcc.get(),
+    segProbe.flags.get())
 
   /** Time one query through the noop sink (NOT count(): the optimizer
     * prunes agg value expressions and even eliminates unique-keyed join
@@ -75,7 +93,8 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     val s1 = snapshot()
     QueryRun(name, sec, err, s1(0) - s0(0), s1(1) - s0(1), s1(2) - s0(2),
-      s1(3) - s0(3), s1(4) - s0(4), s1(5) - s0(5))
+      s1(3) - s0(3), s1(4) - s0(4), s1(5) - s0(5),
+      segmentFlags = s1(6) - s0(6))
   }
 
   /** Run queries in sorted name order (per-query times stay comparable
@@ -176,6 +195,7 @@ object Bench {
         s""","cpu_sec":${f3(r.cpuMs / 1000.0)},"gc_sec":${f3(r.gcMs / 1000.0)}""" +
         s""","spill_mem_mb":${r.spillMem >> 20},"spill_disk_mb":${r.spillDisk >> 20}""" +
         s""","shuffle_kb":${r.shuffleWrite >> 10}""" +
+        (if (r.segmentFlags > 0) s""","segment_flags":${r.segmentFlags}""" else "") +
         r.rerunSec.map(v => s""","rerun_sec":${f3(v)}""").getOrElse("") +
         r.err.map(e => s""","err":"$e"""").getOrElse("") + "}"
     System.err.println(results
@@ -203,7 +223,15 @@ object Bench {
     val cpuTotal = f3(results.map(_.cpuMs).sum / 1000.0)
     val gcTotal = f3(results.map(_.gcMs).sum / 1000.0)
     val spillTotalMb = results.map(r => r.spillMem + r.spillDisk).sum >> 20
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart$rerunPart,"task_total_sec":$taskTotal,"cpu_total_sec":$cpuTotal,"gc_total_sec":$gcTotal,"spill_total_mb":$spillTotalMb,"driver_used_mb":$usedMb,"storage_used_mb":$storageMb,"memo_free_mb":$memoFreedMb,"shuffle_total_mb":$shuffleTotalMb,"queries":$qs,"sf":"$sfDir"}"""
+    // §2.9.12 segment-law warnings (graft.core.SegmentLaw): session total
+    // on the JSON line (expected 0 on a healthy battery), per-stage
+    // details on stderr where a flag fires
+    val segFlags = segProbe.flags.get()
+    if (segFlags > 0) {
+      val it = segFlagDetails.iterator()
+      while (it.hasNext) System.err.println(s"[segment_flag] ${it.next()}")
+    }
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","memo_build":${f3(memoBuild)},"failed":$failed$errPart$rerunPart,"task_total_sec":$taskTotal,"cpu_total_sec":$cpuTotal,"gc_total_sec":$gcTotal,"spill_total_mb":$spillTotalMb,"segment_flags":$segFlags,"driver_used_mb":$usedMb,"storage_used_mb":$storageMb,"memo_free_mb":$memoFreedMb,"shuffle_total_mb":$shuffleTotalMb,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // truncation-proof record: the driver captures a bounded tail of stdout
     // and has twice lost the per-query map to it — the FULL record (line +

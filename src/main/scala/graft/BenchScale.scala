@@ -162,10 +162,34 @@ object BenchScale {
       private val perStage = sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("1")
       private val stages =
         new java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Long])]()
+      // §2.9.12 segment-law detector (graft.core.SegmentLaw) — always on:
+      // per-stage task counts/parents at submit, read records at task end,
+      // flag at completion; total rides the op's json record
+      val segFlags = new java.util.concurrent.atomic.AtomicLong
+      private val stageMeta =
+        new java.util.concurrent.ConcurrentHashMap[Int, (Int, Seq[Int])]()
+      private val stageReadRecs =
+        new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
       override def onStageSubmitted(
-          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        stageMeta.put(ss.stageInfo.stageId,
+          (ss.stageInfo.numTasks, ss.stageInfo.parentIds.map(_.toInt)))
         if (perStage) stages.putIfAbsent(ss.stageInfo.stageId,
           (ss.stageInfo.name, new Array[Long](9)))
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val recs = Option(stageReadRecs.get(si.stageId)).map(_.get()).getOrElse(0L)
+        val mapTasks = Option(stageMeta.get(si.stageId)).map(_._2).getOrElse(Seq.empty)
+          .flatMap(p => Option(stageMeta.get(p))).map(_._1.toLong).sum
+        if (graft.core.SegmentLaw.flag(recs, mapTasks, si.numTasks)) {
+          segFlags.incrementAndGet()
+          System.err.println(s"[segment_flag] stage=${si.stageId} records=$recs " +
+            s"map_tasks=$mapTasks width=${si.numTasks} " +
+            f"records_per_segment=${recs.toDouble / (mapTasks * si.numTasks)}%.2f")
+        }
+      }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
@@ -176,6 +200,9 @@ object BenchScale {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           spillMem.addAndGet(m.memoryBytesSpilled)
           spillDisk.addAndGet(m.diskBytesSpilled)
+          stageReadRecs.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(m.shuffleReadMetrics.recordsRead)
           if (perStage) {
             val e = stages.get(te.stageId)
             if (e != null) e._2.synchronized {
@@ -206,7 +233,8 @@ object BenchScale {
         s"""{"sec":$sec,"task_sec":${taskMs.get / 1000},""" +
           s""""cpu_sec":${cpuNs.get / 1000000000L},"gc_sec":${gcMs.get / 1000},""" +
           s""""shuffle_write_mb":${mb(shufWrite.get)},"shuffle_read_mb":${mb(shufRead.get)},""" +
-          s""""spill_mem_mb":${mb(spillMem.get)},"spill_disk_mb":${mb(spillDisk.get)}}"""
+          s""""spill_mem_mb":${mb(spillMem.get)},"spill_disk_mb":${mb(spillDisk.get)},""" +
+          s""""segment_flags":${segFlags.get}}"""
       }
     }
     /** Time each kept op; incremental stderr record per op (a later op

@@ -125,4 +125,49 @@ object Widths {
     * action) and know their row shape. */
   def forRows(spark: SparkSession, rows: Long, bytesPerRow: Long): Int =
     forBytes(spark, BigInt(rows) * bytesPerRow)
+
+  /** Operator-OWNED width: [[forBytes]] floored at the scheduler's core
+    * budget (`defaultParallelism`) instead of the session shuffle width.
+    *
+    * The session-floor rule above is right when the session width IS a
+    * parallelism choice (~cores). It is wrong for the one case §2.9.16 #1
+    * measured: a session width sized as a GLOBAL rows rule for the
+    * caller's biggest exchange (2,520–8,000 partitions at the 10⁷-doc
+    * battery decades) is quadratically oversized for an operator-internal
+    * exchange whose record count is bounded by a TYPE space — map_tasks ×
+    * reduce_width ≈ 64M zstd segments carrying ~2 records each, 5–7.5×
+    * reduce CPU for 1.2× records (the kn_perplexity 1,705 s shape; the
+    * §2.9.12 segment law's third appearance). An exchange whose volume the
+    * OPERATOR can bound must not inherit that width; flooring at
+    * `defaultParallelism` keeps every core busy (in the stock sessions —
+    * bench/verify/local defaults — `defaultParallelism ==
+    * spark.sql.shuffle.partitions == cores`, so plans are unchanged there)
+    * while the width stops tracking a session rule tuned for somebody
+    * else's volume. Degenerate estimates fall back to the SESSION width
+    * exactly as [[forExchange]] does — estimator failure must not shrink a
+    * deliberately-wide session. */
+  def ownedForBytes(spark: SparkSession, bytesEstimate: BigInt,
+                    targetPartitionBytes: Long = TargetPartitionBytes): Int = {
+    val floor = spark.sparkContext.defaultParallelism
+    val byBytes = (bytesEstimate / targetPartitionBytes)
+      .min(MaxWidth).max(0).toInt
+    math.max(floor, byBytes)
+  }
+
+  /** [[ownedForBytes]] from the frame's own Catalyst size estimate — the
+    * [[forExchange]] twin (same Generate-expansion correction, same
+    * degenerate-estimate guards and the same join-derived-frame caveat),
+    * with the operator-owned floor. */
+  def ownedForExchange(df: DataFrame, expansion: Double = 1.0,
+                       targetPartitionBytes: Long = TargetPartitionBytes): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val degenerate = SaneEstimateBytes.min(
+      BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes))
+    if (est <= 0 || est >= degenerate)
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    else
+      ownedForBytes(df.sparkSession,
+        est * math.max(1L, math.round(expansion * 100)) / 100,
+        targetPartitionBytes)
+  }
 }

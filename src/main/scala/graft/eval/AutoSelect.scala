@@ -80,15 +80,28 @@ object AutoSelect {
     // explicit unpersist API exists for localCheckpoint through the Dataset)
     val withAr = FeatureOps.addArTerms(base2, maxAr).localCheckpoint(true)
 
-    val trendCands = Seq(Seq.empty[String], Seq("t"), Seq("t", "t2"))
-    val bestTrend = trendCands.minBy(tc => nanSafe(scoreFeatures(withAr, tc, h)))
-    val seasCands = Seq(Seq.empty[String], Seq("monthsin", "monthcos"))
-    val bestSeas = seasCands.minBy(sc => nanSafe(scoreFeatures(withAr, bestTrend ++ sc, h)))
-    val arCands = 0 to maxAr
-    val bestAr = arCands.minBy(a =>
-      nanSafe(scoreFeatures(withAr, bestTrend ++ bestSeas ++ (1 to a).map(i => s"ar_$i"), h)))
-    val finalScore = scoreFeatures(withAr,
-      bestTrend ++ bestSeas ++ (1 to bestAr).map(i => s"ar_$i"), h)
+    // the walk is greedy ACROSS stages (each keeps its winner fixed — the
+    // reference's semantics), but candidates WITHIN a stage are
+    // independent closed-form fits over the same checkpointed frame:
+    // fan them out so a stage costs one scheduler wave, not one driver
+    // round trip per candidate (this query's wall was ~4× its
+    // perfectly-parallel task floor — pure sequential-job latency).
+    // minBy-on-zip keeps the reference's first-minimum tie policy exactly.
+    def stageBest[A](cands: Seq[A])(feats: A => Seq[String]): (A, Double) = {
+      val scores = Evaluation.fanOut(cands, parallelism = 4)(c =>
+        nanSafe(scoreFeatures(withAr, feats(c), h)))
+      cands.zip(scores).minBy(_._2)
+    }
+    val (bestTrend, _) = stageBest(
+      Seq(Seq.empty[String], Seq("t"), Seq("t", "t2")))(identity)
+    val (bestSeas, _) = stageBest(
+      Seq(Seq.empty[String], Seq("monthsin", "monthcos")))(bestTrend ++ _)
+    val (bestAr, bestArScore) = stageBest(0 to maxAr)(a =>
+      bestTrend ++ bestSeas ++ (1 to a).map(i => s"ar_$i"))
+    // nanSafe maps a NaN stage score to MaxValue for comparison only; the
+    // recorded rmse keeps the raw value (NaN included), as before
+    val finalScore =
+      if (bestArScore == Double.MaxValue) Double.NaN else bestArScore
     XvarSelection(bestTrend, bestSeas, bestAr, finalScore)
   }
 

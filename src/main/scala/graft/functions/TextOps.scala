@@ -214,6 +214,49 @@ object TextOps {
     * plan runs a 10⁹-doc corpus with the gram aggregates sharded on their
     * keys.
     *
+    * Width ownership (§2.9.16 #1 promoted from the scale battery into the
+    * operator): every exchange this operator creates below the one big
+    * gram-count aggregate carries rows bounded by the corpus's gram TYPE
+    * space, whose record count saturates while a session width sized for
+    * token volume keeps growing — at the 2×10⁷-doc battery decade the
+    * rows-rule session width (8,000) put ~121M type rows through
+    * map_tasks × reduce_width ≈ 64M zstd segments (~2 records/frame) and
+    * per-segment codec init/flush grew reduce CPU 5–7.5× for 1.2×
+    * records (wall 1,705 → 366.5 s at a bytes-sized width, identical
+    * operator code). Every model/type-table exchange is therefore pinned
+    * to ONE operator-owned width `w`
+    * ([[graft.core.Widths.ownedForBytes]] over the COUNTED train token
+    * volume at the battery's measured ~80 B/gram ≈ 27·n B/row model —
+    * the count rides the vocabulary pass for free), independent of the
+    * session width. The two big explode aggregates (the n-gram count and
+    * the bigram-type distinct) keep their planner exchanges — a
+    * rows-rule width is RIGHT for those, and an explicit repartition
+    * there would forfeit map-side partial aggregation — but their
+    * checkpoints coalesce/repartition to `w` so downstream map counts
+    * stop inheriting the session width.
+    *
+    * Model-table pins exploit the distribution rules' asymmetry:
+    * aggregates accept subset-key layouts (`hash(keys, w)` satisfies any
+    * grouping over a SUPERSET of `keys` — one shared-suffix exchange
+    * feeds both aggregates of each continuation level), while joins
+    * require the EXACT key set on both sides (the all-cluster-keys
+    * co-partition rule), so each model table's OUTPUT carries its own
+    * join-key hash(·, w) layout — the count table via a key-preserving
+    * hashed checkpoint, the rest via their aggregates' preserved input
+    * pins (plus one bounded output pin for the continuation-count
+    * table). EnsureRequirements then leaves every model side in place
+    * and sizes the score stream's exchanges at `w` to match. Single-token
+    * pin keys (the unigram/bigram levels) ride the same hash spread the
+    * session default would: per-key volume is bounded by the
+    * vocabulary's continuation sets.
+    *
+    * Join strategy is deliberately two-tier: when the n-gram count
+    * table's own plan estimate fits the session broadcast threshold the
+    * score stream takes the planner's broadcast joins (ZERO score-side
+    * exchanges — the estimate is the same one the planner gates on, so
+    * the tiers can't disagree); past it, the pinned model layouts above
+    * keep every SMJ co-partitioned at `w`.
+    *
     * Returns `(doc, n_grams, ppl)` — `ppl = exp(−avg ln P)` over the
     * doc's full n-grams. */
   def knPerplexity(train: DataFrame, score: DataFrame, idCol: String,
@@ -250,9 +293,88 @@ object TextOps {
     val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val full = (0 until n).map(j => s"w$j")
     val ctx = full.dropRight(1)
-    val cN = grams(train, n).groupBy(full.map(col): _*)
-      .agg(count(lit(1)).as("c_full")).localCheckpoint(false, diskOnly)
-    val ctxN = cN.groupBy(ctx.map(col): _*)
+    // pre-pass width from the plan estimate — used ONLY to bound the
+    // bigram-type checkpoint's block count before any exact count exists
+    // (a LOW value is safe there: fewer, fatter blocks; the pinned
+    // exchanges below use the COUNTED width w instead)
+    val w0 = graft.core.Widths.ownedForExchange(
+      train.select(col(idCol), col(textCol)), expansion = 4.5 * n)
+    // unigram continuation counts off distinct bigram types + the three
+    // scalar constants (the ONLY driver state — bounded)
+    val biTypes = grams(train, 2).select(col("w0"), col("w1")).distinct()
+      .coalesce(w0)
+      .localCheckpoint(true, diskOnly)
+    // the two scalar jobs are independent — overlap them (each is one
+    // bounded aggregate; serialized they cost two scheduler round trips).
+    // The vocabulary pass also counts TOTAL train tokens for free — the
+    // exact row model the owned width below is sized from.
+    val scalarJobs = graft.eval.Evaluation.fanOut[Int, Array[Double]](
+      Seq(0, 1), parallelism = 2) {
+      case 0 =>
+        val r = biTypes.agg(count(lit(1)), countDistinct(col("w1"))).first()
+        Array(math.max(r.getLong(0), 1L).toDouble, r.getLong(1).toDouble)
+      case _ =>
+        val r = train
+          .select(explode(tokens(col(textCol))).as("_w"))
+          .agg(countDistinct(col("_w")), count(lit(1))).first()
+        Array(r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    val nBt = scalarJobs(0)(0)
+    val vCont = scalarJobs(0)(1)
+    val vTrain = scalarJobs(1)(0)
+    val trainTokens = scalarJobs(1)(1).toLong
+    // the operator-owned width (see scaladoc): one width for every pinned
+    // exchange. Train side from the COUNTED token volume at the battery's
+    // measured ~80 B/gram (n = 3) ≈ 27·n B row model (grams ≈ tokens;
+    // Catalyst's estimate is blind to real string widths, measured ~10×
+    // low on the synthetic corpus); score side from the plan estimate —
+    // no counted pass exists there, and the declared deployment shapes
+    // score a slice of (or the same) corpus. Type tables are strictly
+    // smaller than the gram stream, and over-sizing a bounded table by
+    // the gram/type ratio is benign — the quadratic segment blowup needs
+    // BOTH sides of map_tasks × reduce_width oversized.
+    val w = math.max(
+      graft.core.Widths.ownedForBytes(train.sparkSession,
+        BigInt(trainTokens) * 27L * n),
+      graft.core.Widths.ownedForExchange(
+        score.select(col(idCol), col(textCol)), expansion = 4.5 * n))
+    // rename BEFORE the pinned exchange so the aggregate's group key and
+    // the score join's key are the same attribute the partitioning tracks
+    val cc1 = biTypes
+      .select(col("w0").as("_u"), col("w1").as(s"w${n - 1}"))
+      .repartition(w, col(s"w${n - 1}"))
+      .groupBy(s"w${n - 1}")
+      .agg(countDistinct(col("_u")).as("cc1"))
+    // the top-order count aggregates RAW grams over one explicit
+    // hash(full, w) exchange — deliberately NO map-side partial
+    // aggregation: top-order gram types barely repeat within a map task
+    // (measured at the 6.3×10⁶ battery decade: partial output 2.40×10⁸
+    // records from 3.0×10⁸ raw grams — a 1.25× reduction — while the
+    // partial hash carried ~39 GB of the op's mem-spill and the partials
+    // then needed a SECOND exchange to reach the checkpoint layout). Raw
+    // rows over the pinned exchange move slightly more bytes once, spill
+    // nothing on the map side, and land already in the advertised
+    // hash(full, w) layout, so the top-order score join consumes the
+    // checkpointed blocks with ZERO further exchanges (and sizes the
+    // SCORE side's planner exchange: EnsureRequirements matches the width
+    // of the child that already satisfies the join's distribution —
+    // Spark's all-cluster-keys co-partition rule means only exact-key
+    // layouts do). A plain checkpoint under AQE advertises nothing, so
+    // the pre-r15 shape re-exchanged these type rows once per consumer at
+    // the SESSION width — the §2.9.16 segment pathology's host. (The
+    // bigram-type distinct below keeps its planner partial: LOW-order
+    // types saturate fast and its partial dedup measures 12×.)
+    val cN = org.apache.spark.sql.GraftCheckpoint.localCheckpointAdvertised(
+      grams(train, n).repartition(w, full.map(col): _*)
+        .groupBy(full.map(col): _*)
+        .agg(count(lit(1)).as("c_full")),
+      full, diskOnly, w)
+    // one pinned (n−1)-prefix exchange: hash(ctx) satisfies BOTH phases of
+    // the mixed sum/countDistinct aggregate (aggregates accept subset-key
+    // layouts), and the aggregate's preserved hash(ctx, w) partitioning is
+    // exactly its score join's key — that join moves no model rows
+    val ctxN = cN.repartition(w, ctx.map(col): _*)
+      .groupBy(ctx.map(col): _*)
       .agg(sum("c_full").as("c_ctx"), countDistinct(col(s"w${n - 1}")).as("n1p_n"))
     // continuation tables for orders m = n−1 .. 2, each off the DISTINCT
     // (m+1)-gram types (w0 = the left extension, the rest the m-gram).
@@ -269,43 +391,40 @@ object TextOps {
             .select((0 to m).map(j => col(s"w$j")): _*).distinct()
         val renamed0 = types.select(col("w0").as("_u") +:
           (1 to m).map(j => col(s"w$j").as(s"w${n - m + j - 1}")): _*)
-        // the (n−1)-level table is a narrow projection of cN's already-
-        // checkpointed blocks — re-checkpointing it would store the
-        // O(types) rows TWICE; lower levels (n ≥ 4) pay a real distinct
-        // scan, so their type tables earn their own materialization
+        val lastM = (n - m until n).map(j => s"w$j")
+        // each aggregate rides an input pin on its OWN join key set, so
+        // its preserved output layout satisfies its score join exactly
+        // (the all-cluster-keys rule) and EnsureRequirements exchanges
+        // only the score stream, at w. The (n−1)-level table is a narrow
+        // projection of cN's already-checkpointed blocks — pinned
+        // repartitions, not a second checkpoint, so the O(types) rows are
+        // stored once; lower levels (n ≥ 4) pay a real distinct scan
+        // (planner distinct kept for its partial dedup) and earn a hashed
+        // checkpoint whose blocks the two pins below re-key from.
         val renamed =
           if (m + 1 == n) renamed0
-          else renamed0.localCheckpoint(false, diskOnly)
-        val lastM = (n - m until n).map(j => s"w$j")
-        val cc = renamed.groupBy(lastM.map(col): _*)
+          else org.apache.spark.sql.GraftCheckpoint.localCheckpointHashed(
+            renamed0.coalesce(w), lastM.dropRight(1), diskOnly, w)
+        val cc = renamed.repartition(w, lastM.map(col): _*)
+          .groupBy(lastM.map(col): _*)
           .agg(countDistinct(col("_u")).as(s"cc$m"))
-        val ct = renamed.groupBy(lastM.dropRight(1).map(col): _*)
+        // the lower levels' checkpoint already advertises the (m−1)-suffix
+        // layout ct needs — only the cN-projection level pays the pin
+        val ctIn =
+          if (m + 1 == n) renamed.repartition(w, lastM.dropRight(1).map(col): _*)
+          else renamed
+        val ct = ctIn.groupBy(lastM.dropRight(1).map(col): _*)
           .agg(count(lit(1)).as(s"ct$m"),
             countDistinct(col(s"w${n - 1}")).as(s"n1p$m"))
         m -> (cc, ct)
       }.toMap
-    // unigram continuation counts off distinct bigram types + the three
-    // scalar constants (the ONLY driver state — bounded)
-    val biTypes = grams(train, 2).select(col("w0"), col("w1")).distinct()
-      .localCheckpoint(true, diskOnly)
-    val cc1 = biTypes.groupBy(col("w1").as(s"w${n - 1}"))
-      .agg(countDistinct(col("w0")).as("cc1"))
-    // the two scalar jobs are independent — overlap them (each is one
-    // bounded aggregate; serialized they cost two scheduler round trips)
-    val scalarJobs = graft.eval.Evaluation.fanOut[Int, Array[Double]](
-      Seq(0, 1), parallelism = 2) {
-      case 0 =>
-        val r = biTypes.agg(count(lit(1)), countDistinct(col("w1"))).first()
-        Array(math.max(r.getLong(0), 1L).toDouble, r.getLong(1).toDouble)
-      case _ => Array(train
-        .select(explode(tokens(col(textCol))).as("_w"))
-        .agg(countDistinct(col("_w"))).first().getLong(0).toDouble)
-    }
-    val nBt = scalarJobs(0)(0)
-    val vCont = scalarJobs(0)(1)
-    val vTrain = scalarJobs(1)(0)
-
     // ---- scoring (score side) ----
+    // two-tier by the planner's own size gate (scaladoc): model tables
+    // whose (checkpoint-preserved) estimates fit the broadcast threshold
+    // ride broadcast joins — ZERO score-side exchanges; past it, every
+    // model side already carries its exact-join-key hash(·, w) layout
+    // from the pins above, so EnsureRequirements leaves the model rows in
+    // place and exchanges only the score stream, at w.
     var s = grams(score, n)
       .join(cN, full, "left")
       .join(ctxN, ctx, "left")

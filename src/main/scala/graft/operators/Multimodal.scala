@@ -463,7 +463,13 @@ object Multimodal {
         // valid images). Cached readers hold native/heap decode buffers,
         // so they are disposed when the TASK completes — normal
         // exhaustion included, not just the error path.
-        val readers = scala.collection.mutable.HashMap
+        // LinkedHashMap: the probe below short-circuits on the first SPI
+        // claiming the bytes, so iteration order must be deterministic —
+        // insertion order mirrors first-seen ImageIO registry order,
+        // keeping the chosen reader oracle-replayable run to run (a plain
+        // HashMap iterates in arbitrary order and could pick a different
+        // reader when two cached SPIs claim the same payload)
+        val readers = scala.collection.mutable.LinkedHashMap
           .empty[javax.imageio.spi.ImageReaderSpi, javax.imageio.ImageReader]
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit] { _ =>
@@ -476,7 +482,13 @@ object Multimodal {
           var usedSpi: javax.imageio.spi.ImageReaderSpi = null
           var uncached: javax.imageio.ImageReader = null
           try {
-            val readerOpt = readers.keysIterator.find(_.canDecodeInput(iis)) match {
+            // each cached probe rides its own Try: a throwing
+            // canDecodeInput must fall through to the next SPI and then
+            // the registry lookup, not abort the decode of a payload some
+            // other reader handles (previously it landed in the outer
+            // catch and silently dropped the image)
+            val readerOpt = readers.keysIterator.find(spi =>
+              scala.util.Try(spi.canDecodeInput(iis)).getOrElse(false)) match {
               case Some(spi) =>
                 usedSpi = spi
                 Some(readers(spi))

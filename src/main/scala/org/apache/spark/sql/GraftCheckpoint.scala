@@ -161,6 +161,22 @@ object GraftCheckpoint {
     }
   }
 
+  /** Eagerly drop a checkpoint-backed Dataset's persisted blocks.
+    * `Dataset.unpersist` only clears CacheManager entries from
+    * persist()/cache(); a localCheckpoint's blocks are RDD-persisted and
+    * never registered there, so without this they linger until GC + the
+    * ContextCleaner get around to them — measured as stacked vocab-sized
+    * tables in iterative callers (Bpe's merge rounds). Returns false when
+    * the frame is not checkpoint-backed (nothing to drop). Callers must
+    * ensure every downstream consumer has materialized: a localCheckpoint
+    * RDD is NON-REPLAYABLE, so dropping blocks a pending computation
+    * still needs fails that computation instead of slowing it. */
+  def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking); true
+      case _ => false
+    }
+
   private def advertise(ckpt: DataFrame, df: DataFrame,
                         keyNames: Seq[String], nPart: Int): DataFrame = {
     ckpt.queryExecution.analyzed match {

@@ -20,6 +20,42 @@ class RobustnessSpec extends SparkSpec {
     assert(out.count(_.err.isDefined) == 1)
   }
 
+  test("segment-law detector flags micro-segment exchanges and only those") {
+    import graft.core.SegmentLaw
+    // the predicate itself: the three measured regimes
+    assert(SegmentLaw.flag(121000000L, 8000, 8000),
+      "the 2e7 kn pathology (~2 records/frame) must flag")
+    assert(!SegmentLaw.flag(121000000L, 1192, 1192),
+      "the bytes-rule layout (~85 records/segment) must not flag")
+    assert(!SegmentLaw.flag(500L, 32, 32),
+      "gate-scale exchanges sit below the records floor and never flag")
+    assert(!SegmentLaw.flag(999999L, 8000, 8000),
+      "records below the 1M floor never flag regardless of shape")
+    // end to end through the bench listener: a deliberately micro-segmented
+    // exchange (64 maps x 4096 reduces for 1.1M rows ~ 4 records/segment)
+    // raises exactly the warning; a healthy exchange of the same rows does
+    // not. The listener attributes by global counter delta, same as the
+    // bench's per-query snapshot.
+    Bench.installProbe(spark)
+    def flagsAfter(body: => Unit): Long = {
+      val before = Bench.segmentFlagTotal
+      body
+      Thread.sleep(1000) // listener delivery is async (the bench's caveat)
+      Bench.segmentFlagTotal - before
+    }
+    val healthy = flagsAfter {
+      spark.range(0, 1100000, 1, 64).repartition(8)
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(healthy == 0L, s"healthy exchange flagged $healthy times")
+    val sick = flagsAfter {
+      spark.range(0, 1100000, 1, 64)
+        .repartition(4096, org.apache.spark.sql.functions.col("id"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    assert(sick >= 1L, "micro-segmented exchange must raise the warning")
+  }
+
   test("Bench.outliers flags unexplained walls and only those") {
     import graft.Bench.QueryRun
     def q(name: String, sec: Double, taskMs: Long, cpuMs: Long,

@@ -61,4 +61,72 @@ class WidthsSpec extends SparkSpec {
     assert(Widths.forExchange(projected) == session)
     assert(Widths.forExchange(projected, expansion = 10.0) == session)
   }
+
+  test("ownedForBytes: core floor instead of the session width, same cap") {
+    val cores = spark.sparkContext.defaultParallelism
+    // a tiny exchange floors at the CORE budget — NOT at a session width
+    // somebody sized for a different operator's volume (the §2.9.16
+    // kn_perplexity lesson: a rows-rule session width of 8,000 must not
+    // leak into a type-table exchange)
+    assert(Widths.ownedForBytes(spark, BigInt(1)) == cores)
+    // grows with bytes exactly like forBytes once past the floor
+    assert(Widths.ownedForBytes(spark,
+      BigInt(Widths.TargetPartitionBytes) * (cores + 64)) == cores + 64)
+    // same battery cap
+    assert(Widths.ownedForBytes(spark,
+      BigInt(Widths.TargetPartitionBytes) * 1000000) == Widths.MaxWidth)
+  }
+
+  test("ownedForExchange: degenerate estimates fall back to the session width") {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val tiny = (1 to 100).map(i => (i.toLong, s"doc $i text")).toDF("doc_id", "text")
+    assert(Widths.ownedForExchange(tiny) == cores)
+    // estimator failure must not SHRINK a deliberately-wide session: the
+    // sentinel path falls back to the session width, as forExchange does
+    val rddBacked = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+    assert(Widths.ownedForExchange(rddBacked) ==
+      spark.sessionState.conf.numShufflePartitions)
+  }
+
+  test("knPerplexity pins its model-table exchanges at the owned width, not the session's") {
+    import spark.implicits._
+    // an OVERSIZED session width (the rows-rule battery shape): the
+    // operator's internal exchanges must not inherit it — §2.9.16 #1
+    // measured 64M two-record zstd segments and a 4.7× wall when they did
+    val oldWidth = spark.sessionState.conf.numShufflePartitions
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ tier
+    try {
+      val docs = (1 to 200).map(i =>
+        (i.toLong, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 5} w${i % 3} end"))
+        .toDF("doc_id", "text")
+      val out = graft.functions.TextOps.knPerplexity(docs, docs, "doc_id")
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      val pinned = "REPARTITION_BY_NUM".r.findAllIn(plan).size
+      assert(pinned >= 3, s"expected the model-table pins in the plan:\n$plan")
+      // no pinned exchange may carry the oversized session width
+      assert(!plan.contains(", 512), REPARTITION_BY_NUM"),
+        s"an operator-owned exchange inherited the session width:\n$plan")
+      // and in the SMJ tier the score-side ENSURE exchanges are sized by
+      // the model layouts (the owned width = defaultParallelism here),
+      // not by the session conf — allow only the doc-keyed aggregates on
+      // the session width
+      val sessionWide = "hashpartitioning\\([^)]*, 512\\)".r
+        .findAllIn(plan).size
+      val sessionWideDoc = "hashpartitioning\\((doc|doc_id)[^)]*, 512\\)".r
+        .findAllIn(plan).size
+      assert(sessionWide == sessionWideDoc,
+        s"a gram/type exchange inherited the session width:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldWidth.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
 }
