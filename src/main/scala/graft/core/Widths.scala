@@ -126,33 +126,35 @@ object Widths {
   def forRows(spark: SparkSession, rows: Long, bytesPerRow: Long): Int =
     forBytes(spark, BigInt(rows) * bytesPerRow)
 
-  /** Operator-OWNED width: [[forBytes]] floored at the scheduler's core
-    * budget (`defaultParallelism`) instead of the session shuffle width.
+  /** Operator-OWNED width: the bytes rule with NO session floor — one
+    * partition per [[TargetPartitionBytes]], clamped to [1, [[MaxWidth]]].
     *
     * The session-floor rule above is right when the session width IS a
-    * parallelism choice (~cores). It is wrong for the one case §2.9.16 #1
-    * measured: a session width sized as a GLOBAL rows rule for the
-    * caller's biggest exchange (2,520–8,000 partitions at the 10⁷-doc
-    * battery decades) is quadratically oversized for an operator-internal
-    * exchange whose record count is bounded by a TYPE space — map_tasks ×
-    * reduce_width ≈ 64M zstd segments carrying ~2 records each, 5–7.5×
-    * reduce CPU for 1.2× records (the kn_perplexity 1,705 s shape; the
-    * §2.9.12 segment law's third appearance). An exchange whose volume the
-    * OPERATOR can bound must not inherit that width; flooring at
-    * `defaultParallelism` keeps every core busy (in the stock sessions —
-    * bench/verify/local defaults — `defaultParallelism ==
-    * spark.sql.shuffle.partitions == cores`, so plans are unchanged there)
-    * while the width stops tracking a session rule tuned for somebody
-    * else's volume. Degenerate estimates fall back to the SESSION width
-    * exactly as [[forExchange]] does — estimator failure must not shrink a
-    * deliberately-wide session. */
+    * parallelism choice (~cores). It is wrong in both directions for the
+    * case §2.9.16 #1 measured: a session width sized as a GLOBAL rows
+    * rule for the caller's biggest exchange (2,520–8,000 partitions at
+    * the 10⁷-doc battery decades) is quadratically oversized for an
+    * operator-internal exchange whose record count is bounded by a TYPE
+    * space — map_tasks × reduce_width ≈ 64M zstd segments carrying ~2
+    * records each, 5–7.5× reduce CPU for 1.2× records (the kn_perplexity
+    * 1,705 s shape; the §2.9.12 segment law's third appearance). And a
+    * CORE-count floor is itself oversized at fixture scale: a pinned
+    * 32-task exchange of a few thousand rows pays 32 task launches where
+    * AQE's coalescer would have run 1 (measured +35 task-sec across the
+    * two gate kn queries). One task per 64 MB makes the cores busy
+    * exactly when there is data to fill them, which is the same target
+    * AQE's advisory coalescing aims at — but decided from the operator's
+    * own volume model, immune to the session conf. Degenerate estimates
+    * fall back to the SESSION width exactly as [[forExchange]] does —
+    * estimator failure must not shrink a deliberately-wide session. */
   def ownedForBytes(spark: SparkSession, bytesEstimate: BigInt,
-                    targetPartitionBytes: Long = TargetPartitionBytes): Int = {
-    val floor = spark.sparkContext.defaultParallelism
-    val byBytes = (bytesEstimate / targetPartitionBytes)
-      .min(MaxWidth).max(0).toInt
-    math.max(floor, byBytes)
-  }
+                    targetPartitionBytes: Long = TargetPartitionBytes): Int =
+    // floor 2, not 1: a 1-partition HashPartitioning cannot anchor join
+    // co-partitioning (ShuffleSpec.canCreatePartitioning special-cases
+    // single-partition), so EnsureRequirements would ignore the pin and
+    // re-exchange BOTH join sides at the session width — the exact
+    // inheritance the owned width exists to break
+    (bytesEstimate / targetPartitionBytes).min(MaxWidth).max(2).toInt
 
   /** [[ownedForBytes]] from the frame's own Catalyst size estimate — the
     * [[forExchange]] twin (same Generate-expansion correction, same

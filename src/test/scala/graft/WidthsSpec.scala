@@ -62,16 +62,18 @@ class WidthsSpec extends SparkSpec {
     assert(Widths.forExchange(projected, expansion = 10.0) == session)
   }
 
-  test("ownedForBytes: core floor instead of the session width, same cap") {
-    val cores = spark.sparkContext.defaultParallelism
-    // a tiny exchange floors at the CORE budget — NOT at a session width
-    // somebody sized for a different operator's volume (the §2.9.16
-    // kn_perplexity lesson: a rows-rule session width of 8,000 must not
-    // leak into a type-table exchange)
-    assert(Widths.ownedForBytes(spark, BigInt(1)) == cores)
-    // grows with bytes exactly like forBytes once past the floor
+  test("ownedForBytes: pure bytes rule — no session or core floor, same cap") {
+    // a tiny exchange gets the 2-partition floor (a 1-partition hash
+    // layout cannot anchor join co-partitioning) — not a session width
+    // somebody sized for a different operator's volume (the §2.9.16 kn
+    // lesson: a rows-rule width of 8,000 must not leak into a type-table
+    // exchange) and not a core floor either (32 task launches for a few
+    // thousand rows is the same overhead class AQE coalescing exists to
+    // remove)
+    assert(Widths.ownedForBytes(spark, BigInt(1)) == 2)
+    // grows with bytes exactly like forBytes
     assert(Widths.ownedForBytes(spark,
-      BigInt(Widths.TargetPartitionBytes) * (cores + 64)) == cores + 64)
+      BigInt(Widths.TargetPartitionBytes) * 96) == 96)
     // same battery cap
     assert(Widths.ownedForBytes(spark,
       BigInt(Widths.TargetPartitionBytes) * 1000000) == Widths.MaxWidth)
@@ -79,9 +81,8 @@ class WidthsSpec extends SparkSpec {
 
   test("ownedForExchange: degenerate estimates fall back to the session width") {
     import spark.implicits._
-    val cores = spark.sparkContext.defaultParallelism
     val tiny = (1 to 100).map(i => (i.toLong, s"doc $i text")).toDF("doc_id", "text")
-    assert(Widths.ownedForExchange(tiny) == cores)
+    assert(Widths.ownedForExchange(tiny) == 2)
     // estimator failure must not SHRINK a deliberately-wide session: the
     // sentinel path falls back to the session width, as forExchange does
     val rddBacked = spark.createDataFrame(
@@ -115,9 +116,9 @@ class WidthsSpec extends SparkSpec {
       assert(!plan.contains(", 512), REPARTITION_BY_NUM"),
         s"an operator-owned exchange inherited the session width:\n$plan")
       // and in the SMJ tier the score-side ENSURE exchanges are sized by
-      // the model layouts (the owned width = defaultParallelism here),
-      // not by the session conf — allow only the doc-keyed aggregates on
-      // the session width
+      // the model layouts (the owned width — the 2-partition floor at
+      // this fixture size), not by the session conf — allow only the
+      // doc-keyed aggregates on the session width
       val sessionWide = "hashpartitioning\\([^)]*, 512\\)".r
         .findAllIn(plan).size
       val sessionWideDoc = "hashpartitioning\\((doc|doc_id)[^)]*, 512\\)".r
