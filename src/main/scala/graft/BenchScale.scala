@@ -70,6 +70,15 @@ object BenchScale {
     * never the degenerate all-alike corpus whose pair output is itself
     * quadratic. Pure column arithmetic, no joins/UDFs. */
   def syntheticDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    // SPARK_GRAFT_SCALE_VOCAB (default 500 — every historical decade):
+    // scales the drawn vocabulary so type tables KEEP growing with the
+    // corpus. The standing kn decade law partly rides the 500-word
+    // trigram space saturating (§2.9.16: type growth 1.17–1.29× per
+    // half-decade at the top decades); a vocab-scaled point separates
+    // saturation from amortized fixed cost — the distinction a 100 TB
+    // corpus (which does NOT saturate) depends on. Non-default values
+    // are for one-off probes; ladder records note the vocab when ≠ 500.
+    val vocab = sys.env.getOrElse("SPARK_GRAFT_SCALE_VOCAB", "500").toLong
     // constant ~62.5K docs per generated partition (the regime every
     // measured decade ran in: 2M docs over the default 32 range splits).
     // At 2×10⁷ the default 32 splits put 31M exploded shingle rows
@@ -82,7 +91,7 @@ object BenchScale {
     val srcBase = when(pmod(col("doc_id"), lit(10L)).isin(5L, 9L), col("doc_id") - 1)
       .otherwise(col("doc_id"))
     val words = transform(sequence(lit(0), lit(49)), i =>
-      concat(lit("w"), pmod(xxhash64(concat_ws("_", srcBase, i)), lit(500L)).cast("string")))
+      concat(lit("w"), pmod(xxhash64(concat_ws("_", srcBase, i)), lit(vocab)).cast("string")))
     val text = array_join(
       when(pmod(col("doc_id"), lit(10L)) === 9,
         concat(slice(words, 1, 49), array(lit("wdup")))).otherwise(words), " ")

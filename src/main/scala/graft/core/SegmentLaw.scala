@@ -20,6 +20,16 @@ package graft.core
   * single-shuffle-input stages the law targets, conservative (inflated
   * denominator, i.e. MORE likely to flag) for multi-input joins, which is
   * the safe direction for a warning.
+  *
+  * Known blind spot: `width` is the READING stage's task count, so a
+  * coalesced read (explicit `coalesce` or AQE's coalescer) of a wide
+  * exchange understates the true segment count (map_tasks × the
+  * EXCHANGE's width — not exposed by the public listener API). The miss
+  * is partially self-correcting — a coalesced task reads its group of
+  * segments sequentially, which is also cheaper per segment — but an
+  * exchange only ever read coalesced can carry segment overhead this
+  * detector won't flag (measured: the bigram-type distinct at the 2×10⁷
+  * rows-rule point, ~10 records/true-segment behind a coalesced read).
   */
 object SegmentLaw {
 

@@ -40,12 +40,25 @@ object GraftCheckpoint {
   def localCheckpointHashed(df: DataFrame, keyNames: Seq[String],
                             level: StorageLevel,
                             numPartitions: Int = -1): DataFrame = {
+    if (provablyEmpty(df)) return df.localCheckpoint(false, level)
     val nPart =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     advertise(df.repartition(nPart, keyNames.map(df.col): _*)
       .localCheckpoint(false, level), df, keyNames, nPart)
   }
+
+  /** The optimizer's PropagateEmptyRelation collapses a provably-empty
+    * subtree to an empty LocalRelation, erasing the explicit repartition
+    * both entry points key on (and leaving a 1-partition RDD no width
+    * claim can hold for). Zero rows satisfy every distribution vacuously
+    * and gain nothing from advertising — checkpoint plainly. */
+  private def provablyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
 
   /** Checkpoint a frame that is ALREADY hash(keys, n)-partitioned —
     * an explicit `repartition(n, keys)` followed only by narrow,
@@ -69,6 +82,7 @@ object GraftCheckpoint {
   def localCheckpointAdvertised(df: DataFrame, keyNames: Seq[String],
                                 level: StorageLevel,
                                 numPartitions: Int): DataFrame = {
+    if (provablyEmpty(df)) return df.localCheckpoint(false, level)
     assertKeyedLineage(df, keyNames, numPartitions)
     advertise(df.localCheckpoint(false, level), df, keyNames, numPartitions)
   }
