@@ -387,26 +387,31 @@ object AutoSelect {
     // every candidate order p reads its lag subset from it
     val withLagsAll = MvForecast.addCrossSeriesLags(
       frame.filter(!col(IsFuture)), seriesIds, maxP).localCheckpoint(true)
-    (1 to maxP).map { p =>
-      val withLags = withLagsAll
-      val feats = for (sid <- seriesIds; k <- 1 to p) yield MvForecast.xlagCol(sid, k)
+    // every (order, equation) cell is an independent closed-form fit over
+    // the one checkpointed design — fan the grid out (sequential, the
+    // maxP × |series| driver round trips were most of the query's wall)
+    // and re-sum per order; Σ over the same per-equation doubles in the
+    // same series order, so scores are bit-identical to the loop's
+    val grid = for (p <- 1 to maxP; sid <- seriesIds) yield (p, sid)
+    val cells = Evaluation.fanOut(grid, parallelism = 4) { case (p, sid) =>
+      val feats = for (s <- seriesIds; k <- 1 to p) yield MvForecast.xlagCol(s, k)
       // y must be non-null too: on a spine with missing dates the sse sum
       // skips null-y rows, so counting them would inflate the AIC's n
       val complete = (col(Y).isNotNull +: feats.map(c => col(c).isNotNull)).reduce(_ && _)
-      val aics = seriesIds.map { sid =>
-        // singular design at this order (e.g. exactly collinear cross-lags)
-        // → NaN → the candidate order is skipped, like the reference's
-        // failed-combo policy
-        scala.util.Try {
-          val eq = withLags.filter(col(SeriesId) === sid)
-          val fit = graft.models.Ols.fit(eq, feats)
-          val r = eq.filter(complete)
-            .agg(sum(pow(col(Y) - fit.predictExpr, 2)), count(lit(1))).first()
-          val sse = r.getDouble(0); val n = r.getLong(1).toDouble
-          n * math.log(sse / n) + 2.0 * (feats.size + 1)
-        }.getOrElse(Double.NaN)
-      }
-      (p, aics.sum)
+      // singular design at this order (e.g. exactly collinear cross-lags)
+      // → NaN → the candidate order is skipped, like the reference's
+      // failed-combo policy
+      scala.util.Try {
+        val eq = withLagsAll.filter(col(SeriesId) === sid)
+        val fit = graft.models.Ols.fit(eq, feats)
+        val r = eq.filter(complete)
+          .agg(sum(pow(col(Y) - fit.predictExpr, 2)), count(lit(1))).first()
+        val sse = r.getDouble(0); val n = r.getLong(1).toDouble
+        n * math.log(sse / n) + 2.0 * (feats.size + 1)
+      }.getOrElse(Double.NaN)
+    }
+    (1 to maxP).map { p =>
+      (p, grid.zip(cells).collect { case ((`p`, _), aic) => aic }.sum)
     }
   }
 
@@ -436,10 +441,14 @@ object AutoSelect {
   }
 
   /** Try keeping only the last L observations for each candidate L; return
-    * (bestLength, rmse) under the given model function. */
+    * (bestLength, rmse) under the given model function. Candidates are
+    * independent fits over the same frame — they fan out through the
+    * scheduler (the walls were pure sequential-job latency, ~4 driver
+    * round trips per candidate); fanOut preserves candidate order, so the
+    * first-minimum tie policy is unchanged. */
   def bestSeriesLength(frame: DataFrame, candidates: Seq[Int], h: Int,
                        modelFn: Evaluation.ModelFn): (Int, Double) = {
-    val scored = candidates.map { len =>
+    val scored = Evaluation.fanOut(candidates, parallelism = 4) { len =>
       val kept = keepSmallerHistory(frame, len)
       val flagged = withTestFlag(kept, h)
       val rmse = Evaluation.metricsOverTest(modelFn(flagged), Seq("rmse"))
