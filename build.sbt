@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked JVM's stdout/stderr through UNPREFIXED: sbt's default
+// LoggedOutput decorates every stdout line with "[info] ", which a strict
+// line-based JSON parse of the bench's contract line rejects — the driver
+// records a bounded stdout tail and parses the bench JSON from it
+// (VERDICT r15 #1)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -129,6 +129,34 @@ object BenchScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // §2.9.12 segment-law detectors, SESSION-level (ADVICE r15 #1: the old
+    // per-op StageInfo.parentIds sum resolved against submit-event metadata
+    // missed reused-shuffle reads — a recorded parent can be a re-created
+    // skipped stage that never fires onStageSubmitted, so mapTasks summed
+    // to 0 and the flag short-circuited on exactly the checkpoint-reusing
+    // ops. The shared [[graft.core.SegmentProbe]] resolves map counts
+    // through the rdd lineage like graft.Bench, and the plan-scan twin
+    // reads TRUE pre-coalesce exchange widths). Ops attribute flags by
+    // counter delta after a bus drain.
+    val segProbe = new graft.core.SegmentProbe
+    spark.listenerManager.register(new graft.core.SegmentPlanScan.Listener(d => {
+      segProbe.flags.incrementAndGet()
+      System.err.println(s"[segment_flag] [plan] $d")
+    }))
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        segProbe.onSubmit(e.stageInfo)
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        segProbe.onComplete(e.stageInfo)
+          .foreach(d => System.err.println(s"[segment_flag] $d"))
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) segProbe.onTask(e.stageId, m.shuffleReadMetrics.recordsRead)
+      }
+    })
     spark.range(1000).selectExpr("sum(id)").collect() // JVM warmup
     val nObs = 96
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
@@ -154,7 +182,8 @@ object BenchScale {
       * record (task_sec ≫ wall·cores ⇒ core saturation; spill_disk ≫ 0 ⇒
       * the shuffle outgrew executor memory; neither ⇒ scheduler/plan).
       * Listener delivery is async, so waitUntilEmpty before reading. */
-    final class OpMetrics extends org.apache.spark.scheduler.SparkListener {
+    final class OpMetrics(segFlagsBase: Long)
+        extends org.apache.spark.scheduler.SparkListener {
       val taskMs = new java.util.concurrent.atomic.AtomicLong
       // runtime − cpu − gc ≈ blocked time (shuffle/spill I/O, lock waits):
       // the split that separates "the pool made tasks WAIT" from "the
@@ -171,34 +200,13 @@ object BenchScale {
       private val perStage = sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("1")
       private val stages =
         new java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Long])]()
-      // §2.9.12 segment-law detector (graft.core.SegmentLaw) — always on:
-      // per-stage task counts/parents at submit, read records at task end,
-      // flag at completion; total rides the op's json record
-      val segFlags = new java.util.concurrent.atomic.AtomicLong
-      private val stageMeta =
-        new java.util.concurrent.ConcurrentHashMap[Int, (Int, Seq[Int])]()
-      private val stageReadRecs =
-        new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      // §2.9.12 segment-law flags are detected by the SESSION-level probe +
+      // plan scan (see main); the op attributes by counter delta
+      def segFlags: Long = segProbe.flags.get() - segFlagsBase
       override def onStageSubmitted(
-          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-        stageMeta.put(ss.stageInfo.stageId,
-          (ss.stageInfo.numTasks, ss.stageInfo.parentIds.map(_.toInt)))
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
         if (perStage) stages.putIfAbsent(ss.stageInfo.stageId,
           (ss.stageInfo.name, new Array[Long](9)))
-      }
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val recs = Option(stageReadRecs.get(si.stageId)).map(_.get()).getOrElse(0L)
-        val mapTasks = Option(stageMeta.get(si.stageId)).map(_._2).getOrElse(Seq.empty)
-          .flatMap(p => Option(stageMeta.get(p))).map(_._1.toLong).sum
-        if (graft.core.SegmentLaw.flag(recs, mapTasks, si.numTasks)) {
-          segFlags.incrementAndGet()
-          System.err.println(s"[segment_flag] stage=${si.stageId} records=$recs " +
-            s"map_tasks=$mapTasks width=${si.numTasks} " +
-            f"records_per_segment=${recs.toDouble / (mapTasks * si.numTasks)}%.2f")
-        }
-      }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
@@ -209,9 +217,6 @@ object BenchScale {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           spillMem.addAndGet(m.memoryBytesSpilled)
           spillDisk.addAndGet(m.diskBytesSpilled)
-          stageReadRecs.computeIfAbsent(te.stageId,
-            _ => new java.util.concurrent.atomic.AtomicLong)
-            .addAndGet(m.shuffleReadMetrics.recordsRead)
           if (perStage) {
             val e = stages.get(te.stageId)
             if (e != null) e._2.synchronized {
@@ -243,7 +248,7 @@ object BenchScale {
           s""""cpu_sec":${cpuNs.get / 1000000000L},"gc_sec":${gcMs.get / 1000},""" +
           s""""shuffle_write_mb":${mb(shufWrite.get)},"shuffle_read_mb":${mb(shufRead.get)},""" +
           s""""spill_mem_mb":${mb(spillMem.get)},"spill_disk_mb":${mb(spillDisk.get)},""" +
-          s""""segment_flags":${segFlags.get}}"""
+          s""""segment_flags":$segFlags}"""
       }
     }
     /** Time each kept op; incremental stderr record per op (a later op
@@ -255,13 +260,14 @@ object BenchScale {
                 setWidth: String => Unit = _ => ()): Seq[(String, Double, String)] =
       ops.map { case (k, f) =>
         setWidth(k)
-        val lst = new OpMetrics
+        // drain before the baseline snapshot and after the op: listener
+        // delivery is async, and the bus drain (GraftBus shim) makes the
+        // attribution exact instead of the old fixed 1 s settle
+        org.apache.spark.GraftBus.drain(spark.sparkContext)
+        val lst = new OpMetrics(segProbe.flags.get())
         spark.sparkContext.addSparkListener(lst)
         val s = time(f(frame))
-        // listener delivery is async and the bus has no public drain hook —
-        // a short settle keeps the attribution within a straggler task of
-        // exact (same caveat as graft.Bench's shuffle_kb listener)
-        Thread.sleep(1000)
+        org.apache.spark.GraftBus.drain(spark.sparkContext)
         spark.sparkContext.removeSparkListener(lst)
         lst.dumpStages(k)
         val mj = lst.json(s)

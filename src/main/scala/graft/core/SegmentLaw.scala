@@ -74,9 +74,13 @@ final class SegmentProbe {
     readRecs.computeIfAbsent(stageId,
       _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(recordsRead)
 
-  /** Evaluate the law for a completed stage; Some(detail) if flagged. */
+  /** Evaluate the law for a completed stage; Some(detail) if flagged.
+    * The stage's read-record entry is pruned here (a completed stage never
+    * reports again) — `rddTasks` is kept: later stages resolve their map
+    * counts through rdd ids owned by long-finished stages, and the map is
+    * one boxed int per rdd, bounded by the session's plan count. */
   def onComplete(si: org.apache.spark.scheduler.StageInfo): Option[String] = {
-    val recs = Option(readRecs.get(si.stageId)).map(_.get()).getOrElse(0L)
+    val recs = Option(readRecs.remove(si.stageId)).map(_.get()).getOrElse(0L)
     if (recs < SegmentLaw.MinRecordsToFlag) return None // cheap early out
     val own = si.rddInfos.map(_.id).toSet
     val mapTasks = si.rddInfos.flatMap(_.parentIds)
@@ -88,5 +92,70 @@ final class SegmentProbe {
         s"width=${si.numTasks} " +
         f"records_per_segment=${recs.toDouble / (mapTasks * si.numTasks)}%.2f")
     } else None
+  }
+}
+
+/** Post-execution segment-law scan over an EXECUTED (post-AQE) physical
+  * plan — closes [[SegmentProbe]]'s documented coalesced-read blind spot:
+  * the probe reads `width` off the READING stage's task count, which
+  * AQE's coalescer shrinks below the exchange's true reduce width, so an
+  * exchange only ever read through coalesced specs (measured: the kn
+  * bigram-type distinct at the 2×10⁷ decade, ~10 records per TRUE
+  * segment) hides its map_tasks × width micro-segments behind a fat read.
+  * The materialized exchange itself knows the truth:
+  * `ShuffleExchangeLike.numMappers × numPartitions` is the segment count
+  * the map side actually WROTE (write-side codec init/flush is the law's
+  * dominant cost, and no read-side coalescing changes it), and the
+  * `shuffleRecordsWritten` SQLMetric is the exact record volume.
+  * ReusedExchanges are skipped (counted once, at the origin); unexecuted
+  * exchanges report zero written records and fall under the records
+  * floor. Runs OUTSIDE any timed region — the bench/battery register the
+  * [[SegmentPlanScan.Listener]] once per session and attribute flags by
+  * counter delta, exactly like the stage probe. A true pathology that is
+  * read un-coalesced can flag in BOTH detectors (one stage view, one plan
+  * view); the healthy-battery contract (zero flags) is unaffected. */
+object SegmentPlanScan {
+  import org.apache.spark.sql.execution.SparkPlan
+
+  def scan(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _: ReusedExchangeExec => ()
+        case q: QueryStageExec => walk(q.plan)
+        case e: ShuffleExchangeLike =>
+          val recs = e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+          // numMappers touches the exchange's lazy shuffle dependency; on a
+          // finished plan every non-reused exchange has built it, and the
+          // records floor keeps unexecuted/empty exchanges out anyway
+          if (recs >= SegmentLaw.MinRecordsToFlag &&
+              SegmentLaw.flag(recs, e.numMappers.toLong, e.numPartitions.toLong))
+            out += (s"exchange=${e.nodeName} records=$recs " +
+              s"map_tasks=${e.numMappers} width=${e.numPartitions} " +
+              f"records_per_segment=${recs.toDouble / (e.numMappers.toLong * e.numPartitions)}%.2f")
+          e.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    scala.util.Try(walk(plan))
+    out.toList
+  }
+
+  /** QueryExecutionListener delivering each flagged exchange's detail line
+    * to `sink` (the bench/battery flag counters). Failure path is skipped:
+    * a failed execution may have no executed plan to read. */
+  final class Listener(sink: String => Unit)
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      scala.util.Try(scan(qe.executedPlan).foreach(sink))
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
   }
 }

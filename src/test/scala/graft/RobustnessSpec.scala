@@ -38,9 +38,12 @@ class RobustnessSpec extends SparkSpec {
     // bench's per-query snapshot.
     Bench.installProbe(spark)
     def flagsAfter(body: => Unit): Long = {
+      org.apache.spark.GraftBus.drain(spark.sparkContext)
       val before = Bench.segmentFlagTotal
       body
-      Thread.sleep(1000) // listener delivery is async (the bench's caveat)
+      // listener delivery is async — drain the bus (ADVICE r15: the fixed
+      // 1 s sleep was flaky under a loaded executor) before reading
+      org.apache.spark.GraftBus.drain(spark.sparkContext)
       Bench.segmentFlagTotal - before
     }
     val healthy = flagsAfter {
@@ -54,6 +57,27 @@ class RobustnessSpec extends SparkSpec {
         .write.mode("overwrite").format("noop").save()
     }
     assert(sick >= 1L, "micro-segmented exchange must raise the warning")
+    // the stage probe's coalesced-read blind spot, now covered by the plan
+    // scan (VERDICT r15 #3): a PLANNER exchange at a pathological width is
+    // read back through AQE's coalescer, so the reading stage's task count
+    // looks healthy — only the executed plan knows the exchange wrote
+    // map_tasks × 4096 micro-segments. distinct() over unique ids keeps
+    // every row through the partial aggregate, so 1.1M records cross.
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val coalescedSick = flagsAfter {
+      spark.conf.set("spark.sql.shuffle.partitions", "4096")
+      // mod keeps keys NON-unique (a distinct over provably-unique range
+      // ids optimizes the whole exchange away) while each map partition's
+      // key slice stays internally unique, so the partial aggregate passes
+      // ~all 1.1M records into the 64 × 4096-segment exchange
+      try spark.range(0, 1100000, 1, 64)
+        .select((org.apache.spark.sql.functions.col("id") % 550000L).as("k"))
+        .distinct()
+        .write.mode("overwrite").format("noop").save()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
+    assert(coalescedSick >= 1L,
+      "micro-segmented exchange behind a coalesced read must raise the warning")
   }
 
   test("Bench.outliers flags unexplained walls and only those") {
