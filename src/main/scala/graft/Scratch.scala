@@ -3,40 +3,43 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc plan probing for performance work (not part of the contract).
-  * Current probe: which shuffle-map stages doc_curation_chain materializes
-  * (the PlanPin +4 after the keyed-checkpoint change). */
+  * Current probe: driver-side job counts + wall for the driver-latency
+  * query class (wall ≫ task/cores — VERDICT r15 #4/#5). */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfDir = "/root/testdata/sf0.001"
-    SparkEntry.prewarmMemos(spark, sfDir)
-    val q = args.headOption.getOrElse("doc_curation_chain")
-    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null && m.shuffleWriteMetrics.bytesWritten > 0)
-          stages.merge(te.stageId, (te.taskInfo.taskLocality.toString, m.shuffleWriteMetrics.bytesWritten),
-            (a, b) => (a._1, a._2 + b._2))
-      }
-      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (stages.containsKey(s.stageInfo.stageId))
-          stages.put(s.stageInfo.stageId, (s.stageInfo.name, stages.get(s.stageInfo.stageId)._2))
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     })
-    SparkEntry.queries(q)(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    Thread.sleep(800)
-    import scala.jdk.CollectionConverters._
-    stages.asScala.toSeq.sortBy(_._1).foreach { case (sid, (name, sw)) =>
-      println(s"STAGE $sid sw=${sw}B  ${name.linesIterator.next()}")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    SparkEntry.prewarmMemos(spark, sfDir)
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "ts_opt_transform", "ts_opt_transform_by_series", "mv_blocked_dynamic",
+      "ts_model_summaries", "ts_cv_rolling", "ts_conformal", "mv_vecm",
+      "mv_screen_approx", "mv_dynamic", "mv_star_fit", "mv_backtest",
+      "ts_reconcile", "ts_synthesize", "ts_sarma")
+    names.foreach { n =>
+      (1 to 2).foreach { i =>
+        org.apache.spark.GraftBus.drain(spark.sparkContext)
+        val j0 = jobs.get()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftBus.drain(spark.sparkContext)
+        println(f"[probe] $n run$i wall=$sec%.3f jobs=${jobs.get() - j0}")
+      }
     }
-    println(s"STAGETOTAL ${stages.size}")
     spark.stop()
   }
 }

@@ -159,15 +159,25 @@ object Widths {
   /** [[ownedForBytes]] from the frame's own Catalyst size estimate — the
     * [[forExchange]] twin (same Generate-expansion correction, same
     * degenerate-estimate guards and the same join-derived-frame caveat),
-    * with the operator-owned floor. */
+    * with the operator-owned floor.
+    *
+    * `degenerateWidth` (ADVICE r15): what a DEGENERATE estimate falls back
+    * to. The default (< 1) keeps the historical session-width fallback —
+    * right when no better volume model exists. A caller holding a COUNTED
+    * width for a sibling frame (kn's train side) passes it instead: a
+    * stat-less score frame must not re-inherit the session width into
+    * every pinned model-table exchange — the exact pathology the owned
+    * width exists to break. */
   def ownedForExchange(df: DataFrame, expansion: Double = 1.0,
-                       targetPartitionBytes: Long = TargetPartitionBytes): Int = {
+                       targetPartitionBytes: Long = TargetPartitionBytes,
+                       degenerateWidth: Int = -1): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val degenerate = SaneEstimateBytes.min(
       BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes))
-    if (est <= 0 || est >= degenerate)
-      df.sparkSession.sessionState.conf.numShufflePartitions
-    else
+    if (est <= 0 || est >= degenerate) {
+      if (degenerateWidth >= 1) degenerateWidth
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    } else
       ownedForBytes(df.sparkSession,
         est * math.max(1L, math.round(expansion * 100)) / 100,
         targetPartitionBytes)

@@ -524,10 +524,19 @@ object AutoSelect {
         case Some((decided, blended)) =>
           recipes ::= decided.select(col(SeriesId), lit(name).as("candidate"),
             col("_ns").as("cand_rmse"), col("accepted"))
-          cur = blended.localCheckpoint(true)
+          // LAZY chain-state checkpoints (the Bpe scheduler-trip lesson):
+          // `decided` above stays EAGER — it forces the candidate's whole
+          // scoring pass inside the Try, carrying the try-order error
+          // policy — but the blended frame and the rolled-forward scores
+          // are pure joins/projections of materialized pieces, so each
+          // materializes inside its FIRST consumer's job (the next
+          // candidate's decided pass) instead of costing two scheduler
+          // round trips here. A caller that never consumes the final
+          // frame (the declared recipes-only query) never pays for it.
+          cur = blended.localCheckpoint(false)
           curScores = decided
             .withColumn("_cs", when(col("accepted"), col("_ns")).otherwise(col("_cs")))
-            .select(col(SeriesId), col("_cs")).localCheckpoint(true)
+            .select(col(SeriesId), col("_cs")).localCheckpoint(false)
         case None => // a candidate that errors outright is skipped for ALL
           // series (the reference's try-order error policy)
       }
@@ -560,27 +569,84 @@ object AutoSelect {
     )
     val candidates =
       if (candidateNames.isEmpty) all else all.filter(c => candidateNames.contains(c._1))
-    var cur = frame
-    var curScore = score(frame)
-    var accepted = List.empty[(String, FittedTransform)]
-    candidates.foreach { case (name, mk) =>
-      // a candidate that errors or yields non-finite values (e.g. boxcox on
-      // a negative-valued series) is simply rejected, like the reference's
-      // error policy in its try-order loop
+
+    // One candidate's full evaluation against a given chain state: the
+    // transform fit, the filtered transformed frame, its AR(4) holdout
+    // score. A pure function of (state, candidate) — errors/non-finite
+    // scores reject, like the reference's try-order error policy.
+    final case class Eval(t: FittedTransform, candidate: DataFrame, s: Double)
+    def evaluate(state: DataFrame, mk: DataFrame => FittedTransform): Option[Eval] =
       scala.util.Try {
-        val t = mk(cur)
-        val candidate = t.transform(cur)
+        val t = mk(state)
+        val candidate = t.transform(state)
           .filter(col(Y).isNotNull && !isnan(col(Y)))
-        (t, candidate, score(candidate))
-      }.toOption.foreach { case (t, candidate, s) =>
-        if (!s.isNaN && s < curScore) {
-          cur = candidate
-          curScore = s
-          accepted = (name, t) :: accepted
-        }
+        Eval(t, candidate, score(candidate))
+      }.toOption
+
+    // The walk is reference-sequential (each candidate is accepted/rejected
+    // against the CURRENT chain — candidates can NOT fan out), but its wall
+    // was pure driver-side job latency: ~2 scheduler round trips per
+    // candidate, each job re-planning AND re-broadcasting the whole
+    // accepted chain's transform-param frames (wall ≈ 28× the
+    // perfectly-parallel task floor at 32 cores). Two latency cuts that
+    // cannot change any decision:
+    //  - the NEXT candidate is evaluated speculatively against the
+    //    REJECT-path state while the current one is pending; a rejection
+    //    (the common outcome) makes its result immediately available, an
+    //    acceptance discards it and re-evaluates against the new state —
+    //    decisions still fall strictly in try-order over the same
+    //    (state, candidate) inputs, so results are bit-identical;
+    //  - an ACCEPTED state is eagerly checkpointed (one shared base per
+    //    chain step), so later candidates and the returned frame re-plan a
+    //    one-node block scan instead of the stacked param-join lineage.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def submit[A](body: => A): scala.concurrent.Future[A] =
+      scala.concurrent.Future {
+        org.apache.spark.sql.SparkSession.active.sparkContext
+          .setLocalProperty("spark.scheduler.pool", "graft-eval")
+        body
       }
-    }
-    val acc = accepted.reverse
-    OptimalTransform(TransformStack(acc.map(_._2)), cur, curScore, acc.map(_._1))
+    def await[A](f: scala.concurrent.Future[A]): A =
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+    try {
+      var cur = frame
+      val baseScoreF = submit(score(frame))
+      var accepted = List.empty[(String, FittedTransform)]
+      var curScore = Double.NaN
+      var pending: Option[(Int, scala.concurrent.Future[Option[Eval]])] = None
+      var i = 0
+      while (i < candidates.size) {
+        // capture loop state into vals BEFORE submitting: the future body
+        // runs on a pool thread possibly after the loop has advanced, so
+        // reading the `var`s from inside the closure would evaluate the
+        // wrong candidate (or walk off the end)
+        val evF = pending match {
+          case Some((j, f)) if j == i => f
+          case _ =>
+            val state = cur; val mk = candidates(i)._2
+            submit(evaluate(state, mk))
+        }
+        // reject-path lookahead (state captured NOW, before the decision)
+        pending =
+          if (i + 1 < candidates.size) {
+            val state = cur; val j = i + 1; val mkNext = candidates(j)._2
+            Some((j, submit(evaluate(state, mkNext))))
+          } else None
+        if (i == 0) curScore = await(baseScoreF)
+        await(evF).foreach { case Eval(t, candidate, s) =>
+          if (!s.isNaN && s < curScore) {
+            cur = candidate.localCheckpoint(true)
+            curScore = s
+            accepted = (candidates(i)._1, t) :: accepted
+            pending = None // was speculated against the rejected state
+          }
+        }
+        i += 1
+      }
+      val acc = accepted.reverse
+      OptimalTransform(TransformStack(acc.map(_._2)), cur, curScore, acc.map(_._1))
+    } finally pool.shutdown()
   }
 }

@@ -333,11 +333,17 @@ object TextOps {
     // smaller than the gram stream, and over-sizing a bounded table by
     // the gram/type ratio is benign — the quadratic segment blowup needs
     // BOTH sides of map_tasks × reduce_width oversized.
-    val w = math.max(
-      graft.core.Widths.ownedForBytes(train.sparkSession,
-        BigInt(trainTokens) * 27L * n),
+    // the COUNTED train-side width is also the score side's DEGENERATE
+    // fallback (ADVICE r15): a stat-less score frame (RDD-backed, plain
+    // checkpoint) must take the train-side volume model, not the session
+    // width — re-inheriting the session width into the pinned model-table
+    // exchanges is the exact pathology the pin exists to break
+    val trainW = graft.core.Widths.ownedForBytes(train.sparkSession,
+      BigInt(trainTokens) * 27L * n)
+    val w = math.max(trainW,
       graft.core.Widths.ownedForExchange(
-        score.select(col(idCol), col(textCol)), expansion = 4.5 * n))
+        score.select(col(idCol), col(textCol)), expansion = 4.5 * n,
+        degenerateWidth = trainW))
     // rename BEFORE the pinned exchange so the aggregate's group key and
     // the score join's key are the same attribute the partitioning tracks
     val cc1 = biTypes
@@ -450,8 +456,26 @@ object TextOps {
     p = when(d(col("c_ctx")) <= 0, p).otherwise(
       greatest(d(col("c_full")) - lit(D), lit(0.0)) / d(col("c_ctx")) +
         lit(D) * d(col("n1p_n")) / d(col("c_ctx")) * p)
-    s.withColumn("_lp", log(p))
-      .groupBy("doc")
+    // final per-doc aggregate, two-tier by the SAME planner gate as the
+    // joins (VERDICT r15 #2 residual — the last session-width exchange in
+    // the score plan). Broadcast tier: the score stream has zero
+    // exchanges, docs arrive contiguous per scan split, so the planner's
+    // partial aggregate collapses the stream to ~one row per (doc, task)
+    // and its post-partial exchange is type-thin — keep it. Past the
+    // gate the SMJ layout scatters each doc's grams across the w
+    // gram-keyed partitions, the partial barely collapses anything
+    // (measured shape: partial output ≈ input rows), and its post-partial
+    // exchange inherits the SESSION width — map_tasks × session
+    // micro-segments, the §2.9.12 law's host. Pin that exchange to the
+    // owned width instead: same bytes move (the partial saved ~nothing),
+    // one REPARTITION_BY_NUM the session conf can never resize.
+    val scored = s.withColumn("_lp", log(p))
+    val bcGate = train.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val cNBytes = cN.queryExecution.optimizedPlan.stats.sizeInBytes
+    val aggIn =
+      if (bcGate >= 0 && cNBytes <= bcGate) scored
+      else scored.repartition(w, col("doc"))
+    aggIn.groupBy("doc")
       .agg(count(lit(1)).as("n_grams"), exp(-avg(col("_lp"))).as("ppl"))
   }
 

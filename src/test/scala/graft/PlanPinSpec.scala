@@ -27,7 +27,12 @@ class PlanPinSpec extends SparkSpec {
     "doc_curation_audit" -> 16,               // 12
     "doc_curation_chain" -> 10,               // 8 (keyed ckpt + narrow strat)
     "mv_blocked_dynamic" -> 32,               // 27
-    "ts_opt_transform" -> 10,                 // 8
+    // r16: the greedy walk evaluates a reject-path LOOKAHEAD candidate
+    // concurrently; each ACCEPT discards one speculative eval and re-runs
+    // it against the new state, so the stage count is data-dependent up
+    // to ~2× the sequential walk's (this fixture accepts 2 of 3
+    // candidates → 16). The pin bounds the all-accept worst case.
+    "ts_opt_transform" -> 20,                 // 8 seq / 16 with lookahead
     "ts_auto_xvar" -> 38,                     // 32
     "doc_dedup_incremental" -> 13,            // 10 (keyed ckpt)
     "ts_opt_transform_by_series" -> 13,       // 9
