@@ -17,9 +17,15 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val jobs = new java.util.concurrent.atomic.AtomicLong
+    val verbose = sys.env.get("SPARK_GRAFT_PROBE_VERBOSE").contains("1")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) {
+          val site = e.stageInfos.lastOption.map(_.name).getOrElse("?")
+          System.err.println(s"[job] ${e.jobId} stages=${e.stageInfos.size} $site")
+        }
+      }
     })
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.prewarmMemos(spark, sfDir)

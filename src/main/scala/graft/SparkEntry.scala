@@ -806,7 +806,13 @@ object SparkEntry {
     // racing rebuilds harmless (disjoint keys here anyway).
     val chains: Seq[() => Unit] = Seq(
       () => { ordersMonthlyM(s, d); zOrdersMonthly(s, d); tbatsCurveM(s, d) },
-      () => { segmentMonthlyM(s, d); zSegBuilding(s, d) },
+      () => { segmentMonthlyM(s, d); zSegBuilding(s, d)
+              // the blocked fit is itself a session memo shared by both
+              // mv_blocked_* queries (and zSegmentsMonthly by six series
+              // queries); building them here hides the fit's ~25 driver
+              // round-trips under the longer doc-tier chains instead of
+              // serializing them into the first consumer's wall
+              zSegmentsMonthly(s, d); blockedFitM(s, d); () },
       () => { docVecsM(s, d); () },
       () => { docFpsM(s, d); () },
       () => { jaccardM(s, d); () },

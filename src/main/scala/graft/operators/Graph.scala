@@ -74,11 +74,19 @@ object Graph {
     val estBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
     // labels stay an RDD in the loop tier — the result is vertex-sized and
     // must never transit the driver; only the local tier's (already
-    // driver-resident, size-gated) labels are parallelized back out
+    // driver-resident, size-gated) labels are parallelized back out.
+    // When the estimate EXCEEDS the gate it may still be join-tree noise
+    // (mv_blocked_dynamic's ~12-edge coupling graph estimated 4.5 GB through
+    // the screen's join tree and paid ~5 loop jobs per call); the loop's own
+    // first step materializes the symmetrized edges and measures their true
+    // persisted bytes, so the local-tier decision is re-taken there from the
+    // MEASURED size — free for genuinely big graphs, and a toy graph escapes
+    // to the driver after one cheap count instead of riding the full loop.
     def solve[T: Ordering : ClassTag](get: Row => (T, T)): RDD[(T, T)] =
       if (estBytes <= localMaxBytes)
         spark.sparkContext.parallelize(localCC(e.collect().map(get)).toSeq, 1)
-      else ccLoop[T](e.rdd.map(get), e.rdd.getNumPartitions, maxIter)
+      else ccLoop[T](e.rdd.map(get), e.rdd.getNumPartitions, maxIter,
+        localMaxBytes)
     val labels = idType match {
       case StringType => solve[String](r => (r.getString(0), r.getString(1)))
         .map { case (v, c) => Row(v, c) }
@@ -118,7 +126,8 @@ object Graph {
 
   private def ccLoop[T: Ordering : ClassTag](rawEdges: RDD[(T, T)],
                                              physicalWidth: Int,
-                                             maxIter: Int): RDD[(T, T)] = {
+                                             maxIter: Int,
+                                             localGateBytes: Long = 0L): RDD[(T, T)] = {
     val ord = implicitly[Ordering[T]]
     def lo(x: T, y: T): T = if (ord.lteq(x, y)) x else y
     val sc = rawEdges.sparkContext
@@ -148,6 +157,17 @@ object Graph {
     eLwide.count() // materialize so the block manager knows the true size
     val actualBytes = sc.getRDDStorageInfo.find(_.id == eLwide.id)
       .map(i => i.memSize + i.diskSize).getOrElse(0L)
+    // Re-take the local-tier decision from the MEASURED bytes: a plan whose
+    // estimate multiplied through upstream joins can still be a toy graph
+    // (see connectedComponents). The 2× allows for symmetrization — the gate
+    // bound is on raw pairs. actualBytes == 0 (storage info missed) stays
+    // distributed; localGateBytes == 0 keeps the documented force-loop knob.
+    if (localGateBytes > 0 && actualBytes > 0 &&
+        actualBytes <= 2 * localGateBytes) {
+      val pairs = eLwide.collect()
+      eLwide.unpersist(blocking = false)
+      return sc.parallelize(localCC(pairs).toSeq, 1)
+    }
     val nPart = math.max(1, math.min(
       if (actualBytes > 0) (actualBytes / (32L << 20) + 1).toInt
       else physicalWidth,

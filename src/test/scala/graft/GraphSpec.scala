@@ -64,6 +64,39 @@ class GraphSpec extends SparkSpec {
     assert(local.nonEmpty && local.forall { case (v, c) => c <= v })
   }
 
+  test("overblown plan estimate on a toy graph escapes to the local tier") {
+    import spark.implicits._
+    // An equality join's size-only stat is the PRODUCT of its children —
+    // two ~100k-row range frames estimate in the GB even though the joined
+    // edge list is tiny (mv_blocked_dynamic's coupling graph rides exactly
+    // this shape through the screen's join tree). The measured-bytes gate
+    // must escape to the driver-local tier after the one materialize job
+    // instead of running the distributed loop's per-round jobs.
+    val ids = spark.range(0, 100000).toDF("v")
+    val tiny = spark.range(0, 12).toDF("v")
+    val edges = ids.join(tiny, "v").select(col("v").as("a"), (col("v") + 1).as("b"))
+    val est = edges.select(col("a"), col("b")).queryExecution
+      .optimizedPlan.stats.sizeInBytes
+    assert(est > Graph.LocalMaxBytes, s"fixture must overestimate, got $est")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      org.apache.spark.GraftBus.drain(spark.sparkContext)
+      val labels = Graph.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      org.apache.spark.GraftBus.drain(spark.sparkContext)
+      // one chain 0..12 → comp 0 everywhere
+      assert(labels == (0L to 12L).map(_ -> 0L).toMap, s"got $labels")
+      // materialize+count, driver collect, label parallelize-collect — the
+      // loop tier's per-round jobs (≥2 rounds × join/count) would exceed this
+      assert(jobs.get() <= 4, s"expected the local tier's ≤4 jobs, ran ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("BlockedVar recursion plan is UDF-free with distributed components") {
     val nObs = 40
     val a = (0 until nObs).map(t => 10.0 + 3.0 * math.sin(t / 2.0) + 0.2 * t)
