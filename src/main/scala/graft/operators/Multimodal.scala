@@ -486,9 +486,16 @@ object Multimodal {
             // canDecodeInput must fall through to the next SPI and then
             // the registry lookup, not abort the decode of a payload some
             // other reader handles (previously it landed in the outer
-            // catch and silently dropped the image)
+            // catch and silently dropped the image). A probe that THROWS
+            // breaks its own mark/reset contract mid-read, leaving the
+            // stream past the header — reseek to 0 so the next SPI and
+            // the registry fallback sniff from the real start, not a
+            // corrupted offset (ADVICE r15)
             val readerOpt = readers.keysIterator.find(spi =>
-              scala.util.Try(spi.canDecodeInput(iis)).getOrElse(false)) match {
+              scala.util.Try(spi.canDecodeInput(iis)) match {
+                case scala.util.Success(b) => b
+                case scala.util.Failure(_) => iis.seek(0L); false
+              }) match {
               case Some(spi) =>
                 usedSpi = spi
                 Some(readers(spi))
